@@ -1,0 +1,49 @@
+package graft
+
+import graft.io.{Synth, TableIO}
+import graft.pipeline.{Ep1Config, ExtractJob}
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entrypoint for the extraction engine.
+  *
+  * Usage:
+  *   graft.Main gen <nDocs> <nPartitions> <inputPath>
+  *   graft.Main run <inputPath> <outputPath> <lineagePath> [commitBatch]
+  *
+  * `run` is resumable: partitions already present in the lineage table are
+  * skipped (left-anti join), so re-submitting a killed job completes exactly
+  * the pending partitions.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
+      .appName("graft-extract")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args.toList match {
+        case "gen" :: n :: parts :: path :: Nil =>
+          Synth.generate(spark, n.toLong, parts.toInt).toDF()
+            .write.partitionBy("partition_id").mode("overwrite").parquet(path)
+          println(s"[graft] wrote ${n} docs to $path")
+        case "run" :: in :: out :: lineage :: rest =>
+          val batch = rest.headOption.map(_.toInt).getOrElse(8)
+          val rows = ExtractJob.runJob(spark, in, out, lineage, Ep1Config(), batch)
+          val committed = TableIO.readLineage(spark, lineage).count()
+          println(s"[graft] processed ${rows.length} partitions this run " +
+            s"(docs=${rows.map(_.docs_in).sum}, spans=${rows.map(_.spans_out).sum}); " +
+            s"lineage now has $committed committed partitions")
+        case _ =>
+          System.err.println("usage: graft.Main gen <nDocs> <nPartitions> <path> | " +
+            "run <in> <out> <lineage> [commitBatch]")
+          sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.interleave
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** J1/J2/J3 — source interleaving and splitting.
+  *
+  * The reference builds per-source page dicts and iterates the sorted union
+  * of page numbers, emitting each source's section (or a
+  * `[Page not found in X extraction]` placeholder) in a fixed source order
+  * (combine_extractions.py:144-192; 3-way cert_extract_pla.py:453-560).
+  * In Spark that is a full-outer join on (doc, page) + coalesce placeholders,
+  * with output order (page asc, source-rank asc).
+  */
+object Interleave {
+
+  val spanType: DataType = ArrayType(StructType(Seq(
+    StructField("kind", StringType),
+    StructField("text", StringType),
+    StructField("media_ref", StringType),
+    StructField("offset", IntegerType))), containsNull = false)
+
+  /** Typed empty `spans` array (for docs with no surviving pages). */
+  def emptySpans: Column = filter(
+    array(struct(lit("").as("kind"), lit("").as("text"),
+      lit("").as("media_ref"), lit(0).as("offset"))),
+    _ => lit(false))
+
+  def placeholder(kind: String): Column =
+    lit(s"[Page not found in $kind extraction]")
+
+  /** J1/J2 — N-way page interleave. Each input: (doc_id, page, text) for one
+    * named source kind, given in the required output source order. Result:
+    * one row per (doc_id, page, kind) over the union of pages of all sources,
+    * with placeholders where a source misses the page, ordered
+    * (doc_id, page, source-rank).
+    */
+  def interleave(sources: Seq[(String, DataFrame)]): DataFrame = {
+    val renamed = sources.zipWithIndex.map { case ((kind, df), i) =>
+      (kind, i, df.select(col("doc_id"), col("page"), col("text").as(s"text_$i")))
+    }
+    val joined = renamed.map(_._3).reduce((a, b) => a.join(b, Seq("doc_id", "page"), "full_outer"))
+    val perSource = renamed.map { case (kind, i, _) =>
+      joined.select(
+        col("doc_id"), col("page"),
+        lit(kind).as("kind"),
+        lit(i).as("source_rank"),
+        coalesce(col(s"text_$i"), placeholder(kind)).as("text"))
+    }
+    perSource.reduce(_ unionByName _)
+      .orderBy(col("doc_id"), col("page"), col("source_rank"))
+  }
+
+  /** J3 — combined-doc → per-source split: in the span model this is just a
+    * kind filter (the inverse string-split of llm_pl.py:35-65 disappears).
+    */
+  def split(spans: DataFrame, kind: String): DataFrame =
+    spans.filter(col("kind") === kind)
+}
