@@ -1,0 +1,96 @@
+package graft.extract
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Normalization scalar functions used by the QC/compare stages, each in a
+  * pure-Scala form (typed pipeline + test oracle) and a Catalyst `Column`
+  * form (declarative pipeline) with identical semantics.
+  *
+  * Reference: hartford_done/llm4nano.py:45-76 (money), llm_pl_pol_cov.py:401-407
+  * (name norm), pl_cov_additional_interests.py:118-157 (name variation),
+  * policy_extract.py:53-65,709-711 (base-name strip).
+  */
+object Norms {
+
+  // ------------------------------------------------------------- money -----
+  /** Normalize money-like values to digits-only | "Included" | %-verbatim |
+    * inside/outside-verbatim | null. Reference: hartford_done/llm4nano.py:45-71.
+    */
+  def normalizeMoney(value: String): Option[String] = {
+    if (value == null) return None
+    val v = value.strip()
+    if (v.isEmpty) return None
+    if (v.toLowerCase == "included") return Some("Included")
+    if (v.endsWith("%")) return Some(v)
+    val low = v.toLowerCase
+    if (low.contains("inside") || low.contains("outside")) return Some(v)
+    val digits = v.filter(_.isDigit)
+    if (digits.isEmpty) None else Some(digits)
+  }
+
+  def normalizeMoneyCol(value: Column): Column = {
+    val v = regexp_replace(value, "^\\p{javaWhitespace}+|\\p{javaWhitespace}+$", "")
+    val low = lower(v)
+    when(value.isNull || v === "", lit(null).cast("string"))
+      .when(low === "included", lit("Included"))
+      .when(v.endsWith("%"), v)
+      .when(low.contains("inside") || low.contains("outside"), v)
+      .otherwise {
+        val digits = regexp_replace(v, "[^0-9]", "")
+        when(digits === "", lit(null).cast("string")).otherwise(digits)
+      }
+  }
+
+  /** Equality under money normalization. Reference: hartford_done/llm4nano.py:74-76. */
+  def moneyEqual(a: String, b: String): Boolean = normalizeMoney(a) == normalizeMoney(b)
+
+  // -------------------------------------------------------- name norm ------
+  /** Lowercase, alphanumerics only — loose coverage-name matching key.
+    * Reference: llm_pl_pol_cov.py:401-407.
+    */
+  def normName(s: String): String =
+    if (s == null) "" else s.toLowerCase.filter(_.isLetterOrDigit)
+
+  def normNameCol(s: Column): Column =
+    coalesce(regexp_replace(lower(s), "[^\\p{javaLetterOrDigit}]", ""), lit(""))
+
+  // ---------------------------------------------------- name variation -----
+  private val EntitySuffixes = Seq(" LLC", " INC", " CORP", " L.L.C.", " I.N.C.", " CORP.")
+  private val OcrPairs = Seq(("G", "H"), ("H", "G"), ("O", "0"), ("0", "O"), ("I", "1"), ("1", "I"))
+
+  /** OCR-tolerant fuzzy name equality: entity-suffix strip, positional
+    * difference <= 2 for equal-length names > 5 chars, and OCR confusion-pair
+    * substitution closure for names > 8 chars. NOTE: exact reference
+    * semantics — positional diff count (not edit distance), and the suffix
+    * replace applies anywhere in the string, as `.replace` does.
+    * Reference: pl_cov_additional_interests.py:118-157.
+    */
+  def isNameVariation(name1: String, name2: String): Boolean = {
+    if (name1 == null || name2 == null) return false
+    var n1 = name1.toUpperCase
+    var n2 = name2.toUpperCase
+    for (s <- EntitySuffixes) { n1 = n1.replace(s, ""); n2 = n2.replace(s, "") }
+    if (n1.length == n2.length) {
+      val diff = n1.zip(n2).count { case (a, b) => a != b }
+      if (diff <= 2 && n1.length > 5) return true
+    }
+    if (n1.length > 8 && n2.length > 8) {
+      val v1 = n1 +: OcrPairs.map { case (o, n) => n1.replace(o, n) }
+      val v2 = n2 +: OcrPairs.map { case (o, n) => n2.replace(o, n) }
+      for (a <- v1; b <- v2) if (a == b) return true
+    }
+    false
+  }
+
+  // ---------------------------------------------------- base-name strip ----
+  /** Strip document-id suffixes the reference's filename conventions add.
+    * Reference: policy_extract.py:53-65,709-711; traveler/qc_head.py:1150-1158.
+    */
+  private val SuffixRe = "(_policy2|_policy|_ocr|_Package)$"
+
+  def baseName(docId: String): String =
+    if (docId == null) null else docId.replaceAll(SuffixRe, "")
+
+  def baseNameCol(docId: Column): Column = regexp_replace(docId, SuffixRe, "")
+}

@@ -1,0 +1,128 @@
+package graft.qc
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class QcSpec extends SparkTestBase {
+  import Qc._
+
+  // ------------------------------------------------------------------ J4 --
+  case class V(name: String, status: String)
+
+  test("J4 guardrail: bidirectional containment match") {
+    val validations = Seq(V("Building Coverage", "MATCH"), V("Theft", "MATCH"),
+      V("Unrelated", "MISMATCH"))
+    val got = guardrailFilter[V](validations, _.name, Seq("Building"))
+    assert(got.map(_.name) == Seq("Building Coverage")) // 'building' ⊂ 'buildingcoverage'
+  }
+
+  test("J4 guardrail: no requested items → empty") {
+    assert(guardrailFilter[V](Seq(V("a", "MATCH")), _.name, Seq.empty).isEmpty)
+    assert(guardrailFilter[V](Seq(V("a", "MATCH")), _.name, Seq("", "  &&  ")).isEmpty)
+  }
+
+  test("J4 guardrail: head-N fallback when nothing matches, cap at N") {
+    val validations = Seq(V("x1", "MATCH"), V("x2", "MATCH"), V("x3", "MATCH"))
+    val got = guardrailFilter[V](validations, _.name, Seq("building", "theft"))
+    assert(got.map(_.name) == Seq("x1", "x2")) // first-2 fallback
+    // cap: 3 matches but only 1 requested
+    val capped = guardrailFilter[V](
+      Seq(V("theft a", "M"), V("theft b", "M"), V("theft c", "M")), _.name, Seq("theft"))
+    assert(capped.size == 1)
+  }
+
+  test("J4 DataFrame form agrees with pure form") {
+    import spark.implicits._
+    val valDf = Seq(
+      ("d1", "Building Coverage"), ("d1", "Theft"), ("d1", "Unrelated"),
+      ("d2", "x1"), ("d2", "x2"), ("d2", "x3"),
+      ("d3", "anything")).toDF("doc_id", "name")
+    val reqDf = Seq(
+      ("d1", "Building"), ("d2", "building"), ("d2", "theft")).toDF("doc_id", "req")
+    val got = guardrailJoinDf(valDf, reqDf, "doc_id", "name", "req")
+      .select("doc_id", "name").as[(String, String)].collect().toSet
+    assert(got == Set(("d1", "Building Coverage"), ("d2", "x1"), ("d2", "x2")))
+  }
+
+  // ------------------------------------------------------------------ J5 --
+  def cert(locations: Boolean): Map[String, Any] = Map(
+    "property" -> (Map(
+      "policy_number" -> "P-123",
+      "effective_date" -> "09/26/2025") ++
+      (if (locations) Map("locations" -> Seq(Map(
+        "building" -> "$350,000", "deductible" -> "1,000"))) else Map.empty)),
+    "general_liability" -> Map(
+      "policy_number" -> "GL-9",
+      "limits" -> Map("each_occurrence" -> "$1,000,000")))
+
+  val policy: Map[String, Any] = Map(
+    "property" -> Map(
+      "policy_number" -> "P-123",
+      "policy_period" -> Map("effective_date" -> "9/26/2025"), // differs as string
+      "locations" -> Seq(Map("building" -> "350000", "deductible" -> "1000"))),
+    "general_liability" -> Map(
+      "policy_number" -> "GL-9",
+      "limits" -> Map("each_occurrence" -> "1000000")))
+
+  test("J5 money-normalized equality passes; both-null skipped") {
+    val r = qcCompare(cert(locations = true), policy)
+    // date "09/26/2025" vs "9/26/2025" normalize to 09262025 vs 9262025 → mismatch
+    assert(r.status == "needs_review")
+    assert(r.mismatches.map(_.field) == Seq("property.effective_date"))
+    assert(r.mismatches.head.certificate == "09262025")
+    assert(r.mismatches.head.policy == "9262025")
+  }
+
+  test("J5 one-sided null is a mismatch (hartford_done strict semantics)") {
+    val p2 = policy.updated("general_liability", Map("policy_number" -> "GL-9"))
+    val r = qcCompare(cert(locations = false), p2)
+    assert(r.mismatches.exists(m =>
+      m.field == "gl.limits.each_occurrence" && m.policy == null && m.certificate == "1000000"))
+  }
+
+  test("J5 location checks dropped when cert has no locations") {
+    val r = qcCompare(cert(locations = false), policy)
+    assert(!r.mismatches.exists(_.field.contains("locations")))
+    assert(!r.mismatches.exists(_.field.startsWith("policy.property.")))
+  }
+
+  test("J5 DataFrame form flags the same mismatches") {
+    import spark.implicits._
+    val certKv = Seq(
+      ("d1", "a", "$100"), ("d1", "b", "$200"), ("d1", "only_cert", "$5")).toDF("doc_id", "field", "value")
+    val polKv = Seq(
+      ("d1", "a", "100"), ("d1", "b", "999"), ("d1", "only_pol", "$7")).toDF("doc_id", "field", "value")
+    val got = qcCompareDf(certKv, polKv, "doc_id")
+      .select("field", "is_mismatch").as[(String, Boolean)].collect().toMap
+    assert(got == Map("a" -> false, "b" -> true, "only_cert" -> true, "only_pol" -> true))
+  }
+
+  // ------------------------------------------------------------------ A1 --
+  test("A1 status counts recompute") {
+    val c = statusCounts(Seq("MATCH", "match", "MISMATCH", "NOT_FOUND", "weird", null))
+    assert(c == StatusCounts(6, 2, 1, 1))
+    assert(presenceCounts(Seq("PRESENT", "NOT_PRESENT", "PRESENT", null)) == ((4L, 2L, 1L)))
+  }
+
+  test("A1 DataFrame aggregation matches pure counts") {
+    import spark.implicits._
+    val df = Seq(("cgl", "MATCH"), ("cgl", "match"), ("cgl", "MISMATCH"),
+      ("umb", "NOT_FOUND"), ("umb", null)).toDF("category", "status")
+    // (total, matched, mismatched, not_found) per category
+    val m = statusCountsDf(df, Seq("category")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m("cgl") == ((3L, 2L, 1L, 0L)))
+    assert(m("umb") == ((2L, 0L, 0L, 1L)))
+  }
+
+  // ------------------------------------------------------------------ A5 --
+  test("A5 section keyword validation") {
+    val longGl = "x" * 101 + " the aggregate limit per occurrence"
+    val (valid, found) = validateSection("GL", longGl)
+    assert(valid && found == Seq("limit", "aggregate", "occurrence"))
+    val (v2, f2) = validateSection("PROPERTY", "short building")
+    assert(!v2 && f2 == Seq("building"))
+    val (v3, f3) = validateSection("OTHER", "anything at all " * 20)
+    assert(v3 && f3.isEmpty)
+  }
+}
