@@ -1,0 +1,218 @@
+package graft.dedup
+
+import graft.text.TextAnalysis._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact (fingerprint
+  * group-by), n-gram Jaccard, MinHash+LSH, and SimHash. All hashing is
+  * md5-derived (engine-reproducible), all plans are shuffle-minimal:
+  *
+  *  - exact: one shuffle on the 60-bit fingerprint.
+  *  - Jaccard/MinHash: candidate generation joins on shingle/band keys, so
+  *    the quadratic all-pairs blowup never materializes; a document-frequency
+  *    cap drops degenerate hot shingles (stopword shingles shared by
+  *    thousands of docs) which would otherwise create O(df²) skew — the
+  *    standard scale lever for LSH joins.
+  */
+object Dedup {
+
+  /** Normalized text used by every dedup flavor. */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  // ------------------------------------------------------------ exact ------
+  /** Exact dedup: group on the 60-bit fingerprint of normalized text; the
+    * smallest id per group is canonical. Output: (id, canonical_id,
+    * group_size, is_duplicate). One hash-shuffle; no text comparison. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("fingerprint")
+    df.select(col(idCol), fingerprintCol(col(textCol)).as("fingerprint"))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+  }
+
+  // --------------------------------------------------------- shingles ------
+  /** Distinct word n-gram shingles of the token array. */
+  def shinglesCol(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) < n, array())
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
+  def shingles(text: String, n: Int): Seq[String] = {
+    val t = tokens(text)
+    if (t.length < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  /** One row per (id, shingle-hash): the exploded shingle relation that
+    * candidate generation joins on. `maxDf` drops shingles appearing in more
+    * than that many docs (hot-key/skew cap; pass <=0 to keep all). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDf: Int = 0): DataFrame = {
+    val rows = df
+      .select(col(idCol), explode(shinglesCol(tokensCol(col(textCol)), n)).as("shingle"))
+      .select(col(idCol), hash60(col("shingle")).as("sh"))
+    if (maxDf <= 0) rows
+    else {
+      val hot = rows.groupBy("sh").agg(countDistinct(col(idCol)).as("df"))
+        .filter(col("df") > maxDf).select("sh")
+      rows.join(hot, Seq("sh"), "left_anti")
+    }
+  }
+
+  // --------------------------------------------------- n-gram Jaccard ------
+  /** All pairs (i < j) sharing at least one shingle, with exact Jaccard
+    * similarity |A∩B| / |A∪B| over distinct shingle hashes; keep pairs with
+    * jaccard >= minJ. Pair enumeration happens only inside shared-shingle
+    * buckets (never all-pairs). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minJ: Double, maxDf: Int = 0): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, n, maxDf).distinct()
+    val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val a = rows.toDF("id_a", "sh")
+    val b = rows.toDF("id_b", "sh")
+    val common = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  def jaccard(a: String, b: String, n: Int): Double = {
+    val sa = shingles(a, n).toSet
+    val sb = shingles(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else {
+      val c = (sa intersect sb).size.toDouble
+      BigDecimal(c / (sa.size + sb.size - c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  // ------------------------------------------------------ MinHash+LSH ------
+  /** k-permutation MinHash signature over word n-gram shingles: row i of the
+    * signature is min over shingles of hash60(i ":" shingle). Pure column
+    * expressions — no UDF, no extra explode. */
+  def minhashSignatureCol(toks: Column, n: Int, k: Int): Column = {
+    val sh = shinglesCol(toks, n)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => hash60(concat(i.cast("string"), lit(":"), s)))))
+  }
+
+  def minhashSignature(text: String, n: Int, k: Int): Seq[Long] = {
+    val sh = shingles(text, n)
+    (0 until k).map { i =>
+      if (sh.isEmpty) Long.MaxValue else sh.map(s => hash60(s"$i:$s")).min
+    }
+  }
+
+  /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`,
+    * each band hashed to a 60-bit bucket key (band index mixed in). Docs
+    * sharing any band key are candidate near-duplicates. */
+  def lshBandKeysCol(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => hash60(concat(b.cast("string"), lit("|"), concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
+
+  def lshBandKeys(sig: Seq[Long], bands: Int, rowsPerBand: Int): Seq[Long] =
+    (0 until bands).map { b =>
+      hash60(s"$b|" + sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(","))
+    }
+
+  /** MinHash/LSH near-dup detection: signature → band explode → bucket join
+    * → distinct candidate pairs → exact-Jaccard verification at `minJ`.
+    * Shuffles: one on band key (candidate join) + the verify join; the
+    * signature itself is computed scan-side with zero shuffles. */
+  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, minJ: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sigs = df
+      .filter(size(tokensCol(col(textCol))) >= n) // docs with >= 1 shingle
+      .select(col(idCol),
+        minhashSignatureCol(tokensCol(col(textCol)), n, k).as("sig"))
+    val bandRows = sigs
+      .select(col(idCol), explode(lshBandKeysCol(col("sig"), bands, r)).as("band"))
+    val cand = bandRows.toDF("id_a", "band")
+      .join(bandRows.toDF("id_b", "band"), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates with exact n-gram Jaccard
+    val rows = shingleRows(df, idCol, textCol, n).distinct()
+    val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(rows.toDF("id_a", "sh"), Seq("id_a"))
+      .join(rows.toDF("id_b", "sh"), Seq("sh", "id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("id_a", "id_b"), "left")
+      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("common"), lit(0L))).cast("double"), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------- SimHash ------
+  /** 32-bit SimHash over word tokens: each token votes ±1 per bit of its
+    * 32-bit hash; fingerprint bit b is 1 iff the vote sum is positive.
+    * Pure column expressions (nested higher-order functions). */
+  def simhash32Col(toks: Column): Column = {
+    val votes = aggregate(toks,
+      array_repeat(lit(0L), 32),
+      (acc, t) => {
+        val h = hash32(t)
+        zip_with(acc, sequence(lit(0), lit(31)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      })
+    aggregate(zip_with(votes, sequence(lit(0), lit(31)),
+      (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (s, x) => s + x)
+  }
+
+  def simhash32(text: String): Long = {
+    val votes = Array.fill(32)(0L)
+    tokens(text).foreach { t =>
+      val h = hash32(t)
+      var i = 0
+      while (i < 32) {
+        votes(i) += (if (((h >> i) & 1) == 1) 1L else -1L)
+        i += 1
+      }
+    }
+    (0 until 32).map(i => if (votes(i) > 0) 1L << i else 0L).sum
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingCol(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs: fingerprints bucketed by their 4 bytes (a pair
+    * within Hamming distance <= 7 of a 32-bit hash must agree on at least
+    * one of 4 byte-bands) → candidate join per band → Hamming verify. */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol), simhash32Col(tokensCol(col(textCol))).as("fp"))
+    val banded = fp.select(col(idCol), col("fp"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => concat(b.cast("string"), lit("|"),
+          call_function("shiftright", col("fp"), b * 8).bitwiseAND(255).cast("string")))).as("band"))
+    banded.select(col("band"), col(idCol).as("id_a"), col("fp").as("fp_a"))
+      .join(banded.select(col("band"), col(idCol).as("id_b"), col("fp").as("fp_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", hammingCol(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

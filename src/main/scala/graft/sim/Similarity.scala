@@ -1,0 +1,105 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, a sign-bucket (LSH-style)
+  * approximate variant as the scale path, and near-duplicate pair detection.
+  *
+  * All math is done in double precision via higher-order column functions
+  * (`zip_with` + `aggregate`) — codegen-friendly, no UDFs. Cosines are
+  * rounded (6 dp) so results are reproducible across engines.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision, left-to-right accumulation. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  def cosineCol(a: Column, b: Column): Column =
+    round(dotCol(a, b) / (normCol(a) * normCol(b)), 6)
+
+  def dot(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Exact brute-force top-k: every query row against every candidate row.
+    * The query side is broadcast (it is the small side by construction), so
+    * the scan side streams once with no shuffle; the only shuffle is the
+    * per-query top-k window. Output: (query_id, neighbor_id, cos, rank). */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineCol(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Sign-bucket key: the first `p` dimensions' signs packed into an int —
+    * a deterministic 2^p-cell space partition (IVF-style coarse quantizer
+    * without training). Vectors are only compared within their own cell. */
+  def signBucketCol(vec: Column, p: Int): Column =
+    aggregate(zip_with(slice(vec, 1, p), sequence(lit(0), lit(p - 1)),
+      (x, i) => when(x >= 0, call_function("shiftleft", lit(1), i)).otherwise(lit(0))),
+      lit(0), (s, v) => s + v)
+
+  def signBucket(vec: Seq[Float], p: Int): Int =
+    vec.take(p).zipWithIndex.map { case (x, i) => if (x >= 0) 1 << i else 0 }.sum
+
+  /** Approximate top-k: candidates are restricted to the query's sign
+    * bucket, then scored exactly. Trades recall for a 2^p-fold reduction in
+    * comparisons; the bucket join shuffles on the bucket key only. */
+  def bucketedTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, p: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      signBucketCol(col(vecCol), p).as("__bucket"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucketCol(col(vecCol), p).as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineCol(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: all (i < j) with cosine >= minCos.
+    * Exact all-pairs within sign buckets of the coarse quantizer would be
+    * the scale path; this exact form is the correctness baseline. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosineCol(col("__va"), col("__vb")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** k-NN majority-label classification: top-k neighbors vote; ties broken
+    * by smaller label. Output: (query_id, predicted_label). */
+  def knnClassify(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(candidates, queries, idCol, vecCol, k)
+    val labeled = topk.join(
+      candidates.select(col(idCol).as("neighbor_id"), col(labelCol).as("__label")),
+      Seq("neighbor_id"))
+    val votes = labeled.groupBy("query_id", "__label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("__label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("__label").as("predicted_label"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language identification, quality scoring,
+  * and document fingerprinting. All are pure column expressions (whole-stage
+  * codegen, no UDFs) with exact pure-Scala twins for tests, and all hashing
+  * derives from md5 so independent engines can replay it bit-for-bit.
+  */
+object TextAnalysis {
+
+  // --------------------------------------------------------- hashing -------
+  /** 60-bit hash: first 15 hex chars of md5, parsed base-16. Fits a signed
+    * 64-bit int with headroom; reproducible in any engine with md5. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** 32-bit variant (first 8 hex chars) for bit-level ops like SimHash. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  // ------------------------------------------------------ tokenization -----
+  /** Lowercased word tokens: split on non-word runs, empties dropped. */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => t =!= "")
+
+  def tokens(text: String): Seq[String] =
+    if (text == null) Seq.empty
+    else text.toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty)
+
+  /** Whitespace token count. */
+  def wsTokenCountCol(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  def wsTokenCount(text: String): Int =
+    if (text == null || text.trim.isEmpty) 0 else text.trim.split("\\s+").length
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * the classic ~"1 token per word-piece" pre-tokenizer shape. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCountCol(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  def bpeTokenCount(text: String): Int = {
+    if (text == null) return 0
+    val m = java.util.regex.Pattern.compile(BpePattern).matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  // ------------------------------------------------------ language id ------
+  /** Tiny deterministic stopword profiles. Order = tie-break priority. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "une", "dans"))
+
+  private def profileCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** N-gram/stopword language ID: CJK presence → zh; else the profile with
+    * the highest stopword-token count, ties broken by profile order. */
+  def langIdCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", "")) > 0
+    val counts = LangProfiles.map { case (lang, words) => lang -> profileCount(toks, words) }
+    val Seq(en, es, de, fr) = counts.map(_._2)
+    when(cjk, "zh")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  def langId(text: String): String = {
+    if (text == null) return "en"
+    if (text.exists(c => c >= 0x4E00 && c <= 0x9FFF)) return "zh"
+    val toks = tokens(text)
+    val counts = LangProfiles.map { case (lang, words) =>
+      lang -> toks.count(words.contains)
+    }
+    // first profile achieving the max count (profile order = priority)
+    val mx = counts.map(_._2).max
+    counts.find(_._2 == mx).map(_._1).getOrElse("en")
+  }
+
+  // --------------------------------------------------- quality scoring -----
+  /** Deterministic [0,1] quality composite from length, alpha ratio,
+    * punctuation density, and stopword ratio — the classic cheap pre-filter
+    * before expensive pipeline stages. Rounded to 4 dp for engine parity. */
+  def qualityScoreCol(text: Column): Column = {
+    val n = greatest(length(text), lit(1)).cast("double")
+    val alpha = (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double") / n
+    val punct = (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") / n
+    val toks = tokensCol(text)
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val stop = profileCount(toks, LangProfiles.head._2).cast("double") / nTok
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    round(lit(0.25) * lenScore + lit(0.35) * alpha +
+      lit(0.25) * (lit(1.0) - least(punct * 10.0, lit(1.0))) + lit(0.15) * least(stop * 4.0, lit(1.0)), 4)
+  }
+
+  def qualityScore(text: String): Double = {
+    val t = if (text == null) "" else text
+    val n = math.max(t.length, 1).toDouble
+    val alpha = t.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) / n
+    val punct = t.count(".,;:!?".indexOf(_) >= 0) / n
+    val toks = tokens(t)
+    val nTok = math.max(toks.size, 1).toDouble
+    val stop = toks.count(LangProfiles.head._2.contains) / nTok
+    val lenScore = math.min(t.length / 500.0, 1.0)
+    val raw = 0.25 * lenScore + 0.35 * alpha +
+      0.25 * (1.0 - math.min(punct * 10.0, 1.0)) + 0.15 * math.min(stop * 4.0, 1.0)
+    BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  // ----------------------------------------------------- fingerprinting ----
+  /** 60-bit document fingerprint over whitespace-normalized lowercase text
+    * — the exact-dedup key. */
+  def fingerprintCol(text: Column): Column =
+    hash60(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  def fingerprint(text: String): Long =
+    hash60(if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " "))
+}

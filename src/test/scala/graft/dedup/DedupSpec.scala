@@ -1,0 +1,96 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import Dedup._
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+  val nearDup = base.replace("today", "tonight") // 1 token differs
+  val unrelated = "completely different content about insurance policies and coverage limits"
+
+  val docs = Seq(
+    (1L, base),
+    (2L, "The  Quick brown fox jumps over the lazy dog near the river bank today"), // exact after norm
+    (3L, nearDup),
+    (4L, unrelated),
+    (5L, base)) // exact duplicate verbatim
+
+  test("exact dedup groups normalized-identical docs, min id canonical") {
+    val got = exactDuplicates(docs.toDF("id", "text"), "id", "text")
+      .select("id", "canonical_id", "group_size", "is_duplicate")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 1L, 3L, false), (2L, 1L, 3L, true), (3L, 3L, 1L, false),
+      (4L, 4L, 1L, false), (5L, 1L, 3L, true)))
+  }
+
+  test("shingles: distinct word n-grams") {
+    assert(shingles("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(shingles("a b", 3).isEmpty)
+    assert(shingles("a a a a", 2) == Seq("a a")) // distinct
+    val got = Seq("a b c d").toDF("t")
+      .select(shinglesCol(graft.text.TextAnalysis.tokensCol(col("t")), 3)).as[Seq[String]]
+      .collect()(0)
+    assert(got == shingles("a b c d", 3))
+  }
+
+  test("n-gram jaccard pairs find near-dups above threshold") {
+    val got = jaccardPairs(docs.toDF("id", "text"), "id", "text", n = 3, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // 1-2-5 identical (jaccard 1.0); 1-3 high; 4 isolated
+    assert(got.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 5L), (2L, 5L), (1L, 3L), (2L, 3L), (3L, 5L)))
+    assert(got.filter(p => Set((1L, 2L), (1L, 5L), (2L, 5L)).contains((p._1, p._2)))
+      .forall(_._3 == 1.0))
+    val j13 = got.find(p => (p._1, p._2) == ((1L, 3L))).get._3
+    assert(j13 == jaccard(base, nearDup, 3))
+    assert(j13 > 0.5 && j13 < 1.0)
+  }
+
+  test("minhash signature/band keys: pure and Column forms agree") {
+    val df = docs.toDF("id", "text")
+    val got = df.select(col("id"),
+      minhashSignatureCol(graft.text.TextAnalysis.tokensCol(col("text")), 3, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, text) <- docs) {
+      assert(got(id) == minhashSignature(text, 3, 16), s"sig for doc $id")
+    }
+    val sig = got(1L)
+    val keys = Seq(sig).toDF("sig").select(lshBandKeysCol(col("sig"), 4, 4))
+      .as[Seq[Long]].collect()(0)
+    assert(keys == lshBandKeys(sig, 4, 4))
+  }
+
+  test("minhash LSH duplicates: catches identical and near-dup, skips unrelated") {
+    val got = minhashDuplicates(docs.toDF("id", "text"), "id", "text",
+      n = 3, k = 32, bands = 8, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val pairs = got.map(p => (p._1, p._2))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // verified jaccard values match the exact computation
+    for ((a, b, j) <- got)
+      assert(j == jaccard(docs.toMap.apply(a), docs.toMap.apply(b), 3), s"pair $a-$b")
+  }
+
+  test("simhash: pure and Column forms agree; near-dups are close in Hamming") {
+    val df = docs.toDF("id", "text")
+    val got = df.select(col("id"),
+      simhash32Col(graft.text.TextAnalysis.tokensCol(col("text"))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, text) <- docs) assert(got(id) == simhash32(text), s"fp for doc $id")
+    assert(got(1L) == got(2L)) // same tokens → same fingerprint
+    assert(hamming(got(1L), got(3L)) < hamming(got(1L), got(4L)))
+  }
+
+  test("simhash duplicate pairs by banded Hamming join") {
+    val got = simhashDuplicates(docs.toDF("id", "text"), "id", "text", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val pairs = got.map(p => (p._1, p._2))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)))
+    assert(got.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.sim
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import Similarity._
+  import spark.implicits._
+
+  // deterministic synthetic vectors: 3 tight clusters + noise
+  def vec(seed: Int, dim: Int = 16): Seq[Float] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(dim)(rng.nextFloat() * 2 - 1)
+  }
+
+  def jitter(v: Seq[Float], seed: Int, eps: Float): Seq[Float] = {
+    val rng = new java.util.Random(seed)
+    v.map(x => x + (rng.nextFloat() * 2 - 1) * eps)
+  }
+
+  val c1 = vec(1); val c2 = vec(2); val c3 = vec(3)
+  val rows: Seq[(Long, Seq[Float], Int)] =
+    (0 until 10).map(i => (i.toLong, jitter(c1, 100 + i, 0.05f), 0)) ++
+      (10 until 20).map(i => (i.toLong, jitter(c2, 100 + i, 0.05f), 1)) ++
+      (20 until 30).map(i => (i.toLong, jitter(c3, 100 + i, 0.05f), 2))
+
+  lazy val df = rows.toDF("id", "vec", "label")
+
+  test("cosine: pure and Column forms agree") {
+    val pairs = Seq((rows(0)._2, rows(1)._2), (rows(0)._2, rows(15)._2))
+    val got = pairs.toDF("a", "b").select(cosineCol(col("a"), col("b")))
+      .as[Double].collect()
+    assert(got(0) == cosine(rows(0)._2, rows(1)._2))
+    assert(got(1) == cosine(rows(0)._2, rows(15)._2))
+    assert(got(0) > 0.9 && got(1) < 0.9)
+  }
+
+  test("brute-force top-k returns same-cluster neighbors first") {
+    val queries = df.filter(col("id").isin(0, 10, 20))
+    val topk = bruteForceTopK(df, queries, "id", "vec", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(topk.length == 15)
+    for ((q, n, _, _) <- topk) {
+      assert(n / 10 == q / 10, s"query $q got cross-cluster neighbor $n")
+    }
+    // ranks are 1..5 per query, cosine non-increasing
+    for (g <- topk.groupBy(_._1).values) {
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5))
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse == sorted.map(_._3).toSeq)
+    }
+  }
+
+  test("sign-bucket: pure and Column forms agree; same cluster → same bucket") {
+    val got = df.select(col("id"), signBucketCol(col("vec"), 8).as("b"))
+      .as[(Long, Int)].collect().toMap
+    for ((id, v, _) <- rows) assert(got(id) == signBucket(v, 8), s"bucket of $id")
+    // tight jitter rarely flips a sign among the first 8 dims of these seeds
+    assert(rows.groupBy(_._1 / 10).forall { case (_, g) =>
+      g.map(r => got(r._1)).distinct.size <= 3
+    })
+  }
+
+  test("bucketed top-k equals brute force within the query's bucket") {
+    val queries = df.filter(col("id") === 0)
+    val approx = bucketedTopK(df, queries, "id", "vec", k = 3, p = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(approx.nonEmpty && approx.forall(_._2 / 10 == 0))
+  }
+
+  test("near-dup pairs at high threshold are within-cluster only") {
+    val pairs = nearDupPairs(df, "id", "vec", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, c) => a / 10 == b / 10 && c >= 0.9 })
+  }
+
+  test("knn majority-label classification recovers cluster labels") {
+    val queries = df.filter(col("id").isin(5, 15, 25))
+    val got = knnClassify(df, queries, "id", "vec", "label", k = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(5L -> 0, 15L -> 1, 25L -> 2))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import TextAnalysis._
+  import spark.implicits._
+
+  val Texts: Seq[String] = Seq(
+    "The quick brown fox jumps over the lazy dog, and that is that.",
+    "el gato y la casa de los amigos es una historia que",
+    "der hund und die katze das ist nicht ein problem zu",
+    "le chat et la maison des amis est une histoire dans",
+    "batch window spark order data column agg join small line",
+    "Short.", "", "   ", "a b c d e f g h i j k l m n o p q r s t",
+    "!!! ??? ;;; ...", "12345 67890 numbers only 99")
+
+  test("hash60/hash32 parity with md5 hex parse") {
+    // md5("abc") = 900150983cd24fb0...
+    assert(hash60("abc") == java.lang.Long.parseLong("900150983cd24fb", 16))
+    assert(hash32("abc") == java.lang.Long.parseLong("90015098", 16))
+    val got = Seq("abc").toDF("s").select(hash60(col("s")), hash32(col("s"))).collect()(0)
+    assert(got.getLong(0) == hash60("abc") && got.getLong(1) == hash32("abc"))
+  }
+
+  test("language id: CJK beats profiles; profiles pick by stopword count") {
+    assert(langId("这是一个中文文档 with some english") == "zh")
+    assert(langId(Texts(0)) == "en")
+    assert(langId(Texts(1)) == "es")
+    assert(langId(Texts(2)) == "de")
+    assert(langId(Texts(3)) == "fr")
+    assert(langId("no stopwords whatsoever xyzzy") == "en") // all-zero tie → first profile
+  }
+
+  test("token counting: whitespace and BPE-ish") {
+    assert(wsTokenCount("a b  c") == 3)
+    assert(wsTokenCount("  ") == 0)
+    assert(bpeTokenCount("hello, world 42") == 5) // hello , world 4 2
+    assert(bpeTokenCount("") == 0)
+  }
+
+  test("Column twins agree with pure forms across the corpus") {
+    val df = Texts.toDF("text")
+    val rows = df.select(col("text"),
+      langIdCol(col("text")).as("lang"),
+      wsTokenCountCol(col("text")).as("ws"),
+      bpeTokenCountCol(col("text")).as("bpe"),
+      qualityScoreCol(col("text")).as("q"),
+      fingerprintCol(col("text")).as("fp"),
+      tokensCol(col("text")).as("toks")).collect()
+    for (r <- rows) {
+      val t = r.getString(0)
+      assert(r.getString(1) == langId(t), s"lang on '$t'")
+      assert(r.getInt(2) == wsTokenCount(t), s"ws count on '$t'")
+      assert(r.getInt(3) == bpeTokenCount(t), s"bpe count on '$t'")
+      assert(math.abs(r.getDouble(4) - qualityScore(t)) < 1e-9, s"quality on '$t'")
+      assert(r.getLong(5) == fingerprint(t), s"fingerprint on '$t'")
+      assert(r.getSeq[String](6) == tokens(t), s"tokens on '$t'")
+    }
+  }
+
+  test("quality score ranges and monotone signals") {
+    assert(qualityScore("") >= 0.0 && qualityScore("") <= 1.0)
+    val good = "The insurance policy describes the coverage and the limits that apply to the property. " * 6
+    val bad = "!!!! 1234 ???? ;;;; 0000"
+    assert(qualityScore(good) > qualityScore(bad))
+  }
+
+  test("fingerprint is whitespace/case insensitive, content sensitive") {
+    assert(fingerprint("Hello  World") == fingerprint("hello world"))
+    assert(fingerprint(" hello world \n") == fingerprint("hello world"))
+    assert(fingerprint("hello world") != fingerprint("hello worlds"))
+  }
+}
