@@ -1,13 +1,832 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.classify.{CoverageClassifier => CC, Filters}
+import graft.dedup.Dedup
+import graft.extract.{FieldExtractors => FE, Norms}
+import graft.io.Synth
+import graft.media.Media
+import graft.model.Doc
+import graft.pipeline.{Ep1Config, ExtractJob}
+import graft.qc.Qc
+import graft.ranges.Islands
+import graft.sim.Similarity
+import graft.text.{TextAnalysis => TA}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one query per implemented operator family (SURVEY.md §2)
+  * over the shared test tables, each with an exactly-equivalent DuckDB oracle
+  * in [[SparkEntry.oracleSql]]. Numeric outputs are BIGINT/DOUBLE on both
+  * sides; money aggregates go through cents (`cast(round(x*100) as bigint)`)
+  * so sums are order-independent integers; all hashing is md5-derived and
+  * engine-reproducible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rd(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Flagship: EP1 extraction over the deterministic synthetic corpus —
+    * typed zero-shuffle pipeline, spans exploded to rows. */
+  def ep1Extract(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val docs: org.apache.spark.sql.Dataset[Doc] = Synth.generate(spark, 200, 8)
+    ExtractJob.runTyped(docs, Ep1Config()).toDF()
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("span.offset").cast("long").as("offset"),
+        col("span.kind").as("kind"), col("span.text").as("text"),
+        col("span.media_ref").as("media_ref"))
+  }
+
+  def entry(spark: SparkSession): DataFrame = ep1Extract(spark)
+
+  // ---------------------------------------------------------------------- //
+  // Derived deterministic inputs shared (by construction) with the oracles //
+  // ---------------------------------------------------------------------- //
+
+  /** lineitem-derived page text: amounts straddling the $200 bar, skip words
+    * on every 7th order. */
+  private def pageText: Column =
+    concat(lit("item "), col("l_linenumber").cast("string"),
+      lit(" limit $"), pmod(col("l_partkey"), lit(400)).cast("string"),
+      when(pmod(col("l_orderkey"), lit(7)) === 0, lit(" see EXAMPLE calculation"))
+        .otherwise(lit("")))
+
+  /** documents-derived text with keyword/dup/truncation injections. */
+  private def docText: Column =
+    when(pmod(col("doc_id"), lit(13)) === 0,
+      concat(col("text"), lit(" mortgagee: FIRST NATIONAL BANK")))
+      .when(pmod(col("doc_id"), lit(17)) === 0, lit("duplicate content block"))
+      .when(pmod(col("doc_id"), lit(11)) === 0, substring(col("text"), 1, 5))
+      .otherwise(col("text"))
+
+  private val moneyVariants = Seq(
+    "$1,234", "Included", "2%", "Inside $10,000 / Outside $10,000",
+    "", "$ 500 ", "no digits here", "$0.00")
+
+  // ---------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------- relational core ----
+    "q1_agg" -> ((s, d) => {
+      rd(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    "q3_top_orders" -> ((s, d) => {
+      val rev = rd(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+      rev.orderBy(col("revenue_cents").desc, col("l_orderkey")).limit(10)
+    }),
+
+    "region_order_counts" -> ((s, d) => {
+      rd(s, d, "orders")
+        .join(rd(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
+
+    "top3_orders_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      rd(s, d, "orders").withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
+    }),
+
+    "sessionize" -> ((s, d) => {
+      val ev = rd(s, d, "events")
+        .select(col("user_id"),
+          // parquet timestamp is NTZ; session TZ is UTC, so this matches
+          // DuckDB's naive epoch_us exactly
+          unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev.withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess")
+        .agg(min("us").as("session_start_us"), max("us").as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    }),
+
+    "event_type_stats" -> ((s, d) => {
+      rd(s, d, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    }),
+
+    // --------------------------------------------- extraction semantics ---
+    "f1_dollar_filter" -> ((s, d) => {
+      rd(s, d, "lineitem").withColumn("text", pageText)
+        .filter(Filters.f1DollarPageCol(col("text")))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("page"))
+    }),
+
+    "f2_keyword_filter" -> ((s, d) => {
+      rd(s, d, "documents").withColumn("t2", docText)
+        .filter(Filters.f2KeywordCol(col("t2")))
+        .select("doc_id")
+    }),
+
+    "f5_gibberish" -> ((s, d) => {
+      rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), Filters.f5GibberishCol(col("t2")).as("is_gibberish"))
+    }),
+
+    "f6_scrub" -> ((s, d) => {
+      rd(s, d, "documents")
+        .withColumn("noisy", concat(col("text"), lit("\u0001\u0002  tail")))
+        .select(col("doc_id"),
+          length(Filters.f6ScrubCol(col("noisy"))).cast("long").as("clean_len"))
+    }),
+
+    "money_norm" -> ((s, d) => {
+      val v = element_at(
+        array(moneyVariants.map(lit): _*),
+        (pmod(col("p_partkey"), lit(moneyVariants.length)) + 1).cast("int"))
+      rd(s, d, "part").select(col("p_partkey"), v.as("raw"),
+        Norms.normalizeMoneyCol(v).as("normalized"))
+    }),
+
+    "islands_merge" -> ((s, d) => {
+      val li = rd(s, d, "lineitem")
+      val hits = li.filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("page"))
+        .distinct()
+      val dom = li.groupBy(col("l_orderkey").as("k"))
+        .agg(min(col("l_linenumber")).cast("long").as("min_page"),
+          max(col("l_linenumber")).cast("long").as("max_page"))
+      Islands.mergeRangesDf(hits.join(dom, Seq("k")), Seq("k"),
+        "page", "min_page", "max_page", buffer = 1)
+        .select(col("k"), col("range_start").cast("long").as("range_start"),
+          col("range_end").cast("long").as("range_end"))
+    }),
+
+    "r2_neighbors" -> ((s, d) => {
+      rd(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("p"))
+        .select(col("k"), explode(sequence(col("p") - 2, col("p") + 2)).as("page"))
+        .filter(col("page") >= 0).distinct()
+    }),
+
+    "r4_range_slice" -> ((s, d) => {
+      val li = rd(s, d, "lineitem")
+      val pages = li.select(col("l_orderkey").as("k"),
+        col("l_linenumber").cast("long").as("page")).distinct()
+      val hits = li.filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("page"))
+        .distinct()
+      val dom = pages.groupBy("k")
+        .agg(min("page").as("min_page"), max("page").as("max_page"))
+      val ranges = Islands.mergeRangesDf(hits.join(dom, Seq("k")), Seq("k"),
+        "page", "min_page", "max_page", buffer = 1)
+      val valid = ranges
+        .join(pages.withColumnRenamed("page", "range_start"), Seq("k", "range_start"), "left_semi")
+        .join(pages.withColumnRenamed("page", "range_end"), Seq("k", "range_end"), "left_semi")
+      pages.join(valid, Seq("k"))
+        .filter(col("page").between(col("range_start"), col("range_end")))
+        .select("k", "page").distinct()
+    }),
+
+    "j1_interleave" -> ((s, d) => {
+      val li = rd(s, d, "lineitem")
+      val a = li.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("page"))
+        .agg(min(col("l_partkey")).as("pk"))
+        .select(col("k"), col("page"), concat(lit("R:"), col("pk").cast("string")).as("ocr_text"))
+      val b = li.filter(col("l_linestatus") === "F")
+        .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("page"))
+        .agg(min(col("l_partkey")).as("pk"))
+        .select(col("k"), col("page"), concat(lit("F:"), col("pk").cast("string")).as("text_text"))
+      a.join(b, Seq("k", "page"), "full_outer")
+        .select(col("k"), col("page"),
+          coalesce(col("ocr_text"), lit("[Page not found in ocr extraction]")).as("ocr_text"),
+          coalesce(col("text_text"), lit("[Page not found in text extraction]")).as("text_text"))
+    }),
+
+    "p2_first_wins" -> ((s, d) => {
+      val w = Window.partitionBy("k", "page").orderBy("l_linenumber")
+      rd(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), pmod(col("l_suppkey"), lit(3)).as("page"),
+          col("l_linenumber"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k"), col("page").cast("long").as("page"),
+          col("l_linenumber").cast("long").as("winner_line"))
+    }),
+
+    "p4_property_prune" -> ((s, d) => {
+      val pages = rd(s, d, "lineitem").select(
+        col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("page"),
+        when(pmod(col("l_partkey"), lit(5)) === 0,
+          lit("PROPERTY SECTION with Building details"))
+          .when(pmod(col("l_partkey"), lit(5)) === 1, lit("PROPERTY SECTION other"))
+          .otherwise(lit("plain page")).as("text")).distinct()
+      val hasSection = pages.filter(col("text").contains("PROPERTY SECTION"))
+        .select("k").distinct()
+      val matchW = Window.partitionBy("k").orderBy("page")
+      val firstMatch = pages
+        .filter(col("page") =!= 1 && col("text").contains("PROPERTY SECTION") &&
+          (col("text").contains("Building") || col("text").contains("Business Income") ||
+            col("text").contains("Equipment Breakdown")))
+        .withColumn("rn", row_number().over(matchW)).filter(col("rn") === 1)
+        .select("k", "page")
+      val pruned = pages.join(hasSection, Seq("k"), "left_semi")
+        .join(firstMatch.withColumnRenamed("page", "mpage"), Seq("k"), "left")
+        .filter(col("page") === 1 || col("page") === col("mpage"))
+        .select("k", "page")
+      val untouched = pages.join(hasSection, Seq("k"), "left_anti").select("k", "page")
+      pruned.unionByName(untouched).distinct()
+    }),
+
+    // ----------------------------------------------- classification -------
+    "coverage_classify" -> ((s, d) => {
+      val names = Seq(
+        "Building", "Building - Location 2", "Building with Pumps & Canopy",
+        "Business Personal Property", "BPP", "BPP In Transit",
+        "Money & Securities", "Counterfeit Money", "Equipment Breakdown",
+        "Equipment Breakdown Deductible", "Outdoor Signs", "Signs Description",
+        "Employee Dishonesty", "Pumps & Canopy", "Pumps", "Canopy",
+        "Theft", "Theft Deductible", "Windstorm", "Business Income")
+      val name = element_at(array(names.map(lit): _*),
+        (pmod(col("p_partkey"), lit(names.length)) + 1).cast("int"))
+      rd(s, d, "part").select(col("p_partkey"), name.as("name"),
+        CC.isBuildingCol(name).as("is_building"),
+        CC.isBppCol(name).as("is_bpp"),
+        CC.isMoneySecuritiesCol(name).as("is_money_securities"),
+        CC.isEquipmentBreakdownCol(name).as("is_equipment_breakdown"),
+        CC.isOutdoorSignsCol(name).as("is_outdoor_signs"),
+        CC.isEmployeeDishonestyCol(name).as("is_employee_dishonesty"),
+        CC.isTheftCol(name).as("is_theft"),
+        CC.isWindHailCol(name).as("is_wind_hail"),
+        CC.isBusinessIncomeCol(name).as("is_business_income"),
+        CC.pumpsCanopyLevelCol(name).cast("long").as("pc_level"))
+    }),
+
+    "c7_precedence" -> ((s, d) => {
+      val names = Seq(
+        "Building with Pumps & Canopy", "Pumps & Canopy", "Pumps", "Canopy",
+        "Building", "Theft")
+      val name = element_at(array(names.map(lit): _*),
+        (pmod(col("p_partkey"), lit(names.length)) + 1).cast("int"))
+      rd(s, d, "part")
+        .select(pmod(col("p_partkey"), lit(30)).as("grp"),
+          CC.pumpsCanopyLevelCol(name).cast("long").as("lvl"))
+        .groupBy("grp")
+        .agg(min(when(col("lvl") > 0, col("lvl"))).as("winning_level"))
+    }),
+
+    "gl_limits_extract" -> ((s, d) => {
+      val text = concat(
+        lit("POLICY NUMBER: POL-"), col("c_custkey").cast("string"),
+        lit("\nEACH OCCURRENCE LIMIT  $ 1,000,000\nGENERAL AGGREGATE LIMIT  $ "),
+        (pmod(col("c_custkey"), lit(4)) + 1).cast("string"), lit(",000,000\n"),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          lit("MED EXP (Any one person) $ 5,000\n")).otherwise(lit("")))
+      rd(s, d, "customer").select(col("c_custkey"),
+        FE.policyNumber(text).as("policy_number"),
+        FE.glLimit(text, "each_occurrence").as("each_occurrence"),
+        FE.glLimit(text, "general_aggregate").as("general_aggregate"),
+        FE.glLimit(text, "medical_expense").as("med_exp"))
+    }),
+
+    "qc_compare" -> ((s, d) => {
+      val o = rd(s, d, "orders")
+      val certKv = o.select(col("o_orderkey").as("doc"), lit("total").as("field"),
+        concat(lit("$"), round(col("o_totalprice") * 100).cast("long").cast("string"))
+          .as("value"))
+      val polKv = o.select(col("o_orderkey").as("doc"), lit("total").as("field"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("different"))
+          .otherwise(round(col("o_totalprice") * 100).cast("long").cast("string"))
+          .as("value"))
+      Qc.qcCompareDf(certKv, polKv, "doc")
+        .select(col("doc"), col("field"), col("is_mismatch"))
+    }),
+
+    "summary_counts" -> ((s, d) => {
+      val status = when(col("o_orderstatus") === "F", "MATCH")
+        .when(col("o_orderstatus") === "O", "MISMATCH")
+        .otherwise("NOT_FOUND")
+      Qc.statusCountsDf(
+        rd(s, d, "orders").select(col("o_orderpriority"), status.as("status")),
+        Seq("o_orderpriority"))
+    }),
+
+    "name_norm" -> ((s, d) => {
+      rd(s, d, "part").select(col("p_partkey"),
+        Norms.normNameCol(col("p_name")).as("norm_name"),
+        Norms.baseNameCol(concat(col("p_brand"), lit("_policy"))).as("base_brand"))
+    }),
+
+    // -------------------------------------------------- text analysis -----
+    "lang_id" -> ((s, d) => {
+      rd(s, d, "documents").select(col("doc_id"),
+        TA.langIdCol(col("text")).as("lang_pred"))
+    }),
+
+    "quality_score" -> ((s, d) => {
+      rd(s, d, "documents").select(col("doc_id"),
+        TA.qualityScoreCol(col("text")).as("quality"))
+    }),
+
+    "token_counts" -> ((s, d) => {
+      rd(s, d, "documents").select(col("doc_id"),
+        TA.wsTokenCountCol(col("text")).cast("long").as("ws_tokens"),
+        TA.bpeTokenCountCol(col("text")).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+    }),
+
+    "fingerprint" -> ((s, d) => {
+      rd(s, d, "documents").select(col("doc_id"),
+        TA.fingerprintCol(col("text")).as("fp"))
+    }),
+
+    // --------------------------------------------------------- dedup ------
+    "exact_dedup" -> ((s, d) => {
+      Dedup.exactDuplicates(
+        rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
+        "doc_id", "t2")
+        .select(col("doc_id"), col("canonical_id"), col("group_size"),
+          col("is_duplicate"))
+    }),
+
+    "minhash_sig" -> ((s, d) => {
+      val sig = Dedup.minhashSignatureCol(TA.tokensCol(col("text")), n = 3, k = 4)
+      rd(s, d, "documents").filter(size(TA.tokensCol(col("text"))) >= 3)
+        .select(col("doc_id"),
+          element_at(sig, 1).as("s0"), element_at(sig, 2).as("s1"),
+          element_at(sig, 3).as("s2"), element_at(sig, 4).as("s3"))
+    }),
+
+    "simhash_fp" -> ((s, d) => {
+      rd(s, d, "documents").select(col("doc_id"),
+        Dedup.simhash32Col(TA.tokensCol(col("text"))).as("fp"))
+    }),
+
+    "ngram_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(
+        rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
+        "doc_id", "t2", n = 3, minJ = 0.2)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    // ---------------------------------------------------- similarity ------
+    "knn_topk" -> ((s, d) => {
+      val e = rd(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+    }),
+
+    "embedding_near_dup" -> ((s, d) => {
+      Similarity.nearDupPairs(rd(s, d, "embeddings"), "vec_id", "embedding", 0.4002)
+    }),
+
+    "sign_bucket_hist" -> ((s, d) => {
+      rd(s, d, "embeddings")
+        .select(Similarity.signBucketCol(col("embedding"), 8).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }),
+
+    "knn_classify" -> ((s, d) => {
+      val e = rd(s, d, "embeddings")
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        "label", 5)
+        .select(col("query_id"), col("predicted_label").cast("long").as("predicted_label"))
+    }),
+
+    // ------------------------------------ engine-native (rows-only) -------
+    "ep1_extract" -> ((s, _) => ep1Extract(s)),
+
+    "media_meta" -> ((s, _) => {
+      import s.implicits._
+      Media.extractMetadata(Synth.generate(s, 200, 8)).toDF()
+        .select(col("media_ref"), col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+    }),
+
+    "minhash_dups" -> ((s, d) => {
+      Dedup.minhashDuplicates(
+        rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
+        "doc_id", "t2", n = 3, k = 32, bands = 8, minJ = 0.5)
+    }),
+
+    "simhash_dups" -> ((s, d) => {
+      Dedup.simhashDuplicates(
+        rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
+        "doc_id", "t2", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }))
+
+  // ---------------------------------------------------------------------- //
+
+  /** DuckDB equivalents. Table paths are injected by the driver; per its
+    * contract the SQL reads bare table names over the same parquet dir.
+    * Every regexp_replace uses the 'g' flag (DuckDB default replaces only
+    * the first match; Spark replaces all). */
+  def oracleSql: Map[String, String] = {
+    // shared fragments (kept in lockstep with the Spark derivations above)
+    val docText =
+      "CASE WHEN doc_id%13=0 THEN text || ' mortgagee: FIRST NATIONAL BANK' " +
+        "WHEN doc_id%17=0 THEN 'duplicate content block' " +
+        "WHEN doc_id%11=0 THEN substr(text,1,5) ELSE text END"
+    val pageText =
+      "'item '||l_linenumber||' limit $'||(l_partkey%400)||" +
+        "(CASE WHEN l_orderkey%7=0 THEN ' see EXAMPLE calculation' ELSE '' END)"
+    val toks = "list_filter(string_split_regex(lower(%s),'\\W+'), x -> x <> '')"
+    def hash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+    def hash32(e: String) = s"('0x'||substr(md5($e),1,8))::BIGINT"
+    val f1 =
+      "(NOT (contains(upper(%s),'EXAMPLE') OR contains(upper(%s),'CALCULATION') OR " +
+        "contains(upper(%s),'HOW TO') OR contains(upper(%s),'SAMPLE') OR " +
+        "contains(upper(%s),'ILLUSTRATION'))) AND " +
+        "len(list_filter(regexp_extract_all(%s,'\\$\\s*([0-9,]+)',1), " +
+        "x -> coalesce(try_cast(replace(x,',','') AS BIGINT),0) >= 200)) > 0"
+    def f1On(c: String) = f1.replace("%s", c)
+    val islands =
+      """WITH hits AS (SELECT DISTINCT l_orderkey AS k, l_linenumber::BIGINT AS page
+        |  FROM lineitem WHERE l_quantity >= 45),
+        |dom AS (SELECT l_orderkey AS k, min(l_linenumber)::BIGINT AS mn,
+        |  max(l_linenumber)::BIGINT AS mx FROM lineitem GROUP BY 1),
+        |r AS (SELECT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
+        |  FROM hits h JOIN dom d ON h.k=d.k),
+        |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM r),
+        |g AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |  CURRENT ROW) AS grp FROM w)
+        |SELECT k, min(s) AS range_start, max(e) AS range_end FROM g GROUP BY k, grp""".stripMargin
+
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+          |  count(*) AS count_order
+          |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+      "q3_top_orders" ->
+        """SELECT l_orderkey,
+          |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM lineitem GROUP BY 1 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "region_order_counts" ->
+        """SELECT r_name, count(*) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM orders JOIN customer ON o_custkey=c_custkey
+          |JOIN nation ON c_nationkey=n_nationkey
+          |JOIN region ON n_regionkey=r_regionkey GROUP BY 1""".stripMargin,
+
+      "top3_orders_per_customer" ->
+        """SELECT o_custkey, o_orderkey,
+          |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rnk
+          |FROM orders QUALIFY rnk <= 3""".stripMargin,
+
+      "sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+          |l AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+          |s AS (SELECT user_id, us, CASE WHEN prev IS NULL OR us-prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+          |g AS (SELECT user_id, us, sum(ns) OVER (PARTITION BY user_id ORDER BY us
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)
+          |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+          |  count(*) AS n_events FROM g GROUP BY user_id, sess""".stripMargin,
+
+      "event_type_stats" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "f1_dollar_filter" ->
+        s"""WITH t AS (SELECT l_orderkey, l_linenumber::BIGINT AS page, $pageText AS text FROM lineitem)
+           |SELECT l_orderkey, page FROM t WHERE ${f1On("text")}""".stripMargin,
+
+      "f2_keyword_filter" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents)
+           |SELECT doc_id FROM t WHERE lower(t2) LIKE '%mortgagee%' OR lower(t2) LIKE '%additional interest%'
+           | OR lower(t2) LIKE '%additional insured%' OR lower(t2) LIKE '%loss payee%'
+           | OR lower(t2) LIKE '%loss payable%' OR lower(t2) LIKE '%lienholder%'
+           | OR lower(t2) LIKE '%lien holder%' OR lower(t2) LIKE '%secured party%'
+           | OR lower(t2) LIKE '%secured parties%' OR lower(t2) LIKE '%mortgage holder%'""".stripMargin,
+
+      "f5_gibberish" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |m AS (SELECT doc_id, t2, substr(t2,1,500) AS s FROM t),
+           |x AS (SELECT doc_id, t2, greatest(length(s),1)::DOUBLE AS n,
+           |  (greatest(length(s),1) - (length(s) - length(regexp_replace(s,'\\s','','g'))))::DOUBLE AS nonws,
+           |  (length(s) - length(regexp_replace(s,'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]','','g')))::DOUBLE AS nonprint,
+           |  (length(s) - length(regexp_replace(s,'[A-Za-z]','','g')))::DOUBLE AS eng,
+           |  length(regexp_replace(regexp_replace(s,'[\\x00-\\x7F]','','g'),'[\\p{L}\\p{N}]','','g'))::DOUBLE AS weird
+           |  FROM m)
+           |SELECT doc_id,
+           |  (t2 IS NULL OR length(regexp_replace(t2,'^\\s+|\\s+$$','','g')) < 10
+           |   OR nonws/n < 0.1 OR nonprint/n > 0.3 OR eng/n < 0.2 OR weird/n > 0.3) AS is_gibberish
+           |FROM x""".stripMargin,
+
+      "f6_scrub" ->
+        """SELECT doc_id,
+          |  length(regexp_replace(regexp_replace(text || chr(1) || chr(2) || '  tail',
+          |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', ' ', 'g'), ' +', ' ', 'g'))::BIGINT AS clean_len
+          |FROM documents""".stripMargin,
+
+      "money_norm" ->
+        """WITH v AS (SELECT p_partkey,
+          |  (['$1,234','Included','2%','Inside $10,000 / Outside $10,000','','$ 500 ','no digits here','$0.00'])[(p_partkey%8)+1] AS raw
+          |  FROM part)
+          |SELECT p_partkey, raw,
+          |  CASE WHEN raw IS NULL OR trim(raw)='' THEN NULL
+          |    WHEN lower(trim(raw))='included' THEN 'Included'
+          |    WHEN ends_with(trim(raw),'%') THEN trim(raw)
+          |    WHEN contains(lower(trim(raw)),'inside') OR contains(lower(trim(raw)),'outside') THEN trim(raw)
+          |    WHEN regexp_replace(trim(raw),'[^0-9]','','g')='' THEN NULL
+          |    ELSE regexp_replace(trim(raw),'[^0-9]','','g') END AS normalized
+          |FROM v""".stripMargin,
+
+      "islands_merge" -> islands,
+
+      "r2_neighbors" ->
+        """SELECT DISTINCT l_orderkey AS k, (l_linenumber + off)::BIGINT AS page
+          |FROM lineitem, unnest([-2,-1,0,1,2]) AS t(off)
+          |WHERE l_quantity >= 45 AND l_linenumber + off >= 0""".stripMargin,
+
+      "r4_range_slice" ->
+        s"""WITH pages AS (SELECT DISTINCT l_orderkey AS k, l_linenumber::BIGINT AS page FROM lineitem),
+           |ranges AS ($islands),
+           |valid AS (SELECT r.* FROM ranges r
+           |  WHERE EXISTS(SELECT 1 FROM pages p WHERE p.k=r.k AND p.page=r.range_start)
+           |    AND EXISTS(SELECT 1 FROM pages p WHERE p.k=r.k AND p.page=r.range_end))
+           |SELECT DISTINCT p.k, p.page FROM pages p JOIN valid v ON p.k=v.k
+           |WHERE p.page BETWEEN v.range_start AND v.range_end""".stripMargin,
+
+      "j1_interleave" ->
+        """WITH a AS (SELECT l_orderkey AS k, l_linenumber::BIGINT AS page,
+          |  'R:'||min(l_partkey) AS ocr_text FROM lineitem WHERE l_returnflag='R' GROUP BY 1,2),
+          |b AS (SELECT l_orderkey AS k, l_linenumber::BIGINT AS page,
+          |  'F:'||min(l_partkey) AS text_text FROM lineitem WHERE l_linestatus='F' GROUP BY 1,2)
+          |SELECT coalesce(a.k, b.k) AS k, coalesce(a.page, b.page) AS page,
+          |  coalesce(a.ocr_text, '[Page not found in ocr extraction]') AS ocr_text,
+          |  coalesce(b.text_text, '[Page not found in text extraction]') AS text_text
+          |FROM a FULL OUTER JOIN b ON a.k=b.k AND a.page=b.page""".stripMargin,
+
+      "p2_first_wins" ->
+        """SELECT l_orderkey AS k, (l_suppkey%3)::BIGINT AS page,
+          |  l_linenumber::BIGINT AS winner_line
+          |FROM lineitem
+          |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_suppkey%3 ORDER BY l_linenumber) = 1""".stripMargin,
+
+      "p4_property_prune" ->
+        """WITH pages AS (SELECT DISTINCT l_orderkey AS k, l_linenumber::BIGINT AS page,
+          |  CASE WHEN l_partkey%5=0 THEN 'PROPERTY SECTION with Building details'
+          |       WHEN l_partkey%5=1 THEN 'PROPERTY SECTION other'
+          |       ELSE 'plain page' END AS text FROM lineitem),
+          |hs AS (SELECT DISTINCT k FROM pages WHERE contains(text,'PROPERTY SECTION')),
+          |fm AS (SELECT k, page AS mpage FROM pages
+          |  WHERE page <> 1 AND contains(text,'PROPERTY SECTION')
+          |    AND (contains(text,'Building') OR contains(text,'Business Income')
+          |         OR contains(text,'Equipment Breakdown'))
+          |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY page) = 1),
+          |pruned AS (SELECT DISTINCT p.k, p.page FROM pages p JOIN hs ON p.k=hs.k
+          |  LEFT JOIN fm ON p.k=fm.k WHERE p.page=1 OR p.page=fm.mpage),
+          |untouched AS (SELECT DISTINCT p.k, p.page FROM pages p
+          |  WHERE p.k NOT IN (SELECT k FROM hs))
+          |SELECT * FROM pruned UNION SELECT * FROM untouched""".stripMargin,
+
+      "coverage_classify" ->
+        """WITH v AS (SELECT p_partkey,
+          |  (['Building','Building - Location 2','Building with Pumps & Canopy',
+          |    'Business Personal Property','BPP','BPP In Transit',
+          |    'Money & Securities','Counterfeit Money','Equipment Breakdown',
+          |    'Equipment Breakdown Deductible','Outdoor Signs','Signs Description',
+          |    'Employee Dishonesty','Pumps & Canopy','Pumps','Canopy',
+          |    'Theft','Theft Deductible','Windstorm','Business Income'])[(p_partkey%20)+1] AS name
+          |  FROM part),
+          |n AS (SELECT p_partkey, name, lower(trim(name)) AS ln FROM v)
+          |SELECT p_partkey, name,
+          |  contains(ln,'building') AND NOT (contains(ln,'pump') AND contains(ln,'canopy')) AS is_building,
+          |  (contains(ln,'business personal property') OR ln='bpp' OR starts_with(ln,'bpp ') OR ends_with(ln,' bpp'))
+          |    AND NOT (contains(ln,'off premises') OR contains(ln,'off-premises') OR contains(ln,'away from premises')
+          |      OR contains(ln,'in transit') OR contains(ln,'transit') OR contains(ln,'portable storage')
+          |      OR contains(ln,'temporarily') OR contains(ln,'newly acquired') OR contains(ln,'newly constructed')
+          |      OR contains(ln,'coverage extension') OR contains(ln,'extension')) AS is_bpp,
+          |  ((contains(ln,'money') AND contains(ln,'secur')) OR contains(ln,'money & securities') OR contains(ln,'money and securities'))
+          |    AND NOT (contains(ln,'counterfeit') OR contains(ln,'money orders') OR contains(ln,'forgery')
+          |      OR contains(ln,'alteration') OR contains(ln,'funds transfer') OR contains(ln,'computer fraud')) AS is_money_securities,
+          |  (contains(ln,'equipment breakdown') OR (contains(ln,'equip') AND contains(ln,'breakdown'))
+          |      OR contains(ln,'boiler and machinery') OR contains(ln,'boiler & machinery'))
+          |    AND NOT (contains(ln,'deductible') OR contains(ln,'ded.') OR contains(ln,'coinsurance')
+          |      OR contains(ln,'waiting period') OR contains(ln,'waiting') OR contains(ln,'service interruption')) AS is_equipment_breakdown,
+          |  (contains(ln,'outdoor sign') OR ln='signs' OR starts_with(ln,'signs ') OR ends_with(ln,' signs'))
+          |    AND NOT (contains(ln,'deductible') OR contains(ln,'ded.') OR contains(ln,'coinsurance')
+          |      OR contains(ln,'waiting period') OR contains(ln,'waiting') OR contains(ln,'description')) AS is_outdoor_signs,
+          |  (contains(ln,'employee dishonesty') OR (contains(ln,'employee') AND contains(ln,'dishon')) OR ln='dishonesty')
+          |    AND NOT (contains(ln,'deductible') OR contains(ln,'ded.') OR contains(ln,'coinsurance')
+          |      OR contains(ln,'waiting period') OR contains(ln,'waiting') OR contains(ln,'description')) AS is_employee_dishonesty,
+          |  contains(ln,'theft') AND NOT contains(ln,'deductible') AND NOT contains(ln,'ded.') AS is_theft,
+          |  ((contains(ln,'wind') AND contains(ln,'hail')) OR contains(ln,'windstorm'))
+          |    AND NOT contains(ln,'deductible') AND NOT contains(ln,'ded.') AS is_wind_hail,
+          |  contains(ln,'business income') AND NOT contains(ln,'deductible')
+          |    AND NOT contains(ln,'ded.') AND NOT contains(ln,'waiting') AS is_business_income,
+          |  (CASE WHEN contains(ln,'building') AND contains(ln,'pump') AND contains(ln,'canopy') THEN 1
+          |    WHEN contains(ln,'pump') AND contains(ln,'canopy') THEN 2
+          |    WHEN ln IN ('pumps','pump') OR starts_with(ln,'pumps ') OR ends_with(ln,' pumps')
+          |      OR ln IN ('canopy','canopies') OR starts_with(ln,'canopy ')
+          |      OR ends_with(ln,' canopy') OR ends_with(ln,' canopies') THEN 3
+          |    ELSE 0 END)::BIGINT AS pc_level
+          |FROM n""".stripMargin,
+
+      "c7_precedence" ->
+        """WITH v AS (SELECT p_partkey,
+          |  lower(trim((['Building with Pumps & Canopy','Pumps & Canopy','Pumps','Canopy','Building','Theft'])[(p_partkey%6)+1])) AS ln
+          |  FROM part),
+          |l AS (SELECT p_partkey%30 AS grp,
+          |  (CASE WHEN contains(ln,'building') AND contains(ln,'pump') AND contains(ln,'canopy') THEN 1
+          |    WHEN contains(ln,'pump') AND contains(ln,'canopy') THEN 2
+          |    WHEN ln IN ('pumps','pump') OR starts_with(ln,'pumps ') OR ends_with(ln,' pumps')
+          |      OR ln IN ('canopy','canopies') OR starts_with(ln,'canopy ')
+          |      OR ends_with(ln,' canopy') OR ends_with(ln,' canopies') THEN 3
+          |    ELSE 0 END)::BIGINT AS lvl FROM v)
+          |SELECT grp, min(CASE WHEN lvl > 0 THEN lvl END) AS winning_level
+          |FROM l GROUP BY 1""".stripMargin,
+
+      "gl_limits_extract" ->
+        """WITH t AS (SELECT c_custkey,
+          |  'POLICY NUMBER: POL-'||c_custkey||chr(10)||
+          |  'EACH OCCURRENCE LIMIT  $ 1,000,000'||chr(10)||
+          |  'GENERAL AGGREGATE LIMIT  $ '||((c_custkey%4)+1)||',000,000'||chr(10)||
+          |  (CASE WHEN c_custkey%3=0 THEN 'MED EXP (Any one person) $ 5,000'||chr(10) ELSE '' END) AS text
+          |  FROM customer)
+          |SELECT c_custkey,
+          |  nullif(regexp_extract(text,'(?i)POLICY\s+(?:NUMBER|NO\.?|#)\s*[:_]?\s*([A-Z0-9\-_]+)',1),'') AS policy_number,
+          |  nullif(regexp_extract(text,'(?i)EACH\s+OCCURRENCE\s+LIMIT[^\$]*\$?\s*([0-9,]+)',1),'') AS each_occurrence,
+          |  coalesce(
+          |    nullif(regexp_extract(text,'(?i)GENERAL\s+AGGREGATE\s+LIMIT\s*\([^\)]*\)[^\$]*\$\.?\s*([0-9,]+)',1),''),
+          |    nullif(regexp_extract(text,'(?i)GENERAL\s+AGGREGATE\s+LIMIT[^\$]*\$\.?\s*([0-9,]+)',1),''),
+          |    nullif(regexp_extract(text,'(?i)GENERAL\s+AGGREGATE[^\$]*\$\.?\s*([0-9,]+)',1),'')) AS general_aggregate,
+          |  coalesce(
+          |    nullif(regexp_extract(text,'(?i)MED\s+EXP[^\$]*\$?\s*([0-9,]+)',1),''),
+          |    nullif(regexp_extract(text,'(?i)MEDICAL\s+EXPENSE\s+LIMIT[^\$]*\$?\s*([0-9,]+)',1),''),
+          |    nullif(regexp_extract(text,'(?i)MEDICAL\s+EXPENSE[^\$]*\$?\s*([0-9,]+)',1),'')) AS med_exp
+          |FROM t""".stripMargin,
+
+      "qc_compare" ->
+        """WITH c AS (SELECT o_orderkey AS doc, 'total' AS field,
+          |  regexp_replace('$'||CAST(round(o_totalprice*100) AS BIGINT),'[^0-9]','','g') AS certificate FROM orders),
+          |p AS (SELECT o_orderkey AS doc, 'total' AS field,
+          |  CASE WHEN o_orderkey%5=0 THEN NULL
+          |    ELSE CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR) END AS policy FROM orders)
+          |SELECT c.doc, c.field,
+          |  (p.policy IS NULL OR c.certificate <> p.policy) AS is_mismatch
+          |FROM c LEFT JOIN p ON c.doc=p.doc AND c.field=p.field""".stripMargin,
+
+      "summary_counts" ->
+        """WITH s AS (SELECT o_orderpriority,
+          |  CASE WHEN o_orderstatus='F' THEN 'MATCH' WHEN o_orderstatus='O' THEN 'MISMATCH'
+          |    ELSE 'NOT_FOUND' END AS status FROM orders)
+          |SELECT o_orderpriority, count(*) AS total,
+          |  count(*) FILTER (WHERE upper(status)='MATCH') AS matched,
+          |  count(*) FILTER (WHERE upper(status)='MISMATCH') AS mismatched,
+          |  count(*) FILTER (WHERE upper(status)='NOT_FOUND') AS not_found
+          |FROM s GROUP BY 1""".stripMargin,
+
+      "name_norm" ->
+        """SELECT p_partkey,
+          |  regexp_replace(lower(p_name),'[^a-z0-9]','','g') AS norm_name,
+          |  regexp_replace(p_brand||'_policy','(_policy2|_policy|_ocr|_Package)$','') AS base_brand
+          |FROM part""".stripMargin,
+
+      "lang_id" ->
+        s"""WITH t AS (SELECT doc_id, text, ${toks.format("text")} AS toks FROM documents),
+           |c AS (SELECT doc_id, text,
+           |  len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a','that'], t))) AS en,
+           |  len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las','una','es'], t))) AS es,
+           |  len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t))) AS de,
+           |  len(list_filter(toks, t -> list_contains(['le','la','les','des','et','est','une','dans'], t))) AS fr
+           |  FROM t)
+           |SELECT doc_id,
+           |  CASE WHEN length(regexp_replace(text,'[^\\x{4E00}-\\x{9FFF}]','','g')) > 0 THEN 'zh'
+           |    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+           |    WHEN es >= de AND es >= fr THEN 'es'
+           |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
+           |FROM c""".stripMargin,
+
+      "quality_score" ->
+        s"""WITH t AS (SELECT doc_id, text, ${toks.format("text")} AS toks,
+           |  greatest(length(text),1)::DOUBLE AS n FROM documents)
+           |SELECT doc_id,
+           |  round(0.25*least(length(text)::DOUBLE/500.0, 1.0)
+           |    + 0.35*((length(text)-length(regexp_replace(text,'[A-Za-z]','','g')))::DOUBLE/n)
+           |    + 0.25*(1.0 - least(((length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))::DOUBLE/n)*10.0, 1.0))
+           |    + 0.15*least((len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a','that'], t)))::DOUBLE
+           |        / greatest(len(toks),1)::DOUBLE)*4.0, 1.0), 4) AS quality
+           |FROM t""".stripMargin,
+
+      "token_counts" ->
+        """SELECT doc_id,
+          |  (CASE WHEN length(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END)::BIGINT AS ws_tokens,
+          |  len(regexp_extract_all(text,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens,
+          |  length(text)::BIGINT AS n_chars
+          |FROM documents""".stripMargin,
+
+      "fingerprint" ->
+        s"""SELECT doc_id,
+           |  ${hash60("regexp_replace(trim(lower(text)),'\\s+',' ','g')")} AS fp
+           |FROM documents""".stripMargin,
+
+      "exact_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |f AS (SELECT doc_id,
+           |  ${hash60("regexp_replace(trim(lower(t2)),'\\s+',' ','g')")} AS fp FROM t)
+           |SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+           |  count(*) OVER (PARTITION BY fp) AS group_size,
+           |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+           |FROM f""".stripMargin,
+
+      "minhash_sig" ->
+        s"""WITH t AS (SELECT doc_id, ${toks.format("text")} AS toks FROM documents),
+           |s AS (SELECT doc_id, toks,
+           |  list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS sh
+           |  FROM t WHERE len(toks) >= 3)
+           |SELECT doc_id,
+           |  list_min(list_transform(sh, x -> ${hash60("'0:'||x")})) AS s0,
+           |  list_min(list_transform(sh, x -> ${hash60("'1:'||x")})) AS s1,
+           |  list_min(list_transform(sh, x -> ${hash60("'2:'||x")})) AS s2,
+           |  list_min(list_transform(sh, x -> ${hash60("'3:'||x")})) AS s3
+           |FROM s""".stripMargin,
+
+      "simhash_fp" ->
+        s"""WITH t AS (SELECT doc_id, ${toks.format("text")} AS toks FROM documents)
+           |SELECT doc_id,
+           |  CAST(coalesce(list_sum(list_transform(range(32), i ->
+           |    CASE WHEN coalesce(list_sum(list_transform(toks, tk ->
+           |      CASE WHEN ((${hash32("tk")} >> i) & 1) = 1 THEN 1 ELSE -1 END)),0) > 0
+           |    THEN (1::BIGINT << i) ELSE 0::BIGINT END)),0) AS BIGINT) AS fp
+           |FROM t""".stripMargin,
+
+      "ngram_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |tok AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM t),
+           |sh AS (SELECT doc_id,
+           |  list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS shl
+           |  FROM tok WHERE len(toks) >= 3),
+           |rows_ AS (SELECT doc_id, ${hash60("s")} AS sh FROM (SELECT doc_id, unnest(shl) AS s FROM sh)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+           |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           |  FROM rows_ a JOIN rows_ b ON a.sh=b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
+           |SELECT id_a, id_b,
+           |  round(c::DOUBLE/(sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
+           |FROM common JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
+           |WHERE round(c::DOUBLE/(sa.sz + sb.sz - c)::DOUBLE, 6) >= 0.2""".stripMargin,
+
+      "knn_topk" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |  round(list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |    / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
+          |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+          |SELECT query_id, neighbor_id, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
+          |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      "embedding_near_dup" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |    / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4002""".stripMargin,
+
+      "sign_bucket_hist" ->
+        """WITH b AS (SELECT CAST(coalesce(list_sum(list_transform(range(8), i ->
+          |    CASE WHEN embedding[i+1] >= 0 THEN (1 << i) ELSE 0 END)),0) AS BIGINT) AS bucket
+          |  FROM embeddings)
+          |SELECT bucket, count(*) AS n FROM b GROUP BY 1""".stripMargin,
+
+      "knn_classify" ->
+        """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+          |  round(list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |    / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
+          |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+          |topk AS (SELECT query_id, neighbor_id, label FROM s
+          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5),
+          |votes AS (SELECT query_id, label, count(*) AS v FROM topk GROUP BY 1,2)
+          |SELECT query_id, label::BIGINT AS predicted_label FROM votes
+          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY v DESC, label) = 1""".stripMargin)
+  }
 }
