@@ -1,24 +1,135 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.io.Synth
+import graft.pipeline.{Ep1Config, ExtractJob}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Two modes:
+  *
+  *  - default: time every SparkEntry query (forced through the noop sink so
+  *    nothing is skipped by count-only optimization) plus the EP1 extraction
+  *    headline, print ONE JSON line for the driver.
+  *  - `scaling`: run the identical EP1 job at two parallelism levels
+  *    (local[N] and local[4N], fresh session each) on the same input and
+  *    report throughput at both plus efficiency = t(4N-throughput) /
+  *    (4 × t(N-throughput)) — the sandbox stand-in for the north rule's
+  *    N-vs-4N executor-cluster criterion.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def force(df: DataFrame): Long = {
+    df.write.format("noop").mode("overwrite").save()
+    -1L
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** EP1 throughput on a fresh synthetic corpus: docs/sec and spans/sec. */
+  private def ep1Throughput(spark: SparkSession, nDocs: Long): (Double, Double, Double) = {
+    import spark.implicits._
+    val docs = Synth.generate(spark, nDocs, 32).cache()
+    docs.count() // materialize input outside the timed region
+    var spans = 0L
+    val sec = time {
+      spans = ExtractJob.runTyped(docs, Ep1Config())
+        .flatMap(_.spans.map(_ => 1)).count()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    docs.unpersist()
+    (sec, nDocs / sec, spans / sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("scaling")) return scalingMain()
+    if (args.headOption.contains("ep1")) return ep1Main()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    val spark = session(cpus)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+    val (ep1Sec, docsPerSec, spansPerSec) = ep1Throughput(spark, nDocs)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum + ep1Sec
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+        s""""ep1_docs":$nDocs,"ep1_sec":${f"$ep1Sec%.3f"},""" +
+        s""""ep1_docs_per_sec":${f"$docsPerSec%.1f"},"ep1_spans_per_sec":${f"$spansPerSec%.1f"},""" +
+        s""""sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** EP1 throughput only, at SPARK_GRAFT_CPUS cores — one measurement per
+    * JVM. The scaling evidence runs this twice via separate spark-submit
+    * invocations (tools/scaling_bench.sh); sharing a JVM between the two
+    * parallelism levels contaminates the second measurement (session
+    * teardown leaves degraded executor state). */
+  def ep1Main(): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "6").toInt
+    val spark = session(cores)
+    import spark.implicits._
+    val docs = Synth.generate(spark, nDocs, 32).cache()
+    docs.count() // materialize outside the timed region
+    var spans = 0L
+    val times = (1 to repeats).map { _ =>
+      time {
+        spans = ExtractJob.runTyped(docs, Ep1Config())
+          .mapPartitions(it => Iterator.single(it.map(_.spans.size.toLong).sum))
+          .reduce(_ + _)
+      }
+    }.sorted
+    val median = times(times.length / 2)
+    val best = times.head
+    println(s"""{"metric":"ep1","cores":$cores,"docs":$nDocs,"spans":$spans,""" +
+      s""""median_sec":${f"$median%.3f"},"best_sec":${f"$best%.3f"},""" +
+      s""""docs_per_sec":${f"${nDocs / median}%.1f"},"spans_per_sec":${f"${spans / median}%.1f"},""" +
+      s""""best_docs_per_sec":${f"${nDocs / best}%.1f"}}""")
+    spark.stop()
+  }
+
+  /** Same job, same input, two parallelism levels: N and 4N cores. */
+  def scalingMain(): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    val runs = Seq(n, 4 * n).map { cores =>
+      val spark = session(cores)
+      val (sec, dps, sps) = ep1Throughput(spark, nDocs)
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      (cores, sec, dps, sps)
+    }
+    val Seq((c1, s1, d1, sp1), (c2, s2, d2, sp2)) = runs
+    val eff = d2 / (4.0 * d1)
+    println(
+      s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
+        s""""n_cores":$c1,"n_sec":${f"$s1%.3f"},"n_docs_per_sec":${f"$d1%.1f"},"n_spans_per_sec":${f"$sp1%.1f"},""" +
+        s""""four_n_cores":$c2,"four_n_sec":${f"$s2%.3f"},"four_n_docs_per_sec":${f"$d2%.1f"},"four_n_spans_per_sec":${f"$sp2%.1f"},""" +
+        s""""docs":$nDocs}""")
   }
 }

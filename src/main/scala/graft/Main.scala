@@ -22,6 +22,7 @@ object Main {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName("graft-extract")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

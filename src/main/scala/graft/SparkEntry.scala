@@ -363,16 +363,14 @@ object SparkEntry {
     }),
 
     "minhash_sig" -> ((s, d) => {
-      val sig = Dedup.minhashSignatureCol(TA.tokensCol(col("text")), n = 3, k = 4)
-      rd(s, d, "documents").filter(size(TA.tokensCol(col("text"))) >= 3)
+      Dedup.minhashSignaturesTyped(rd(s, d, "documents"), "doc_id", "text", n = 3, k = 4)
         .select(col("doc_id"),
-          element_at(sig, 1).as("s0"), element_at(sig, 2).as("s1"),
-          element_at(sig, 3).as("s2"), element_at(sig, 4).as("s3"))
+          element_at(col("sig"), 1).as("s0"), element_at(col("sig"), 2).as("s1"),
+          element_at(col("sig"), 3).as("s2"), element_at(col("sig"), 4).as("s3"))
     }),
 
     "simhash_fp" -> ((s, d) => {
-      rd(s, d, "documents").select(col("doc_id"),
-        Dedup.simhash32Col(TA.tokensCol(col("text"))).as("fp"))
+      Dedup.simhashFingerprints(rd(s, d, "documents"), "doc_id", "text")
     }),
 
     "ngram_jaccard" -> ((s, d) => {

@@ -119,20 +119,22 @@ object Filters {
     */
   def f5Gibberish(text: String): Boolean = {
     if (text == null || text.strip().length < 10) return true
-    val sample = if (text.length > 500) text.substring(0, 500) else text
-    val n = sample.length.toDouble
-    val nonWs = sample.count(c => !Character.isWhitespace(c))
-    if (nonWs / n < 0.1) return true
-    val nonPrintable =
-      sample.count(c => c < 32 && c != '\n' && c != '\r' && c != '\t')
-    if (nonPrintable / n > 0.3) return true
-    val engLetters = sample.count(c => Character.isLetter(c) && c < 128)
-    if (engLetters / n < 0.2) return true
+    val end = math.min(text.length, 500)
+    val n = end.toDouble
+    // single pass over the sample; counts mirror the reference exactly
+    var nonWs = 0; var nonPrintable = 0; var engLetters = 0; var weird = 0
     val punct = ".,;:!?()-'\" \n\r\t"
-    val weird = sample.count(c =>
-      !(Character.isLetterOrDigit(c) || punct.indexOf(c.toInt) >= 0 || c < 128))
-    if (weird / n > 0.3) return true
-    false
+    var i = 0
+    while (i < end) {
+      val c = text.charAt(i)
+      if (!Character.isWhitespace(c)) nonWs += 1
+      if (c < 32 && c != '\n' && c != '\r' && c != '\t') nonPrintable += 1
+      if (c < 128 && Character.isLetter(c)) engLetters += 1
+      if (!(Character.isLetterOrDigit(c) || punct.indexOf(c.toInt) >= 0 || c < 128)) weird += 1
+      i += 1
+    }
+    nonWs / n < 0.1 || nonPrintable / n > 0.3 ||
+      engLetters / n < 0.2 || weird / n > 0.3
   }
 
   /** Catalyst twin of [[f5Gibberish]]. `\p{javaWhitespace}` and
@@ -170,6 +172,28 @@ object Filters {
 
   def f6ScrubCol(text: Column): Column =
     regexp_replace(regexp_replace(text, NonPrintablePattern, " "), " +", " ")
+
+  // ---------------------------------------------------------------- F7 -----
+  /** Per-tier validation: reject an extraction tier's candidate text when
+    * more than 20% of its first 500 chars are non-printable.
+    * Reference: policy_extract.py:349-353,362-366.
+    */
+  def f7TierInvalid(text: String): Boolean = {
+    if (text == null || text.isEmpty) return true
+    val sample = if (text.length > 500) text.substring(0, 500) else text
+    val nonPrintable =
+      sample.count(c => c < 32 && c != '\n' && c != '\r' && c != '\t')
+    nonPrintable.toDouble / sample.length > 0.2
+  }
+
+  def f7TierInvalidCol(text: Column): Column = {
+    val sample = substring(text, 1, 500)
+    val n = greatest(length(sample), lit(1)).cast("double")
+    val nonPrintable =
+      (length(sample) - length(regexp_replace(sample, NonPrintablePattern, "")))
+        .cast("double")
+    text.isNull || length(text) === 0 || nonPrintable / n > 0.2
+  }
 
   // ---------------------------------------------------------------- F8 -----
   /** Blank/placeholder money scrub: null/empty dropped upstream; `$`,

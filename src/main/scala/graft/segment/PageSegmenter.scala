@@ -57,6 +57,17 @@ object PageSegmenter {
     HeadMarkerRe.matcher(text).replaceFirst("").strip()
   }
 
+  /** Single-pass head parse: (page, body). Page is -1 for unmarked spans.
+    * Exactly [[markerPage]] + [[stripMarker]] in one regex scan — the
+    * anchored pattern makes `replaceFirst` equal to dropping the match
+    * prefix. This is the per-span hot path of the typed pipeline. */
+  def parseHead(text: String): (Int, String) = {
+    if (text == null) return (-1, null)
+    val m = HeadMarkerRe.matcher(text)
+    if (m.find()) (m.group(1).toInt, text.substring(m.end()).strip())
+    else (-1, text.strip())
+  }
+
   /** Catalyst twins (same pattern string → same java.util.regex semantics). */
   def markerPageCol(text: Column): Column = {
     val s = regexp_extract(text, HeadMarkerPattern, 1)

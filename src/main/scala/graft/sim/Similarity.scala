@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision, left-to-right accumulation. */
-  def dotCol(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double precision, left-to-right accumulation — the native
+    * codegen expression [[graft.sql.FloatVecDot]] (registered by
+    * `graft.sql.GraftExtensions`; all project entry points enable it). */
+  def dotCol(a: Column, b: Column): Column = call_function("graft_fvdot", a, b)
+
+  /** Pure-Catalyst fallback with identical semantics, for sessions without
+    * the extension; ~30x slower per pair (interpreted lambda evaluation). */
+  def dotColHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, v) => s + v)
 
@@ -38,10 +44,14 @@ object Similarity {
     * per-query top-k window. Output: (query_id, neighbor_id, cos, rank). */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms are precomputed per row (not per pair); the pair stage computes
+    // only the cross dot product
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", normCol(col("__qv")))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", normCol(col("__cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineCol(col("__qv"), col("__cv")))
+      .withColumn("cos", round(dotCol(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -81,10 +91,12 @@ object Similarity {
     * Exact all-pairs within sign buckets of the coarse quantizer would be
     * the scale path; this exact form is the correctness baseline. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosineCol(col("__va"), col("__vb")))
+    val withNorm = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", normCol(col("__v")))
+    val a = withNorm.select(col("__id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = withNorm.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", round(dotCol(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }

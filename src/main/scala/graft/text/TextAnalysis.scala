@@ -17,10 +17,24 @@ object TextAnalysis {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Bytes(s: String): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+    val d = md5Bytes(s)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
   /** 32-bit variant (first 8 hex chars) for bit-level ops like SimHash. */
@@ -28,9 +42,9 @@ object TextAnalysis {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   def hash32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    // first 8 hex chars = bytes 0..3
+    val d = md5Bytes(s)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
   // ------------------------------------------------------ tokenization -----

@@ -1,0 +1,148 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.extract.Norms
+import graft.ranges.Islands
+import graft.segment.PageSegmenter
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5 item 3) for the pure operator
+  * cores. No SparkSession — these pin down the algebra the distributed
+  * forms are tested against elsewhere. (scalatestplus is not in the offline
+  * cache, so sampling is driven directly from ScalaCheck generators with a
+  * fixed seed-count budget.)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(200).foreach(f)
+
+  def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb)) { case (a, b) => f(a, b) }
+
+  def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc)) { case (a, b, c) => f(a, b, c) }
+
+  def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  val pageGen: Gen[Int] = Gen.choose(1, 40)
+  val pagesGen: Gen[List[Int]] = Gen.listOfN(12, pageGen)
+  val bufferGen: Gen[Int] = Gen.choose(0, 3)
+
+  test("R1 merge: sorted, disjoint, non-adjacent, within domain, covers hits") {
+    forAll(pagesGen, pagesGen, bufferGen) { (hits0, domain0, buffer) =>
+      whenever(domain0.nonEmpty) {
+        val domain = domain0.distinct.sorted
+        val hits = hits0.filter(domain.contains).distinct
+        val ranges = Islands.mergeRanges(hits, domain, buffer)
+        // sorted by start, pairwise non-overlapping and non-adjacent
+        assert(ranges.map(_._1) == ranges.map(_._1).sorted)
+        ranges.sliding(2).foreach {
+          case Seq((_, e1), (s2, _)) => assert(s2 > e1 + 1)
+          case _ =>
+        }
+        // every range within the clamping domain
+        ranges.foreach { case (s, e) =>
+          assert(s >= domain.min && e <= domain.max && s <= e)
+        }
+        // every hit covered by some range
+        hits.foreach { h =>
+          assert(ranges.exists { case (s, e) => h >= s && h <= e },
+            s"hit $h uncovered in $ranges")
+        }
+        // idempotence: merging the merged starts again changes nothing
+        if (buffer == 0) {
+          val again = Islands.mergeRanges(
+            ranges.flatMap { case (s, e) => s to e }, domain, 0)
+          assert(again == ranges)
+        }
+      }
+    }
+  }
+
+  test("R4 kept pages: sorted distinct subset of boundaries") {
+    forAll(pagesGen, pagesGen, bufferGen) { (hits0, domain0, buffer) =>
+      whenever(domain0.nonEmpty) {
+        val domain = domain0.distinct.sorted
+        val hits = hits0.filter(domain.contains).distinct
+        val ranges = Islands.mergeRanges(hits, domain, buffer)
+        val kept = Islands.keptPages(ranges, domain.toSet)
+        assert(kept == kept.distinct.sorted)
+        assert(kept.forall(domain.contains))
+      }
+    }
+  }
+
+  val contentGen: Gen[String] =
+    Gen.listOfN(8, Gen.alphaNumStr.map(_.take(12))).map(_.mkString(" "))
+
+  test("P2 parse ∘ render = identity on marker documents") {
+    val docGen = for {
+      n <- Gen.choose(1, 8)
+      pages <- Gen.pick(n, 1 to 30)
+      texts <- Gen.listOfN(n, contentGen)
+    } yield pages.toList.zip(texts)
+    forAll(docGen) { pages =>
+      whenever(pages.forall(_._2.strip.nonEmpty)) {
+        val rendered = pages.map { case (p, t) =>
+          PageSegmenter.renderMarker(p) + t
+        }.mkString
+        val parsed = PageSegmenter.p2ExtractPages(rendered)
+        assert(parsed == pages.map { case (p, t) => (p, t.strip) })
+      }
+    }
+  }
+
+  test("normalizeMoney is idempotent") {
+    val moneyGen = Gen.oneOf(
+      Gen.choose(0L, 10000000L).map(v => s"$$${v}"),
+      Gen.const("Included"), Gen.const("2%"),
+      Gen.const("Inside $10,000 / Outside $10,000"),
+      Gen.alphaStr.map(_.take(10)), Gen.const(""), Gen.const("$1,234.56"))
+    forAll(moneyGen) { v =>
+      val once = Norms.normalizeMoney(v)
+      val twice = once.flatMap(Norms.normalizeMoney)
+      assert(twice == once)
+    }
+  }
+
+  test("isNameVariation is symmetric") {
+    val nameGen = Gen.listOfN(12, Gen.oneOf(('A' to 'Z') ++ Seq('0', '1', ' '))).map(_.mkString)
+    forAll(nameGen, nameGen) { (a, b) =>
+      assert(Norms.isNameVariation(a, b) == Norms.isNameVariation(b, a))
+    }
+  }
+
+  test("simhash: self-distance 0; token order does not matter") {
+    val textGen = Gen.listOfN(20, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+      .map(_.mkString(" "))
+    forAll(textGen) { t =>
+      val fp = Dedup.simhash32(t)
+      assert(Dedup.hamming(fp, fp) == 0)
+      val shuffled = t.split(" ").reverse.mkString(" ")
+      assert(Dedup.simhash32(shuffled) == fp) // bag-of-words invariance
+    }
+  }
+
+  test("minhash signature: length k, deterministic, shingle-order invariant") {
+    val textGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      .map(_.mkString(" "))
+    forAll(textGen) { t =>
+      val sig = Dedup.minhashSignature(t, 2, 16)
+      assert(sig.length == 16)
+      assert(sig == Dedup.minhashSignature(t, 2, 16))
+    }
+  }
+
+  test("jaccard bounds and identity") {
+    val textGen = Gen.listOfN(12, Gen.oneOf("w1", "w2", "w3", "w4", "w5"))
+      .map(_.mkString(" "))
+    forAll(textGen, textGen) { (a, b) =>
+      val j = Dedup.jaccard(a, b, 3)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(Dedup.jaccard(a, a, 3) == (if (Dedup.shingles(a, 3).isEmpty) 0.0 else 1.0))
+    }
+  }
+}

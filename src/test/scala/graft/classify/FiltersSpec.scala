@@ -60,6 +60,15 @@ class FiltersSpec extends SparkTestBase {
     assert(f6Scrub("keep\nnewlines\tand\ttabs") == "keep\nnewlines\tand\ttabs")
   }
 
+  // ------------------------------------------------------------------ F7 --
+  test("F7 tier validation rejects >20% non-printable samples") {
+    assert(f7TierInvalid(null))
+    assert(f7TierInvalid(""))
+    assert(f7TierInvalid("ab" + "" * 10))
+    assert(!f7TierInvalid("perfectly clean text with one  only" + "x" * 50))
+    assert(!f7TierInvalid("keep\nnewlines\tand\ttabs fine"))
+  }
+
   // ------------------------------------------------------------------ F8 --
   test("F8 money scrub") {
     assert(f8ScrubMoney(null).isEmpty)
@@ -88,7 +97,8 @@ class FiltersSpec extends SparkTestBase {
       f3LooseDollarCol(col("text")).as("f3"),
       f4ExtendedKeywordCol(col("text")).as("f4"),
       f5GibberishCol(col("text")).as("f5"),
-      f6ScrubCol(col("text")).as("f6")).collect()
+      f6ScrubCol(col("text")).as("f6"),
+      f7TierInvalidCol(col("text")).as("f7")).collect()
     for (r <- got) {
       val t = r.getString(0)
       assert(r.getBoolean(1) == f1DollarPage(t), s"F1 mismatch on: ${t.take(80)}")
@@ -97,6 +107,7 @@ class FiltersSpec extends SparkTestBase {
       assert(r.getBoolean(4) == f4ExtendedKeyword(t), s"F4 mismatch on: ${t.take(80)}")
       assert(r.getBoolean(5) == f5Gibberish(t), s"F5 mismatch on: ${t.take(80)}")
       assert(r.getString(6) == f6Scrub(t), s"F6 mismatch on: ${t.take(80)}")
+      assert(r.getBoolean(7) == f7TierInvalid(t), s"F7 mismatch on: ${t.take(80)}")
     }
   }
 }

@@ -86,6 +86,26 @@ class DedupSpec extends SparkTestBase {
     assert(hamming(got(1L), got(3L)) < hamming(got(1L), got(4L)))
   }
 
+  test("typed production paths produce identical values to Column forms") {
+    import org.apache.spark.sql.functions.col
+    val df = docs.toDF("id", "text")
+    // signatures
+    val typed = Dedup.minhashSignaturesTyped(df, "id", "text", 3, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, text) <- docs if shingles(text, 3).nonEmpty)
+      assert(typed(id) == minhashSignature(text, 3, 16), s"typed sig for $id")
+    // band rows
+    val bands = Dedup.minhashBandRows(df, "id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for ((id, text) <- docs if shingles(text, 3).nonEmpty)
+      assert(bands(id) == lshBandKeys(minhashSignature(text, 3, 16), 4, 4), s"bands for $id")
+    // simhash fingerprints, id type preserved
+    val fps = Dedup.simhashFingerprints(df, "id", "text")
+    assert(fps.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    val fpm = fps.as[(Long, Long)].collect().toMap
+    for ((id, text) <- docs) assert(fpm(id) == simhash32(text), s"typed fp for $id")
+  }
+
   test("simhash duplicate pairs by banded Hamming join") {
     val got = simhashDuplicates(docs.toDF("id", "text"), "id", "text", maxHamming = 6)
       .as[(Long, Long, Int)].collect().toSet
