@@ -78,7 +78,10 @@ object Dedup {
     * buckets (never all-pairs). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJ: Double, maxDf: Int = 0): DataFrame = {
+    // the shingle relation feeds three join branches — persist it so the
+    // tokenize+hash scan runs once, not per branch
     val rows = shingleRows(df, idCol, textCol, n, maxDf).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = rows.toDF("id_a", "sh")
     val b = rows.toDF("id_b", "sh")
@@ -203,12 +206,14 @@ object Dedup {
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, minJ: Double = 0.5): DataFrame = {
     val bandRows = minhashBandRows(df, idCol, textCol, n, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandRows.toDF("id_a", "band")
       .join(bandRows.toDF("id_b", "band"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with exact n-gram Jaccard
+    // verify candidates with exact n-gram Jaccard (persisted: 3 branches)
     val rows = shingleRows(df, idCol, textCol, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val common = cand
       .join(rows.toDF("id_a", "sh"), Seq("id_a"))
