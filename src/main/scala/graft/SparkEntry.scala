@@ -405,6 +405,42 @@ object SparkEntry {
         .select(col("query_id"), col("predicted_label").cast("long").as("predicted_label"))
     }),
 
+    "f3_loose_dollar" -> ((s, d) => {
+      val text = concat(lit("ref "), (col("l_partkey") * 37).cast("string"),
+        lit(" amount $"), pmod(col("l_suppkey"), lit(10)).cast("string"))
+      rd(s, d, "lineitem").withColumn("t", text)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("page"),
+          Filters.f3LooseDollarCol(col("t")).as("hit"))
+    }),
+
+    "f4_extended_keyword" -> ((s, d) => {
+      val text = when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" payee: X")))
+        .otherwise(col("text"))
+      rd(s, d, "documents")
+        .select(col("doc_id"), Filters.f4ExtendedKeywordCol(text).as("hit"))
+    }),
+
+    "r6_first_k" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("page")
+      rd(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("page")).distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("l_orderkey", "page")
+    }),
+
+    "a5_section_validation" -> ((s, d) => {
+      val coverage = when(pmod(col("doc_id"), lit(2)) === 0, "GL").otherwise("PROPERTY")
+      val df = rd(s, d, "documents").select(col("doc_id"), coverage.as("coverage"), col("text"))
+      val (valid, kws) = Qc.validateSectionCols(col("coverage"), col("text"))
+      df.select(col("doc_id"), col("coverage"), valid.as("valid"),
+        array_join(kws, ",").as("keywords_found"))
+    }),
+
+    "a6_distinct_pages" -> ((s, d) => {
+      rd(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(countDistinct(col("l_linenumber")).as("n_pages"))
+    }),
+
     // ------------------------------------ engine-native (rows-only) -------
     "ep1_extract" -> ((s, _) => ep1Extract(s)),
 
@@ -428,6 +464,26 @@ object SparkEntry {
         rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
         "doc_id", "t2", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    "j6_name_variation" -> ((s, d) => {
+      // OCR-tolerant name matching over deterministically noised pairs
+      import s.implicits._
+      rd(s, d, "customer").select(col("c_custkey"), upper(col("c_name")).as("n"))
+        .as[(Long, String)]
+        .map { case (k, n) =>
+          val noisy = if (k % 3 == 0) n.replace('O', '0') else if (k % 3 == 1) n.replace('I', '1') else n + "X"
+          (k, n, noisy, graft.extract.Norms.isNameVariation(n, noisy))
+        }.toDF("c_custkey", "name", "noisy", "is_variation")
+    }),
+
+    "qc_head_sections" -> ((s, _) => {
+      // EP3 sectioning over marker-format renders of the synthetic corpus
+      import s.implicits._
+      val flat = graft.pipeline.QcJob.fromSpans(s, Synth.generate(s, 120, 8).toDF())
+      graft.pipeline.QcJob.run(flat)
+        .toDF().select(col("doc_id"), col("coverage"), col("start_page").cast("long"),
+          col("end_page").cast("long"), col("page_count").cast("long"), col("valid"))
     }))
 
   // ---------------------------------------------------------------------- //
@@ -825,6 +881,46 @@ object SparkEntry {
           |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5),
           |votes AS (SELECT query_id, label, count(*) AS v FROM topk GROUP BY 1,2)
           |SELECT query_id, label::BIGINT AS predicted_label FROM votes
-          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY v DESC, label) = 1""".stripMargin)
+          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY v DESC, label) = 1""".stripMargin,
+
+      "f3_loose_dollar" ->
+        """WITH t AS (SELECT l_orderkey, l_linenumber::BIGINT AS page,
+          |  'ref '||(l_partkey*37)||' amount $'||(l_suppkey%10) AS txt FROM lineitem)
+          |SELECT l_orderkey, page,
+          |  regexp_matches(txt, '\$\s*\d|\b\d{1,3}(?:,\d{3})+(?:\.\d+)?\b|\b\d{5,}\b') AS hit
+          |FROM t""".stripMargin,
+
+      "f4_extended_keyword" ->
+        """WITH t AS (SELECT doc_id,
+          |  CASE WHEN doc_id%7=0 THEN text || ' payee: X' ELSE text END AS t2 FROM documents)
+          |SELECT doc_id,
+          |  (lower(t2) LIKE '%mortgagee%' OR lower(t2) LIKE '%additional interest%'
+          |   OR lower(t2) LIKE '%additional insured%' OR lower(t2) LIKE '%loss payee%'
+          |   OR lower(t2) LIKE '%loss payable%' OR lower(t2) LIKE '%lienholder%'
+          |   OR lower(t2) LIKE '%lien holder%' OR lower(t2) LIKE '%secured party%'
+          |   OR lower(t2) LIKE '%secured parties%' OR lower(t2) LIKE '%mortgage holder%'
+          |   OR lower(t2) LIKE '%payee%') AS hit
+          |FROM t""".stripMargin,
+
+      "r6_first_k" ->
+        """SELECT l_orderkey, page FROM (
+          |  SELECT DISTINCT l_orderkey, l_linenumber::BIGINT AS page FROM lineitem)
+          |QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY page) <= 3""".stripMargin,
+
+      "a5_section_validation" ->
+        """WITH t AS (SELECT doc_id,
+          |  CASE WHEN doc_id%2=0 THEN 'GL' ELSE 'PROPERTY' END AS coverage, text FROM documents)
+          |SELECT doc_id, coverage, coalesce(length(text),0) > 100 AS valid,
+          |  coalesce(CASE WHEN coverage='GL' THEN
+          |    array_to_string(list_filter(['limit','aggregate','occurrence'],
+          |      k -> contains(lower(text), k)), ',')
+          |  ELSE
+          |    array_to_string(list_filter(['building','property','coverage'],
+          |      k -> contains(lower(text), k)), ',') END, '') AS keywords_found
+          |FROM t""".stripMargin,
+
+      "a6_distinct_pages" ->
+        """SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_pages
+          |FROM lineitem GROUP BY 1""".stripMargin)
   }
 }
