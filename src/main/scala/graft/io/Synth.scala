@@ -84,6 +84,17 @@ object Synth {
     val docId = f"doc_$id%06d"
 
     val gibberishOcrDoc = rng.nextInt(10) == 0 // A2 fallback trigger
+    // marker style is per-doc (mixing cases inside one doc would diverge
+    // from the reference's P1 first-matching-pattern-wins cascade):
+    // lowercase "Page n" (policy_filter.py:58) and CRLF line endings
+    // (normalized by P3, tolerated by P1/P2's \s* bridges)
+    val markerStyle = rng.nextInt(20)
+    val bar = "=" * 80
+    def marker(p: Int): String = markerStyle match {
+      case 0 => s"\n$bar\nPage $p\n$bar\n"
+      case 1 => s"\r\n$bar\r\nPAGE $p\r\n$bar\r\n"
+      case _ => PageSegmenter.renderMarker(p)
+    }
     val dupPage = if (rng.nextInt(20) == 0) 2 + rng.nextInt(math.max(1, nPages - 1)) else -1
     val ocrMissingPage = if (rng.nextInt(10) == 0) 1 + rng.nextInt(nPages) else -1
     val textMissingPage = if (rng.nextInt(10) == 0) 1 + rng.nextInt(nPages) else -1
@@ -107,13 +118,13 @@ object Synth {
         if (rng.nextInt(10) == 0) body += " " + skipPool(rng.nextInt(skipPool.size))
       }
 
-      val marker = PageSegmenter.renderMarker(page)
+      val mk = marker(page)
       val ocrBody = if (gibberishOcrDoc && rng.nextInt(4) != 0) gibberish(rng) else ocrNoise(rng, body)
 
-      if (page != ocrMissingPage) spans += Span(Kind.Ocr, marker + ocrBody, "", nextOffset())
+      if (page != ocrMissingPage) spans += Span(Kind.Ocr, mk + ocrBody, "", nextOffset())
       if (page == dupPage) // adjacent duplicate marker: first occurrence wins
-        spans += Span(Kind.Ocr, marker + "duplicate " + sentence(rng, 20), "", nextOffset())
-      if (page != textMissingPage) spans += Span(Kind.Text, marker + body, "", nextOffset())
+        spans += Span(Kind.Ocr, mk + "duplicate " + sentence(rng, 20), "", nextOffset())
+      if (page != textMissingPage) spans += Span(Kind.Text, mk + body, "", nextOffset())
 
       if (rng.nextInt(100) < 12) {
         val rows = (1 to 2 + rng.nextInt(3))
