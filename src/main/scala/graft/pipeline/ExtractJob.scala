@@ -161,11 +161,13 @@ object ExtractJob {
     val all = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
     pending.grouped(commitBatch).foreach { batch =>
       val t0 = System.nanoTime()
-      // size-bucketed rebalance: spread giant-doc skew across tasks before
-      // the heavy tokenize/classify stage
-      val docs = input
-        .filter(col("partition_id").isin(batch: _*))
-        .repartitionByRange(col("partition_id"), col("doc_id"))
+      // size-aware rebalance: spread giant-doc skew across tasks before the
+      // heavy tokenize/classify stage (hash of size-magnitude + doc id, no
+      // global sort — one shuffle regardless of scale)
+      val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = graft.io.Skew.rebalanceBySize(
+        input.filter(col("partition_id").isin(batch: _*)),
+        size(col("spans")), col("doc_id"), shufflePartitions)
         .as[Doc]
       val out = runTyped(docs, cfg)
       val outDf = out.toDF().cache()

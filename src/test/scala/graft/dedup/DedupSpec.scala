@@ -86,6 +86,16 @@ class DedupSpec extends SparkTestBase {
     assert(hamming(got(1L), got(3L)) < hamming(got(1L), got(4L)))
   }
 
+  test("maxDf cap drops hot shingles from candidate generation") {
+    // 'the quick brown' appears in docs 1,2,3,5 (df=4); cap at 3 removes it
+    val rows = Dedup.shingleRows(docs.toDF("id", "text"), "id", "text", 3, maxDf = 3)
+    val hot = graft.text.TextAnalysis.hash60("the quick brown")
+    assert(!rows.select("sh").as[Long].collect().contains(hot))
+    // uncapped keeps it
+    val all = Dedup.shingleRows(docs.toDF("id", "text"), "id", "text", 3)
+    assert(all.select("sh").as[Long].collect().contains(hot))
+  }
+
   test("typed production paths produce identical values to Column forms") {
     import org.apache.spark.sql.functions.col
     val df = docs.toDF("id", "text")
