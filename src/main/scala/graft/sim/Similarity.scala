@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Σ aᵢ·bᵢ in double precision, left-to-right accumulation — the native
-    * codegen expression [[graft.sql.FloatVecDot]] (registered by
-    * `graft.sql.GraftExtensions`; all project entry points enable it). */
-  def dotCol(a: Column, b: Column): Column = call_function("graft_fvdot", a, b)
+    * codegen expression [[graft.sql.FloatVecDot]]. Registered by
+    * `graft.sql.GraftExtensions` at session build; for sessions built
+    * without the config, registration is ensured lazily on the active
+    * session here. */
+  def dotCol(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(org.apache.spark.sql.graftshim.GraftRegistration.ensure)
+    call_function("graft_fvdot", a, b)
+  }
 
   /** Pure-Catalyst fallback with identical semantics, for sessions without
     * the extension; ~30x slower per pair (interpreted lambda evaluation). */
