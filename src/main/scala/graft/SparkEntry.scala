@@ -477,6 +477,47 @@ object SparkEntry {
         }.toDF("c_custkey", "name", "noisy", "is_variation")
     }),
 
+    "p1_boundaries" -> ((s, d) => {
+      // P1 char-interval boundary parse over rendered marker documents
+      import s.implicits._
+      rd(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber").as("page"),
+          concat(lit("item page "), col("l_linenumber").cast("string"),
+            lit(" of order "), col("l_orderkey").cast("string")).as("body"))
+        .as[(Long, Int, String)]
+        .groupByKey(_._1)
+        .mapGroups { (k: Long, it: Iterator[(Long, Int, String)]) =>
+          val txt = it.toSeq.sortBy(_._2)
+            .map { case (_, pg, b) => graft.segment.PageSegmenter.renderMarker(pg) + b }
+            .mkString
+          (k, txt)
+        }
+        .flatMap { kt: (Long, String) =>
+          graft.segment.PageSegmenter.p1Boundaries(kt._2)
+            .map(b => (kt._1, b.page.toLong, b.start.toLong, b.end.toLong))
+        }.toDF("k", "page", "start", "end")
+    }),
+
+    "p3_split" -> ((s, d) => {
+      // P3 strict multiline split (marker retained, page-0 preamble)
+      import s.implicits._
+      rd(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber").as("page"),
+          concat(lit("line "), col("l_linenumber").cast("string")).as("body"))
+        .as[(Long, Int, String)]
+        .groupByKey(_._1)
+        .mapGroups { (k: Long, it: Iterator[(Long, Int, String)]) =>
+          val txt = "preamble text\r\n" + it.toSeq.sortBy(_._2)
+            .map { case (_, pg, b) => graft.segment.PageSegmenter.renderMarker(pg) + b }
+            .mkString
+          (k, txt)
+        }
+        .flatMap { kt: (Long, String) =>
+          graft.segment.PageSegmenter.p3SplitPages(kt._2)
+            .map { case (pg, chunk) => (kt._1, pg.toLong, chunk.length.toLong) }
+        }.toDF("k", "page", "chunk_len")
+    }),
+
     "qc_head_sections" -> ((s, _) => {
       // EP3 sectioning over marker-format renders of the synthetic corpus
       import s.implicits._
