@@ -1,6 +1,6 @@
 package graft
 
-import graft.classify.{CoverageClassifier => CC, Filters}
+import graft.classify.{Boilerplate => BP, CoverageClassifier => CC, Filters}
 import graft.dedup.Dedup
 import graft.extract.{FieldExtractors => FE, Norms}
 import graft.io.Synth
@@ -302,6 +302,58 @@ object SparkEntry {
         FE.glLimit(text, "medical_expense").as("med_exp"))
     }),
 
+    "gl_section_limits" -> ((s, d) => {
+      // C11-C14: per-section limit families through the F8 money scrub,
+      // over deterministically synthesized limit maps (every scrub branch
+      // exercised: kept, $0-normalized, empty-skipped, missing-skipped)
+      import s.implicits._
+      val sections = CC.GlSections.map(_._1)
+      val variants = Seq("$1,000,000", "$0.00", "", "$", null, " $2,000,000 ")
+      rd(s, d, "customer").select(col("c_custkey")).as[Long].flatMap { k =>
+        val section = sections((k % 4).toInt)
+        val limits = CC.GlSections.toMap.apply(section).zipWithIndex.map {
+          case ((key, _), i) => key -> variants(((k + i) % 6).toInt)
+        }.toMap
+        CC.glSectionLimits(section, limits).map(li =>
+          (k, li.coverage_section, li.limit_key, li.limit_label, li.value))
+      }.toDF("c_custkey", "coverage_section", "limit_key", "limit_label", "value")
+    }),
+
+    "c15_presence_list" -> ((s, d) => {
+      // C15: coverage-presence list — sections kept iff present with a
+      // non-empty policy number
+      import s.implicits._
+      rd(s, d, "customer").select(col("c_custkey")).as[Long].flatMap { k =>
+        val sections = CC.PresenceSections.zipWithIndex.flatMap { case ((key, _), i) =>
+          if ((k + i) % 3 == 0) None
+          else Some(key -> Map(
+            "policy_number" -> (if ((k + i) % 4 == 0) "" else s"PN-$k-$i"),
+            "policy_eff" -> "01/01/2025",
+            "policy_exp" -> (if ((k + i) % 5 == 0) null else "01/01/2026")))
+        }.toMap
+        CC.presenceList(sections).map(p =>
+          (k, p.coverage_key, p.coverage_name, p.policy_number, p.policy_eff, p.policy_exp))
+      }.toDF("c_custkey", "coverage_key", "coverage_name", "policy_number",
+        "policy_eff", "policy_exp")
+    }),
+
+    "c16_interests" -> ((s, d) => {
+      // C16: additional-interests 0/1/N normalization — array form wins,
+      // flat form falls back, empty name yields nothing
+      import s.implicits._
+      rd(s, d, "customer").select(col("c_custkey")).as[Long].flatMap { k =>
+        val (arrayForm, flatName, flatAddress) = (k % 4) match {
+          case 0 => (Some(Seq(CC.Interest(s"Bank $k", s"$k Main St"),
+            CC.Interest(s"Lender $k", ""))), None, None)
+          case 1 => (None, Some(s"Sole Interest $k"), Some(s"$k Oak Ave"))
+          case 2 => (None, Some(""), Some(s"$k Elm Rd"))
+          case _ => (None, None, None)
+        }
+        CC.normalizeInterests(arrayForm, flatName, flatAddress)
+          .zipWithIndex.map { case (in, i) => (k, i.toLong, in.name, in.address) }
+      }.toDF("c_custkey", "idx", "name", "address")
+    }),
+
     "qc_compare" -> ((s, d) => {
       val o = rd(s, d, "orders")
       val certKv = o.select(col("o_orderkey").as("doc"), lit("total").as("field"),
@@ -313,6 +365,23 @@ object SparkEntry {
           .as("value"))
       Qc.qcCompareDf(certKv, polKv, "doc")
         .select(col("doc"), col("field"), col("is_mismatch"))
+    }),
+
+    "j4_guardrail" -> ((s, d) => {
+      // guardrail containment semi-join over deterministically grouped
+      // customers: every 5th customer requests a name; every 10th requests
+      // its own (a guaranteed containment match), the rest request
+      // non-matching sentinels so whole docs exercise the head-N fallback
+      val c = rd(s, d, "customer")
+      val valDf = c.select(pmod(col("c_custkey"), lit(97)).as("doc"),
+        col("c_name").as("name"), col("c_custkey").as("seq"))
+      val reqDf = c.filter(pmod(col("c_custkey"), lit(5)) === 0)
+        .select(pmod(col("c_custkey"), lit(97)).as("doc"),
+          when(pmod(col("c_custkey"), lit(10)) === 0, col("c_name"))
+            .otherwise(concat(lit("ZZZNOMATCH"), col("c_custkey").cast("string")))
+            .as("req"))
+      Qc.guardrailJoinDf(valDf, reqDf, "doc", "name", "req", "seq")
+        .select(col("doc"), col("name"), col("seq"))
     }),
 
     "summary_counts" -> ((s, d) => {
@@ -328,6 +397,20 @@ object SparkEntry {
       rd(s, d, "part").select(col("p_partkey"),
         Norms.normNameCol(col("p_name")).as("norm_name"),
         Norms.baseNameCol(concat(col("p_brand"), lit("_policy"))).as("base_brand"))
+    }),
+
+    "boilerplate_blocks" -> ((s, d) => {
+      // north-star stage: link-density + text-density block classification
+      // over synthetic pages wrapping each document in nav/footer chrome,
+      // a short heading line, and the document body
+      val page = concat(
+        lit("<a href=\"/home\">Home</a> | <a href=\"/about\">About Us</a> | " +
+          "<a href=\"/contact\">Contact</a>\n\n"),
+        lit("Section "), pmod(col("doc_id"), lit(7)).cast("string"), lit("\n\n"),
+        col("text"),
+        lit("\n\nCopyright 2026 <a href=\"/terms\">Terms of Service</a> " +
+          "and <a href=\"/privacy\">Privacy</a>"))
+      BP.blocksDf(rd(s, d, "documents").withColumn("page", page), "doc_id", "page")
     }),
 
     // -------------------------------------------------- text analysis -----
@@ -390,6 +473,11 @@ object SparkEntry {
 
     "embedding_near_dup" -> ((s, d) => {
       Similarity.nearDupPairs(rd(s, d, "embeddings"), "vec_id", "embedding", 0.4002)
+    }),
+
+    "near_dup_bucketed" -> ((s, d) => {
+      Similarity.bucketedNearDupPairs(rd(s, d, "embeddings"), "vec_id", "embedding",
+        0.4002, p = 8)
     }),
 
     "sign_bucket_hist" -> ((s, d) => {
@@ -776,6 +864,58 @@ object SparkEntry {
           |    nullif(regexp_extract(text,'(?i)MEDICAL\s+EXPENSE[^\$]*\$?\s*([0-9,]+)',1),'')) AS med_exp
           |FROM t""".stripMargin,
 
+      "gl_section_limits" ->
+        """WITH sec AS (SELECT c_custkey,
+          |  (['commercial_general_liability','umbrella_liability',
+          |    'employment_practices_liability','liquor_liability'])[(c_custkey%4)+1] AS section
+          |  FROM customer),
+          |keys AS (SELECT * FROM (VALUES
+          |  ('commercial_general_liability',0,'each_occurrence','Each Occurrence'),
+          |  ('commercial_general_liability',1,'damage_to_rented_premises','Damage to Rented Premises (Ea occurrence)'),
+          |  ('commercial_general_liability',2,'med_exp','Med Exp (Any one person)'),
+          |  ('commercial_general_liability',3,'personal_adv_injury','Personal & Adv Injury'),
+          |  ('commercial_general_liability',4,'general_aggregate','General Aggregate'),
+          |  ('commercial_general_liability',5,'products_comp_op_agg','Products - Comp/Op Agg'),
+          |  ('umbrella_liability',0,'each_occurrence','Umbrella Each Occurrence'),
+          |  ('umbrella_liability',1,'aggregate','Umbrella Aggregate'),
+          |  ('employment_practices_liability',0,'each_limit','EPL Each Limit'),
+          |  ('employment_practices_liability',1,'aggregate_limit','EPL Aggregate Limit'),
+          |  ('liquor_liability',0,'each_limit','Liquor Liability Each Limit'),
+          |  ('liquor_liability',1,'aggregate_limit','Liquor Liability Aggregate Limit'))
+          |  t(section, i, limit_key, limit_label)),
+          |j AS (SELECT c_custkey, k.section, k.limit_key, k.limit_label,
+          |  (['$1,000,000','$0.00','','$',NULL,' $2,000,000 '])[((c_custkey + i)%6)+1] AS raw
+          |  FROM sec s JOIN keys k ON s.section=k.section)
+          |SELECT c_custkey, section AS coverage_section, limit_key, limit_label,
+          |  CASE WHEN trim(raw) IN ('$','$0.00','$ 0.00') THEN '$0' ELSE trim(raw) END AS value
+          |FROM j WHERE raw IS NOT NULL AND trim(raw) <> ''""".stripMargin,
+
+      "c15_presence_list" ->
+        """WITH keys AS (SELECT * FROM (VALUES
+          |  ('commercial_general_liability','Commercial General Liability',0),
+          |  ('automobile_liability','Automobile Liability',1),
+          |  ('umbrella_liability','Umbrella Liability',2),
+          |  ('excess_liability','Excess Liability',3),
+          |  ('workers_compensation','Workers Compensation',4),
+          |  ('employment_practices_liability','Employment Practices Liability',5),
+          |  ('liquor_liability','Liquor Liability',6),
+          |  ('garagekeepers_liability','Garagekeepers Liability',7))
+          |  t(coverage_key, coverage_name, i)),
+          |p AS (SELECT c_custkey, coverage_key, coverage_name,
+          |  CASE WHEN (c_custkey+i)%4=0 THEN '' ELSE 'PN-'||c_custkey||'-'||i END AS policy_number,
+          |  '01/01/2025' AS policy_eff,
+          |  CASE WHEN (c_custkey+i)%5=0 THEN NULL ELSE '01/01/2026' END AS policy_exp
+          |  FROM customer, keys WHERE (c_custkey + i)%3 <> 0)
+          |SELECT c_custkey, coverage_key, coverage_name, policy_number, policy_eff, policy_exp
+          |FROM p WHERE policy_number <> ''""".stripMargin,
+
+      "c16_interests" ->
+        """SELECT c_custkey, 0::BIGINT AS idx, 'Bank '||c_custkey AS name,
+          |  c_custkey||' Main St' AS address FROM customer WHERE c_custkey%4=0
+          |UNION ALL SELECT c_custkey, 1::BIGINT, 'Lender '||c_custkey, '' FROM customer WHERE c_custkey%4=0
+          |UNION ALL SELECT c_custkey, 0::BIGINT, 'Sole Interest '||c_custkey,
+          |  c_custkey||' Oak Ave' FROM customer WHERE c_custkey%4=1""".stripMargin,
+
       "qc_compare" ->
         """WITH c AS (SELECT o_orderkey AS doc, 'total' AS field,
           |  regexp_replace('$'||CAST(round(o_totalprice*100) AS BIGINT),'[^0-9]','','g') AS certificate FROM orders),
@@ -785,6 +925,22 @@ object SparkEntry {
           |SELECT c.doc, c.field,
           |  (p.policy IS NULL OR c.certificate <> p.policy) AS is_mismatch
           |FROM c LEFT JOIN p ON c.doc=p.doc AND c.field=p.field""".stripMargin,
+
+      "j4_guardrail" ->
+        """WITH v AS (SELECT c_custkey%97 AS doc, c_name AS name, c_custkey AS seq,
+          |  regexp_replace(lower(c_name),'[^a-z0-9]','','g') AS vn FROM customer),
+          |r2 AS (SELECT c_custkey%97 AS doc,
+          |  regexp_replace(lower(CASE WHEN c_custkey%10=0 THEN c_name
+          |    ELSE 'ZZZNOMATCH'||c_custkey END),'[^a-z0-9]','','g') AS rn
+          |  FROM customer WHERE c_custkey%5=0),
+          |rc AS (SELECT doc, count(*) AS n_req FROM r2 WHERE rn <> '' GROUP BY 1),
+          |m AS (SELECT DISTINCT v.doc, v.name, v.seq FROM v JOIN r2 ON v.doc=r2.doc
+          |  AND v.vn <> '' AND r2.rn <> '' AND (contains(v.vn, r2.rn) OR contains(r2.rn, v.vn))),
+          |fb AS (SELECT v.doc, v.name, v.seq FROM v
+          |  WHERE v.doc NOT IN (SELECT DISTINCT doc FROM m)),
+          |u AS (SELECT doc, name, seq, row_number() OVER (PARTITION BY doc ORDER BY seq) AS rn_
+          |  FROM (SELECT * FROM m UNION ALL SELECT * FROM fb))
+          |SELECT u.doc, u.name, u.seq FROM u JOIN rc ON u.doc=rc.doc WHERE u.rn_ <= rc.n_req""".stripMargin,
 
       "summary_counts" ->
         """WITH s AS (SELECT o_orderpriority,
@@ -801,6 +957,36 @@ object SparkEntry {
           |  regexp_replace(lower(p_name),'[^a-z0-9]','','g') AS norm_name,
           |  regexp_replace(p_brand||'_policy','(_policy2|_policy|_ocr|_Package)$','') AS base_brand
           |FROM part""".stripMargin,
+
+      "boilerplate_blocks" ->
+        """WITH pg AS (SELECT doc_id,
+          |  '<a href="/home">Home</a> | <a href="/about">About Us</a> | <a href="/contact">Contact</a>'
+          |  ||chr(10)||chr(10)||'Section '||(doc_id%7)||chr(10)||chr(10)||text||chr(10)||chr(10)||
+          |  'Copyright 2026 <a href="/terms">Terms of Service</a> and <a href="/privacy">Privacy</a>' AS page
+          |  FROM documents),
+          |b AS (SELECT doc_id, string_split_regex(page, '\n\s*\n') AS blocks FROM pg),
+          |e AS (SELECT doc_id, i AS block_idx, blocks[i+1] AS blk
+          |  FROM b, unnest(range(len(blocks))) AS t(i)),
+          |m AS (SELECT doc_id, block_idx, blk,
+          |  regexp_replace(blk, '<[^>]*>', ' ', 'g') AS tagless,
+          |  regexp_replace(coalesce(array_to_string(regexp_extract_all(blk, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+          |    '<[^>]*>', ' ', 'g') AS linktext
+          |  FROM e),
+          |w AS (SELECT doc_id, block_idx,
+          |  regexp_replace(regexp_replace(tagless, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS text_,
+          |  len(list_filter(string_split_regex(tagless,'\s+'), x -> x <> '')) AS n_words,
+          |  len(list_filter(string_split_regex(linktext,'\s+'), x -> x <> '')) AS n_link_words,
+          |  length(regexp_replace(regexp_replace(tagless,'^\s+|\s+$','','g'),'[^\n]','','g')) + 1 AS n_lines
+          |  FROM m)
+          |SELECT doc_id, block_idx::BIGINT AS block_idx,
+          |  CASE WHEN n_words = 0 THEN 'empty'
+          |       WHEN n_link_words::DOUBLE / greatest(n_words,1) > 0.33 THEN 'boilerplate'
+          |       WHEN n_words <= 12 AND NOT regexp_matches(text_, '[.!?]$') THEN 'heading'
+          |       ELSE 'body' END AS label,
+          |  text_ AS text, n_words::BIGINT AS n_words, n_link_words::BIGINT AS n_link_words,
+          |  round(n_link_words::DOUBLE / greatest(n_words,1), 6) AS link_density,
+          |  round(n_words::DOUBLE / greatest(n_lines,1), 6) AS text_density
+          |FROM w""".stripMargin,
 
       "lang_id" ->
         s"""WITH t AS (SELECT doc_id, text, ${toks.format("text")} AS toks FROM documents),
@@ -903,6 +1089,18 @@ object SparkEntry {
           |    / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
           |     * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4002""".stripMargin,
+
+      "near_dup_bucketed" ->
+        """WITH e AS (SELECT vec_id, embedding,
+          |  CAST(coalesce(list_sum(list_transform(range(8), i ->
+          |    CASE WHEN embedding[i+1] >= 0 THEN (1 << i) ELSE 0 END)),0) AS BIGINT) AS bucket
+          |  FROM embeddings),
+          |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |    / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
+          |  FROM e a JOIN e b ON a.bucket=b.bucket AND a.vec_id < b.vec_id)
           |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4002""".stripMargin,
 
       "sign_bucket_hist" ->

@@ -67,7 +67,9 @@ object Dedup {
     else {
       val hot = rows.groupBy("sh").agg(countDistinct(col(idCol)).as("df"))
         .filter(col("df") > maxDf).select("sh")
-      rows.join(hot, Seq("sh"), "left_anti")
+      // the join moves the key column first; restore (id, sh) order since
+      // downstream callers rename positionally
+      rows.join(hot, Seq("sh"), "left_anti").select(rows.columns.map(col): _*)
     }
   }
 
@@ -79,7 +81,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJ: Double, maxDf: Int = 0): DataFrame = {
     // the shingle relation feeds three join branches — persist it so the
-    // tokenize+hash scan runs once, not per branch
+    // tokenize+hash scan runs once, not per branch; released by the
+    // ContextCleaner once the caller drops the returned plan
     val rows = shingleRows(df, idCol, textCol, n, maxDf).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
@@ -202,17 +205,44 @@ object Dedup {
   /** MinHash/LSH near-dup detection: signature → band explode → bucket join
     * → distinct candidate pairs → exact-Jaccard verification at `minJ`.
     * Shuffles: one on band key (candidate join) + the verify join; the
-    * signature itself is computed scan-side with zero shuffles. */
+    * signature itself is computed scan-side with zero shuffles.
+    *
+    * Scale levers (both default-off for oracle parity; production callers at
+    * corpus scale should set both):
+    *  - `maxDf` is threaded into the verify-path shingle relation, dropping
+    *    shingles shared by more than `maxDf` docs (viral stopword shingles
+    *    would otherwise create O(df²) skew in the verify join);
+    *  - `maxBucket` drops band buckets containing more than `maxBucket`
+    *    docs before candidate enumeration (a hot band key would otherwise
+    *    degrade to O(bucket²) pairs). Pairs inside a dropped bucket remain
+    *    reachable through their other `bands-1` band keys.
+    *
+    * The candidate relation is materialized eagerly so the band relation's
+    * cache is released before this returns; the shingle relation stays
+    * cached for the caller's action (it feeds 3 branches of one plan) and is
+    * unpersisted by Spark's ContextCleaner once the result is dropped. */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 32, bands: Int = 8, minJ: Double = 0.5): DataFrame = {
-    val bandRows = minhashBandRows(df, idCol, textCol, n, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n: Int = 3, k: Int = 32, bands: Int = 8, minJ: Double = 0.5,
+      maxDf: Int = 0, maxBucket: Int = 0): DataFrame = {
+    val bandRowsAll = minhashBandRows(df, idCol, textCol, n, k, bands)
+    val bandRows = (if (maxBucket <= 0) bandRowsAll
+    else {
+      val hot = bandRowsAll.groupBy("band").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > maxBucket).select("band")
+      // restore (id, band) order: the join moves the key column first and
+      // the candidate stage renames positionally
+      bandRowsAll.join(hot, Seq("band"), "left_anti")
+        .select(bandRowsAll.columns.map(col): _*)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandRows.toDF("id_a", "band")
       .join(bandRows.toDF("id_b", "band"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count() // materialize candidates, then release the band relation
+    bandRows.unpersist(blocking = false)
     // verify candidates with exact n-gram Jaccard (persisted: 3 branches)
-    val rows = shingleRows(df, idCol, textCol, n).distinct()
+    val rows = shingleRows(df, idCol, textCol, n, maxDf).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val common = cand
@@ -264,11 +294,15 @@ object Dedup {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** SimHash near-dup pairs: fingerprints bucketed by their 4 bytes (a pair
-    * within Hamming distance <= 7 of a 32-bit hash must agree on at least
-    * one of 4 byte-bands) → candidate join per band → Hamming verify. */
+  /** SimHash near-dup pairs: fingerprints bucketed by their 4 bytes →
+    * candidate join per band → Hamming verify. By pigeonhole, 4 bands over a
+    * 32-bit fingerprint guarantee a shared band only for pairs with Hamming
+    * distance <= 3 (4 differing bits can land one per band); hence
+    * `maxHamming` is capped at 3. Larger radii need more/overlapping bands. */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 byte-bands only guarantee recall for Hamming distance <= 3")
     val fp = simhashFingerprints(df, idCol, textCol)
     val banded = fp.select(col(idCol), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),

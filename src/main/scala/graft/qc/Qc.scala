@@ -37,10 +37,20 @@ object Qc {
   /** J4 as a DataFrame plan for when validations and requested items live in
     * separate tables: a broadcast theta containment join (left-semi), with
     * the head-N fallback and cap expressed by per-doc windows. `valDf` needs
-    * (docCol, nameCol) plus payload; `reqDf` needs (docCol, reqNameCol).
+    * (docCol, nameCol, seqCol) plus payload; `reqDf` needs (docCol,
+    * reqNameCol).
+    *
+    * `seqCol` is the caller's stable per-doc insertion-order column (span
+    * offset, file line, a row index materialized at ingest...). The reference
+    * semantics of the head-N fallback is "first N in file order"
+    * (llm_pl_pol_cov.py:409-446); deriving order from partition layout
+    * (e.g. monotonically_increasing_id) would pick different rows after a
+    * repartition or task retry, so an explicit column is required.
     */
   def guardrailJoinDf(valDf: DataFrame, reqDf: DataFrame, docCol: String,
-      nameCol: String, reqNameCol: String): DataFrame = {
+      nameCol: String, reqNameCol: String, seqCol: String): DataFrame = {
+    require(valDf.columns.contains(seqCol),
+      s"guardrailJoinDf: valDf must carry the stable order column '$seqCol'")
     val vNorm = Norms.normNameCol(col(nameCol))
     val rNorm = Norms.normNameCol(col(reqNameCol))
     val req = reqDf.filter(rNorm =!= "")
@@ -48,7 +58,7 @@ object Qc {
     val reqCount = req.groupBy(docCol).agg(count(lit(1)).as("__n_req"))
 
     val withNorm = valDf.withColumn("__v_norm", vNorm)
-      .withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__seq", col(seqCol))
     val matched = withNorm
       .join(broadcast(req),
         withNorm(docCol) === req(docCol) && col("__v_norm") =!= "" &&

@@ -94,14 +94,40 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (i < j) with cosine >= minCos.
-    * Exact all-pairs within sign buckets of the coarse quantizer would be
-    * the scale path; this exact form is the correctness baseline. */
+    *
+    * SMALL-N CORRECTNESS BASELINE ONLY: it broadcasts the whole table and
+    * enumerates O(n²) pairs, which does not survive corpus scale. The
+    * production path is [[bucketedNearDupPairs]] — same scoring, pairs
+    * restricted to sign-bucket cells, shuffle on the bucket key only. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
     val withNorm = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__n", normCol(col("__v")))
     val a = withNorm.select(col("__id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = withNorm.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", round(dotCol(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Scale path for embedding near-dup: pair enumeration happens only inside
+    * the 2^p sign-bucket cells of the coarse quantizer ([[signBucketCol]]),
+    * with exact cosine rescoring within each cell — one shuffle on the bucket
+    * key, never all-pairs, no broadcast of the table. Recall is bounded by
+    * cell purity (a pair straddling a sign boundary in the first `p` dims is
+    * missed) — the standard IVF trade; [[nearDupPairs]] remains the exact
+    * small-n baseline for recall measurement. */
+  def bucketedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, p: Int = 8): DataFrame = {
+    val withB = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      signBucketCol(col(vecCol), p).as("__bucket"))
+      .withColumn("__n", normCol(col("__v")))
+    val a = withB.select(col("__bucket"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = withB.select(col("__bucket"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(dotCol(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")

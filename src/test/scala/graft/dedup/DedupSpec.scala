@@ -117,10 +117,49 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("simhash duplicate pairs by banded Hamming join") {
-    val got = simhashDuplicates(docs.toDF("id", "text"), "id", "text", maxHamming = 6)
+    val got = simhashDuplicates(docs.toDF("id", "text"), "id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect().toSet
     val pairs = got.map(p => (p._1, p._2))
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)))
     assert(got.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 0)
+    // 4 byte-bands only guarantee recall to Hamming 3 — larger radii rejected
+    intercept[IllegalArgumentException] {
+      simhashDuplicates(docs.toDF("id", "text"), "id", "text", maxHamming = 6)
+    }
+  }
+
+  test("minhash skew caps: viral shingle and hot band bounded, dups still found") {
+    // one viral 3-gram ("viral spam token") shared by every doc; docs 1,2
+    // identical; doc 3 a near-dup of them; doc 4 unrelated
+    val viral = " viral spam token"
+    val skewed = Seq(
+      (1L, base + viral), (2L, base + viral),
+      (3L, nearDup + viral),
+      (4L, "totally disjoint text about gardens and weather patterns" + viral))
+    // uncapped: viral shingle present in the verify relation for all 4 docs
+    val hot = graft.text.TextAnalysis.hash60("viral spam token")
+    val all = Dedup.shingleRows(skewed.toDF("id", "text"), "id", "text", 3)
+    assert(all.filter(col("sh") === hot).count() == 4)
+    // maxDf threads through the verify path (jaccard computed over the
+    // capped shingle sets); maxBucket drops any all-docs band bucket
+    val got = minhashDuplicates(skewed.toDF("id", "text"), "id", "text",
+      n = 3, k = 32, bands = 8, minJ = 0.3, maxDf = 3, maxBucket = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val pairs = got.map(p => (p._1, p._2))
+    assert(pairs.contains((1L, 2L)), s"clone pair must survive the caps: $pairs")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L), s"unrelated doc must not pair: $pairs")
+    // expected jaccards over shingle sets with df > 3 removed (pure replay)
+    val shSets = skewed.map { case (id, t) => id -> shingles(t, 3).toSet }.toMap
+    val dfOf = shSets.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    def capped(id: Long): Set[String] = shSets(id).filter(s => dfOf(s) <= 3)
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val c = (a intersect b).size.toDouble
+      BigDecimal(c / (a.size + b.size - c)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+    val j13 = got.find(p => (p._1, p._2) == ((1L, 3L))).get._3
+    assert(j13 == jac(capped(1L), capped(3L)), "verify-path jaccard must use the maxDf-capped sets")
+    // and the capped value differs from the uncapped one (the lever is live)
+    assert(j13 != jac(shSets(1L), shSets(3L)))
   }
 }

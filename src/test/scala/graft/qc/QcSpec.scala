@@ -34,14 +34,33 @@ class QcSpec extends SparkTestBase {
   test("J4 DataFrame form agrees with pure form") {
     import spark.implicits._
     val valDf = Seq(
-      ("d1", "Building Coverage"), ("d1", "Theft"), ("d1", "Unrelated"),
-      ("d2", "x1"), ("d2", "x2"), ("d2", "x3"),
-      ("d3", "anything")).toDF("doc_id", "name")
+      ("d1", "Building Coverage", 0), ("d1", "Theft", 1), ("d1", "Unrelated", 2),
+      ("d2", "x1", 0), ("d2", "x2", 1), ("d2", "x3", 2),
+      ("d3", "anything", 0)).toDF("doc_id", "name", "seq")
     val reqDf = Seq(
       ("d1", "Building"), ("d2", "building"), ("d2", "theft")).toDF("doc_id", "req")
-    val got = guardrailJoinDf(valDf, reqDf, "doc_id", "name", "req")
+    val got = guardrailJoinDf(valDf, reqDf, "doc_id", "name", "req", "seq")
       .select("doc_id", "name").as[(String, String)].collect().toSet
     assert(got == Set(("d1", "Building Coverage"), ("d2", "x1"), ("d2", "x2")))
+  }
+
+  test("J4 DataFrame form is invariant under repartitioning") {
+    import spark.implicits._
+    // a fallback doc with many candidates: partition layout must not change
+    // which 'first N' rows the fallback selects
+    val rows = (0 until 40).map(i => ("dF", f"cand$i%02d", i)) ++
+      Seq(("dM", "Building Coverage", 0), ("dM", "Other", 1))
+    val reqDf = Seq(("dF", "zzz"), ("dF", "qqq"), ("dM", "building")).toDF("doc_id", "req")
+    val layouts = Seq(
+      rows.toDF("doc_id", "name", "seq"),
+      rows.toDF("doc_id", "name", "seq").repartition(7),
+      rows.reverse.toDF("doc_id", "name", "seq").repartition(3, col("name")))
+    val results = layouts.map { valDf =>
+      guardrailJoinDf(valDf, reqDf, "doc_id", "name", "req", "seq")
+        .select("doc_id", "name").as[(String, String)].collect().toSet
+    }
+    assert(results.forall(_ == results.head))
+    assert(results.head == Set(("dF", "cand00"), ("dF", "cand01"), ("dM", "Building Coverage")))
   }
 
   // ------------------------------------------------------------------ J5 --
