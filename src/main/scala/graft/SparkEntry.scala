@@ -384,6 +384,29 @@ object SparkEntry {
         .select(col("doc"), col("name"), col("seq"))
     }),
 
+    "qc_tolerant" -> ((s, d) => {
+      // format-tolerant QC compare: equal-after-normalization dates,
+      // addresses and money; a real date mismatch; a one-sided null
+      val o = rd(s, d, "orders")
+      val m = pmod(col("o_orderkey"), lit(5))
+      val amt = round(col("o_totalprice")).cast("long").cast("string")
+      val certV = when(m === 0, lit("09/26/2025"))
+        .when(m === 1, lit("123 Main Road, Suite 4"))
+        .when(m === 2, concat(lit("$ "), amt))
+        .when(m === 3, lit("10/05/2025"))
+        .otherwise(lit(null).cast("string"))
+      val polV = when(m === 0, lit("9/26/2025"))
+        .when(m === 1, lit("123 MAIN RD. STE 4"))
+        .when(m === 2, amt)
+        .when(m === 3, lit("10/06/2025"))
+        .otherwise(lit("present"))
+      val certKv = o.select(col("o_orderkey").as("doc"), lit("f").as("field"), certV.as("value"))
+      val polKv = o.select(col("o_orderkey").as("doc"), lit("f").as("field"), polV.as("value"))
+      Qc.qcCompareTolerantDf(certKv, polKv, "doc")
+        .select(col("doc"), col("field"), col("certificate"), col("policy"),
+          col("is_mismatch"))
+    }),
+
     "summary_counts" -> ((s, d) => {
       val status = when(col("o_orderstatus") === "F", "MATCH")
         .when(col("o_orderstatus") === "O", "MISMATCH")
@@ -942,6 +965,43 @@ object SparkEntry {
           |  FROM (SELECT * FROM m UNION ALL SELECT * FROM fb))
           |SELECT u.doc, u.name, u.seq FROM u JOIN rc ON u.doc=rc.doc WHERE u.rn_ <= rc.n_req""".stripMargin,
 
+      "qc_tolerant" ->
+        """WITH base AS (SELECT o_orderkey AS doc, 'f' AS field, o_orderkey%5 AS m,
+          |  CAST(round(o_totalprice) AS BIGINT)::VARCHAR AS amt FROM orders),
+          |kv AS (SELECT doc, field,
+          |  CASE m WHEN 0 THEN '09/26/2025' WHEN 1 THEN '123 Main Road, Suite 4'
+          |    WHEN 2 THEN '$ '||amt WHEN 3 THEN '10/05/2025' ELSE NULL END AS cv,
+          |  CASE m WHEN 0 THEN '9/26/2025' WHEN 1 THEN '123 MAIN RD. STE 4'
+          |    WHEN 2 THEN amt WHEN 3 THEN '10/06/2025' ELSE 'present' END AS pv
+          |  FROM base),
+          |u AS (SELECT doc, field, 'c' AS side, cv AS v FROM kv
+          |  UNION ALL SELECT doc, field, 'p', pv FROM kv),
+          |t0 AS (SELECT doc, field, side, regexp_replace(v, '^\s+|\s+$', '', 'g') AS t FROM u),
+          |nrm AS (SELECT doc, field, side,
+          |  CASE WHEN t IS NULL OR t = '' THEN NULL
+          |    WHEN regexp_matches(t, '^\d{1,2}/\d{1,2}/\d{4}$')
+          |      THEN regexp_replace(t, '^0?(\d{1,2})/0?(\d{1,2})/(\d{4})$', '\1/\2/\3')
+          |    WHEN regexp_matches(t, '^\$?\s*[0-9][0-9,\.]*$')
+          |      THEN regexp_replace(t, '[^0-9]', '', 'g')
+          |    ELSE regexp_replace(regexp_replace(
+          |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |        lower(t), '[.,#]', ' ', 'g'),
+          |        '\broad\b','rd','g'), '\bstreet\b','st','g'), '\bavenue\b','ave','g'),
+          |        '\bdrive\b','dr','g'), '\bboulevard\b','blvd','g'), '\blane\b','ln','g'),
+          |        '\bhighway\b','hwy','g'), '\bsuite\b','ste','g'),
+          |      '\s+', ' ', 'g') END AS nv
+          |  FROM t0),
+          |trimmed AS (SELECT doc, field, side,
+          |  regexp_replace(nv, '^\s+|\s+$', '', 'g') AS nv FROM nrm),
+          |piv AS (SELECT doc, field,
+          |  max(CASE WHEN side='c' THEN nv END) AS certificate,
+          |  max(CASE WHEN side='p' THEN nv END) AS policy
+          |  FROM trimmed GROUP BY 1, 2)
+          |SELECT doc, field, certificate, policy,
+          |  (certificate IS NULL OR policy IS NULL OR certificate <> policy) AS is_mismatch
+          |FROM piv WHERE certificate IS NOT NULL OR policy IS NOT NULL""".stripMargin,
+
       "summary_counts" ->
         """WITH s AS (SELECT o_orderpriority,
           |  CASE WHEN o_orderstatus='F' THEN 'MATCH' WHEN o_orderstatus='O' THEN 'MISMATCH'
@@ -1160,6 +1220,68 @@ object SparkEntry {
 
       "a6_distinct_pages" ->
         """SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_pages
-          |FROM lineitem GROUP BY 1""".stripMargin)
+          |FROM lineitem GROUP BY 1""".stripMargin,
+
+      // P1 replayed arithmetically: each rendered chunk is a fixed-width
+      // marker (169 chars + page digits, incl. its leading newline) plus the
+      // body; a boundary starts at its first marker's '=' bar (cum+1) and
+      // ends at the next distinct page's bar (duplicate pages extend the
+      // first occurrence), the last at the document end.
+      "p1_boundaries" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS page,
+          |  'item page '||l_linenumber||' of order '||l_orderkey AS body FROM lineitem),
+          |c AS (SELECT k, page, 169 + length(page::VARCHAR) + length(body) AS clen FROM li),
+          |g AS (SELECT k, page, sum(clen) AS chunk FROM c GROUP BY 1, 2),
+          |pos AS (SELECT k, page, chunk,
+          |  coalesce(sum(chunk) OVER (PARTITION BY k ORDER BY page
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+          |  sum(chunk) OVER (PARTITION BY k) AS total FROM g)
+          |SELECT k, page::BIGINT AS page, (cum + 1)::BIGINT AS start,
+          |  coalesce(lead(cum + 1) OVER (PARTITION BY k ORDER BY page), total)::BIGINT AS "end"
+          |FROM pos""".stripMargin,
+
+      // P3 replayed arithmetically: marker kept inside the chunk (168 chars
+      // + digits from the '=' bar), plus the body, plus the next chunk's
+      // leading newline except for the last chunk; every marker (duplicate
+      // pages included) emits its own chunk; page-0 preamble is
+      // 'preamble text\n' + the first marker's leading newline = 15 chars.
+      "p3_split" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS page,
+          |  'line '||l_linenumber AS body FROM lineitem),
+          |c AS (SELECT k, page, 168 + length(page::VARCHAR) + length(body) AS base FROM li),
+          |r AS (SELECT k, page, base,
+          |  row_number() OVER (PARTITION BY k ORDER BY page) AS rn,
+          |  count(*) OVER (PARTITION BY k) AS n FROM c)
+          |SELECT k, page::BIGINT AS page,
+          |  (base + CASE WHEN rn = n THEN 0 ELSE 1 END)::BIGINT AS chunk_len FROM r
+          |UNION ALL
+          |SELECT DISTINCT l_orderkey AS k, 0::BIGINT AS page, 15::BIGINT AS chunk_len
+          |FROM lineitem""".stripMargin,
+
+      "j6_name_variation" ->
+        """WITH t AS (SELECT c_custkey, upper(c_name) AS name FROM customer),
+          |nn AS (SELECT c_custkey, name,
+          |  CASE WHEN c_custkey%3=0 THEN replace(name,'O','0')
+          |       WHEN c_custkey%3=1 THEN replace(name,'I','1')
+          |       ELSE name||'X' END AS noisy FROM t),
+          |s AS (SELECT c_custkey, name, noisy,
+          |  replace(replace(replace(replace(replace(replace(name,
+          |    ' LLC',''),' INC',''),' CORP',''),' L.L.C.',''),' I.N.C.',''),' CORP.','') AS n1,
+          |  replace(replace(replace(replace(replace(replace(noisy,
+          |    ' LLC',''),' INC',''),' CORP',''),' L.L.C.',''),' I.N.C.',''),' CORP.','') AS n2
+          |  FROM nn)
+          |SELECT c_custkey, name, noisy,
+          |  CASE WHEN length(n1)=length(n2) AND length(n1)>5 AND
+          |      len(list_filter(range(length(n1)),
+          |        i -> substring(n1,(i+1)::INT,1) <> substring(n2,(i+1)::INT,1))) <= 2
+          |    THEN true
+          |  WHEN length(n1)>8 AND length(n2)>8 AND len(list_filter(
+          |      [n1, replace(n1,'G','H'), replace(n1,'H','G'), replace(n1,'O','0'),
+          |       replace(n1,'0','O'), replace(n1,'I','1'), replace(n1,'1','I')],
+          |      a -> list_contains(
+          |        [n2, replace(n2,'G','H'), replace(n2,'H','G'), replace(n2,'O','0'),
+          |         replace(n2,'0','O'), replace(n2,'I','1'), replace(n2,'1','I')], a))) > 0
+          |    THEN true ELSE false END AS is_variation
+          |FROM s""".stripMargin)
   }
 }

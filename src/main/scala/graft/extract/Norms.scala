@@ -83,6 +83,58 @@ object Norms {
     false
   }
 
+  // ----------------------------------------------- tolerant QC compare -----
+  /** Street-type abbreviations folded by the tolerant compare (Rd ≡ Road
+    * etc.). Reference: llm_pl_pol.py:160-166 names date and address
+    * tolerance; the abbreviation list is the standard USPS core set. */
+  val AddressAbbrev: Seq[(String, String)] = Seq(
+    "road" -> "rd", "street" -> "st", "avenue" -> "ave", "drive" -> "dr",
+    "boulevard" -> "blvd", "lane" -> "ln", "highway" -> "hwy", "suite" -> "ste")
+
+  private val DateFullRe = "^\\d{1,2}/\\d{1,2}/\\d{4}$"
+  private val DateZeroStrip = "^0?(\\d{1,2})/0?(\\d{1,2})/(\\d{4})$"
+  private val MoneyLikeRe = "^\\$?\\s*[0-9][0-9,\\.]*$"
+
+  /** Format-tolerant normalization for QC value compare:
+    *  - `M/D/YYYY` ≡ `MM/DD/YYYY` (leading zeros stripped),
+    *  - money-like strings reduced to digits,
+    *  - everything else case-folded with `[.,#]` punctuation spaced out,
+    *    street-type words abbreviated ([[AddressAbbrev]]), whitespace
+    *    collapsed — so `123 Main Road, Suite 4` ≡ `123 MAIN RD. STE 4`.
+    * Null/blank → null. Reference: llm_pl_pol.py:160-166.
+    */
+  def tolerantNorm(value: String): String = {
+    if (value == null) return null
+    val t = value.replaceAll("^\\s+|\\s+$", "")
+    if (t.isEmpty) return null
+    if (t.matches(DateFullRe))
+      t.replaceAll(DateZeroStrip, "$1/$2/$3")
+    else if (t.matches(MoneyLikeRe))
+      t.replaceAll("[^0-9]", "")
+    else {
+      var x = t.toLowerCase.replaceAll("[.,#]", " ")
+      for ((full, ab) <- AddressAbbrev) x = x.replaceAll("\\b" + full + "\\b", ab)
+      x.replaceAll("\\s+", " ").replaceAll("^\\s+|\\s+$", "")
+    }
+  }
+
+  def tolerantNormCol(value: Column): Column = {
+    val t = regexp_replace(value, "^\\s+|\\s+$", "")
+    val dateNorm = regexp_replace(t, DateZeroStrip, "$1/$2/$3")
+    val addr0 = regexp_replace(lower(t), "[.,#]", " ")
+    val addr1 = AddressAbbrev.foldLeft(addr0) { case (c, (full, ab)) =>
+      regexp_replace(c, "\\b" + full + "\\b", ab)
+    }
+    val addr = regexp_replace(regexp_replace(addr1, "\\s+", " "), "^\\s+|\\s+$", "")
+    when(value.isNull || t === "", lit(null).cast("string"))
+      .when(t.rlike(DateFullRe), dateNorm)
+      .when(t.rlike(MoneyLikeRe), regexp_replace(t, "[^0-9]", ""))
+      .otherwise(addr)
+  }
+
+  /** Equality under the tolerant normalization. */
+  def tolerantEqual(a: String, b: String): Boolean = tolerantNorm(a) == tolerantNorm(b)
+
   // ---------------------------------------------------- base-name strip ----
   /** Strip document-id suffixes the reference's filename conventions add.
     * Reference: policy_extract.py:53-65,709-711; traveler/qc_head.py:1150-1158.

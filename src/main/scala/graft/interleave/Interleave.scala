@@ -31,12 +31,20 @@ object Interleave {
     lit(s"[Page not found in $kind extraction]")
 
   /** J1/J2 — N-way page interleave. Each input: (doc_id, page, text) for one
-    * named source kind, given in the required output source order. Result:
-    * one row per (doc_id, page, kind) over the union of pages of all sources,
-    * with placeholders where a source misses the page, ordered
-    * (doc_id, page, source-rank).
+    * named source kind, given in the required output source order (the Seq
+    * order IS the kind-rank contract — e.g. the reference's 3-way order
+    * pdfplumber ≺ PyMuPDF ≺ Tesseract, llm_pla.py:50-63). Result: one row
+    * per (doc_id, page, kind) over the union of pages of all sources, with
+    * placeholders where a source misses the page; `source_rank` carries the
+    * order so consumers can sort per-doc.
+    *
+    * `globalSort` adds a cluster-wide (doc_id, page, source_rank) sort — a
+    * full range-partition shuffle that exists only for presentation. It is
+    * opt-in: corpus-scale pipelines should leave it off and order per doc
+    * downstream (EP1 does this with a per-doc array_sort).
     */
-  def interleave(sources: Seq[(String, DataFrame)]): DataFrame = {
+  def interleave(sources: Seq[(String, DataFrame)],
+      globalSort: Boolean = false): DataFrame = {
     val renamed = sources.zipWithIndex.map { case ((kind, df), i) =>
       (kind, i, df.select(col("doc_id"), col("page"), col("text").as(s"text_$i")))
     }
@@ -48,8 +56,9 @@ object Interleave {
         lit(i).as("source_rank"),
         coalesce(col(s"text_$i"), placeholder(kind)).as("text"))
     }
-    perSource.reduce(_ unionByName _)
-      .orderBy(col("doc_id"), col("page"), col("source_rank"))
+    val unioned = perSource.reduce(_ unionByName _)
+    if (globalSort) unioned.orderBy(col("doc_id"), col("page"), col("source_rank"))
+    else unioned
   }
 
   /** J3 — combined-doc → per-source split: in the span model this is just a

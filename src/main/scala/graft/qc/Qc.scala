@@ -133,8 +133,15 @@ object Qc {
     * semantics: one-sided null = mismatch; both-null = skip).
     * Location checks are dropped when the cert has no locations list.
     * Reference: hartford_done/llm4nano.py:78-209.
+    *
+    * `tolerant = true` switches equality and reporting to the
+    * format-tolerant normalization ([[Norms.tolerantNorm]]): `09/26/2025` ≡
+    * `9/26/2025`, `Rd` ≡ `Road`, case-insensitive names — the PL QC
+    * semantics of llm_pl_pol.py:160-166. The default stays the strict
+    * hartford money-only normalization.
     */
-  def qcCompare(certificate: Map[String, Any], policy: Map[String, Any]): QcResult = {
+  def qcCompare(certificate: Map[String, Any], policy: Map[String, Any],
+      tolerant: Boolean = false): QcResult = {
     val certLocations = certificate.get("property") match {
       case Some(p: Map[_, _]) => p.asInstanceOf[Map[String, Any]].get("locations") match {
         case Some(l: Seq[_]) => l.nonEmpty
@@ -146,15 +153,19 @@ object Qc {
       if (certLocations) Checks
       else Checks.filterNot { case (_, certPath, _) => certPath.contains("locations") }
 
+    def eq(c: String, p: String): Boolean =
+      if (tolerant) Norms.tolerantEqual(c, p) else Norms.moneyEqual(c, p)
+    def norm(v: String): String =
+      if (tolerant) Norms.tolerantNorm(v) else Norms.normalizeMoney(v).orNull
+
     val mismatches = checks.flatMap { case (field, certPath, polPath) =>
       val certVal = resolvePath(certificate, certPath)
       val polVal = resolvePath(policy, polPath)
       (certVal, polVal) match {
         case (None, None) => None
-        case (Some(c), Some(p)) if Norms.moneyEqual(c, p) => None
+        case (Some(c), Some(p)) if eq(c, p) => None
         case _ => Some(Mismatch(field,
-          certVal.flatMap(Norms.normalizeMoney).orNull,
-          polVal.flatMap(Norms.normalizeMoney).orNull))
+          certVal.map(norm).orNull, polVal.map(norm).orNull))
       }
     }
     QcResult(if (mismatches.isEmpty) "pass" else "needs_review", mismatches)
@@ -177,6 +188,23 @@ object Qc {
     joined.withColumn("is_mismatch",
       col("certificate").isNull || col("policy").isNull ||
         col("certificate") =!= col("policy"))
+  }
+
+  /** [[qcCompareDf]] with the format-tolerant normalization
+    * ([[Norms.tolerantNormCol]]) instead of the strict money-only one:
+    * date leading-zero, street-abbreviation and case differences stop
+    * counting as mismatches. Reference: llm_pl_pol.py:160-166. */
+  def qcCompareTolerantDf(certKv: DataFrame, polKv: DataFrame, docCol: String): DataFrame = {
+    val c = certKv.select(col(docCol), col("field"),
+      Norms.tolerantNormCol(col("value")).as("certificate"))
+      .filter(col("certificate").isNotNull)
+    val p = polKv.select(col(docCol), col("field"),
+      Norms.tolerantNormCol(col("value")).as("policy"))
+      .filter(col("policy").isNotNull)
+    c.join(p, Seq(docCol, "field"), "full_outer")
+      .withColumn("is_mismatch",
+        col("certificate").isNull || col("policy").isNull ||
+          col("certificate") =!= col("policy"))
   }
 
   // ----------------------------------------------------------- A1 ----------

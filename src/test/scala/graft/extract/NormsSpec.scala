@@ -57,6 +57,35 @@ class NormsSpec extends SparkTestBase {
     assert(baseName("acme") == "acme")
   }
 
+  test("tolerantNorm: dates, money, addresses") {
+    assert(tolerantNorm("09/26/2025") == "9/26/2025")
+    assert(tolerantNorm("9/26/2025") == "9/26/2025")
+    assert(tolerantNorm("12/05/2025") == "12/5/2025")
+    assert(tolerantEqual("09/06/2025", "9/6/2025"))
+    assert(!tolerantEqual("10/05/2025", "10/06/2025"))
+    assert(tolerantNorm("$ 1,000,000") == "1000000")
+    assert(tolerantEqual("$1,000", "1000."))
+    assert(tolerantNorm("123 Main Road, Suite 4") == "123 main rd ste 4")
+    assert(tolerantEqual("123 Main Road, Suite 4", "123 MAIN RD. STE 4"))
+    assert(tolerantEqual("Acme Insurance Co", "ACME INSURANCE CO"))
+    assert(!tolerantEqual("123 Main Rd", "124 Main Rd"))
+    assert(tolerantNorm("  ") == null && tolerantNorm(null) == null)
+    assert(tolerantNorm("2%") == "2%")
+  }
+
+  test("tolerantNormCol agrees with pure form") {
+    import spark.implicits._
+    val vals = Seq("09/26/2025", "9/26/2025", "12/05/2025", "$ 1,000,000",
+      "1000.", "123 Main Road, Suite 4", "123 MAIN RD. STE 4",
+      "Acme Insurance Co", "2%", "", "  ", null,
+      "55 Oak Avenue", "55 Oak Ave.", "1 Elm Street\tApt 2")
+    val rows = vals.toDF("v")
+      .select(col("v"), tolerantNormCol(col("v")).as("t")).collect()
+    for (r <- rows)
+      assert(Option(r.getString(1)) == Option(tolerantNorm(r.getString(0))),
+        s"tolerant mismatch on '${r.getString(0)}'")
+  }
+
   test("Catalyst twins agree with pure forms") {
     import spark.implicits._
     val vals = Seq("$1,234", " Included ", "1%", "Inside $1 / Outside $2",

@@ -33,6 +33,25 @@ class CertQcJobSpec extends SparkTestBase {
     }
   }
 
+  test("EP2: 3-way kind order replays the reference's label order") {
+    // reference: pdfplumber ≺ PyMuPDF ≺ Tesseract (llm_pla.py:50-63);
+    // our kinds table ≺ text ≺ ocr. Per (doc, page), sorting by source_rank
+    // must yield exactly that label sequence.
+    val rows = CertJob.combined(docs).collect()
+    val ranks = rows.map(r =>
+      r.getAs[String]("kind") -> r.getAs[Int]("source_rank")).toMap
+    assert(ranks == Map(Kind.Table -> 0, Kind.Text -> 1, Kind.Ocr -> 2))
+    val byPage = rows.groupBy(r => (r.getAs[String]("doc_id"), r.getAs[Int]("page")))
+    for ((_, group) <- byPage.take(20)) {
+      val order = group.sortBy(_.getAs[Int]("source_rank")).map(_.getAs[String]("kind")).toSeq
+      assert(order == Seq(Kind.Table, Kind.Text, Kind.Ocr))
+    }
+    // the order is configurable per stage: EP1's 2-way contract shape
+    val two = CertJob.combined(docs, Seq(Kind.Ocr, Kind.Text)).collect()
+    assert(two.map(r => r.getAs[String]("kind") -> r.getAs[Int]("source_rank")).toMap ==
+      Map(Kind.Ocr -> 0, Kind.Text -> 1))
+  }
+
   test("EP2: tables side output carries split rows") {
     val t = CertJob.tablesSideOutput(docs).collect()
     val expected = docs.collect().map(_.spans.count(_.kind == Kind.Table)).sum

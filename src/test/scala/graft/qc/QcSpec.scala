@@ -92,6 +92,33 @@ class QcSpec extends SparkTestBase {
     assert(r.mismatches.head.policy == "9262025")
   }
 
+  test("J5 tolerant compare accepts date/format variants the strict one flags") {
+    // strict flags 09/26/2025 vs 9/26/2025 (previous test); tolerant passes
+    val r = qcCompare(cert(locations = true), policy, tolerant = true)
+    assert(r.status == "pass", r.mismatches.toString)
+    // a genuinely different date still mismatches, reported in tolerant form
+    val p2 = policy.updated("property",
+      policy("property").asInstanceOf[Map[String, Any]]
+        .updated("policy_period", Map("effective_date" -> "10/01/2025")))
+    val r2 = qcCompare(cert(locations = true), p2, tolerant = true)
+    assert(r2.mismatches.map(_.field) == Seq("property.effective_date"))
+    assert(r2.mismatches.head.certificate == "9/26/2025")
+    assert(r2.mismatches.head.policy == "10/1/2025")
+  }
+
+  test("J5 tolerant DataFrame form normalizes dates and addresses") {
+    import spark.implicits._
+    val certKv = Seq(
+      ("d1", "eff", "09/26/2025"), ("d1", "addr", "123 Main Road, Suite 4"),
+      ("d1", "amt", "$1,000"), ("d1", "bad", "10/05/2025")).toDF("doc_id", "field", "value")
+    val polKv = Seq(
+      ("d1", "eff", "9/26/2025"), ("d1", "addr", "123 MAIN RD. STE 4"),
+      ("d1", "amt", "1000."), ("d1", "bad", "10/06/2025")).toDF("doc_id", "field", "value")
+    val got = qcCompareTolerantDf(certKv, polKv, "doc_id")
+      .select("field", "is_mismatch").as[(String, Boolean)].collect().toMap
+    assert(got == Map("eff" -> false, "addr" -> false, "amt" -> false, "bad" -> true))
+  }
+
   test("J5 one-sided null is a mismatch (hartford_done strict semantics)") {
     val p2 = policy.updated("general_liability", Map("policy_number" -> "GL-9"))
     val r = qcCompare(cert(locations = false), p2)
