@@ -74,8 +74,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum + ep1Sec
+    // failed queries are excluded from the total (recorded as -1): surface
+    // the count + names so a regression can't silently shrink the headline
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+        s""""failed":${failed.size},"failed_queries":$failedJson,""" +
         s""""ep1_docs":$nDocs,"ep1_sec":${f"$ep1Sec%.3f"},""" +
         s""""ep1_docs_per_sec":${f"$docsPerSec%.1f"},"ep1_spans_per_sec":${f"$spansPerSec%.1f"},""" +
         s""""sf":"$sfDir"}""")

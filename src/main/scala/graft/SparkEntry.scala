@@ -564,6 +564,38 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    "media_frames" -> ((s, _) => {
+      // deterministic frame sampling over the media metadata (decode is the
+      // documented stub; sampling/batching plumbing is real)
+      import s.implicits._
+      val meta = Media.extractMetadata(Synth.generate(s, 200, 8))
+      Media.sampleFrames(meta, 4).toDF()
+        .select(col("media_ref"), col("frame_index").cast("long").as("frame_index"),
+          hex(col("feature")).as("feature_hex"))
+    }),
+
+    "media_resize" -> ((s, _) => {
+      import s.implicits._
+      val meta = Media.extractMetadata(Synth.generate(s, 200, 8))
+      Media.resize(meta, 256).toDF()
+        .select(col("media_ref"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+    }),
+
+    "stream_extract" -> ((s, _) => {
+      // streaming EP1: same operator as batch, file source + AvailableNow
+      // trigger + checkpoint; result read back from the streamed sink
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      Synth.generate(s, 40, 2).toDF().write.mode("overwrite").parquet(s"$tmp/in")
+      graft.streaming.StreamJob.run(s, s"$tmp/in", s"$tmp/out", s"$tmp/ck")
+        .awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+        .select(col("doc_id"), col("span.kind").as("kind"),
+          col("span.offset").cast("long").as("offset"))
+    }),
+
     "minhash_dups" -> ((s, d) => {
       Dedup.minhashDuplicates(
         rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
@@ -1076,7 +1108,8 @@ object SparkEntry {
 
       "token_counts" ->
         """SELECT doc_id,
-          |  (CASE WHEN length(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END)::BIGINT AS ws_tokens,
+          |  (CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g'))=0 THEN 0
+          |    ELSE len(string_split_regex(regexp_replace(text,'^\s+|\s+$','','g'),'\s+')) END)::BIGINT AS ws_tokens,
           |  len(regexp_extract_all(text,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens,
           |  length(text)::BIGINT AS n_chars
           |FROM documents""".stripMargin,

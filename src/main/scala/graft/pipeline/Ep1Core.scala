@@ -106,11 +106,15 @@ object Ep1Core {
       if (kind == Kind.Ocr && dropOcr) return (Seq.empty, table)
       val allPages = table.keys.toSeq
       val hits = mutable.ArrayBuffer.empty[Int]
+      val hitSet = mutable.HashSet.empty[Int] // O(1) dedup (was O(pages²))
       j = 0
       while (j < n) {
         val s = sorted(j)
-        if (s.kind == kind && table.contains(pages(j)) && !hits.contains(pages(j)) &&
-          (Filters.f1DollarPage(s.text) || Filters.f2Keyword(s.text))) hits += pages(j)
+        if (s.kind == kind && table.contains(pages(j)) && !hitSet.contains(pages(j)) &&
+          (Filters.f1DollarPage(s.text) || Filters.f2Keyword(s.text))) {
+          hits += pages(j)
+          hitSet += pages(j)
+        }
         j += 1
       }
       val ranges = Islands.mergeRanges(hits.toSeq, allPages, cfg.buffer)
@@ -122,6 +126,8 @@ object Ep1Core {
     val (keptText, textTable) = keptFor(Kind.Text)
     val union = (keptOcr ++ keptText).distinct.sorted
     val keptSet = union.toSet
+    val keptOcrSet = keptOcr.toSet // O(1) membership in the emit loop
+    val keptTextSet = keptText.toSet
 
     // passthrough spans grouped by page (original offset order within page)
     val passthrough = mutable.Map.empty[Int, mutable.ArrayBuffer[(Span, String)]]
@@ -136,11 +142,11 @@ object Ep1Core {
     val out = mutable.ArrayBuffer.empty[Span]
     for (page <- union) {
       val ocrText =
-        if (keptOcr.contains(page) && ocrTable.contains(page)) ocrTable(page)
+        if (keptOcrSet.contains(page) && ocrTable.contains(page)) ocrTable(page)
         else placeholder(Kind.Ocr)
       out += Span(Kind.Ocr, ocrText, "", 0)
       val textText =
-        if (keptText.contains(page) && textTable.contains(page)) textTable(page)
+        if (keptTextSet.contains(page) && textTable.contains(page)) textTable(page)
         else placeholder(Kind.Text)
       out += Span(Kind.Text, textText, "", 0)
       passthrough.get(page).toSeq.flatten.sortBy { case (s, _) =>

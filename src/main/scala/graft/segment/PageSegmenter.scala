@@ -64,8 +64,22 @@ object PageSegmenter {
   def parseHead(text: String): (Int, String) = {
     if (text == null) return (-1, null)
     val m = HeadMarkerRe.matcher(text)
-    if (m.find()) (m.group(1).toInt, text.substring(m.end()).strip())
-    else (-1, text.strip())
+    if (m.find()) (m.group(1).toInt, stripFrom(text, m.end()))
+    else (-1, stripFrom(text, 0))
+  }
+
+  /** `substring(from).strip()` in a single copy: bounds are scanned first so
+    * at most one string is allocated per span (and zero when nothing needs
+    * stripping) — `substring().strip()` allocated twice, which showed up as
+    * the allocation-bandwidth wall at 32 cores. Same whitespace predicate as
+    * String.strip (Character.isWhitespace). */
+  private def stripFrom(s: String, from: Int): String = {
+    var a = from
+    val n = s.length
+    while (a < n && Character.isWhitespace(s.charAt(a))) a += 1
+    var b = n
+    while (b > a && Character.isWhitespace(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == n) s else s.substring(a, b)
   }
 
   /** Catalyst twins (same pattern string → same java.util.regex semantics). */

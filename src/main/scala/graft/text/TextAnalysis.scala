@@ -56,12 +56,20 @@ object TextAnalysis {
     if (text == null) Seq.empty
     else text.toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty)
 
-  /** Whitespace token count. */
-  def wsTokenCountCol(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+  /** Whitespace token count. Both forms regex-trim (`\s`) before splitting
+    * so they agree exactly: SQL `trim` strips only spaces and Spark's split
+    * keeps trailing empty fields, which over-counted text ending in
+    * control whitespace before. */
+  def wsTokenCountCol(text: Column): Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(t) === 0, 0).otherwise(size(split(t, "\\s+")))
+  }
 
-  def wsTokenCount(text: String): Int =
-    if (text == null || text.trim.isEmpty) 0 else text.trim.split("\\s+").length
+  def wsTokenCount(text: String): Int = {
+    if (text == null) return 0
+    val t = text.replaceAll("^\\s+|\\s+$", "")
+    if (t.isEmpty) 0 else t.split("\\s+").length
+  }
 
   /** BPE-ish token count: letter runs, single digits, single punctuation —
     * the classic ~"1 token per word-piece" pre-tokenizer shape. */

@@ -36,6 +36,13 @@ class TextAnalysisSpec extends SparkTestBase {
   test("token counting: whitespace and BPE-ish") {
     assert(wsTokenCount("a b  c") == 3)
     assert(wsTokenCount("  ") == 0)
+    assert(wsTokenCount("a b\n") == 2) // trailing control whitespace (ADVICE)
+    assert(wsTokenCount("\ta b\t") == 2)
+    import spark.implicits._
+    val edge = Seq("a b\n", "\ta b\t", "x\r\n", " ", "ab").toDF("t")
+      .select(col("t"), wsTokenCountCol(col("t")).as("n")).collect()
+    for (r <- edge)
+      assert(r.getInt(1) == wsTokenCount(r.getString(0)), s"ws twin on ${r.getString(0).map(_.toInt)}")
     assert(bpeTokenCount("hello, world 42") == 5) // hello , world 4 2
     assert(bpeTokenCount("") == 0)
   }
