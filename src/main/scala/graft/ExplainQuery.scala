@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit utility: print the formatted physical plan of named contract
+  * queries (all of them with no args). Used to keep plans honest — pushed
+  * filters, broadcast vs shuffle joins, whole-stage codegen spans — without
+  * wiring a notebook. `SPARK_GRAFT_SF_DIR` selects the data scale.
+  */
+object ExplainQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    names.foreach { n =>
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -10,10 +10,15 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.Main gen <nDocs> <nPartitions> <inputPath>
   *   graft.Main run <inputPath> <outputPath> <lineagePath> [commitBatch]
+  *   graft.Main strip <inputPath> <outputPath>
   *
   * `run` is resumable: partitions already present in the lineage table are
   * skipped (left-anti join), so re-submitting a killed job completes exactly
   * the pending partitions.
+  *
+  * `strip` runs the north-star boilerplate stage over a raw document table
+  * `(doc_id, text)` (markup allowed): blocks classified by link/text
+  * density, boilerplate dropped, heading/body content spans written out.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -40,9 +45,16 @@ object Main {
           println(s"[graft] processed ${rows.length} partitions this run " +
             s"(docs=${rows.map(_.docs_in).sum}, spans=${rows.map(_.spans_out).sum}); " +
             s"lineage now has $committed committed partitions")
+        case "strip" :: in :: out :: Nil =>
+          val docs = spark.read.parquet(in)
+          graft.classify.Boilerplate.contentSpansDf(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(out)
+          val written = spark.read.parquet(out)
+          println(s"[graft] boilerplate strip: ${written.select("doc_id").distinct().count()} docs, " +
+            s"${written.count()} content spans -> $out")
         case _ =>
           System.err.println("usage: graft.Main gen <nDocs> <nPartitions> <path> | " +
-            "run <in> <out> <lineage> [commitBatch]")
+            "run <in> <out> <lineage> [commitBatch] | strip <in> <out>")
           sys.exit(2)
       }
     } finally spark.stop()
