@@ -1255,6 +1255,47 @@ object SparkEntry {
         """SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_pages
           |FROM lineitem GROUP BY 1""".stripMargin,
 
+      // Full MinHash+LSH replay: 32-row signatures, 8 band keys, candidate
+      // pairs via shared bands, exact-Jaccard verify — all from md5.
+      "minhash_dups" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |tok AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM t),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+           |    i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS shl
+           |  FROM tok WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, list_transform(range(32), i ->
+           |    list_min(list_transform(shl, x -> ${hash60("i||':'||x")}))) AS sg FROM sh),
+           |bands AS (SELECT doc_id, unnest(list_transform(range(8), b ->
+           |    ${hash60("b||'|'||sg[4*b+1]||','||sg[4*b+2]||','||sg[4*b+3]||','||sg[4*b+4]")})) AS band FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band=b.band AND a.doc_id < b.doc_id),
+           |rows_ AS (SELECT doc_id, ${hash60("s")} AS sh2
+           |  FROM (SELECT doc_id, unnest(shl) AS s FROM sh)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+           |common AS (SELECT c.id_a, c.id_b, count(*) AS cnt FROM cand c
+           |  JOIN rows_ a ON a.doc_id=c.id_a JOIN rows_ b ON b.doc_id=c.id_b AND a.sh2=b.sh2 GROUP BY 1,2)
+           |SELECT id_a, id_b, round(cnt::DOUBLE/(sa.sz+sb.sz-cnt)::DOUBLE,6) AS jaccard
+           |FROM common JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
+           |WHERE round(cnt::DOUBLE/(sa.sz+sb.sz-cnt)::DOUBLE,6) >= 0.5""".stripMargin,
+
+      // SimHash byte-band candidate join + Hamming verify, replayed via
+      // md5-derived 32-bit fingerprints and integer bit ops.
+      "simhash_dups" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |tok AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM t),
+           |fp AS (SELECT doc_id,
+           |  CAST(coalesce(list_sum(list_transform(range(32), i ->
+           |    CASE WHEN coalesce(list_sum(list_transform(toks, tk ->
+           |      CASE WHEN ((${hash32("tk")} >> i) & 1) = 1 THEN 1 ELSE -1 END)),0) > 0
+           |    THEN (1::BIGINT << i) ELSE 0::BIGINT END)),0) AS BIGINT) AS f
+           |  FROM tok),
+           |banded AS (SELECT doc_id, f, unnest(list_transform(range(4),
+           |    b -> b||'|'||((f >> (b*8)) & 255))) AS band FROM fp),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+           |  FROM banded a JOIN banded b ON a.band=b.band AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, bit_count(xor(fa, fb))::BIGINT AS hamming
+           |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+
       // P1 replayed arithmetically: each rendered chunk is a fixed-width
       // marker (169 chars + page digits, incl. its leading newline) plus the
       // body; a boundary starts at its first marker's '=' bar (cum+1) and
