@@ -30,12 +30,33 @@ object Filters {
     if (text == null) return false
     val upper = text.toUpperCase
     if (SkipWords.exists(upper.contains)) return false
+    f1DollarAmount(text)
+  }
+
+  /** The dollar-amount half of F1 (no skip-word check) — shared with the
+    * single-cased-copy hot path [[f1DollarPageLowered]]. */
+  private def f1DollarAmount(text: String): Boolean = {
     val m = DollarRe.matcher(text)
     while (m.find()) {
       val digits = m.group(1).replace(",", "")
       if (digits.nonEmpty && BigInt(digits) >= MinDollarAmount) return true
     }
     false
+  }
+
+  private val LowerSkipWords = SkipWords.map(_.toLowerCase)
+
+  /** F1 over a caller-supplied lowercase copy of `text`: skip words checked
+    * on `lower` (≡ the uppercase check — both sides case-folded), amounts on
+    * the original. Lets the EP1 hot path materialize ONE cased copy per span
+    * shared by F1+F2 instead of one per filter (case copies were the top
+    * allocator after the strip fix; `String.contains` stays on the
+    * intrinsified indexOf, which a fold-as-you-scan loop is ~10x slower
+    * than — measured, not guessed). */
+  def f1DollarPageLowered(text: String, lower: String): Boolean = {
+    if (text == null) return false
+    if (LowerSkipWords.exists(lower.contains)) return false
+    f1DollarAmount(text)
   }
 
   /** Catalyst twin of [[f1DollarPage]]. ANSI-safe: the cast is guarded so it
@@ -72,6 +93,10 @@ object Filters {
       val low = text.toLowerCase
       InterestKeywords.exists(low.contains)
     }
+
+  /** F2 over a caller-supplied lowercase copy (see [[f1DollarPageLowered]]). */
+  def f2KeywordLowered(lower: String): Boolean =
+    lower != null && InterestKeywords.exists(lower.contains)
 
   def f2KeywordCol(text: Column): Column = {
     val pat = InterestKeywords.map(java.util.regex.Pattern.quote).mkString("|")

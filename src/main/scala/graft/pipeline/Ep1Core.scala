@@ -110,10 +110,14 @@ object Ep1Core {
       j = 0
       while (j < n) {
         val s = sorted(j)
-        if (s.kind == kind && table.contains(pages(j)) && !hitSet.contains(pages(j)) &&
-          (Filters.f1DollarPage(s.text) || Filters.f2Keyword(s.text))) {
-          hits += pages(j)
-          hitSet += pages(j)
+        if (s.kind == kind && table.contains(pages(j)) && !hitSet.contains(pages(j))) {
+          // one shared lowercase copy per span for both filters (the cased
+          // copies were the dominant allocation after the strip fix)
+          val low = s.text.toLowerCase
+          if (Filters.f1DollarPageLowered(s.text, low) || Filters.f2KeywordLowered(low)) {
+            hits += pages(j)
+            hitSet += pages(j)
+          }
         }
         j += 1
       }
