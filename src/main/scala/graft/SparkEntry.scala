@@ -661,6 +661,40 @@ object SparkEntry {
         }.toDF("k", "page", "chunk_len")
     }),
 
+    "qc_head_meta" -> ((s, d) => {
+      // EP3 sectioning (P1 → F1 → R1 → R7 fan-out → R5 slice → R8 assembly)
+      // over rendered marker documents; section metadata is emitted so the
+      // whole cascade is arithmetically replayable by the oracle
+      import s.implicits._
+      rd(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("page"))
+        .agg(min("l_partkey").as("pk"))
+        .select(col("k"), col("page"),
+          concat(lit("item page "), col("page").cast("string"),
+            lit(" of order "), col("k").cast("string"),
+            lit(" limit $"), pmod(col("pk"), lit(400)).cast("string"),
+            when(pmod(col("pk"), lit(7)) === 0, lit(" see EXAMPLE calculation"))
+              .otherwise(lit(""))).as("body"))
+        .as[(Long, Int, String)]
+        .groupByKey(_._1)
+        .mapGroups { (k: Long, it: Iterator[(Long, Int, String)]) =>
+          val txt = it.toSeq.sortBy(_._2)
+            .map { case (_, pg, b) => graft.segment.PageSegmenter.renderMarker(pg) + b }
+            .mkString
+          (k, txt)
+        }
+        .flatMap { kt: (Long, String) =>
+          graft.qc.QcHead.sectionDocument(kt._2).toSeq.sortBy(_._1).flatMap {
+            case (cov, res) => res.map { case (sec, valid, _) =>
+              (kt._1, cov, sec.startPage.toLong, sec.endPage.toLong,
+                sec.pageCount.toLong, sec.content.length.toLong, valid,
+                sec.warnings.length.toLong)
+            }
+          }
+        }.toDF("k", "coverage", "start_page", "end_page", "page_count",
+          "content_len", "valid", "n_warnings")
+    }),
+
     "qc_head_sections" -> ((s, _) => {
       // EP3 sectioning over marker-format renders of the synthetic corpus
       import s.implicits._
@@ -1295,6 +1329,60 @@ object SparkEntry {
            |  FROM banded a JOIN banded b ON a.band=b.band AND a.doc_id < b.doc_id)
            |SELECT id_a, id_b, bit_count(xor(fa, fb))::BIGINT AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+
+      // EP3 metadata replay: P1 boundaries arithmetically (as p1_boundaries),
+      // F1 hits from the body construction, R1 islands (as islands_merge),
+      // R7 start-page existence + match indexing, R5 available-page end
+      // selection + warnings, R8 banner/chunk length assembly and A5's
+      // length validation.
+      "qc_head_meta" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber::INT AS page, min(l_partkey) AS pk
+          |  FROM lineitem GROUP BY 1, 2),
+          |b0 AS (SELECT k, page, pk,
+          |  'item page '||page||' of order '||k||' limit $'||(pk%400)||
+          |  (CASE WHEN pk%7=0 THEN ' see EXAMPLE calculation' ELSE '' END) AS body FROM li),
+          |c AS (SELECT k, page, pk, 169 + length(page::VARCHAR) + length(body) AS clen FROM b0),
+          |pos AS (SELECT k, page, pk, clen,
+          |  coalesce(sum(clen) OVER (PARTITION BY k ORDER BY page
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS cum,
+          |  sum(clen) OVER (PARTITION BY k) AS total FROM c),
+          |bound AS (SELECT k, page, pk, cum+1 AS cstart,
+          |  coalesce(lead(cum+1) OVER (PARTITION BY k ORDER BY page), total) AS cend FROM pos),
+          |hits AS (SELECT k, page FROM bound WHERE pk%7 <> 0 AND pk%400 >= 200),
+          |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM bound GROUP BY 1),
+          |r0 AS (SELECT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
+          |  FROM hits h JOIN dom d ON h.k=d.k),
+          |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM r0),
+          |g AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
+          |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |  CURRENT ROW) AS grp FROM w),
+          |ranges AS (SELECT k, min(s) AS s, max(e) AS e FROM g GROUP BY k, grp),
+          |m0 AS (SELECT r.k, r.s, r.e, (r.e - r.s + 1) AS n_req FROM ranges r
+          |  WHERE EXISTS (SELECT 1 FROM bound b WHERE b.k = r.k AND b.page = r.s)),
+          |m AS (SELECT k, s, e, n_req, row_number() OVER (PARTITION BY k ORDER BY s) AS idx FROM m0),
+          |avail AS (SELECT m.k, m.idx, m.s, m.n_req, b.page, b.cend,
+          |  row_number() OVER (PARTITION BY m.k, m.idx ORDER BY b.page) AS arn,
+          |  count(*) OVER (PARTITION BY m.k, m.idx) AS cnt
+          |  FROM m JOIN bound b ON b.k = m.k AND b.page >= m.s),
+          |ends AS (SELECT k, idx, s, n_req, cnt,
+          |  max(CASE WHEN arn = least(cnt, n_req) THEN page END) AS end_page,
+          |  max(CASE WHEN arn = least(cnt, n_req) THEN cend END) AS end_char
+          |  FROM avail GROUP BY 1, 2, 3, 4, 5),
+          |ml AS (SELECT e.k, e.idx, e.s AS start_page, e.end_page,
+          |  least(e.cnt, e.n_req) AS pcount,
+          |  CASE WHEN e.cnt < e.n_req THEN 1 ELSE 0 END AS warn,
+          |  bs.cstart AS start_char, e.end_char,
+          |  180 + length(e.idx::VARCHAR) + length(e.s::VARCHAR) AS banner_len
+          |  FROM ends e JOIN bound bs ON bs.k=e.k AND bs.page=e.s),
+          |sec AS (SELECT k, min(start_page) AS sp, max(end_page) AS ep,
+          |  sum(pcount) AS pc, sum(banner_len + (end_char - start_char)) AS cl,
+          |  sum(warn) AS nw
+          |  FROM ml WHERE end_char > start_char GROUP BY k)
+          |SELECT k, cov AS coverage, sp::BIGINT AS start_page, ep::BIGINT AS end_page,
+          |  pc::BIGINT AS page_count, cl::BIGINT AS content_len,
+          |  cl > 100 AS valid, nw::BIGINT AS n_warnings
+          |FROM sec, unnest(['GL','PROPERTY']) AS t(cov)""".stripMargin,
 
       // P1 replayed arithmetically: each rendered chunk is a fixed-width
       // marker (169 chars + page digits, incl. its leading newline) plus the

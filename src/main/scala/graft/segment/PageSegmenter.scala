@@ -46,7 +46,9 @@ object PageSegmenter {
   def markerPage(text: String): Option[Int] = {
     if (text == null) return None
     val m = HeadMarkerRe.matcher(text)
-    if (m.find()) Some(m.group(1).toInt) else None
+    // lookingAt ≡ find for this ^-anchored pattern, but guarantees a single
+    // anchored attempt instead of an O(n) sweep of doomed start positions
+    if (m.lookingAt()) Some(m.group(1).toInt) else None
   }
 
   /** Span text with the head marker removed and whitespace-stripped — the
@@ -64,7 +66,7 @@ object PageSegmenter {
   def parseHead(text: String): (Int, String) = {
     if (text == null) return (-1, null)
     val m = HeadMarkerRe.matcher(text)
-    if (m.find()) (m.group(1).toInt, stripFrom(text, m.end()))
+    if (m.lookingAt()) (m.group(1).toInt, stripFrom(text, m.end()))
     else (-1, stripFrom(text, 0))
   }
 
