@@ -564,6 +564,38 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    "media_stub_meta" -> ((s, d) => {
+      // the deterministic decode stub + resize over refs derived from part:
+      // every metadata byte is md5-derived, so an independent engine can
+      // replay the whole decode/resize math
+      import s.implicits._
+      rd(s, d, "part")
+        .select(concat(lit("m-"), col("p_partkey").cast("string")).as("ref"))
+        .as[String].mapPartitions(_.map { ref =>
+          val (bytes, format, w, h, n) = Media.decodeStub(ref)
+          val m = Media.MediaMeta(ref, "", format, w, h, n, bytes.length)
+          val r = Media.resizeMeta(m, 256)
+          (ref, format, w.toLong, h.toLong, n.toLong, bytes.length.toLong,
+            r.width.toLong, r.height.toLong)
+        }).toDF("media_ref", "format", "width", "height", "n_frames",
+          "bytes_len", "rs_width", "rs_height")
+    }),
+
+    "media_stub_frames" -> ((s, d) => {
+      // frame sampling (k=4 evenly spaced indices + md5 feature) replayed
+      // from the same md5-derived metadata
+      import s.implicits._
+      val meta = rd(s, d, "part")
+        .select(concat(lit("m-"), col("p_partkey").cast("string")).as("ref"))
+        .as[String].mapPartitions(_.map { ref =>
+          val (bytes, format, w, h, n) = Media.decodeStub(ref)
+          Media.MediaMeta(ref, "", format, w, h, n, bytes.length)
+        })
+      Media.sampleFrames(meta, 4).toDF()
+        .select(col("media_ref"), col("frame_index").cast("long").as("frame_index"),
+          hex(col("feature")).as("feature_hex"))
+    }),
+
     "media_frames" -> ((s, _) => {
       // deterministic frame sampling over the media metadata (decode is the
       // documented stub; sampling/batching plumbing is real)
@@ -1329,6 +1361,44 @@ object SparkEntry {
            |  FROM banded a JOIN banded b ON a.band=b.band AND a.doc_id < b.doc_id)
            |SELECT id_a, id_b, bit_count(xor(fa, fb))::BIGINT AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+
+      // Decode-stub replay: metadata bytes are md5(ref) bytes d0..d4,
+      // parsed from the hex digest; resize is integer aspect-ratio math.
+      "media_stub_meta" ->
+        """WITH r AS (SELECT 'm-'||p_partkey AS media_ref, md5('m-'||p_partkey) AS h FROM part),
+          |d AS (SELECT media_ref,
+          |  ('0x'||substr(h,1,2))::INT AS d0, ('0x'||substr(h,3,2))::INT AS d1,
+          |  ('0x'||substr(h,5,2))::INT AS d2, ('0x'||substr(h,7,2))::INT AS d3,
+          |  ('0x'||substr(h,9,2))::INT AS d4 FROM r),
+          |m AS (SELECT media_ref,
+          |  (['jpeg','png','webp','mp4'])[(d0%4)+1] AS format,
+          |  (64 + d1*8)::BIGINT AS width, (64 + d2*8)::BIGINT AS height,
+          |  d3, (256 + d4*16)::BIGINT AS bytes_len FROM d),
+          |m2 AS (SELECT media_ref, format, width, height,
+          |  (CASE WHEN format='mp4' THEN 1 + (d3%32) ELSE 1 END)::BIGINT AS n_frames,
+          |  bytes_len, greatest(width, height) AS long_ FROM m)
+          |SELECT media_ref, format, width, height, n_frames, bytes_len,
+          |  (CASE WHEN long_ <= 256 THEN width ELSE greatest(1, (width*256)//long_) END)::BIGINT AS rs_width,
+          |  (CASE WHEN long_ <= 256 THEN height ELSE greatest(1, (height*256)//long_) END)::BIGINT AS rs_height
+          |FROM m2""".stripMargin,
+
+      // Frame sampling replay: n = min(4, n_frames); evenly spaced integer
+      // indices; feature = first 8 bytes of md5(ref#idx), upper-hex.
+      "media_stub_frames" ->
+        """WITH r AS (SELECT 'm-'||p_partkey AS media_ref, md5('m-'||p_partkey) AS h FROM part),
+          |d AS (SELECT media_ref,
+          |  ('0x'||substr(h,1,2))::INT AS d0, ('0x'||substr(h,7,2))::INT AS d3 FROM r),
+          |m AS (SELECT media_ref,
+          |  CASE WHEN (['jpeg','png','webp','mp4'])[(d0%4)+1]='mp4' THEN 1 + (d3%32) ELSE 1 END AS nf
+          |  FROM d),
+          |n AS (SELECT media_ref, nf, least(4, nf) AS n FROM m),
+          |f AS (SELECT media_ref, nf, n, unnest(range(n)) AS i FROM n),
+          |idx AS (SELECT media_ref,
+          |  (CASE WHEN n=1 THEN 0 ELSE (i*(nf-1))//(n-1) END)::BIGINT AS frame_index
+          |  FROM f)
+          |SELECT media_ref, frame_index,
+          |  upper(substr(md5(media_ref||'#'||frame_index),1,16)) AS feature_hex
+          |FROM idx""".stripMargin,
 
       // EP3 metadata replay: P1 boundaries arithmetically (as p1_boundaries),
       // F1 hits from the body construction, R1 islands (as islands_merge),
