@@ -552,6 +552,45 @@ object SparkEntry {
         .agg(countDistinct(col("l_linenumber")).as("n_pages"))
     }),
 
+    "ep1_oracle" -> ((s, d) => {
+      // the FULL EP1 cascade (marker parse → A2 ocr gate → F1∨F2 hits →
+      // R1 buffer merge → R4 slice → J1 interleave with placeholders →
+      // offset renumber) over 2-source docs rendered from lineitem, span
+      // text included — every stage deterministically replayable in SQL.
+      // Bodies vary dollar amounts (F1), keywords (F2), skip words, a
+      // '###' gibberish page, and doc-level padding that flips the A2
+      // total-chars gate.
+      import s.implicits._
+      import graft.model.{Doc => MDoc, Kind => MKind, Span => MSpan}
+      val pages = rd(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("page"))
+        .agg(min("l_partkey").as("pk"), min("l_suppkey").as("sk"))
+      val rendered = pages.select(col("k"), col("page"),
+        when(pmod(col("pk"), lit(17)) === 0, lit("###"))
+          .otherwise(concat(lit("ocr page "), col("page").cast("string"),
+            lit(" of "), col("k").cast("string"),
+            lit(" limit $"), pmod(col("pk"), lit(400)).cast("string"),
+            when(pmod(col("pk"), lit(11)) === 0, lit(" loss payee noted")).otherwise(lit("")),
+            when(pmod(col("pk"), lit(7)) === 0, lit(" see EXAMPLE calculation")).otherwise(lit("")),
+            when(pmod(col("k"), lit(2)) === 0, repeat(lit(" pad"), 75)).otherwise(lit(""))))
+          .as("obody"),
+        concat(lit("text page "), col("page").cast("string"),
+          lit(" of "), col("k").cast("string"),
+          lit(" amount $"), pmod(col("sk"), lit(400)).cast("string"),
+          when(pmod(col("sk"), lit(13)) === 0, lit(" mortgagee listed")).otherwise(lit("")))
+          .as("tbody"))
+      rendered.as[(Long, Int, String, String)]
+        .groupByKey(_._1)
+        .flatMapGroups { (k: Long, it: Iterator[(Long, Int, String, String)]) =>
+          val spans = it.toSeq.sortBy(_._2).flatMap { case (_, pg, ob, tb) =>
+            Seq(MSpan(MKind.Ocr, graft.segment.PageSegmenter.renderMarker(pg) + ob, "", pg * 2),
+              MSpan(MKind.Text, graft.segment.PageSegmenter.renderMarker(pg) + tb, "", pg * 2 + 1))
+          }
+          graft.pipeline.Ep1Core.process(MDoc(k.toString, spans, 0))
+            .map(sp => (k, sp.offset.toLong, sp.kind, sp.text)).iterator
+        }.toDF("k", "offset", "kind", "text")
+    }),
+
     // ------------------------------------ engine-native (rows-only) -------
     "ep1_extract" -> ((s, _) => ep1Extract(s)),
 
@@ -1361,6 +1400,71 @@ object SparkEntry {
            |  FROM banded a JOIN banded b ON a.band=b.band AND a.doc_id < b.doc_id)
            |SELECT id_a, id_b, bit_count(xor(fa, fb))::BIGINT AS hamming
            |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+
+      // Full EP1 replay: body construction → A2 gate (gibberish count +
+      // total chars) → per-kind F1∨F2 hits → islands merge → R4 endpoint
+      // drop + slice → union → per-source placeholder interleave → offset
+      // renumber. Span text compared verbatim.
+      "ep1_oracle" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber::INT AS page,
+          |  min(l_partkey) AS pk, min(l_suppkey) AS sk FROM lineitem GROUP BY 1, 2),
+          |b AS (SELECT k, page, pk, sk,
+          |  CASE WHEN pk%17=0 THEN '###' ELSE
+          |    'ocr page '||page||' of '||k||' limit $'||(pk%400)||
+          |    (CASE WHEN pk%11=0 THEN ' loss payee noted' ELSE '' END)||
+          |    (CASE WHEN pk%7=0 THEN ' see EXAMPLE calculation' ELSE '' END)||
+          |    (CASE WHEN k%2=0 THEN repeat(' pad', 75) ELSE '' END)
+          |  END AS obody,
+          |  'text page '||page||' of '||k||' amount $'||(sk%400)||
+          |    (CASE WHEN sk%13=0 THEN ' mortgagee listed' ELSE '' END) AS tbody
+          |  FROM li),
+          |gate AS (SELECT k,
+          |  (count(CASE WHEN pk%17=0 THEN 1 END)::DOUBLE / count(*) > 0.5
+          |   OR sum(length(obody)) < 1000) AS drop_ocr FROM b GROUP BY 1),
+          |oh AS (SELECT b.k, b.page FROM b JOIN gate g ON b.k=g.k
+          |  WHERE NOT g.drop_ocr AND pk%17<>0 AND ((pk%7<>0 AND pk%400>=200) OR pk%11=0)),
+          |th AS (SELECT k, page FROM b WHERE (sk%400>=200) OR sk%13=0),
+          |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM b GROUP BY 1),
+          |or0 AS (SELECT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
+          |  FROM oh h JOIN dom d ON h.k=d.k),
+          |ow AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM or0),
+          |og AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
+          |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM ow),
+          |oranges AS (SELECT k, min(s) AS s, max(e) AS e FROM og GROUP BY k, grp),
+          |ovalid AS (SELECT r.* FROM oranges r
+          |  WHERE EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.s)
+          |    AND EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.e)),
+          |okept AS (SELECT DISTINCT b.k, b.page FROM b JOIN ovalid v ON b.k=v.k
+          |  AND b.page BETWEEN v.s AND v.e),
+          |tr0 AS (SELECT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
+          |  FROM th h JOIN dom d ON h.k=d.k),
+          |tw AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM tr0),
+          |tg AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
+          |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM tw),
+          |tranges AS (SELECT k, min(s) AS s, max(e) AS e FROM tg GROUP BY k, grp),
+          |tvalid AS (SELECT r.* FROM tranges r
+          |  WHERE EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.s)
+          |    AND EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.e)),
+          |tkept AS (SELECT DISTINCT b.k, b.page FROM b JOIN tvalid v ON b.k=v.k
+          |  AND b.page BETWEEN v.s AND v.e),
+          |union_ AS (SELECT k, page FROM okept UNION SELECT k, page FROM tkept),
+          |rows_ AS (
+          |  SELECT u.k, u.page, 0 AS rnk, 'ocr' AS kind,
+          |    CASE WHEN ok.page IS NOT NULL THEN b.obody
+          |      ELSE '[Page not found in ocr extraction]' END AS text
+          |  FROM union_ u JOIN b ON b.k=u.k AND b.page=u.page
+          |  LEFT JOIN okept ok ON ok.k=u.k AND ok.page=u.page
+          |  UNION ALL
+          |  SELECT u.k, u.page, 1, 'text',
+          |    CASE WHEN tk.page IS NOT NULL THEN b.tbody
+          |      ELSE '[Page not found in text extraction]' END
+          |  FROM union_ u JOIN b ON b.k=u.k AND b.page=u.page
+          |  LEFT JOIN tkept tk ON tk.k=u.k AND tk.page=u.page)
+          |SELECT k, (row_number() OVER (PARTITION BY k ORDER BY page, rnk) - 1)::BIGINT AS "offset",
+          |  kind, text
+          |FROM rows_""".stripMargin,
 
       // Decode-stub replay: metadata bytes are md5(ref) bytes d0..d4,
       // parsed from the hex digest; resize is integer aspect-ratio math.
