@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.Main gen <nDocs> <nPartitions> <inputPath>
   *   graft.Main run <inputPath> <outputPath> <lineagePath> [commitBatch]
-  *   graft.Main strip <inputPath> <outputPath>
+  *   graft.Main strip <inputPath> <outputPath> <lineagePath> [commitBatch]
   *
   * `run` is resumable: partitions already present in the lineage table are
   * skipped (left-anti join), so re-submitting a killed job completes exactly
@@ -18,7 +18,8 @@ import org.apache.spark.sql.SparkSession
   *
   * `strip` runs the north-star boilerplate stage over a raw document table
   * `(doc_id, text)` (markup allowed): blocks classified by link/text
-  * density, boilerplate dropped, heading/body content spans written out.
+  * density, boilerplate dropped, heading/body content spans written out —
+  * with the same per-partition lineage + resume contract as `run`.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -45,16 +46,17 @@ object Main {
           println(s"[graft] processed ${rows.length} partitions this run " +
             s"(docs=${rows.map(_.docs_in).sum}, spans=${rows.map(_.spans_out).sum}); " +
             s"lineage now has $committed committed partitions")
-        case "strip" :: in :: out :: Nil =>
-          val docs = spark.read.parquet(in)
-          graft.classify.Boilerplate.contentSpansDf(docs, "doc_id", "text")
-            .write.mode("overwrite").parquet(out)
-          val written = spark.read.parquet(out)
-          println(s"[graft] boilerplate strip: ${written.select("doc_id").distinct().count()} docs, " +
-            s"${written.count()} content spans -> $out")
+        case "strip" :: in :: out :: lineage :: rest =>
+          val batch = rest.headOption.map(_.toInt).getOrElse(8)
+          val rows = graft.pipeline.BoilerplateJob.runJob(spark, in, out, lineage,
+            commitBatch = batch)
+          val committed = TableIO.readLineage(spark, lineage).count()
+          println(s"[graft] boilerplate strip: processed ${rows.length} partitions this run " +
+            s"(docs=${rows.map(_.docs_in).sum}, content spans=${rows.map(_.spans_out).sum}); " +
+            s"lineage now has $committed committed partitions")
         case _ =>
           System.err.println("usage: graft.Main gen <nDocs> <nPartitions> <path> | " +
-            "run <in> <out> <lineage> [commitBatch] | strip <in> <out>")
+            "run <in> <out> <lineage> [commitBatch] | strip <in> <out> <lineage> [commitBatch]")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -145,14 +145,21 @@ object Boilerplate {
   }
 
   /** Declarative main-content filter: heading/body rows only, per-doc span
-    * offsets renumbered by block order. */
-  def contentSpansDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * offsets renumbered by block order. `passthrough` columns of the input
+    * (e.g. partition_id) ride along without a join back. */
+  def contentSpansDf(df: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("block_idx")
-    blocksDf(df, idCol, textCol)
+    val keyCols: Seq[Column] = col(idCol) +: passthrough.map(col)
+    val exploded = df.select(keyCols :+
+      posexplode(split(col(textCol), BlockSplitPattern)).as(Seq("block_idx", "block")): _*)
+    val cols = blockCols(col("block"))
+    exploded
+      .select(keyCols ++ (col("block_idx") +: cols.map { case (n, c) => c.as(n) }): _*)
       .filter(col("label").isin("heading", "body"))
       .withColumn("offset", row_number().over(w).cast("int") - 1)
-      .select(col(idCol), col("label").as("kind"), col("text"),
-        lit("").as("media_ref"), col("offset"))
+      .select(keyCols ++ Seq(col("label").as("kind"), col("text"),
+        lit("").as("media_ref"), col("offset")): _*)
   }
 }
