@@ -1200,16 +1200,24 @@ object SparkEntry {
            |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
            |FROM c""".stripMargin,
 
+      // NOTE the rounding idiom: quality values are small-denominator
+      // rationals that often land EXACTLY on the .00005 decimal boundary,
+      // where DuckDB's double round (std::round(x*1e4)) and Spark's
+      // (HALF_UP on the shortest decimal string) disagree. Casting the
+      // double through VARCHAR reproduces the shortest round-trip string on
+      // both engines, and decimal round is HALF_UP — bit-identical to Spark.
       "quality_score" ->
         s"""WITH t AS (SELECT doc_id, text, ${toks.format("text")} AS toks,
-           |  greatest(length(text),1)::DOUBLE AS n FROM documents)
-           |SELECT doc_id,
-           |  round(0.25*least(length(text)::DOUBLE/500.0, 1.0)
+           |  greatest(length(text),1)::DOUBLE AS n FROM documents),
+           |raw AS (SELECT doc_id,
+           |  0.25*least(length(text)::DOUBLE/500.0, 1.0)
            |    + 0.35*((length(text)-length(regexp_replace(text,'[A-Za-z]','','g')))::DOUBLE/n)
            |    + 0.25*(1.0 - least(((length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))::DOUBLE/n)*10.0, 1.0))
            |    + 0.15*least((len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a','that'], t)))::DOUBLE
-           |        / greatest(len(toks),1)::DOUBLE)*4.0, 1.0), 4) AS quality
-           |FROM t""".stripMargin,
+           |        / greatest(len(toks),1)::DOUBLE)*4.0, 1.0) AS q
+           |  FROM t)
+           |SELECT doc_id, round(CAST(q AS VARCHAR)::DECIMAL(25,20), 4)::DOUBLE AS quality
+           |FROM raw""".stripMargin,
 
       "token_counts" ->
         """SELECT doc_id,

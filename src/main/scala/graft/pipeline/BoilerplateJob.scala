@@ -28,11 +28,21 @@ object BoilerplateJob {
     val input = withPartitions(spark.read.parquet(inputPath), nPartitions)
     val pending = TableIO.pendingPartitions(input, lineagePath)
     val all = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
+    import spark.implicits._
     pending.grouped(commitBatch).foreach { batch =>
       val t0 = System.nanoTime()
       val docs = input.filter(col("partition_id").isin(batch: _*))
-      val spans = Boilerplate.contentSpansDf(docs, "doc_id", "text",
-        passthrough = Seq("partition_id"))
+      // typed per-partition classification — narrow and zero-shuffle like
+      // the EP1 kernel (the declarative contentSpansDf twin pays a doc_id
+      // window shuffle for the offset renumbering; the pure form computes
+      // offsets per doc in place). Pure ≡ Column is asserted in
+      // BoilerplateSpec, so the two paths cannot drift.
+      val spans = docs.select(col("doc_id"), col("partition_id"), col("text"))
+        .as[(String, Int, String)]
+        .mapPartitions(_.flatMap { case (id, pid, text) =>
+          Boilerplate.contentSpans(text).map(s =>
+            (id, s.kind, s.text, s.media_ref, s.offset, pid))
+        }).toDF("doc_id", "kind", "text", "media_ref", "offset", "partition_id")
       val outDf = spans.cache()
       TableIO.writePartitioned(outDf, outputPath)
       // docs with zero content spans still count as processed (docs_in from

@@ -145,4 +145,50 @@ class PropertySpec extends AnyFunSuite {
       assert(Dedup.jaccard(a, a, 3) == (if (Dedup.shingles(a, 3).isEmpty) 0.0 else 1.0))
     }
   }
+
+  test("tolerantNorm: idempotent, symmetric equality, date/money canonical") {
+    val valGen = Gen.oneOf(
+      Gen.zip(Gen.choose(1, 12), Gen.choose(1, 28), Gen.choose(1990, 2030))
+        .map { case (m, d, y) => f"$m%02d/$d%02d/$y%d" },
+      Gen.zip(Gen.choose(1, 12), Gen.choose(1, 28), Gen.choose(1990, 2030))
+        .map { case (m, d, y) => s"$m/$d/$y" },
+      Gen.choose(0, 5000000).map(n => s"$$$n"),
+      Gen.oneOf("123 Main Road", "123 MAIN RD.", "55 Oak Avenue, Suite 9",
+        "Acme Insurance Co", "2%", "", "  "),
+      Gen.alphaNumStr)
+    forAll(valGen) { v =>
+      val n1 = Norms.tolerantNorm(v)
+      assert(Norms.tolerantNorm(n1) == n1, s"idempotence on '$v'") // norm∘norm = norm
+      assert(Norms.tolerantEqual(v, v))
+    }
+    forAll(valGen, valGen) { (a, b) =>
+      assert(Norms.tolerantEqual(a, b) == Norms.tolerantEqual(b, a))
+    }
+    // zero-padded and bare dates canonicalize identically
+    forAll(Gen.zip(Gen.choose(1, 12), Gen.choose(1, 28), Gen.choose(1990, 2030))) {
+      case (m, d, y) =>
+        assert(Norms.tolerantEqual(f"$m%02d/$d%02d/$y", s"$m/$d/$y"))
+    }
+  }
+
+  test("boilerplate: labels partition the blocks; content spans ordered") {
+    import graft.classify.Boilerplate
+    val blockGen = Gen.oneOf(
+      Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")),
+      Gen.const("""<a href="u">Nav Link</a> <a href="v">Other</a>"""),
+      Gen.const("Short Heading"),
+      Gen.const("A sentence that ends properly."),
+      Gen.const("<hr/>"))
+    val docGen = Gen.listOfN(5, blockGen).map(_.mkString("\n\n"))
+    forAll(docGen) { doc =>
+      val blocks = Boilerplate.classifyBlocks(doc)
+      assert(blocks.forall(b =>
+        Set("heading", "body", "boilerplate", "empty").contains(b.label)))
+      assert(blocks.map(_.idx) == blocks.indices)
+      assert(blocks.forall(b => b.linkDensity >= 0.0 && b.nLinkWords <= math.max(b.nWords, 1)))
+      val spans = Boilerplate.contentSpans(doc)
+      assert(spans.map(_.offset) == spans.indices)
+      assert(spans.size == blocks.count(b => b.label == "heading" || b.label == "body"))
+    }
+  }
 }
