@@ -60,6 +60,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("scaling")) return scalingMain()
     if (args.headOption.contains("ep1")) return ep1Main()
+    if (args.headOption.contains("kernel")) return kernelMain()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
@@ -115,6 +116,46 @@ object Bench {
       s""""docs_per_sec":${f"${nDocs / median}%.1f"},"spans_per_sec":${f"${spans / median}%.1f"},""" +
       s""""best_docs_per_sec":${f"${nDocs / best}%.1f"}}""")
     spark.stop()
+  }
+
+  /** Kernel-only throughput: materialize the corpus once on the driver and
+    * run [[graft.pipeline.Ep1Core.process]] across plain threads — no Spark
+    * task scheduling, no encoder decode. The gap between this and `ep1` mode
+    * is the Dataset serialization + scheduling overhead; the gap between
+    * thread counts is the raw allocation-scaling ceiling of the kernel. */
+  def kernelMain(): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "6").toInt
+    val spark = session(cores)
+    val docs = Synth.generate(spark, nDocs, 32).collect()
+    spark.stop()
+    val cfg = Ep1Config()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(cores)
+    val chunk = math.max(1, docs.length / (cores * 8))
+    var spans = 0L
+    val times = (1 to repeats).map { _ =>
+      val t0 = System.nanoTime()
+      val total = new java.util.concurrent.atomic.AtomicLong()
+      val futures = docs.grouped(chunk).map { g =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var s = 0L
+            g.foreach(d => s += graft.pipeline.Ep1Core.process(d, cfg).length)
+            total.addAndGet(s)
+          }
+        })
+      }.toSeq
+      futures.foreach(_.get())
+      spans = total.get()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    pool.shutdown()
+    val median = times(times.length / 2)
+    val best = times.head
+    println(s"""{"metric":"ep1_kernel","threads":$cores,"docs":$nDocs,"spans":$spans,""" +
+      s""""median_sec":${f"$median%.3f"},"best_sec":${f"$best%.3f"},""" +
+      s""""docs_per_sec":${f"${nDocs / median}%.1f"},"best_docs_per_sec":${f"${nDocs / best}%.1f"}}""")
   }
 
   /** Same job, same input, two parallelism levels: N and 4N cores. */
