@@ -227,6 +227,69 @@ object SparkEntry {
           col("l_linenumber").cast("long").as("winner_line"))
     }),
 
+    "j2_three_way" -> ((s, d) => {
+      // 3-way interleave in the reference's source order (table ≺ text ≺
+      // ocr = pdfplumber ≺ PyMuPDF ≺ Tesseract) with per-source placeholders
+      val li = rd(s, d, "lineitem")
+      def rel(cond: Column, tag: String): DataFrame = li.filter(cond)
+        .groupBy(col("l_orderkey").as("doc_id"), col("l_linenumber").cast("long").as("page"))
+        .agg(min("l_partkey").as("pk"))
+        .select(col("doc_id"), col("page"),
+          concat(lit(tag + ":"), col("pk").cast("string")).as("text"))
+      graft.interleave.Interleave.interleave(Seq(
+        "table" -> rel(col("l_returnflag") === "R", "T"),
+        "text" -> rel(col("l_linestatus") === "F", "X"),
+        "ocr" -> rel(pmod(col("l_partkey"), lit(3)) === 0, "O")))
+        .select(col("doc_id"), col("page"), col("kind"),
+          col("source_rank").cast("long").as("source_rank"), col("text"))
+    }),
+
+    "f7_tier_invalid" -> ((s, d) => {
+      val noisy = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(repeat(lit("\u0001"), 200), col("text")))
+        .when(pmod(col("doc_id"), lit(7)) === 0, lit(""))
+        .otherwise(col("text"))
+      rd(s, d, "documents")
+        .select(col("doc_id"), Filters.f7TierInvalidCol(noisy).as("invalid"))
+    }),
+
+    "f10_valid_value" -> ((s, d) => {
+      val variants = Seq("TBD", " n/a ", "NONE", "", "  ", "CERT-42", "tbd!", "ok value ")
+      val v = element_at(array(variants.map(lit): _*),
+        (pmod(col("p_partkey"), lit(variants.length)) + 1).cast("int"))
+      rd(s, d, "part").select(col("p_partkey"), v.as("raw"),
+        FE.validValue(v).as("valid_value"))
+    }),
+
+    "a4_patch_total" -> ((s, d) => {
+      // summary-total consistency patch: total forced to array size
+      val df = rd(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("items"),
+          lit(999L).as("total"))
+      Qc.patchSummaryTotal(df, "items")
+        .select(col("doc_id"), col("total").cast("long").as("total"))
+    }),
+
+    "p5_line_number" -> ((s, d) => {
+      // P5 over rendered marker documents: line number and containing page
+      // of each boundary's start position
+      import s.implicits._
+      rd(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("page"))
+        .agg(min("l_partkey").as("pk"))
+        .select(col("k"), col("page"), concat(lit("body "), col("pk").cast("string")).as("body"))
+        .as[(Long, Int, String)].groupByKey(_._1)
+        .flatMapGroups { (k: Long, it: Iterator[(Long, Int, String)]) =>
+          val rows = it.toSeq.sortBy(_._2)
+          val txt = rows.map { case (_, pg, b) =>
+            graft.segment.PageSegmenter.renderMarker(pg) + b }.mkString
+          val bounds = graft.segment.PageSegmenter.p1Boundaries(txt)
+          bounds.iterator.map(b => (k, b.page.toLong,
+            graft.qc.QcHead.lineNumber(txt, b.start).toLong,
+            graft.qc.QcHead.pageFromCharPosition(bounds, b.start + 1).toLong))
+        }.toDF("k", "page", "line_no", "page_at")
+    }),
+
     "p4_property_prune" -> ((s, d) => {
       val pages = rd(s, d, "lineitem").select(
         col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("page"),
@@ -929,6 +992,59 @@ object SparkEntry {
           |  l_linenumber::BIGINT AS winner_line
           |FROM lineitem
           |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_suppkey%3 ORDER BY l_linenumber) = 1""".stripMargin,
+
+      "j2_three_way" ->
+        """WITH t1 AS (SELECT l_orderkey AS doc_id, l_linenumber::BIGINT AS page,
+          |  'T:'||min(l_partkey) AS txt FROM lineitem WHERE l_returnflag='R' GROUP BY 1,2),
+          |t2 AS (SELECT l_orderkey AS doc_id, l_linenumber::BIGINT AS page,
+          |  'X:'||min(l_partkey) AS txt FROM lineitem WHERE l_linestatus='F' GROUP BY 1,2),
+          |t3 AS (SELECT l_orderkey AS doc_id, l_linenumber::BIGINT AS page,
+          |  'O:'||min(l_partkey) AS txt FROM lineitem WHERE l_partkey%3=0 GROUP BY 1,2),
+          |u AS (SELECT doc_id, page FROM t1 UNION SELECT doc_id, page FROM t2
+          |  UNION SELECT doc_id, page FROM t3)
+          |SELECT u.doc_id, u.page, 'table' AS kind, 0::BIGINT AS source_rank,
+          |  coalesce(t1.txt, '[Page not found in table extraction]') AS text
+          |FROM u LEFT JOIN t1 ON u.doc_id=t1.doc_id AND u.page=t1.page
+          |UNION ALL
+          |SELECT u.doc_id, u.page, 'text', 1::BIGINT,
+          |  coalesce(t2.txt, '[Page not found in text extraction]')
+          |FROM u LEFT JOIN t2 ON u.doc_id=t2.doc_id AND u.page=t2.page
+          |UNION ALL
+          |SELECT u.doc_id, u.page, 'ocr', 2::BIGINT,
+          |  coalesce(t3.txt, '[Page not found in ocr extraction]')
+          |FROM u LEFT JOIN t3 ON u.doc_id=t3.doc_id AND u.page=t3.page""".stripMargin,
+
+      "f7_tier_invalid" ->
+        """WITH t AS (SELECT doc_id,
+          |  CASE WHEN doc_id%5=0 THEN repeat(chr(1),200) || text
+          |       WHEN doc_id%7=0 THEN '' ELSE text END AS t2 FROM documents),
+          |s AS (SELECT doc_id, t2, substr(t2,1,500) AS smp FROM t)
+          |SELECT doc_id,
+          |  (t2 IS NULL OR length(t2)=0 OR
+          |   (length(smp) - length(regexp_replace(smp,'[\x00-\x08\x0B\x0C\x0E-\x1F]','','g')))::DOUBLE
+          |     / greatest(length(smp),1) > 0.2) AS invalid
+          |FROM s""".stripMargin,
+
+      "f10_valid_value" ->
+        """WITH v AS (SELECT p_partkey,
+          |  (['TBD',' n/a ','NONE','','  ','CERT-42','tbd!','ok value '])[(p_partkey%8)+1] AS raw
+          |  FROM part)
+          |SELECT p_partkey, raw,
+          |  CASE WHEN raw IS NULL OR upper(trim(raw)) IN ('TBD','N/A','NONE','')
+          |    THEN NULL ELSE trim(raw) END AS valid_value
+          |FROM v""".stripMargin,
+
+      "a4_patch_total" ->
+        """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS total
+          |FROM documents""".stripMargin,
+
+      "p5_line_number" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber::INT AS page
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT k, page::BIGINT AS page,
+          |  (4*(row_number() OVER (PARTITION BY k ORDER BY page) - 1) + 2)::BIGINT AS line_no,
+          |  page::BIGINT AS page_at
+          |FROM li""".stripMargin,
 
       "p4_property_prune" ->
         """WITH pages AS (SELECT DISTINCT l_orderkey AS k, l_linenumber::BIGINT AS page,
