@@ -43,16 +43,27 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** EP1 throughput on a fresh synthetic corpus: docs/sec and spans/sec. */
-  private def ep1Throughput(spark: SparkSession, nDocs: Long): (Double, Double, Double) = {
+  /** EP1 throughput on a fresh synthetic corpus: docs/sec and spans/sec.
+    *
+    * Best of `repeats` passes: a single pass is a lottery against JVM
+    * warm-up and (on fresh container boots) the G1 demand-paging fault
+    * storm documented in BASELINE.md — round-to-round headline numbers
+    * jumped 7x on identical code before this. Span counting sums
+    * per-partition (one Long per task) rather than flatMapping one encoded
+    * row per span. */
+  private def ep1Throughput(spark: SparkSession, nDocs: Long,
+      repeats: Int = 3): (Double, Double, Double) = {
     import spark.implicits._
     val docs = Synth.generate(spark, nDocs, 32).cache()
     docs.count() // materialize input outside the timed region
     var spans = 0L
-    val sec = time {
-      spans = ExtractJob.runTyped(docs, Ep1Config())
-        .flatMap(_.spans.map(_ => 1)).count()
-    }
+    val sec = (1 to repeats).map { _ =>
+      time {
+        spans = ExtractJob.runTyped(docs, Ep1Config())
+          .mapPartitions(it => Iterator.single(it.map(_.spans.size.toLong).sum))
+          .reduce(_ + _)
+      }
+    }.min
     docs.unpersist()
     (sec, nDocs / sec, spans / sec)
   }
