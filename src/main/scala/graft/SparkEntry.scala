@@ -566,6 +566,11 @@ object SparkEntry {
         0.4002, p = 8)
     }),
 
+    "rhp_near_dup" -> ((s, d) => {
+      Similarity.rhpNearDupPairs(rd(s, d, "embeddings"), "vec_id", "embedding",
+        0.4002, tables = 4, bits = 12)
+    }),
+
     "sign_bucket_hist" -> ((s, d) => {
       rd(s, d, "embeddings")
         .select(Similarity.signBucketCol(col("embedding"), 8).cast("long").as("bucket"))
@@ -1423,6 +1428,23 @@ object SparkEntry {
           |    / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
           |     * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
           |  FROM e a JOIN e b ON a.bucket=b.bucket AND a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4002""".stripMargin,
+
+      "rhp_near_dup" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |k AS (
+          |  SELECT vec_id, embedding,
+          |    h*4096 + list_sum(list_transform(range(12), i ->
+          |      CASE WHEN round(list_sum(list_transform(range(len(embedding)), j ->
+          |        embedding[j+1]::DOUBLE *
+          |          (((((h*1000003 + i*7919 + j*104729)*2654435761 + 1013904223) >> 16) % 2)*2 - 1)
+          |      )), 6) >= 0 THEN 1 << i ELSE 0 END)) AS key
+          |  FROM e CROSS JOIN range(4) t(h)),
+          |s AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |    / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
+          |  FROM k a JOIN k b ON a.key=b.key AND a.vec_id < b.vec_id)
           |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4002""".stripMargin,
 
       "sign_bucket_hist" ->

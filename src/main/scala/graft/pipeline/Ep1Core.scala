@@ -143,22 +143,24 @@ object Ep1Core {
       i += 1
     }
 
+    // offsets are assigned at append time (offset == position in `out`),
+    // avoiding a second n-span copy pass to renumber
     val out = mutable.ArrayBuffer.empty[Span]
     for (page <- union) {
       val ocrText =
         if (keptOcrSet.contains(page) && ocrTable.contains(page)) ocrTable(page)
         else placeholder(Kind.Ocr)
-      out += Span(Kind.Ocr, ocrText, "", 0)
+      out += Span(Kind.Ocr, ocrText, "", out.length)
       val textText =
         if (keptTextSet.contains(page) && textTable.contains(page)) textTable(page)
         else placeholder(Kind.Text)
-      out += Span(Kind.Text, textText, "", 0)
+      out += Span(Kind.Text, textText, "", out.length)
       passthrough.get(page).toSeq.flatten.sortBy { case (s, _) =>
         (Kind.rank(s.kind), s.offset)
       }.foreach { case (s, body) =>
-        out += Span(s.kind, body, s.media_ref, 0)
+        out += Span(s.kind, body, s.media_ref, out.length)
       }
     }
-    out.toSeq.zipWithIndex.map { case (s, idx) => s.copy(offset = idx) }
+    out.toSeq
   }
 }

@@ -133,6 +133,86 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  // ------------------------------------------------------------------------
+  // Random-hyperplane (Charikar sign-projection) LSH — the tunable-recall
+  // scale path for embedding near-dup. `tables` independent hash tables of
+  // `bits` hyperplane bits each: collision probability per table is
+  // (1 - θ/π)^bits, overall 1-(1-p)^tables, so recall is a dial (more
+  // tables) and candidate volume another (more bits) — unlike the fixed
+  // first-p-dims sign bucket above, whose recall is whatever the data gives.
+  // Hyperplanes are deterministic Rademacher ±1 vectors derived from an
+  // integer mix of (table, bit, dim) — no RNG, so DuckDB replays the exact
+  // bucketing for the oracle and reruns are stable.
+  // ------------------------------------------------------------------------
+
+  /** Deterministic ±1 for hyperplane (table h, bit i), dimension j. The mix
+    * stays well inside int64 (h<8, i<16, j<2^20) so ANSI Spark and DuckDB
+    * agree bit-for-bit: f = h*1000003 + i*7919 + j*104729, then an LCG step
+    * and bit 16 extracted as the sign (a bit shift, not division — Spark's
+    * `/` is double division, which loses exactness above 2^53). */
+  private def mixParity(h: Int, i: Int, j: Column): Column = {
+    val f = lit(h.toLong * 1000003L + i.toLong * 7919L) + j.cast("long") * lit(104729L)
+    (shiftright(f * lit(2654435761L) + lit(1013904223L), 16) % 2) * 2 - 1
+  }
+
+  private def mixParity(h: Int, i: Int, j: Int): Int = {
+    val f = h.toLong * 1000003L + i.toLong * 7919L + j.toLong * 104729L
+    (((f * 2654435761L + 1013904223L) >> 16) % 2L).toInt * 2 - 1
+  }
+
+  /** One LSH key per table: bits packed little-endian plus the table id in
+    * the high bits, so keys from different tables never collide. */
+  def rhpKeysCol(vec: Column, tables: Int, bits: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val keys = (0 until tables).map { h =>
+      val packed = (0 until bits).map { i =>
+        val proj = aggregate(
+          zip_with(vec, dims, (x, j) => x.cast("double") * mixParity(h, i, j)),
+          lit(0.0), (s, v) => s + v)
+        // sign on the 6dp-rounded projection: engines may sum in different
+        // orders (DuckDB list_sum vs sequential fold); rounding absorbs ulps
+        when(round(proj, 6) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      (lit(h.toLong * (1L << bits)) + packed).cast("long")
+    }
+    array(keys: _*)
+  }
+
+  /** Pure twin of [[rhpKeysCol]] for tests and the typed path. */
+  def rhpKeys(vec: Seq[Float], tables: Int, bits: Int): Seq[Long] =
+    (0 until tables).map { h =>
+      val packed = (0 until bits).map { i =>
+        val proj = vec.iterator.zipWithIndex
+          .foldLeft(0.0) { case (s, (x, j)) => s + x.toDouble * mixParity(h, i, j) }
+        val rounded = BigDecimal(proj).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (rounded >= 0) 1L << i else 0L
+      }.sum
+      h.toLong * (1L << bits) + packed
+    }
+
+  /** Near-duplicate pairs via multi-table random-hyperplane LSH: explode each
+    * row to `tables` keys, self-join per key (the only wide shuffle, on the
+    * key — never all-pairs, nothing broadcast), rescore candidates with the
+    * exact cosine, then dedup pairs found by several tables. Precision is
+    * exact (rescored); recall ≈ 1-(1-(1-θ/π)^bits)^tables. Norms are
+    * computed once per row before the explode. */
+  def rhpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, tables: Int = 4, bits: Int = 12): DataFrame = {
+    val keyed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", normCol(col("__v")))
+      .withColumn("__key", explode(rhpKeysCol(col("__v"), tables, bits)))
+    val a = keyed.select(col("__key"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = keyed.select(col("__key"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dotCol(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+      .distinct()
+  }
+
   /** k-NN majority-label classification: top-k neighbors vote; ties broken
     * by smaller label. Output: (query_id, predicted_label). */
   def knnClassify(candidates: DataFrame, queries: DataFrame, idCol: String,

@@ -75,6 +75,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.forall { case (a, b, c) => a / 10 == b / 10 && c >= 0.9 })
   }
 
+  test("rhp keys: pure and Column forms agree") {
+    val got = df.select(col("id"), rhpKeysCol(col("vec"), 4, 12).as("k"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, v, _) <- rows) assert(got(id) == rhpKeys(v, 4, 12), s"keys of $id")
+    // table id occupies the high bits: key h is in [h*4096, (h+1)*4096)
+    for (ks <- got.values; (k, h) <- ks.zipWithIndex)
+      assert(k >= h * 4096L && k < (h + 1) * 4096L)
+  }
+
+  test("rhp near-dup: exact precision, recall vs brute-force baseline") {
+    val exact = nearDupPairs(df, "id", "vec", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val approx = rhpNearDupPairs(df, "id", "vec", 0.9, tables = 4, bits = 12)
+      .as[(Long, Long, Double)].collect()
+    // no duplicate pairs despite multi-table candidates
+    assert(approx.map(p => (p._1, p._2)).distinct.length == approx.length)
+    // precision is exact: every reported pair is a true pair (rescored)
+    assert(approx.forall(exact.contains))
+    // recall: 4 tables x 12 bits recovers most 0.9-cosine pairs here
+    assert(exact.nonEmpty && approx.length.toDouble / exact.size >= 0.6,
+      s"recall ${approx.length}/${exact.size}")
+  }
+
   test("knn majority-label classification recovers cluster labels") {
     val queries = df.filter(col("id").isin(5, 15, 25))
     val got = knnClassify(df, queries, "id", "vec", "label", k = 5)
