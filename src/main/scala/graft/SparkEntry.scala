@@ -500,6 +500,39 @@ object SparkEntry {
     }),
 
     // -------------------------------------------------- text analysis -----
+    "pipeline_e2e" -> ((s, d) => {
+      // the full training-data pipeline over one corpus, composed from the
+      // individually-oracled stages: chrome-wrapped pages → boilerplate
+      // strip (heading/body blocks only) → per-doc content reassembly in
+      // block order → language id + quality scoring + token accounting →
+      // quality gate → exact dedup on normalized content. One narrow
+      // explode, one groupBy shuffle, one fingerprint window — no join
+      // until the final flag attach.
+      val page = concat(
+        lit("<a href=\"/home\">Home</a> | <a href=\"/about\">About Us</a> | " +
+          "<a href=\"/contact\">Contact</a>\n\n"),
+        lit("Section "), pmod(col("doc_id"), lit(7)).cast("string"), lit("\n\n"),
+        col("text"),
+        lit("\n\nCopyright 2026 <a href=\"/terms\">Terms of Service</a> " +
+          "and <a href=\"/privacy\">Privacy</a>"))
+      val spans = BP.contentSpansDf(
+        rd(s, d, "documents").withColumn("page", page), "doc_id", "page")
+      val content = spans.groupBy("doc_id").agg(
+        array_join(transform(array_sort(collect_list(struct(col("offset"), col("text")))),
+          x => x.getField("text")), "\n").as("content"),
+        count(lit(1)).cast("long").as("n_blocks"))
+      val scored = content.select(col("doc_id"), col("content"), col("n_blocks"),
+        TA.langIdCol(col("content")).as("lang_pred"),
+        TA.qualityScoreCol(col("content")).as("quality"),
+        TA.wsTokenCountCol(col("content")).cast("long").as("ws_tokens"),
+        TA.bpeTokenCountCol(col("content")).cast("long").as("bpe_tokens"))
+      val gated = scored.filter(col("quality") >= 0.65)
+      Dedup.exactDuplicates(gated.select(col("doc_id"), col("content")), "doc_id", "content")
+        .join(gated.drop("content"), "doc_id")
+        .select(col("doc_id"), col("lang_pred"), col("quality"), col("ws_tokens"),
+          col("bpe_tokens"), col("n_blocks"), col("canonical_id"), col("is_duplicate"))
+    }),
+
     "lang_id" -> ((s, d) => {
       rd(s, d, "documents").select(col("doc_id"),
         TA.langIdCol(col("text")).as("lang_pred"))
@@ -1305,6 +1338,68 @@ object SparkEntry {
           |  round(n_link_words::DOUBLE / greatest(n_words,1), 6) AS link_density,
           |  round(n_words::DOUBLE / greatest(n_lines,1), 6) AS text_density
           |FROM w""".stripMargin,
+
+      "pipeline_e2e" ->
+        s"""WITH pg AS (SELECT doc_id,
+           |  '<a href="/home">Home</a> | <a href="/about">About Us</a> | <a href="/contact">Contact</a>'
+           |  ||chr(10)||chr(10)||'Section '||(doc_id%7)||chr(10)||chr(10)||text||chr(10)||chr(10)||
+           |  'Copyright 2026 <a href="/terms">Terms of Service</a> and <a href="/privacy">Privacy</a>' AS page
+           |  FROM documents),
+           |b AS (SELECT doc_id, string_split_regex(page, '\\n\\s*\\n') AS blocks FROM pg),
+           |e AS (SELECT doc_id, i AS block_idx, blocks[i+1] AS blk
+           |  FROM b, unnest(range(len(blocks))) AS t(i)),
+           |m AS (SELECT doc_id, block_idx,
+           |  regexp_replace(blk, '<[^>]*>', ' ', 'g') AS tagless,
+           |  regexp_replace(coalesce(array_to_string(regexp_extract_all(blk, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+           |    '<[^>]*>', ' ', 'g') AS linktext
+           |  FROM e),
+           |w AS (SELECT doc_id, block_idx,
+           |  regexp_replace(regexp_replace(tagless, '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g') AS text_,
+           |  len(list_filter(string_split_regex(tagless,'\\s+'), x -> x <> '')) AS n_words,
+           |  len(list_filter(string_split_regex(linktext,'\\s+'), x -> x <> '')) AS n_link_words
+           |  FROM m),
+           |lab AS (SELECT doc_id, block_idx, text_,
+           |  CASE WHEN n_words = 0 THEN 'empty'
+           |       WHEN n_link_words::DOUBLE / greatest(n_words,1) > 0.33 THEN 'boilerplate'
+           |       WHEN n_words <= 12 AND NOT regexp_matches(text_, '[.!?]$$') THEN 'heading'
+           |       ELSE 'body' END AS label
+           |  FROM w),
+           |c AS (SELECT doc_id, string_agg(text_, chr(10) ORDER BY block_idx) AS content,
+           |  count(*)::BIGINT AS n_blocks
+           |  FROM lab WHERE label IN ('heading','body') GROUP BY doc_id),
+           |t2 AS (SELECT doc_id, content, n_blocks, ${toks.format("content")} AS toks,
+           |  greatest(length(content),1)::DOUBLE AS n FROM c),
+           |sc AS (SELECT doc_id, content, n_blocks,
+           |  CASE WHEN length(regexp_replace(content,'[^\\x{4E00}-\\x{9FFF}]','','g')) > 0 THEN 'zh'
+           |    WHEN len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a','that'], t)))
+           |      >= len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las','una','es'], t)))
+           |     AND len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a','that'], t)))
+           |      >= len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t)))
+           |     AND len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a','that'], t)))
+           |      >= len(list_filter(toks, t -> list_contains(['le','la','les','des','et','est','une','dans'], t))) THEN 'en'
+           |    WHEN len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las','una','es'], t)))
+           |      >= len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t)))
+           |     AND len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las','una','es'], t)))
+           |      >= len(list_filter(toks, t -> list_contains(['le','la','les','des','et','est','une','dans'], t))) THEN 'es'
+           |    WHEN len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t)))
+           |      >= len(list_filter(toks, t -> list_contains(['le','la','les','des','et','est','une','dans'], t))) THEN 'de'
+           |    ELSE 'fr' END AS lang_pred,
+           |  round(CAST(0.25*least(length(content)::DOUBLE/500.0, 1.0)
+           |    + 0.35*((length(content)-length(regexp_replace(content,'[A-Za-z]','','g')))::DOUBLE/n)
+           |    + 0.25*(1.0 - least(((length(content)-length(regexp_replace(content,'[.,;:!?]','','g')))::DOUBLE/n)*10.0, 1.0))
+           |    + 0.15*least((len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a','that'], t)))::DOUBLE
+           |        / greatest(len(toks),1)::DOUBLE)*4.0, 1.0) AS VARCHAR)::DECIMAL(25,20), 4)::DOUBLE AS quality,
+           |  (CASE WHEN length(regexp_replace(content,'^\\s+|\\s+$$','','g'))=0 THEN 0
+           |    ELSE len(string_split_regex(regexp_replace(content,'^\\s+|\\s+$$','','g'),'\\s+')) END)::BIGINT AS ws_tokens,
+           |  len(regexp_extract_all(content,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+           |  FROM t2),
+           |g AS (SELECT * FROM sc WHERE quality >= 0.65),
+           |f AS (SELECT doc_id, lang_pred, quality, ws_tokens, bpe_tokens, n_blocks,
+           |  ${hash60("regexp_replace(trim(lower(content)),'\\s+',' ','g')")} AS fp FROM g)
+           |SELECT doc_id, lang_pred, quality, ws_tokens, bpe_tokens, n_blocks,
+           |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+           |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+           |FROM f""".stripMargin,
 
       "lang_id" ->
         s"""WITH t AS (SELECT doc_id, text, ${toks.format("text")} AS toks FROM documents),
