@@ -527,8 +527,10 @@ object SparkEntry {
         TA.wsTokenCountCol(col("content")).cast("long").as("ws_tokens"),
         TA.bpeTokenCountCol(col("content")).cast("long").as("bpe_tokens"))
       val gated = scored.filter(col("quality") >= 0.65)
-      Dedup.exactDuplicates(gated.select(col("doc_id"), col("content")), "doc_id", "content")
-        .join(gated.drop("content"), "doc_id")
+      // passthrough columns ride through the fingerprint window — no join
+      // back, so the strip+score subtree is computed once, not twice
+      Dedup.exactDuplicates(gated, "doc_id", "content",
+        passthrough = Seq("lang_pred", "quality", "ws_tokens", "bpe_tokens", "n_blocks"))
         .select(col("doc_id"), col("lang_pred"), col("quality"), col("ws_tokens"),
           col("bpe_tokens"), col("n_blocks"), col("canonical_id"), col("is_duplicate"))
     }),

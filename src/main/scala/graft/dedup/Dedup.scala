@@ -27,9 +27,11 @@ object Dedup {
   /** Exact dedup: group on the 60-bit fingerprint of normalized text; the
     * smallest id per group is canonical. Output: (id, canonical_id,
     * group_size, is_duplicate). One hash-shuffle; no text comparison. */
-  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("fingerprint")
-    df.select(col(idCol), fingerprintCol(col(textCol)).as("fingerprint"))
+    df.select(col(idCol) +: fingerprintCol(col(textCol)).as("fingerprint") +:
+        passthrough.map(col): _*)
       .withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
