@@ -515,10 +515,14 @@ object SparkEntry {
         col("text"),
         lit("\n\nCopyright 2026 <a href=\"/terms\">Terms of Service</a> " +
           "and <a href=\"/privacy\">Privacy</a>"))
-      val spans = BP.contentSpansDf(
+      // blocksDf (not contentSpansDf): the per-doc offset window would add a
+      // Sort+Window exchange only for array_sort to re-derive the same order
+      // from block_idx
+      val blocks = BP.blocksDf(
         rd(s, d, "documents").withColumn("page", page), "doc_id", "page")
-      val content = spans.groupBy("doc_id").agg(
-        array_join(transform(array_sort(collect_list(struct(col("offset"), col("text")))),
+        .filter(col("label").isin("heading", "body"))
+      val content = blocks.groupBy("doc_id").agg(
+        array_join(transform(array_sort(collect_list(struct(col("block_idx"), col("text")))),
           x => x.getField("text")), "\n").as("content"),
         count(lit(1)).cast("long").as("n_blocks"))
       val scored = content.select(col("doc_id"), col("content"), col("n_blocks"),
