@@ -79,6 +79,9 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      // operators that persist() internal relations (dedup LSH) would
+      // otherwise accumulate CacheManager entries across the 69-query sweep
+      spark.catalog.clearCache()
       name -> sec
     }
     val (ep1Sec, docsPerSec, spansPerSec) = ep1Throughput(spark, nDocs)

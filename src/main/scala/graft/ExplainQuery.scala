@@ -20,10 +20,19 @@ object ExplainQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    // queries whose CONSTRUCTION executes work (streaming run to completion,
+    // eager candidate materialization) — audited only when named explicitly,
+    // so a bare plan sweep stays side-effect-free and fast
+    val eagerConstructors = Set("stream_extract", "minhash_dups")
+    val names =
+      if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
+      else args.toSeq
     names.foreach { n =>
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.get(n) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"(unknown query '$n' — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      }
     }
     spark.stop()
   }

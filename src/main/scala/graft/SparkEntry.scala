@@ -762,9 +762,20 @@ object SparkEntry {
 
     "stream_extract" -> ((s, _) => {
       // streaming EP1: same operator as batch, file source + AvailableNow
-      // trigger + checkpoint; result read back from the streamed sink
+      // trigger + checkpoint; result read back from the streamed sink.
+      // Fixed directory, cleared on entry — a fresh createTempDirectory per
+      // invocation would accumulate input+sink+checkpoint trees in /tmp
+      // across every Verify/Bench run
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      val tmpPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-stream-contract")
+      if (java.nio.file.Files.exists(tmpPath)) {
+        val stream = java.nio.file.Files.walk(tmpPath)
+        try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally stream.close()
+      }
+      val tmp = tmpPath.toString
       Synth.generate(s, 40, 2).toDF().write.mode("overwrite").parquet(s"$tmp/in")
       graft.streaming.StreamJob.run(s, s"$tmp/in", s"$tmp/out", s"$tmp/ck")
         .awaitTermination()

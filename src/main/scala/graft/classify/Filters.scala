@@ -46,13 +46,25 @@ object Filters {
 
   private val LowerSkipWords = SkipWords.map(_.toLowerCase)
 
+  /** True iff every char is ASCII — the precondition under which a single
+    * shared lowercase copy decides F1's skip words (uppercase semantics) and
+    * F2's keywords (lowercase semantics) identically. Outside ASCII the two
+    * case foldings diverge (ſ U+017F uppercases into 'S' but lowercases to
+    * itself; K U+212A lowercases into 'k' but uppercases to itself), so
+    * callers must fall back to the per-filter cased copies. */
+  def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 128) return false; i += 1 }
+    true
+  }
+
   /** F1 over a caller-supplied lowercase copy of `text`: skip words checked
-    * on `lower` (≡ the uppercase check — both sides case-folded), amounts on
-    * the original. Lets the EP1 hot path materialize ONE cased copy per span
-    * shared by F1+F2 instead of one per filter (case copies were the top
-    * allocator after the strip fix; `String.contains` stays on the
-    * intrinsified indexOf, which a fold-as-you-scan loop is ~10x slower
-    * than — measured, not guessed). */
+    * on `lower` (≡ the uppercase check for ASCII input — callers gate on
+    * [[isAscii]]), amounts on the original. Lets the EP1 hot path
+    * materialize ONE cased copy per span shared by F1+F2 instead of one per
+    * filter (case copies were the top allocator after the strip fix;
+    * `String.contains` stays on the intrinsified indexOf, which a
+    * fold-as-you-scan loop is ~10x slower than — measured, not guessed). */
   def f1DollarPageLowered(text: String, lower: String): Boolean = {
     if (text == null) return false
     if (LowerSkipWords.exists(lower.contains)) return false

@@ -83,8 +83,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJ: Double, maxDf: Int = 0): DataFrame = {
     // the shingle relation feeds three join branches — persist it so the
-    // tokenize+hash scan runs once, not per branch; released by the
-    // ContextCleaner once the caller drops the returned plan
+    // tokenize+hash scan runs once, not per branch. NOTE: SQL cache is held
+    // by the session CacheManager until explicitly released; long-lived
+    // sessions must spark.catalog.clearCache() (or unpersist) after the
+    // result is materialized (Verify/Bench do).
     val rows = shingleRows(df, idCol, textCol, n, maxDf).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
@@ -220,9 +222,12 @@ object Dedup {
     *    reachable through their other `bands-1` band keys.
     *
     * The candidate relation is materialized eagerly so the band relation's
-    * cache is released before this returns; the shingle relation stays
-    * cached for the caller's action (it feeds 3 branches of one plan) and is
-    * unpersisted by Spark's ContextCleaner once the result is dropped. */
+    * cache is released before this returns; the candidate + shingle
+    * relations stay cached for the caller's action (they feed multiple
+    * branches of one plan). SQL cache is held by the session CacheManager
+    * until explicitly released — long-lived sessions must
+    * spark.catalog.clearCache() (or unpersist) after materializing the
+    * result (Verify/Bench do). */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, minJ: Double = 0.5,
       maxDf: Int = 0, maxBucket: Int = 0): DataFrame = {

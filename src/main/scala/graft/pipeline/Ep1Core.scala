@@ -112,9 +112,15 @@ object Ep1Core {
         val s = sorted(j)
         if (s.kind == kind && table.contains(pages(j)) && !hitSet.contains(pages(j))) {
           // one shared lowercase copy per span for both filters (the cased
-          // copies were the dominant allocation after the strip fix)
-          val low = s.text.toLowerCase
-          if (Filters.f1DollarPageLowered(s.text, low) || Filters.f2KeywordLowered(low)) {
+          // copies were the dominant allocation after the strip fix); exact
+          // only for ASCII — non-ASCII spans (where upper/lower case
+          // foldings can diverge, e.g. U+017F/U+212A) take the per-filter
+          // cased path so the typed form stays identical to the Column twins
+          val hit = if (Filters.isAscii(s.text)) {
+            val low = s.text.toLowerCase
+            Filters.f1DollarPageLowered(s.text, low) || Filters.f2KeywordLowered(low)
+          } else Filters.f1DollarPage(s.text) || Filters.f2Keyword(s.text)
+          if (hit) {
             hits += pages(j)
             hitSet += pages(j)
           }

@@ -53,9 +53,13 @@ object Qc {
       s"guardrailJoinDf: valDf must carry the stable order column '$seqCol'")
     val vNorm = Norms.normNameCol(col(nameCol))
     val rNorm = Norms.normNameCol(col(reqNameCol))
-    val req = reqDf.filter(rNorm =!= "")
-      .select(col(docCol), rNorm.as("__req_norm"))
-    val reqCount = req.groupBy(docCol).agg(count(lit(1)).as("__n_req"))
+    // the cap N counts ALL requested rows (even ones normalizing to empty),
+    // but a doc participates only if >=1 request normalizes non-empty —
+    // exactly guardrailFilter's requestedNames.length / requestedNorms guard
+    val reqAll = reqDf.select(col(docCol), rNorm.as("__req_norm"))
+    val req = reqAll.filter(col("__req_norm") =!= "")
+    val reqCount = reqAll.groupBy(docCol).agg(count(lit(1)).as("__n_req"),
+      max(col("__req_norm") =!= "").as("__has_norm"))
 
     val withNorm = valDf.withColumn("__v_norm", vNorm)
       .withColumn("__seq", col(seqCol))
@@ -75,8 +79,8 @@ object Qc {
     val capped = matched.withColumn("__rn", row_number().over(w))
       .unionByName(fallback)
       .join(broadcast(reqCount), Seq(docCol), "inner") // no requested → empty
-      .filter(col("__rn") <= col("__n_req"))
-    capped.drop("__v_norm", "__seq", "__rn", "__n_req")
+      .filter(col("__has_norm") && col("__rn") <= col("__n_req"))
+    capped.drop("__v_norm", "__seq", "__rn", "__n_req", "__has_norm")
   }
 
   // ----------------------------------------------------------- J5 ----------

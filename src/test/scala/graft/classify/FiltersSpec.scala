@@ -26,6 +26,17 @@ class FiltersSpec extends SparkTestBase {
     assert(!f1DollarPage(null))
   }
 
+  test("F1 non-ASCII case folding: shared-lower shortcut gated by isAscii") {
+    // 'ſ' (U+017F) uppercases into 'S' but lowercases to itself: the
+    // uppercase skip check sees SAMPLE, a lowercase check would not. The
+    // hot path must therefore only use the shared lower copy for ASCII.
+    val t = "ſample limit $500"
+    assert(!isAscii(t) && isAscii("sample limit $500"))
+    assert(!f1DollarPage(t)) // skip word via uppercase semantics
+    assert(f1DollarPageLowered(t, t.toLowerCase)) // the lower shortcut differs...
+    // ...which is exactly why Ep1Core gates it on isAscii
+  }
+
   test("F1 skip word only guards the dollar filter, not F2") {
     val t = "EXAMPLE page with mortgagee clause and $5,000"
     assert(!f1DollarPage(t))

@@ -44,6 +44,27 @@ class QcSpec extends SparkTestBase {
     assert(got == Set(("d1", "Building Coverage"), ("d2", "x1"), ("d2", "x2")))
   }
 
+  test("J4 forms agree when a requested name normalizes to empty") {
+    import spark.implicits._
+    // "##" normalizes to "": it must still count toward the cap N (pure form
+    // caps at requestedNames.length) but not qualify a doc by itself
+    val valDf = Seq(
+      ("d1", "Building Coverage", 0), ("d1", "Building Annex", 1), ("d1", "Other", 2),
+      ("d2", "anything", 0), ("d2", "more", 1)).toDF("doc_id", "name", "seq")
+    val reqDf = Seq(
+      ("d1", "Building"), ("d1", "##"), // cap 2, one empty norm
+      ("d2", "##")).toDF("doc_id", "req") // all-empty norms → doc dropped
+    val got = guardrailJoinDf(valDf, reqDf, "doc_id", "name", "req", "seq")
+      .select("doc_id", "name").as[(String, String)].collect().toSet
+    val pure = guardrailFilter[(String, Int)](
+      Seq(("Building Coverage", 0), ("Building Annex", 1), ("Other", 2)),
+      (v: (String, Int)) => v._1, Seq("Building", "##")).map(_._1).toSet
+    assert(pure == Set("Building Coverage", "Building Annex"))
+    assert(got == pure.map(("d1", _)))
+    assert(guardrailFilter[(String, Int)](Seq(("anything", 0)),
+      (v: (String, Int)) => v._1, Seq("##")).isEmpty)
+  }
+
   test("J4 DataFrame form is invariant under repartitioning") {
     import spark.implicits._
     // a fallback doc with many candidates: partition layout must not change
