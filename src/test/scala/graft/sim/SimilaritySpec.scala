@@ -75,13 +75,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.forall { case (a, b, c) => a / 10 == b / 10 && c >= 0.9 })
   }
 
-  test("rhp keys: pure and Column forms agree") {
+  test("rhp keys: pure, Column and typed row forms agree") {
     val got = df.select(col("id"), rhpKeysCol(col("vec"), 4, 12).as("k"))
       .as[(Long, Seq[Long])].collect().toMap
     for ((id, v, _) <- rows) assert(got(id) == rhpKeys(v, 4, 12), s"keys of $id")
     // table id occupies the high bits: key h is in [h*4096, (h+1)*4096)
     for (ks <- got.values; (k, h) <- ks.zipWithIndex)
       assert(k >= h * 4096L && k < (h + 1) * 4096L)
+    // the typed production path emits the same (id, key) multiset
+    val typed = rhpKeyRows(df, "id", "vec", 4, 12)
+      .select(col("id"), col("__key")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for ((id, v, _) <- rows) assert(typed(id) == rhpKeys(v, 4, 12), s"typed keys of $id")
   }
 
   test("rhp near-dup: exact precision, recall vs brute-force baseline") {
