@@ -710,6 +710,23 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    "media_decode" -> ((s, d) => {
+      // REAL image decode: deterministic synthetic pixels → real PNG encode
+      // → JDK ImageIO decode → per-channel means. PNG is lossless, so the
+      // oracle replays the means arithmetically; any defect in the
+      // encode/decode/pixel-scan cycle breaks parity.
+      import s.implicits._
+      val refs = rd(s, d, "customer").select(
+        concat(lit("img-"), col("c_custkey").cast("string")).as("ref"),
+        (lit(16) + pmod(col("c_custkey"), lit(17))).cast("int").as("w"),
+        (lit(12) + pmod(col("c_custkey"), lit(13))).cast("int").as("h"))
+        .as[(String, Int, Int)]
+      Media.decodeStats(refs).toDF()
+        .select(col("media_ref"), col("format"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
     "media_stub_meta" -> ((s, d) => {
       // the deterministic decode stub + resize over refs derived from part:
       // every metadata byte is md5-derived, so an independent engine can
@@ -1723,6 +1740,26 @@ object SparkEntry {
           |SELECT k, (row_number() OVER (PARTITION BY k ORDER BY page, rnk) - 1)::BIGINT AS "offset",
           |  kind, text
           |FROM rows_""".stripMargin,
+
+      // Real-decode replay: Spark runs synth pixels → PNG encode → ImageIO
+      // decode → pixel scan; the oracle computes the identical channel sums
+      // arithmetically (x = i mod w, y = i div w), means via the 6dp
+      // VARCHAR→DECIMAL tie-boundary idiom.
+      "media_decode" ->
+        """WITH r AS (SELECT 'img-'||c_custkey AS media_ref,
+          |  16 + c_custkey%17 AS w, 12 + c_custkey%13 AS h,
+          |  ('0x'||substr(md5('img-'||c_custkey),1,8))::BIGINT AS seed
+          |  FROM customer),
+          |px AS (SELECT media_ref, w, h,
+          |  list_sum(list_transform(range(w*h), i -> ((i%w)*31 + (i//w)*17 + seed) % 256)) AS sr,
+          |  list_sum(list_transform(range(w*h), i -> ((i%w)*13 + (i//w)*29 + seed) % 256)) AS sg,
+          |  list_sum(list_transform(range(w*h), i -> ((i%w)*7  + (i//w)*43 + seed) % 256)) AS sb
+          |  FROM r)
+          |SELECT media_ref, 'png' AS format, w::BIGINT AS width, h::BIGINT AS height,
+          |  round(CAST(sr::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_r,
+          |  round(CAST(sg::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_g,
+          |  round(CAST(sb::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_b
+          |FROM px""".stripMargin,
 
       // Decode-stub replay: metadata bytes are md5(ref) bytes d0..d4,
       // parsed from the hex digest; resize is integer aspect-ratio math.

@@ -6,12 +6,19 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Multimodal-column plumbing: media spans are opaque references/bytes with
   * typed metadata, processed per-partition in batches (the Spark-side shape
-  * of a vectorized decode stage). The actual codec is STUBBED with a
-  * deterministic fake (no image/audio libraries in this environment): bytes
-  * and metadata derive from md5 of the media_ref, so every part of the
-  * pipeline around the decoder — schema, batching, partitioning, joins back
-  * to documents — is real and testable, and the fake can be swapped for a
-  * real decoder without touching the plumbing.
+  * of a vectorized decode stage).
+  *
+  * Two codec paths:
+  *  - IMAGE formats decode for REAL via the JDK's javax.imageio
+  *    (PNG/JPEG/BMP/GIF/TIFF — no external libraries needed):
+  *    [[imageStats]], [[decodeStats]], [[resizeImage]], with deterministic
+  *    synthetic PNGs ([[synthPngBytes]]) so the DuckDB oracle can replay
+  *    decoded pixel statistics arithmetically.
+  *  - video/audio containers have no JDK codec and use the deterministic
+  *    STUB ([[decodeStub]]): bytes and metadata derive from md5 of the
+  *    media_ref, so the pipeline around the decoder — schema, batching,
+  *    partitioning, joins back to documents — is real and testable, and the
+  *    fake swaps for a real codec without touching the plumbing.
   */
 object Media {
 
@@ -95,5 +102,113 @@ object Media {
   def resize(meta: Dataset[MediaMeta], maxEdge: Int): Dataset[MediaMeta] = {
     import meta.sparkSession.implicits._
     meta.map(resizeMeta(_, maxEdge))
+  }
+
+  // ------------------------------------------------- real image path -------
+  // The JDK ships javax.imageio (PNG/JPEG/BMP/GIF/TIFF) even headless, so
+  // image decode does NOT need the stub: the methods below run a REAL
+  // encode → decode → pixel-scan cycle. The stub above remains for formats
+  // the JDK cannot decode (video/audio containers).
+
+  /** Channel values of the deterministic synthetic image at (x, y): small
+    * integer mixes mod 256, chosen so an engine with no codec (the DuckDB
+    * oracle) can replay per-image channel statistics arithmetically while
+    * Spark replays them through a real PNG encode → ImageIO decode → pixel
+    * scan. PNG is lossless, so any decoder defect breaks oracle parity. */
+  def synthPixel(seed: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 31L + y * 17L + seed) % 256L).toInt,
+    ((x * 13L + y * 29L + seed) % 256L).toInt,
+    ((x * 7L + y * 43L + seed) % 256L).toInt)
+
+  /** Real PNG bytes of the synthetic `seed` image (ImageIO encoder). */
+  def synthPngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = synthPixel(seed, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded per-image statistics (sniffed format, true dimensions, exact
+    * per-channel means over the decoded pixels, 6dp shortest-string round). */
+  final case class ImageStats(media_ref: String, format: String, width: Int,
+      height: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL decode of `bytes`: format sniff via registered readers, full
+    * decode, integer pixel scan. */
+  def imageStats(ref: String, bytes: Array[Byte]): ImageStats = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"no JDK decoder recognizes the bytes of $ref")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val format = reader.getFormatName.toLowerCase
+      val img = reader.read(0)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      // BigDecimal(double) = Double.toString shortest round-trip — the
+      // cross-engine 6dp tie-boundary idiom (see quality_score oracle note)
+      def mean(s: Long): Double =
+        BigDecimal(s.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ImageStats(ref, format, w, h, mean(sr), mean(sg), mean(sb))
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Distributed real decode stage over (media_ref, width, height) specs:
+    * per-partition synth → PNG-encode → ImageIO-decode → stats. The
+    * mapPartitions boundary is where a production decoder holds its
+    * per-executor native context; narrow, no shuffle. */
+  def decodeStats(refs: Dataset[(String, Int, Int)]): Dataset[ImageStats] = {
+    import refs.sparkSession.implicits._
+    refs.mapPartitions(_.map { case (ref, w, h) =>
+      val seed = graft.text.TextAnalysis.hash32(ref)
+      imageStats(ref, synthPngBytes(seed, w, h))
+    })
+  }
+
+  /** REAL resize: cap the longer edge at `maxEdge` preserving aspect ratio
+    * (same integer math as [[resizeMeta]]), bilinear Graphics2D scale,
+    * re-encoded as PNG. Returns (width, height, png bytes). */
+  def resizeImage(bytes: Array[Byte], maxEdge: Int): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val long = math.max(img.getWidth, img.getHeight)
+    if (long <= maxEdge) (img.getWidth, img.getHeight, bytes)
+    else {
+      val w = math.max(1, (img.getWidth.toLong * maxEdge / long).toInt)
+      val h = math.max(1, (img.getHeight.toLong * maxEdge / long).toInt)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      (w, h, bos.toByteArray)
+    }
   }
 }

@@ -34,6 +34,45 @@ class MediaSpec extends SparkTestBase {
     assert(frames("ref/a").forall(_.feature.length == 8))
   }
 
+  test("real image path: PNG encode → ImageIO decode round-trips every pixel") {
+    val seed = graft.text.TextAnalysis.hash32("img-test")
+    val bytes = synthPngBytes(seed, 19, 13)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 19 && img.getHeight == 13)
+    for (y <- 0 until 13; x <- 0 until 19) {
+      val (r, g, b) = synthPixel(seed, x, y)
+      assert(img.getRGB(x, y) == (0xFF << 24 | r << 16 | g << 8 | b), s"pixel ($x,$y)")
+    }
+    // stats: format sniffed, means match a direct arithmetic replay
+    val st = imageStats("img-test", bytes)
+    assert(st.format == "png" && st.width == 19 && st.height == 13)
+    val n = 19 * 13
+    val sums = (for (y <- 0 until 13; x <- 0 until 19) yield synthPixel(seed, x, y))
+      .foldLeft((0L, 0L, 0L)) { case ((a, b2, c), (r, g, b)) => (a + r, b2 + g, c + b) }
+    def mean(s: Long) =
+      BigDecimal(s.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((st.mean_r, st.mean_g, st.mean_b) == (mean(sums._1), mean(sums._2), mean(sums._3)))
+  }
+
+  test("real image path: distributed decodeStats and real resize") {
+    import spark.implicits._
+    val refs = (1 to 8).map(i => (s"img-$i", 16 + i % 17, 12 + i % 13)).toDS()
+    val stats = decodeStats(refs).collect().sortBy(_.media_ref)
+    assert(stats.length == 8 && stats.forall(s => s.format == "png" &&
+      s.mean_r >= 0 && s.mean_r <= 255))
+    // resize: dimensions follow the same integer math as resizeMeta; a
+    // constant-color image stays that color under bilinear scaling
+    val flat = new java.awt.image.BufferedImage(40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = flat.createGraphics(); g2.setColor(new java.awt.Color(10, 200, 30))
+    g2.fillRect(0, 0, 40, 20); g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flat, "png", bos)
+    val (w, h, out) = resizeImage(bos.toByteArray, 10)
+    assert(w == 10 && h == 5)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getRGB(4, 2) == (0xFF << 24 | 10 << 16 | 200 << 8 | 30))
+  }
+
   test("resize caps the long edge and preserves aspect ratio") {
     val m = MediaMeta("r", "d", "jpeg", 1600, 800, 1, 10)
     val r = resizeMeta(m, 512)
