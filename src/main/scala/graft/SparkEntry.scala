@@ -727,6 +727,21 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
+    "media_audio" -> ((s, d) => {
+      // REAL audio decode: synthetic 16-bit PCM → real WAV encode →
+      // javax.sound decode → sample statistics, oracled arithmetically
+      // (PCM in WAV is lossless)
+      import s.implicits._
+      val refs = rd(s, d, "supplier").select(
+        concat(lit("wav-"), col("s_suppkey").cast("string")).as("ref"),
+        (lit(256) + pmod(col("s_suppkey"), lit(512))).cast("int").as("n"))
+        .as[(String, Int)]
+      Media.decodeAudioStats(refs).toDF()
+        .select(col("media_ref"), col("format"), col("n_samples"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("mean_abs"), col("peak"))
+    }),
+
     "media_stub_meta" -> ((s, d) => {
       // the deterministic decode stub + resize over refs derived from part:
       // every metadata byte is md5-derived, so an independent engine can
@@ -1760,6 +1775,23 @@ object SparkEntry {
           |  round(CAST(sg::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_g,
           |  round(CAST(sb::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_b
           |FROM px""".stripMargin,
+
+      // Real audio replay: sample i = ((i*773 + seed*31) % 65536) - 32768;
+      // Spark runs WAV encode → javax.sound decode → PCM scan, the oracle
+      // computes identical sums arithmetically.
+      "media_audio" ->
+        """WITH r AS (SELECT 'wav-'||s_suppkey AS media_ref,
+          |  256 + s_suppkey%512 AS n,
+          |  ('0x'||substr(md5('wav-'||s_suppkey),1,8))::BIGINT AS seed
+          |  FROM supplier),
+          |sam AS (SELECT media_ref, n,
+          |  list_transform(range(n), i -> abs(((i*773 + seed*31) % 65536) - 32768)) AS a
+          |  FROM r)
+          |SELECT media_ref, 'wave' AS format, n::BIGINT AS n_samples,
+          |  8000::BIGINT AS sample_rate,
+          |  round(CAST(list_sum(a)::DOUBLE/n AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_abs,
+          |  list_max(a)::BIGINT AS peak
+          |FROM sam""".stripMargin,
 
       // Decode-stub replay: metadata bytes are md5(ref) bytes d0..d4,
       // parsed from the hex digest; resize is integer aspect-ratio math.

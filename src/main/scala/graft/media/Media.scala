@@ -189,6 +189,81 @@ object Media {
     })
   }
 
+  // ------------------------------------------------- real audio path -------
+  // javax.sound.sampled (also in the JDK) reads/writes WAV losslessly, so
+  // audio decode is real as well: synthetic 16-bit mono PCM → WAV encode →
+  // AudioSystem decode → sample scan, with the oracle replaying sample
+  // statistics arithmetically. Only video containers remain stubbed.
+
+  /** Deterministic synthetic 16-bit sample i for `seed`:
+    * ((i*773 + seed*31) mod 65536) - 32768 — integer math a codec-less
+    * engine replays exactly. */
+  def synthSample(seed: Long, i: Int): Int =
+    (((i * 773L + seed * 31L) % 65536L) - 32768L).toInt
+
+  /** Real WAV bytes (RIFF, 16-bit little-endian mono PCM) of `n` synthetic
+    * samples, written by the JDK encoder. */
+  def synthWavBytes(seed: Long, n: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = synthSample(seed, i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded per-clip statistics: true frame count + rate from the decoder,
+    * mean |sample| (6dp shortest-string round) and peak |sample|. */
+  final case class AudioStats(media_ref: String, format: String,
+      n_samples: Long, sample_rate: Int, mean_abs: Double, peak: Long)
+
+  /** REAL audio decode of `bytes` via AudioSystem: format sniff, PCM scan. */
+  def audioStats(ref: String, bytes: Array[Byte]): AudioStats = {
+    val fileFormat = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+        s"unexpected PCM layout for $ref")
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      var sumAbs = 0L
+      var peak = 0L
+      var i = 0
+      while (i < n) {
+        val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)).toLong
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a
+        i += 1
+      }
+      val mean = BigDecimal(sumAbs.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      AudioStats(ref, fileFormat.getType.toString.toLowerCase, n,
+        fmt.getSampleRate.toInt, mean, peak)
+    } finally in.close()
+  }
+
+  /** Distributed real audio decode over (media_ref, n_samples) specs. */
+  def decodeAudioStats(refs: Dataset[(String, Int)]): Dataset[AudioStats] = {
+    import refs.sparkSession.implicits._
+    refs.mapPartitions(_.map { case (ref, n) =>
+      val seed = graft.text.TextAnalysis.hash32(ref)
+      audioStats(ref, synthWavBytes(seed, n))
+    })
+  }
+
   /** REAL resize: cap the longer edge at `maxEdge` preserving aspect ratio
     * (same integer math as [[resizeMeta]]), bilinear Graphics2D scale,
     * re-encoded as PNG. Returns (width, height, png bytes). */

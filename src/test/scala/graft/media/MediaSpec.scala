@@ -73,6 +73,23 @@ class MediaSpec extends SparkTestBase {
     assert(back.getRGB(4, 2) == (0xFF << 24 | 10 << 16 | 200 << 8 | 30))
   }
 
+  test("real audio path: WAV encode → javax.sound decode round-trips every sample") {
+    val seed = graft.text.TextAnalysis.hash32("wav-test")
+    val n = 300
+    val bytes = synthWavBytes(seed, n)
+    val st = audioStats("wav-test", bytes)
+    assert(st.format == "wave" && st.n_samples == n && st.sample_rate == 8000)
+    val samples = (0 until n).map(i => math.abs(synthSample(seed, i)).toLong)
+    val mean = BigDecimal(samples.sum.toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(st.mean_abs == mean && st.peak == samples.max)
+    // distributed form
+    import spark.implicits._
+    val stats = decodeAudioStats(Seq(("wav-a", 256), ("wav-b", 400)).toDS()).collect()
+    assert(stats.map(s => (s.media_ref, s.n_samples)).sorted.toSeq ==
+      Seq(("wav-a", 256L), ("wav-b", 400L)))
+  }
+
   test("resize caps the long edge and preserves aspect ratio") {
     val m = MediaMeta("r", "d", "jpeg", 1600, 800, 1, 10)
     val r = resizeMeta(m, 512)
