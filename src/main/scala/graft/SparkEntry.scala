@@ -817,6 +817,49 @@ object SparkEntry {
           col("span.offset").cast("long").as("offset"))
     }),
 
+    "stream_window" -> ((s, d) => {
+      // watermarked tumbling-window aggregation, run as a REAL stream (file
+      // source → append sink): docs rendered from lineitem with event_time
+      // = epoch(2026-01-01) + k%3600s, one 'text' span per line. A sentinel
+      // doc a day later pushes the watermark past every regular window, so
+      // append mode finalizes exactly the 12 regular windows — the sentinel's
+      // own window stays in state and never emits, which the oracle replays
+      // by excluding it.
+      import org.apache.spark.sql.streaming.Trigger
+      val base = 1767225600L // 2026-01-01 00:00:00 UTC
+      val tmpPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-stream-window")
+      if (java.nio.file.Files.exists(tmpPath)) {
+        val stream = java.nio.file.Files.walk(tmpPath)
+        try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally stream.close()
+      }
+      val tmp = tmpPath.toString
+      val spanT = struct(lit("text").as("kind"),
+        concat(lit("p"), col("l_linenumber").cast("string"), lit("-"),
+          col("l_orderkey").cast("string")).as("text"),
+        lit("").as("media_ref"), col("l_linenumber").cast("int").as("offset"))
+      val regular = rd(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("doc_id"))
+        .agg(collect_list(spanT).as("spans"))
+        .select(col("doc_id").cast("string").as("doc_id"),
+          (lit(base) + pmod(col("doc_id"), lit(3600))).cast("timestamp").as("event_time"),
+          col("spans"))
+      val sentinel = s.range(1).select(lit("sentinel").as("doc_id"),
+        lit(base + 86400L).cast("timestamp").as("event_time"),
+        array(struct(lit("text").as("kind"), lit("sentinel").as("text"),
+          lit("").as("media_ref"), lit(0).as("offset"))).as("spans"))
+      regular.unionByName(sentinel).coalesce(1).write.parquet(s"$tmp/in")
+      val in = s.readStream.schema(regular.schema).parquet(s"$tmp/in")
+      graft.streaming.StreamJob.windowedMetrics(in, "10 seconds", "5 minutes")
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.read.parquet(s"$tmp/out")
+    }),
+
     "minhash_dups" -> ((s, d) => {
       Dedup.minhashDuplicates(
         rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
@@ -1775,6 +1818,18 @@ object SparkEntry {
           |  round(CAST(sg::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_g,
           |  round(CAST(sb::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_b
           |FROM px""".stripMargin,
+
+      // Streaming windowed-agg replay: tumbling 300s windows over
+      // event_time = 1767225600 + l_orderkey%3600; every regular window
+      // finalizes (the sentinel doc's watermark passes them all), the
+      // sentinel's own window never emits and is excluded here.
+      "stream_window" ->
+        """WITH sp AS (SELECT l_orderkey AS k,
+          |  'p'||l_linenumber||'-'||l_orderkey AS text FROM lineitem)
+          |SELECT ((1767225600 + k%3600)//300)*300 AS window_start,
+          |  'text' AS kind, count(*)::BIGINT AS n_spans,
+          |  sum(length(text))::BIGINT AS n_chars
+          |FROM sp GROUP BY 1, 2""".stripMargin,
 
       // Real audio replay: sample i = ((i*773 + seed*31) % 65536) - 32768;
       // Spark runs WAV encode → javax.sound decode → PCM scan, the oracle

@@ -42,6 +42,28 @@ object StreamJob {
       .start()
   }
 
+  /** Watermarked tumbling-window extraction metrics over streaming docs
+    * carrying an `event_time` timestamp column next to `spans`:
+    * (window_start epoch-seconds, kind, n_spans, n_chars).
+    *
+    * Append output mode — each window emits exactly once, when the
+    * watermark (max event time seen minus `watermarkDelay`) passes the
+    * window end; rows arriving later than the watermark are dropped from
+    * the aggregation (asserted in StreamJobSpec with a MemoryStream).
+    * Works identically on a batch DataFrame (watermark is a no-op there),
+    * which is what the DuckDB oracle replays. */
+  def windowedMetrics(docs: org.apache.spark.sql.DataFrame,
+      watermarkDelay: String = "10 seconds",
+      windowDuration: String = "5 minutes"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withWatermark("event_time", watermarkDelay)
+      .select(col("event_time"), explode(col("spans")).as("span"))
+      .groupBy(window(col("event_time"), windowDuration), col("span.kind").as("kind"))
+      .agg(count(lit(1)).as("n_spans"), sum(length(col("span.text"))).as("n_chars"))
+      .select(col("window.start").cast("long").as("window_start"), col("kind"),
+        col("n_spans"), col("n_chars"))
+  }
+
   private object Synth {
     def docSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
       import spark.implicits._

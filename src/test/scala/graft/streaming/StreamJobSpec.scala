@@ -27,6 +27,37 @@ class StreamJobSpec extends SparkTestBase {
     for ((id, spans) <- batch) assert(streamed(id) == spans, s"doc $id")
   }
 
+  test("watermarked windowed metrics: append finalization + late-data drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // (epoch seconds, span text) → docs with event_time + one text span
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF()
+      .select(col("_1").cast("timestamp").as("event_time"),
+        array(struct(lit("text").as("kind"), col("_2").as("text"),
+          lit("").as("media_ref"), lit(0).as("offset"))).as("spans"))
+    val q = StreamJob.windowedMetrics(docs, "10 seconds", "5 minutes")
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+
+    input.addData((100L, "aa"), (120L, "bbb")) // window [0,300)
+    q.processAllAvailable()
+    input.addData((700L, "c")) // watermark → 690; [0,300) and [300,600) finalize
+    q.processAllAvailable()
+    input.addData((50L, "LATE")) // before watermark 690 → dropped entirely
+    q.processAllAvailable()
+    input.addData((2000L, "flush")) // watermark → 1990; [600,900) finalizes
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("wm").as[(Long, String, Long, Long)].collect().toSet
+    // [0,300) has only the two pre-watermark rows (late row dropped);
+    // [600,900) has the 700s row; the flush row's window never finalized
+    assert(got == Set((0L, "text", 2L, 5L), (600L, "text", 1L, 1L)))
+  }
+
   test("restart with same checkpoint is a no-op (no duplicate output)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream2").toString
