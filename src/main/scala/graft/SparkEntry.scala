@@ -500,6 +500,19 @@ object SparkEntry {
     }),
 
     // -------------------------------------------------- text analysis -----
+    "repetition_stats" -> ((s, d) => {
+      // Gopher-style repetition rules over a line-structured variant of each
+      // document: 4 substring lines with one guaranteed duplicate and a
+      // doc-varying tail (corpus text has no newlines of its own)
+      val l1 = substring(col("text"), 1, 80)
+      val l2 = substring(col("text"), 41, 80)
+      val l4 = when(pmod(col("doc_id"), lit(3)) === 0, substring(col("text"), 1, 80))
+        .otherwise(substring(col("text"), 81, 80))
+      val text2 = concat_ws("\n", l1, l2, l1, l4)
+      TA.repetitionStatsDf(
+        rd(s, d, "documents").withColumn("t2", text2), "doc_id", "t2")
+    }),
+
     "pipeline_e2e" -> ((s, d) => {
       // the full training-data pipeline over one corpus, composed from the
       // individually-oracled stages: chrome-wrapped pages → boilerplate
@@ -1430,6 +1443,26 @@ object SparkEntry {
           |  round(n_link_words::DOUBLE / greatest(n_words,1), 6) AS link_density,
           |  round(n_words::DOUBLE / greatest(n_lines,1), 6) AS text_density
           |FROM w""".stripMargin,
+
+      "repetition_stats" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  substr(text,1,80) AS l1, substr(text,41,80) AS l2,
+           |  CASE WHEN doc_id%3=0 THEN substr(text,1,80) ELSE substr(text,81,80) END AS l4
+           |  FROM documents),
+           |d2 AS (SELECT doc_id, l1||chr(10)||l2||chr(10)||l1||chr(10)||l4 AS t2 FROM t),
+           |l AS (SELECT doc_id, regexp_replace(x, '^\\s+|\\s+$$', '', 'g') AS line
+           |  FROM d2, unnest(string_split(t2, chr(10))) AS u(x)),
+           |lf AS (SELECT doc_id, line FROM l WHERE line <> ''),
+           |ls AS (SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS nd FROM lf GROUP BY 1),
+           |tk AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM d2),
+           |bg AS (SELECT doc_id, toks[i+1]||' '||toks[i+2] AS b
+           |  FROM tk, unnest(range(greatest(len(toks)-1,0))) AS u(i)),
+           |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1,2),
+           |bs AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM bc GROUP BY 1)
+           |SELECT ls.doc_id, n_lines::BIGINT AS n_lines,
+           |  round(CAST((n_lines-nd)::DOUBLE/n_lines AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS dup_line_ratio,
+           |  coalesce(round(CAST(top::DOUBLE/total AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE, 0.0) AS top_bigram_ratio
+           |FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id""".stripMargin,
 
       "pipeline_e2e" ->
         s"""WITH pg AS (SELECT doc_id,

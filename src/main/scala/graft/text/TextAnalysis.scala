@@ -161,4 +161,55 @@ object TextAnalysis {
 
   def fingerprint(text: String): Long =
     hash60(if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " "))
+
+  // ------------------------------------------------- repetition signals ----
+  /** Gopher-style repetition signals per document (the classic "remove
+    * template-y pages" quality rules): duplicate-line ratio (fraction of
+    * non-empty trimmed lines that repeat an earlier line) and top-bigram
+    * ratio (occurrences of the most frequent word bigram over all bigram
+    * occurrences). Relational shape — explode, two aggregations, one join;
+    * no per-row quadratic work. Output: (id, n_lines, dup_line_ratio,
+    * top_bigram_ratio), ratios 6dp; docs with <2 tokens score 0 bigram
+    * ratio, docs with no non-empty lines are dropped (no signal). */
+  def repetitionStatsDf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = df
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .select(col(idCol),
+        regexp_replace(col("__line"), "^\\s+|\\s+$", "").as("__line"))
+      .filter(col("__line") =!= "")
+    val lineStats = lines.groupBy(idCol).agg(
+      count(lit(1)).as("n_lines"),
+      countDistinct(col("__line")).as("__n_distinct"))
+    val toksC = tokensCol(col(textCol))
+    val bigrams = df.select(col(idCol),
+      explode(when(size(toksC) < 2, array()).otherwise(
+        transform(sequence(lit(0), size(toksC) - 2),
+          i => concat_ws(" ", slice(toksC, i + 1, lit(2)))))).as("__bg"))
+    val bgStats = bigrams.groupBy(idCol, "__bg").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(max("__c").as("__top"), sum("__c").as("__total"))
+    lineStats.join(bgStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        round((col("n_lines") - col("__n_distinct")).cast("double") /
+          col("n_lines").cast("double"), 6).as("dup_line_ratio"),
+        coalesce(round(col("__top").cast("double") / col("__total").cast("double"), 6),
+          lit(0.0)).as("top_bigram_ratio"))
+  }
+
+  /** Pure twin of [[repetitionStatsDf]] for one document. */
+  def repetitionStats(text: String): Option[(Long, Double, Double)] = {
+    val lines = text.split("\n", -1).toSeq
+      .map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dup = r6((lines.size - lines.distinct.size).toDouble / lines.size)
+    val toks = tokens(text)
+    val bgRatio =
+      if (toks.size < 2) 0.0
+      else {
+        val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+        r6(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size)
+      }
+    Some((lines.size.toLong, dup, bgRatio))
+  }
 }

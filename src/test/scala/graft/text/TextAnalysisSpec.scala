@@ -74,6 +74,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(qualityScore(good) > qualityScore(bad))
   }
 
+  test("repetition stats: pure and DataFrame forms agree") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\nalpha beta\ngamma delta\n  \n"), // 1 dup of 3 lines
+      (2L, "the cat the cat the cat"), // top bigram 'the cat' 3/5... sliding
+      (3L, "unique one\nunique two"),
+      (4L, "x")).toDF("id", "t")
+    val got = TextAnalysis.repetitionStatsDf(docs, "id", "t")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val rows = Seq(
+      1L -> "alpha beta\nalpha beta\ngamma delta\n  \n",
+      2L -> "the cat the cat the cat",
+      3L -> "unique one\nunique two",
+      4L -> "x")
+    for ((id, text) <- rows) {
+      val Some((n, dup, bg)) = TextAnalysis.repetitionStats(text)
+      assert(got(id) == ((id, n, dup, bg)), s"doc $id")
+    }
+    assert(got(1L)._3 == 0.333333) // 1 duplicate line of 3
+    assert(got(2L)._4 == 0.6) // 'the cat' occurs 3x of 5 bigrams
+    assert(got(4L)._4 == 0.0) // <2 tokens → no bigram signal
+  }
+
   test("fingerprint is whitespace/case insensitive, content sensitive") {
     assert(fingerprint("Hello  World") == fingerprint("hello world"))
     assert(fingerprint(" hello world \n") == fingerprint("hello world"))
