@@ -23,7 +23,8 @@ object ExplainQuery {
     // queries whose CONSTRUCTION executes work (streaming run to completion,
     // eager candidate materialization) — audited only when named explicitly,
     // so a bare plan sweep stays side-effect-free and fast
-    val eagerConstructors = Set("stream_extract", "stream_window", "minhash_dups")
+    val eagerConstructors =
+      Set("stream_extract", "stream_window", "stream_assemble", "minhash_dups")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

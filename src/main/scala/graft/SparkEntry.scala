@@ -873,6 +873,47 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out")
     }),
 
+    "stream_assemble" -> ((s, d) => {
+      // custom-state streaming (flatMapGroupsWithState): span events from
+      // lineitem arrive one-per-row; docs assemble and run EP1 when the
+      // watermark closes their session gap (sentinel doc a day later closes
+      // every regular gap). Rows-only: semantics are asserted against the
+      // batch kernel in StreamJobSpec.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val base = 1767225600L
+      val tmpPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-stream-assemble")
+      if (java.nio.file.Files.exists(tmpPath)) {
+        val stream = java.nio.file.Files.walk(tmpPath)
+        try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally stream.close()
+      }
+      val tmp = tmpPath.toString
+      val events = rd(s, d, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey").cast("string").as("doc_id"),
+          (lit(base) + pmod(col("l_orderkey"), lit(3600))).cast("timestamp").as("event_time"),
+          lit("text").as("kind"),
+          concat(lit("\n" + "=" * 80 + "\nPAGE "), col("l_linenumber").cast("string"),
+            lit("\n" + "=" * 80 + "\nmortgagee item "),
+            col("l_partkey").cast("string")).as("text"),
+          lit("").as("media_ref"), col("l_linenumber").cast("int").as("offset"))
+      val sentinel = s.range(1).select(lit("sentinel").as("doc_id"),
+        lit(base + 86400L).cast("timestamp").as("event_time"), lit("text").as("kind"),
+        lit("flush").as("text"), lit("").as("media_ref"), lit(0).as("offset"))
+      events.unionByName(sentinel).coalesce(1).write.parquet(s"$tmp/in")
+      val in = s.readStream.schema(events.schema).parquet(s"$tmp/in")
+        .as[graft.streaming.StreamJob.SpanEvent]
+      graft.streaming.StreamJob.assembleDocs(in, gapSeconds = 30)
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+    }),
+
     "minhash_dups" -> ((s, d) => {
       Dedup.minhashDuplicates(
         rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),

@@ -64,6 +64,50 @@ object StreamJob {
         col("n_spans"), col("n_chars"))
   }
 
+  /** One span arriving as a streaming event. */
+  final case class SpanEvent(doc_id: String, event_time: java.sql.Timestamp,
+      kind: String, text: String, media_ref: String, offset: Int)
+
+  /** Per-doc assembly state: buffered spans + the latest event time seen. */
+  final case class DocState(spans: Seq[graft.model.Span], lastEventMs: Long)
+
+  /** Streaming document assembly with CUSTOM STATE
+    * (`flatMapGroupsWithState`): span events are buffered per doc_id, and
+    * when the event-time watermark passes `last span + gapSeconds` the group
+    * times out, the buffered spans are assembled into a document, the EP1
+    * extraction core runs on it, and the extracted doc is emitted exactly
+    * once (append mode). The session-gap close mirrors the lineage-commit
+    * idea at per-doc granularity: a doc emits only when provably complete
+    * under the watermark. */
+  def assembleDocs(spans: Dataset[SpanEvent], gapSeconds: Long = 30,
+      watermarkDelay: String = "10 seconds",
+      cfg: Ep1Config = Ep1Config()): Dataset[Doc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spans.sparkSession.implicits._
+    spans.withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[DocState, Doc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (docId, events, state) =>
+          if (state.hasTimedOut) {
+            val buffered = state.get.spans
+            state.remove()
+            val doc = Doc(docId, buffered.sortBy(_.offset), 0)
+            Iterator.single(doc.copy(spans = graft.pipeline.Ep1Core.process(doc, cfg)))
+          } else {
+            val prev = state.getOption
+            val evs = events.toSeq
+            val spansNow = prev.map(_.spans).getOrElse(Seq.empty) ++
+              evs.map(e => graft.model.Span(e.kind, e.text, e.media_ref, e.offset))
+            val lastMs = math.max(prev.map(_.lastEventMs).getOrElse(0L),
+              evs.map(_.event_time.getTime).max)
+            state.update(DocState(spansNow, lastMs))
+            state.setTimeoutTimestamp(lastMs + gapSeconds * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   private object Synth {
     def docSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
       import spark.implicits._

@@ -58,6 +58,40 @@ class StreamJobSpec extends SparkTestBase {
     assert(got == Set((0L, "text", 2L, 5L), (600L, "text", 1L, 1L)))
   }
 
+  test("custom state: flatMapGroupsWithState assembles docs on event-time session gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.{Doc, Span}
+    import graft.pipeline.{Ep1Config, Ep1Core}
+    import graft.segment.PageSegmenter.renderMarker
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ev(doc: String, t: Long, kind: String, text: String, off: Int) =
+      StreamJob.SpanEvent(doc, new java.sql.Timestamp(t * 1000), kind, text, "", off)
+    val aSpans = Seq(
+      Span("ocr", renderMarker(1) + "alpha $500", "", 0),
+      Span("text", renderMarker(1) + "mortgagee on file", "", 1))
+    val bSpans = Seq(Span("text", renderMarker(1) + "loss payee listed", "", 0))
+
+    val input = MemoryStream[StreamJob.SpanEvent]
+    val q = StreamJob.assembleDocs(input.toDS(), gapSeconds = 30)
+      .writeStream.format("memory").queryName("asm").outputMode("append").start()
+    input.addData(ev("A", 100, "ocr", aSpans(0).text, 0), ev("A", 101, "text", aSpans(1).text, 1))
+    q.processAllAvailable()
+    input.addData(ev("B", 500, "text", bSpans(0).text, 0)) // watermark 490 > A's 131
+    q.processAllAvailable()
+    input.addData(ev("C", 2000, "text", "flush", 0)) // watermark 1990 > B's 530
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("asm").as[Doc].collect().map(d => d.doc_id -> d.spans).toMap
+    // A and B closed their session gaps and were extracted; C's gap is open
+    assert(got.keySet == Set("A", "B"))
+    assert(got("A") == Ep1Core.process(Doc("A", aSpans, 0), Ep1Config()))
+    assert(got("B") == Ep1Core.process(Doc("B", bSpans, 0), Ep1Config()))
+    assert(got("A").nonEmpty && got("B").nonEmpty)
+  }
+
   test("restart with same checkpoint is a no-op (no duplicate output)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream2").toString
