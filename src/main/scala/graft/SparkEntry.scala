@@ -729,7 +729,10 @@ object SparkEntry {
       // oracle replays the means arithmetically; any defect in the
       // encode/decode/pixel-scan cycle breaks parity.
       import s.implicits._
-      val refs = rd(s, d, "customer").select(
+      // bounded at 3000 images: the check verifies the decode cycle, not
+      // scan throughput — without the cap the sweep would decode 10x more
+      // PNGs at every scale factor for no extra signal
+      val refs = rd(s, d, "customer").filter(col("c_custkey") <= 3000).select(
         concat(lit("img-"), col("c_custkey").cast("string")).as("ref"),
         (lit(16) + pmod(col("c_custkey"), lit(17))).cast("int").as("w"),
         (lit(12) + pmod(col("c_custkey"), lit(13))).cast("int").as("h"))
@@ -853,7 +856,9 @@ object SparkEntry {
         concat(lit("p"), col("l_linenumber").cast("string"), lit("-"),
           col("l_orderkey").cast("string")).as("text"),
         lit("").as("media_ref"), col("l_linenumber").cast("int").as("offset"))
-      val regular = rd(s, d, "lineitem")
+      // bounded: the check verifies watermark/window finalization semantics,
+      // which 20k orders exercise identically to the full table
+      val regular = rd(s, d, "lineitem").filter(col("l_orderkey") <= 20000)
         .groupBy(col("l_orderkey").as("doc_id"))
         .agg(collect_list(spanT).as("spans"))
         .select(col("doc_id").cast("string").as("doc_id"),
@@ -1881,7 +1886,7 @@ object SparkEntry {
         """WITH r AS (SELECT 'img-'||c_custkey AS media_ref,
           |  16 + c_custkey%17 AS w, 12 + c_custkey%13 AS h,
           |  ('0x'||substr(md5('img-'||c_custkey),1,8))::BIGINT AS seed
-          |  FROM customer),
+          |  FROM customer WHERE c_custkey <= 3000),
           |px AS (SELECT media_ref, w, h,
           |  list_sum(list_transform(range(w*h), i -> ((i%w)*31 + (i//w)*17 + seed) % 256)) AS sr,
           |  list_sum(list_transform(range(w*h), i -> ((i%w)*13 + (i//w)*29 + seed) % 256)) AS sg,
@@ -1899,7 +1904,8 @@ object SparkEntry {
       // sentinel's own window never emits and is excluded here.
       "stream_window" ->
         """WITH sp AS (SELECT l_orderkey AS k,
-          |  'p'||l_linenumber||'-'||l_orderkey AS text FROM lineitem)
+          |  'p'||l_linenumber||'-'||l_orderkey AS text FROM lineitem
+          |  WHERE l_orderkey <= 20000)
           |SELECT ((1767225600 + k%3600)//300)*300 AS window_start,
           |  'text' AS kind, count(*)::BIGINT AS n_spans,
           |  sum(length(text))::BIGINT AS n_chars
