@@ -19,8 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   private def session(cores: Int): SparkSession = {
+    // respect an externally-supplied master (spark-submit --master), e.g.
+    // local-cluster[n,cores,mem] for the multi-executor-JVM scaling runs;
+    // default to in-process local[cores]
+    val master = sys.props.getOrElse("spark.master", s"local[$cores]")
     val s = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
@@ -69,6 +73,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bare")) return bareMain()
     if (args.headOption.contains("scaling")) return scalingMain()
     if (args.headOption.contains("ep1")) return ep1Main()
     if (args.headOption.contains("kernel")) return kernelMain()
@@ -107,6 +112,23 @@ object Bench {
     spark.stop()
   }
 
+  /** Diagnostic: EP1 timing on a bare session (no graft configs) — isolates
+    * session-config effects when chasing cluster-mode anomalies. */
+  def bareMain(): Unit = {
+    val spark = SparkSession.builder().appName("graft-bare").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    val docs = Synth.generate(spark, nDocs, 32).cache()
+    docs.count()
+    (1 to 3).foreach { i =>
+      val s = time(ExtractJob.runTyped(docs, Ep1Config())
+        .mapPartitions(it => Iterator.single(it.map(_.spans.size.toLong).sum)).reduce(_ + _))
+      println(f"""{"metric":"bare","pass":$i,"sec":$s%.3f,"docs_per_sec":${nDocs / s}%.1f}""")
+    }
+    spark.stop()
+  }
+
   /** EP1 throughput only, at SPARK_GRAFT_CPUS cores — one measurement per
     * JVM. The scaling evidence runs this twice via separate spark-submit
     * invocations (tools/scaling_bench.sh); sharing a JVM between the two
@@ -120,6 +142,13 @@ object Bench {
     import spark.implicits._
     val docs = Synth.generate(spark, nDocs, 32).cache()
     docs.count() // materialize outside the timed region
+    if (sys.env.contains("SPARK_GRAFT_BENCH_SCAN")) {
+      // diagnostic: cache-scan-only cost (deserialize, no kernel)
+      (1 to 3).foreach { i =>
+        val s = time(docs.mapPartitions(it => Iterator.single(it.map(_.spans.size.toLong).sum)).reduce(_ + _))
+        System.err.println(f"[bench] scan-only pass $i: $s%.3f s")
+      }
+    }
     var spans = 0L
     val times = (1 to repeats).map { _ =>
       time {

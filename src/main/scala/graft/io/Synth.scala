@@ -140,6 +140,11 @@ object Synth {
   def generate(spark: SparkSession, nDocs: Long, nPartitions: Int = 16,
       seed: Long = DefaultSeed): Dataset[Doc] = {
     import spark.implicits._
-    spark.range(nDocs).map(id => mkDoc(id, nPartitions, seed))
+    // explicit numPartitions: a bare spark.range(n) infers parallelism from
+    // the cores REGISTERED at plan time — on a just-started cluster that is
+    // the 2-partition fallback, and everything downstream (including the
+    // cached corpus) then runs 2-wide forever. Content is a pure function
+    // of id, so partitioning never affects the corpus itself.
+    spark.range(0L, nDocs, 1L, nPartitions).map(id => mkDoc(id, nPartitions, seed))
   }
 }
