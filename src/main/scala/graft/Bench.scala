@@ -18,11 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
-    // respect an externally-supplied master (spark-submit --master), e.g.
+  private def session(cores: Int, masterOverride: Option[String] = None): SparkSession = {
+    // masterOverride forces a specific master (scalingMain MUST control the
+    // master per level — letting the submitted --master win there would make
+    // both levels identical and the ratio meaningless). Otherwise respect an
+    // externally-supplied master (spark-submit --master), e.g.
     // local-cluster[n,cores,mem] for the multi-executor-JVM scaling runs;
-    // default to in-process local[cores]
-    val master = sys.props.getOrElse("spark.master", s"local[$cores]")
+    // default to in-process local[cores].
+    val master = masterOverride.getOrElse(
+      sys.props.getOrElse("spark.master", s"local[$cores]"))
     val s = SparkSession.builder()
       .master(master)
       .appName("graft-bench")
@@ -47,6 +51,14 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Total span count via per-partition sums (one Long per task) — the
+    * cheap "force everything" action shared by every EP1 measurement. */
+  private def countSpans(docs: org.apache.spark.sql.Dataset[graft.model.Doc]): Long = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions(it => Iterator.single(it.map(_.spans.size.toLong).sum))
+      .reduce(_ + _)
+  }
+
   /** EP1 throughput on a fresh synthetic corpus: docs/sec and spans/sec.
     *
     * Best of `repeats` passes: a single pass is a lottery against JVM
@@ -57,16 +69,11 @@ object Bench {
     * row per span. */
   private def ep1Throughput(spark: SparkSession, nDocs: Long,
       repeats: Int = 3): (Double, Double, Double) = {
-    import spark.implicits._
     val docs = Synth.generate(spark, nDocs, 32).cache()
     docs.count() // materialize input outside the timed region
     var spans = 0L
     val sec = (1 to repeats).map { _ =>
-      time {
-        spans = ExtractJob.runTyped(docs, Ep1Config())
-          .mapPartitions(it => Iterator.single(it.map(_.spans.size.toLong).sum))
-          .reduce(_ + _)
-      }
+      time { spans = countSpans(ExtractJob.runTyped(docs, Ep1Config())) }
     }.min
     docs.unpersist()
     (sec, nDocs / sec, spans / sec)
@@ -117,13 +124,11 @@ object Bench {
   def bareMain(): Unit = {
     val spark = SparkSession.builder().appName("graft-bare").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
     val docs = Synth.generate(spark, nDocs, 32).cache()
     docs.count()
     (1 to 3).foreach { i =>
-      val s = time(ExtractJob.runTyped(docs, Ep1Config())
-        .mapPartitions(it => Iterator.single(it.map(_.spans.size.toLong).sum)).reduce(_ + _))
+      val s = time(countSpans(ExtractJob.runTyped(docs, Ep1Config())))
       println(f"""{"metric":"bare","pass":$i,"sec":$s%.3f,"docs_per_sec":${nDocs / s}%.1f}""")
     }
     spark.stop()
@@ -139,23 +144,18 @@ object Bench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "6").toInt
     val spark = session(cores)
-    import spark.implicits._
     val docs = Synth.generate(spark, nDocs, 32).cache()
     docs.count() // materialize outside the timed region
     if (sys.env.contains("SPARK_GRAFT_BENCH_SCAN")) {
       // diagnostic: cache-scan-only cost (deserialize, no kernel)
       (1 to 3).foreach { i =>
-        val s = time(docs.mapPartitions(it => Iterator.single(it.map(_.spans.size.toLong).sum)).reduce(_ + _))
+        val s = time(countSpans(docs))
         System.err.println(f"[bench] scan-only pass $i: $s%.3f s")
       }
     }
     var spans = 0L
     val times = (1 to repeats).map { _ =>
-      time {
-        spans = ExtractJob.runTyped(docs, Ep1Config())
-          .mapPartitions(it => Iterator.single(it.map(_.spans.size.toLong).sum))
-          .reduce(_ + _)
-      }
+      time { spans = countSpans(ExtractJob.runTyped(docs, Ep1Config())) }
     }.sorted
     val median = times(times.length / 2)
     val best = times.head
@@ -211,7 +211,9 @@ object Bench {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val runs = Seq(n, 4 * n).map { cores =>
-      val spark = session(cores)
+      // explicit master per level: the submitted --master must NOT win here
+      // or both levels measure the same parallelism
+      val spark = session(cores, masterOverride = Some(s"local[$cores]"))
       val (sec, dps, sps) = ep1Throughput(spark, nDocs)
       spark.stop()
       SparkSession.clearActiveSession()

@@ -28,6 +28,30 @@ object SparkEntry {
   private def rd(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-JVM temp tree for the streaming contract queries: the pid suffix
+    * makes it unique per process (concurrent Verify/Bench JVMs cannot delete
+    * each other's live checkpoints), clearing on entry keeps repeated
+    * invocations in one JVM bounded to a single tree, and a shutdown hook
+    * removes it on exit. */
+  private def clearedStreamDir(name: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-$name-${ProcessHandle.current().pid()}")
+    def rmrf(): Unit = if (java.nio.file.Files.exists(p)) {
+      val stream = java.nio.file.Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally stream.close()
+    }
+    rmrf()
+    if (cleanupRegistered.add(p.toString))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => try rmrf() catch { case _: Throwable => () }))
+    p.toString
+  }
+
   /** Flagship: EP1 extraction over the deterministic synthetic corpus —
     * typed zero-shuffle pipeline, spans exploded to rows. */
   def ep1Extract(spark: SparkSession): DataFrame = {
@@ -810,20 +834,9 @@ object SparkEntry {
 
     "stream_extract" -> ((s, _) => {
       // streaming EP1: same operator as batch, file source + AvailableNow
-      // trigger + checkpoint; result read back from the streamed sink.
-      // Fixed directory, cleared on entry — a fresh createTempDirectory per
-      // invocation would accumulate input+sink+checkpoint trees in /tmp
-      // across every Verify/Bench run
+      // trigger + checkpoint; result read back from the streamed sink
       import s.implicits._
-      val tmpPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-stream-contract")
-      if (java.nio.file.Files.exists(tmpPath)) {
-        val stream = java.nio.file.Files.walk(tmpPath)
-        try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally stream.close()
-      }
-      val tmp = tmpPath.toString
+      val tmp = clearedStreamDir("stream-contract")
       Synth.generate(s, 40, 2).toDF().write.mode("overwrite").parquet(s"$tmp/in")
       graft.streaming.StreamJob.run(s, s"$tmp/in", s"$tmp/out", s"$tmp/ck")
         .awaitTermination()
@@ -843,15 +856,7 @@ object SparkEntry {
       // by excluding it.
       import org.apache.spark.sql.streaming.Trigger
       val base = 1767225600L // 2026-01-01 00:00:00 UTC
-      val tmpPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-stream-window")
-      if (java.nio.file.Files.exists(tmpPath)) {
-        val stream = java.nio.file.Files.walk(tmpPath)
-        try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally stream.close()
-      }
-      val tmp = tmpPath.toString
+      val tmp = clearedStreamDir("stream-window")
       val spanT = struct(lit("text").as("kind"),
         concat(lit("p"), col("l_linenumber").cast("string"), lit("-"),
           col("l_orderkey").cast("string")).as("text"),
@@ -887,15 +892,7 @@ object SparkEntry {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
       val base = 1767225600L
-      val tmpPath = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-stream-assemble")
-      if (java.nio.file.Files.exists(tmpPath)) {
-        val stream = java.nio.file.Files.walk(tmpPath)
-        try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally stream.close()
-      }
-      val tmp = tmpPath.toString
+      val tmp = clearedStreamDir("stream-assemble")
       val events = rd(s, d, "lineitem").filter(col("l_orderkey") <= 2000)
         .select(col("l_orderkey").cast("string").as("doc_id"),
           (lit(base) + pmod(col("l_orderkey"), lit(3600))).cast("timestamp").as("event_time"),

@@ -203,7 +203,9 @@ object Similarity {
     val schema = StructType(Seq(df.schema(idCol), df.schema(vecCol),
       StructField("__n", DoubleType, nullable = false),
       StructField("__key", LongType, nullable = false)))
-    df.select(col(idCol), col(vecCol))
+    // null vectors are dropped, matching the Column path (rhpKeysCol
+    // evaluates to null there and explode discards the row)
+    df.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
       .mapPartitions { it =>
         it.flatMap { row =>
           val vec = row.getSeq[Float](1)

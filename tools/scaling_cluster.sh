@@ -28,6 +28,10 @@ echo "[cluster scaling raw]" >&2; cat "$TMP" >&2
 python3 - "$TMP" <<'PY'
 import json, sys
 runs = [json.loads(l) for l in open(sys.argv[1]) if l.strip().startswith('{')]
+cores_seen = sorted({r["cores"] for r in runs})
+if len(cores_seen) < 2:
+    sys.exit(f"scaling_cluster: need results from BOTH levels, got cores={cores_seen} "
+             f"({len(runs)} successful runs) — check the raw output above for launch failures")
 by = {}
 for r in runs:
     c = r["cores"]
