@@ -36,7 +36,13 @@ object Main {
     try {
       args.toList match {
         case "gen" :: n :: parts :: path :: Nil =>
+          // sortWithinPartitions before a dynamic-partition write: without
+          // it every task holds one OPEN parquet writer per partition value
+          // (parts × row-group buffers per task → heap exhaustion on small
+          // drivers); sorted, each task streams partition values one writer
+          // at a time
           Synth.generate(spark, n.toLong, parts.toInt).toDF()
+            .sortWithinPartitions("partition_id")
             .write.partitionBy("partition_id").mode("overwrite").parquet(path)
           println(s"[graft] wrote ${n} docs to $path")
         case "run" :: in :: out :: lineage :: rest =>
