@@ -1700,7 +1700,7 @@ object SparkEntry {
           |    h*4096 + list_sum(list_transform(range(12), i ->
           |      CASE WHEN round(list_sum(list_transform(range(len(embedding)), j ->
           |        embedding[j+1]::DOUBLE *
-          |          (((((h*1000003 + i*7919 + j*104729)*2654435761 + 1013904223) >> 16) % 2)*2 - 1)
+          |          (((((((h*1000003 + i*7919 + j*104729) & 2147483647))*2654435761 + 1013904223) >> 16) % 2)*2 - 1)
           |      )), 6) >= 0 THEN 1 << i ELSE 0 END)) AS key
           |  FROM e CROSS JOIN range(4) t(h)),
           |s AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,

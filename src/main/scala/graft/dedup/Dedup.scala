@@ -305,16 +305,35 @@ object Dedup {
     * candidate join per band → Hamming verify. By pigeonhole, 4 bands over a
     * 32-bit fingerprint guarantee a shared band only for pairs with Hamming
     * distance <= 3 (4 differing bits can land one per band); hence
-    * `maxHamming` is capped at 3. Larger radii need more/overlapping bands. */
+    * `maxHamming` is capped at 3. Larger radii need more/overlapping bands.
+    *
+    * `maxBucket` (default-off for oracle parity) drops band buckets holding
+    * more than that many docs before the candidate self-join — the same
+    * hot-band lever as [[minhashDuplicates]]. It matters more here: every
+    * empty/near-empty doc fingerprints to 0, so at corpus scale one fp=0
+    * band bucket degrades to O(bucket²) pairs without the cap. Pairs inside
+    * a dropped bucket remain reachable through their other 3 bands (and a
+    * whole dropped *fingerprint* group — e.g. the empty docs — is exact-dup
+    * territory, caught upstream by [[exactDuplicates]], not LSH). */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     require(maxHamming <= 3,
       "4 byte-bands only guarantee recall for Hamming distance <= 3")
     val fp = simhashFingerprints(df, idCol, textCol)
-    val banded = fp.select(col(idCol), col("fp"),
+    val bandedAll = fp.select(col(idCol), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
         b => concat(b.cast("string"), lit("|"),
           call_function("shiftright", col("fp"), b * 8).bitwiseAND(255).cast("string")))).as("band"))
+    // persisted: the typed fingerprint scan feeds both sides of the
+    // candidate self-join (plus the hot-band agg when capped). Caller
+    // releases via clearCache() after materializing (Verify/Bench do).
+    val banded = (if (maxBucket <= 0) bandedAll
+    else {
+      val hot = bandedAll.groupBy("band").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > maxBucket).select("band")
+      bandedAll.join(hot, Seq("band"), "left_anti")
+        .select(bandedAll.columns.map(col): _*)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.select(col("band"), col(idCol).as("id_a"), col("fp").as("fp_a"))
       .join(banded.select(col("band"), col(idCol).as("id_b"), col("fp").as("fp_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))

@@ -35,10 +35,17 @@ object Qc {
   }
 
   /** J4 as a DataFrame plan for when validations and requested items live in
-    * separate tables: a broadcast theta containment join (left-semi), with
-    * the head-N fallback and cap expressed by per-doc windows. `valDf` needs
-    * (docCol, nameCol, seqCol) plus payload; `reqDf` needs (docCol,
-    * reqNameCol).
+    * separate tables: a theta containment join (left-semi) on the `docCol`
+    * equi-key, with the head-N fallback and cap expressed by per-doc windows.
+    * `valDf` needs (docCol, nameCol, seqCol) plus payload; `reqDf` needs
+    * (docCol, reqNameCol).
+    *
+    * All three derived relations (`req`, `matchCount`, `reqCount`) are
+    * corpus-sized — one or more rows per document — so none is broadcast:
+    * every join here has an equality key on `docCol` and runs as a shuffle
+    * join (or whatever AQE picks at runtime). Forcing `broadcast()` on a
+    * per-document relation OOMs at corpus scale; QcSpec asserts the physical
+    * plan contains no BroadcastExchange over these sides.
     *
     * `seqCol` is the caller's stable per-doc insertion-order column (span
     * offset, file line, a row index materialized at ingest...). The reference
@@ -64,7 +71,7 @@ object Qc {
     val withNorm = valDf.withColumn("__v_norm", vNorm)
       .withColumn("__seq", col(seqCol))
     val matched = withNorm
-      .join(broadcast(req),
+      .join(req,
         withNorm(docCol) === req(docCol) && col("__v_norm") =!= "" &&
           (col("__v_norm").contains(col("__req_norm")) ||
             col("__req_norm").contains(col("__v_norm"))),
@@ -74,11 +81,11 @@ object Qc {
     // fallback: docs with requested items but zero matches take head-N
     val w = Window.partitionBy(docCol).orderBy("__seq")
     val fallback = withNorm
-      .join(broadcast(matchCount), Seq(docCol), "left_anti")
+      .join(matchCount, Seq(docCol), "left_anti")
       .withColumn("__rn", row_number().over(w))
     val capped = matched.withColumn("__rn", row_number().over(w))
       .unionByName(fallback)
-      .join(broadcast(reqCount), Seq(docCol), "inner") // no requested → empty
+      .join(reqCount, Seq(docCol), "inner") // no requested → empty
       .filter(col("__has_norm") && col("__rn") <= col("__n_req"))
     capped.drop("__v_norm", "__seq", "__rn", "__n_req", "__has_norm")
   }

@@ -145,23 +145,33 @@ object Similarity {
   // bucketing for the oracle and reruns are stable.
   // ------------------------------------------------------------------------
 
-  /** Deterministic ±1 for hyperplane (table h, bit i), dimension j. The mix
-    * stays well inside int64 (h<8, i<16, j<2^20) so ANSI Spark and DuckDB
-    * agree bit-for-bit: f = h*1000003 + i*7919 + j*104729, then an LCG step
+  /** Deterministic ±1 for hyperplane (table h, bit i), dimension j:
+    * f = (h*1000003 + i*7919 + j*104729) masked to 31 bits, then an LCG step
     * and bit 16 extracted as the sign (a bit shift, not division — Spark's
-    * `/` is double division, which loses exactness above 2^53). */
+    * `/` is double division, which loses exactness above 2^53). The 31-bit
+    * mask bounds f*2654435761 ≤ (2^31-1)·2654435761 < 2^63, so the mix
+    * provably fits int64 for ANY dimension count — without it, dims above
+    * ~33k would wrap silently in Scala while ANSI Spark and DuckDB BIGINT
+    * raise on overflow, silently diverging the three twins. The oracle SQL
+    * (`rhp_near_dup`) applies the identical mask. */
   private def mixParity(h: Int, i: Int, j: Column): Column = {
-    val f = lit(h.toLong * 1000003L + i.toLong * 7919L) + j.cast("long") * lit(104729L)
+    val f = (lit(h.toLong * 1000003L + i.toLong * 7919L) + j.cast("long") * lit(104729L))
+      .bitwiseAND(lit(0x7fffffffL))
     (shiftright(f * lit(2654435761L) + lit(1013904223L), 16) % 2) * 2 - 1
   }
 
   private def mixParity(h: Int, i: Int, j: Int): Int = {
-    val f = h.toLong * 1000003L + i.toLong * 7919L + j.toLong * 104729L
+    val f = (h.toLong * 1000003L + i.toLong * 7919L + j.toLong * 104729L) & 0x7fffffffL
     (((f * 2654435761L + 1013904223L) >> 16) % 2L).toInt * 2 - 1
   }
 
   /** One LSH key per table: bits packed little-endian plus the table id in
-    * the high bits, so keys from different tables never collide. */
+    * the high bits, so keys from different tables never collide. A null
+    * `vec` yields a null array (not all-zero-bit keys): the sign condition
+    * on a null projection would otherwise fall through `otherwise(0L)` to a
+    * valid key h·2^bits, breaking the typed≡column equivalence —
+    * [[rhpKeyRows]] drops null vectors, so the column path must too
+    * (explode discards the null array row). */
   def rhpKeysCol(vec: Column, tables: Int, bits: Int): Column = {
     val dims = sequence(lit(0), size(vec) - 1)
     val keys = (0 until tables).map { h =>
@@ -175,7 +185,7 @@ object Similarity {
       }.reduce(_ + _)
       (lit(h.toLong * (1L << bits)) + packed).cast("long")
     }
-    array(keys: _*)
+    when(vec.isNotNull, array(keys: _*))
   }
 
   /** Pure twin of [[rhpKeysCol]] for tests and the typed path. */
@@ -224,7 +234,12 @@ object Similarity {
     * before the explode. */
   def rhpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCos: Double, tables: Int = 4, bits: Int = 12): DataFrame = {
+    // persisted: the typed key computation (tables×bits dot products per
+    // row) feeds both sides of the self-join — without the persist it runs
+    // twice, once per side. Caller releases via clearCache() after
+    // materializing (Verify/Bench do), same contract as jaccardPairs.
     val keyed = rhpKeyRows(df, idCol, vecCol, tables, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("__key"), col(idCol).as("id_a"),
       col(vecCol).as("__va"), col("__n").as("__na"))
     val b = keyed.select(col("__key"), col(idCol).as("id_b"),

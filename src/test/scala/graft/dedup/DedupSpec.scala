@@ -162,4 +162,27 @@ class DedupSpec extends SparkTestBase {
     // and the capped value differs from the uncapped one (the lever is live)
     assert(j13 != jac(shSets(1L), shSets(3L)))
   }
+
+  test("simhash maxBucket caps the fp=0 empty-doc band without losing real dups") {
+    // corpus-scale failure mode: every empty/near-empty doc fingerprints to
+    // fp=0, so all its 4 band keys collide → one O(n²) band bucket. The cap
+    // must drop those buckets while identical non-empty docs still pair.
+    val skewed = (1L to 40L).map(i => (i, "")) ++
+      Seq((100L, base), (101L, base), (102L, nearDup))
+    assert(simhash32("") == 0L)
+    // uncapped: the 40 empty docs alone produce 40*39/2 = 780 pairs
+    val uncapped = simhashDuplicates(skewed.toDF("id", "text"), "id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncapped.count(p => p._1 <= 40L && p._2 <= 40L) == 780)
+    // capped: the four fp=0 band buckets hold all 40 empty docs each →
+    // dropped; the base/nearDup docs pair through their own small buckets
+    val capped = simhashDuplicates(skewed.toDF("id", "text"), "id", "text",
+      maxHamming = 3, maxBucket = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(!capped.exists(p => p._1 <= 40L && p._2 <= 40L),
+      s"empty-doc quadratic pairs must be dropped: $capped")
+    assert(capped.map(p => (p._1, p._2)).contains((100L, 101L)),
+      s"identical non-empty docs must still pair: $capped")
+    spark.catalog.clearCache() // simhashDuplicates persists its band relation
+  }
 }

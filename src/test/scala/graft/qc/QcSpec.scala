@@ -84,6 +84,29 @@ class QcSpec extends SparkTestBase {
     assert(results.head == Set(("dF", "cand00"), ("dF", "cand01"), ("dM", "Building Coverage")))
   }
 
+  test("J4 plan never forces a broadcast of the corpus-sized relations") {
+    import spark.implicits._
+    // req/matchCount/reqCount are per-document (corpus-sized) relations: a
+    // forced broadcast() hint on any of them OOMs at 100× scale. With the
+    // auto-broadcast threshold off, the static physical plan must contain no
+    // BroadcastExchange — proving every broadcast that DOES appear in
+    // production comes from AQE's runtime size estimates, never a hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val valDf = Seq(("d1", "Building Coverage", 0), ("d2", "x1", 0))
+        .toDF("doc_id", "name", "seq")
+      val reqDf = Seq(("d1", "Building"), ("d2", "theft")).toDF("doc_id", "req")
+      val plan = guardrailJoinDf(valDf, reqDf, "doc_id", "name", "req", "seq")
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan)
+      // and the join result is still correct without any broadcast
+      val got = guardrailJoinDf(valDf, reqDf, "doc_id", "name", "req", "seq")
+        .select("doc_id", "name").as[(String, String)].collect().toSet
+      assert(got == Set(("d1", "Building Coverage"), ("d2", "x1")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ------------------------------------------------------------------ J5 --
   def cert(locations: Boolean): Map[String, Any] = Map(
     "property" -> (Map(

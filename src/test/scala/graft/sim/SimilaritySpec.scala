@@ -87,6 +87,11 @@ class SimilaritySpec extends SparkTestBase {
       .select(col("id"), col("__key")).as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     for ((id, v, _) <- rows) assert(typed(id) == rhpKeys(v, 4, 12), s"typed keys of $id")
+    // a null vec yields null keys in the Column path (not valid all-zero-bit
+    // keys), matching the typed path which drops the row entirely
+    val withNull = spark.sql("SELECT CAST(null AS array<float>) AS vec")
+    assert(withNull.select(rhpKeysCol(col("vec"), 4, 12)).collect().head.isNullAt(0))
+    assert(rhpKeyRows(withNull.withColumn("id", lit(1L)), "id", "vec", 4, 12).count() == 0)
   }
 
   test("rhp near-dup: exact precision, recall vs brute-force baseline") {
