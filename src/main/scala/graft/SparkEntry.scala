@@ -441,6 +441,182 @@ object SparkEntry {
       }.toDF("c_custkey", "idx", "name", "address")
     }),
 
+    // ------------------------------------ §2.8 field-extraction battery ----
+    // Each query synthesizes deterministic policy-shaped text from customer
+    // keys (same construction replayed verbatim in the DuckDB oracle) and
+    // runs the FieldExtractors battery over it — the regexes themselves are
+    // the system under test, exercised across present/absent/alternate-form
+    // variants including every pattern alternate in the coalesce chains.
+
+    "prop_table_extract" -> ((s, d) => {
+      // traveler/qc_head.py:856-923 — the 9-coverage property table:
+      // amounts + deductibles, labelled + fallback forms, INCLUDED /
+      // ACTUAL LOSS SUSTAINED / percent-deductible alternates, missing lines
+      val k = col("c_custkey")
+      val labels = Seq(
+        "BUILDING", "BUSINESS PERSONAL PROPERTY", "BUSINESS INCOME",
+        "EQUIPMENT BREAKDOWN", "EMPLOYEE DISHONESTY", "MONEY & SECURITIES",
+        "PUMPS & CANOPY", "OUTDOOR SIGNS", "WINDSTORM OR HAIL")
+      def std(i: Int) = concat((pmod(k + i, lit(9)) + 1).cast("string"), lit(",000"))
+      def amtVal(label: String, i: Int): Column = label match {
+        case "BUSINESS INCOME" =>
+          when(pmod(k + i, lit(2)) === 0, lit("ACTUAL LOSS SUSTAINED")).otherwise(std(i))
+        case "EQUIPMENT BREAKDOWN" =>
+          when(pmod(k + i, lit(2)) === 0, lit("INCLUDED")).otherwise(std(i))
+        case _ => std(i)
+      }
+      def block(label: String, i: Int): Column = {
+        val labelled = concat(lit(s"$label AMOUNT OF INSURANCE: "),
+          amtVal(label, i), lit("\n"))
+        val amtLine =
+          if (label == "BUILDING")
+            // every 5th doc uses the unlabelled fallback form (pattern 2)
+            when(pmod(k, lit(5)) === 0, lit("BUILDING: 750,000\n"))
+              .when(pmod(k + i, lit(3)) =!= 2, labelled).otherwise(lit(""))
+          else when(pmod(k + i, lit(3)) =!= 2, labelled).otherwise(lit(""))
+        val dedVal = when(pmod(k + i, lit(5)) === 0,
+          concat((pmod(k + i, lit(3)) + 1).cast("string"), lit("%")))
+          .otherwise(concat(lit("1,"), pmod(k + i, lit(9)).cast("string"), lit("00")))
+        val dedLine = when(pmod(k + i, lit(4)) =!= 3,
+          concat(lit(s"$label DEDUCTIBLE: "), dedVal, lit("\n"))).otherwise(lit(""))
+        concat(amtLine, dedLine)
+      }
+      val text = concat(labels.zipWithIndex.map { case (l, i) => block(l, i) }: _*)
+      val covKeys = FE.PropertyCoveragePatterns.map(_._1)
+      rd(s, d, "customer").withColumn("__t", text).select(
+        k +: col("__t").as("ptext") +: covKeys.flatMap { c =>
+          Seq(FE.propertyAmount(col("__t"), c).as(s"${c}_amt"),
+            FE.propertyDeductible(col("__t"), c).as(s"${c}_ded"))
+        }: _*)
+    }),
+
+    "perils_flags" -> ((s, d) => {
+      // traveler/qc_head.py:925-937 — BASIC/BROAD/SPECIAL/REPLACEMENT COST
+      // flags; BASICALLY proves the \b word boundary holds
+      val k = col("c_custkey")
+      val text = concat(
+        when(pmod(k, lit(2)) === 0, lit("Covered Causes of Loss: BASIC\n")).otherwise(lit("")),
+        when(pmod(k, lit(4)) === 1, lit("BASICALLY unrelated words\n")).otherwise(lit("")),
+        when(pmod(k, lit(3)) === 0, lit("BROAD form applies\n")).otherwise(lit("")),
+        when(pmod(k, lit(5)) =!= 1, lit("SPECIAL causes of loss included\n")).otherwise(lit("")),
+        when(pmod(k, lit(7)) === 0, lit("valued at REPLACEMENT COST\n"))
+          .otherwise(lit("actual cash value\n")))
+      rd(s, d, "customer").withColumn("__t", text).select(k, col("__t").as("ptext"),
+        FE.perilBasic(col("__t")).as("peril_basic"),
+        FE.perilBroad(col("__t")).as("peril_broad"),
+        FE.perilSpecial(col("__t")).as("peril_special"),
+        FE.perilReplacementCost(col("__t")).as("peril_replacement_cost"))
+    }),
+
+    "insured_dba" -> ((s, d) => {
+      // traveler/qc_head.py:709-725 — named insured with DBA split: labelled
+      // + fallback patterns, multi-line capture, lowercase dba, no-insured
+      val k = col("c_custkey")
+      val ks = k.cast("string")
+      val text =
+        when(pmod(k, lit(4)) === 0,
+          concat(lit("POLICY NUMBER: POL-"), ks,
+            lit("\nNAMED INSURED: Acme Holdings "), ks, lit(" DBA: Joes Diner "), ks))
+          .when(pmod(k, lit(4)) === 1,
+            concat(lit("NAMED INSURED: Solo Corp "), ks, lit("\nSecond Line Inc")))
+          .when(pmod(k, lit(4)) === 2,
+            concat(lit("INSURED: Fallback LLC "), ks, lit(" dba Side Biz "), ks))
+          .otherwise(lit("no insured block here"))
+      rd(s, d, "customer").withColumn("__t", text).select(k,
+        FE.insuredRaw(col("__t")).as("insured_raw"),
+        FE.namedInsured(col("__t")).as("named_insured"),
+        FE.dba(col("__t")).as("dba"))
+    }),
+
+    "head_dates" -> ((s, d) => {
+      // traveler/qc_head.py:737-766 — mailing address (whitespace-collapsed,
+      // multi-line) + effective/expiration/issue dates across all alternates
+      val k = col("c_custkey")
+      val ks = k.cast("string")
+      val text = concat(
+        when(pmod(k, lit(3)) === 0,
+          concat(lit("EFFECTIVE DATE: 01/15/2025\nEXPIRATION DATE: 01/15/2026\nISSUE DATE: 12/0"),
+            (pmod(k, lit(9)) + 1).cast("string"), lit("/2024\n")))
+          .when(pmod(k, lit(3)) === 1, lit("coverage runs FROM 03/01/2025 TO 03/01/2026\n"))
+          .otherwise(lit("POLICY EXP: 07/04/2027\n")),
+        when(pmod(k, lit(2)) === 0,
+          concat(lit("MAILING ADDRESS: "), ks, lit(" Main St\nSuite 12")))
+          .otherwise(concat(lit("ADDRESS: "), ks, lit(" Oak Ave"))))
+      rd(s, d, "customer").withColumn("__t", text).select(k,
+        FE.mailingAddress(col("__t")).as("mailing_address"),
+        FE.effectiveDate(col("__t")).as("effective_date"),
+        FE.expirationDate(col("__t")).as("expiration_date"),
+        FE.issueDate(col("__t")).as("issue_date"))
+    }),
+
+    "policy_probes" -> ((s, d) => {
+      // hartford_done/llm4nano.py:212-244 + qc_head.py:822-831 — the policy
+      // text probes: aggregate-applies-per flags, Class-N amount windows
+      // (money-normalized), explicit standalone Building limit (3 layout
+      // styles, negative-lookahead exclusion of the combined form)
+      val k = col("c_custkey")
+      val text = concat(
+        when(pmod(k, lit(3)) === 0, lit("GENERAL AGGREGATE LIMIT APPLIES PER: POLICY\n"))
+          .when(pmod(k, lit(3)) === 1, lit("AGGREGATE LIMIT APPLIES PER LOCATION\n"))
+          .otherwise(lit("")),
+        when(pmod(k, lit(2)) === 0,
+          concat(lit("Class 1 rating basis\nPremium $ 12,"),
+            pmod(k, lit(10)).cast("string"), lit("00\n"))).otherwise(lit("")),
+        when(pmod(k, lit(4)) === 0, lit("Class 2 subtotal $ 9,999\n")).otherwise(lit("")),
+        when(pmod(k, lit(5)) === 0, lit("10 20 Building\nblah $ 100,000\n"))
+          .when(pmod(k, lit(5)) === 1, lit("Building\n$ 250,000\n"))
+          .when(pmod(k, lit(5)) === 2, lit("Building and Personal Property $ 400,000\n"))
+          .when(pmod(k, lit(5)) === 3, lit("Building   $300,000\n"))
+          .otherwise(lit("")))
+      rd(s, d, "customer").withColumn("__t", text).select(k,
+        FE.aggregateAppliesPer(col("__t"), "POLICY").as("agg_per_policy"),
+        FE.aggregateAppliesPer(col("__t"), "PROJECT").as("agg_per_project"),
+        FE.aggregateAppliesPer(col("__t"), "LOCATION").as("agg_per_location"),
+        FE.classAmount(col("__t"), 1).as("class1_amount"),
+        FE.classAmount(col("__t"), 2).as("class2_amount"),
+        FE.hasExplicitBuildingLimit(col("__t")).as("has_building_limit"))
+    }),
+
+    "gl_limits_tail" -> ((s, d) => {
+      // qc_head.py:783-812 — the 3 GL limit families gl_limits_extract does
+      // not cover: products-comp/op (INCLUDED alternate), personal & adv
+      // injury (null on the unmatched AND spelling), damage-to-rented (both
+      // word orders, missing line)
+      val k = col("c_custkey")
+      val text = concat(
+        lit("PRODUCTS - COMP/OP AGG $ "),
+        when(pmod(k, lit(2)) === 0, lit("2,000,000")).otherwise(lit("INCLUDED")), lit("\n"),
+        when(pmod(k, lit(3)) === 2, lit("PERSONAL AND ADVERTISING INJURY $ 500,000\n"))
+          .otherwise(lit("PERSONAL & ADV INJURY $ 1,000,000\n")),
+        when(pmod(k, lit(4)) === 3, lit(""))
+          .when(pmod(k, lit(2)) === 0, lit("DAMAGE TO RENTED PREMISES (Ea occurrence) $ 100,000\n"))
+          .otherwise(lit("DAMAGE TO PREMISES RENTED TO YOU $ 50,000\n")))
+      rd(s, d, "customer").withColumn("__t", text).select(k,
+        FE.glLimit(col("__t"), "products_completed_operations").as("products_comp_op"),
+        FE.glLimit(col("__t"), "personal_advertising_injury").as("personal_adv_injury"),
+        FE.glLimit(col("__t"), "damage_to_rented_premises").as("damage_rented"))
+    }),
+
+    "c7_items" -> ((s, d) => {
+      // C7 item-level: pumpsCanopyItems' last-key-wins slot scan + 3-level
+      // precedence returning items (llm_pl_pol_cov.py:264-321) — combined
+      // forms yield one item, level 3 yields pumps then canopy
+      import s.implicits._
+      rd(s, d, "customer").select(col("c_custkey")).as[Long].flatMap { k =>
+        val covs: Seq[(String, String)] = (k % 6) match {
+          case 0 => Seq("Building with Pumps & Canopy" -> s"$$${k}00", "Pumps" -> "shadowed")
+          case 1 => Seq("Pumps & Canopy" -> s"pc-$k", "Canopy" -> "shadowed")
+          case 2 => Seq("Pumps" -> s"p-$k", "Canopy" -> s"c-$k")
+          case 3 => Seq("Pumps" -> s"only-$k")
+          case 4 => Seq("Theft" -> "no pc coverage")
+          case _ => Seq("Pump" -> "stale", "Pumps" -> s"win-$k")
+        }
+        CC.pumpsCanopyItems(covs).zipWithIndex.map { case (it, i) =>
+          (k, i.toLong, it.name, it.value)
+        }
+      }.toDF("c_custkey", "idx", "name", "value")
+    }),
+
     "qc_compare" -> ((s, d) => {
       val o = rd(s, d, "orders")
       val certKv = o.select(col("o_orderkey").as("doc"), lit("total").as("field"),
@@ -1377,6 +1553,166 @@ object SparkEntry {
           |UNION ALL SELECT c_custkey, 1::BIGINT, 'Lender '||c_custkey, '' FROM customer WHERE c_custkey%4=0
           |UNION ALL SELECT c_custkey, 0::BIGINT, 'Sole Interest '||c_custkey,
           |  c_custkey||' Oak Ave' FROM customer WHERE c_custkey%4=1""".stripMargin,
+
+      "prop_table_extract" ->
+        """WITH t AS (SELECT c_custkey AS k,
+          |  (CASE WHEN c_custkey%5=0 THEN 'BUILDING: 750,000'||chr(10)
+          |        WHEN c_custkey%3<>2 THEN 'BUILDING AMOUNT OF INSURANCE: '||(c_custkey%9+1)||',000'||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%4<>3 THEN 'BUILDING DEDUCTIBLE: '||(CASE WHEN c_custkey%5=0 THEN (c_custkey%3+1)||'%' ELSE '1,'||(c_custkey%9)||'00' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+1)%3<>2 THEN 'BUSINESS PERSONAL PROPERTY AMOUNT OF INSURANCE: '||((c_custkey+1)%9+1)||',000'||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+1)%4<>3 THEN 'BUSINESS PERSONAL PROPERTY DEDUCTIBLE: '||(CASE WHEN (c_custkey+1)%5=0 THEN ((c_custkey+1)%3+1)||'%' ELSE '1,'||((c_custkey+1)%9)||'00' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+2)%3<>2 THEN 'BUSINESS INCOME AMOUNT OF INSURANCE: '||(CASE WHEN (c_custkey+2)%2=0 THEN 'ACTUAL LOSS SUSTAINED' ELSE ((c_custkey+2)%9+1)||',000' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+2)%4<>3 THEN 'BUSINESS INCOME DEDUCTIBLE: '||(CASE WHEN (c_custkey+2)%5=0 THEN ((c_custkey+2)%3+1)||'%' ELSE '1,'||((c_custkey+2)%9)||'00' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+3)%3<>2 THEN 'EQUIPMENT BREAKDOWN AMOUNT OF INSURANCE: '||(CASE WHEN (c_custkey+3)%2=0 THEN 'INCLUDED' ELSE ((c_custkey+3)%9+1)||',000' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+3)%4<>3 THEN 'EQUIPMENT BREAKDOWN DEDUCTIBLE: '||(CASE WHEN (c_custkey+3)%5=0 THEN ((c_custkey+3)%3+1)||'%' ELSE '1,'||((c_custkey+3)%9)||'00' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+4)%3<>2 THEN 'EMPLOYEE DISHONESTY AMOUNT OF INSURANCE: '||((c_custkey+4)%9+1)||',000'||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+4)%4<>3 THEN 'EMPLOYEE DISHONESTY DEDUCTIBLE: '||(CASE WHEN (c_custkey+4)%5=0 THEN ((c_custkey+4)%3+1)||'%' ELSE '1,'||((c_custkey+4)%9)||'00' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+5)%3<>2 THEN 'MONEY & SECURITIES AMOUNT OF INSURANCE: '||((c_custkey+5)%9+1)||',000'||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+5)%4<>3 THEN 'MONEY & SECURITIES DEDUCTIBLE: '||(CASE WHEN (c_custkey+5)%5=0 THEN ((c_custkey+5)%3+1)||'%' ELSE '1,'||((c_custkey+5)%9)||'00' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+6)%3<>2 THEN 'PUMPS & CANOPY AMOUNT OF INSURANCE: '||((c_custkey+6)%9+1)||',000'||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+6)%4<>3 THEN 'PUMPS & CANOPY DEDUCTIBLE: '||(CASE WHEN (c_custkey+6)%5=0 THEN ((c_custkey+6)%3+1)||'%' ELSE '1,'||((c_custkey+6)%9)||'00' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+7)%3<>2 THEN 'OUTDOOR SIGNS AMOUNT OF INSURANCE: '||((c_custkey+7)%9+1)||',000'||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+7)%4<>3 THEN 'OUTDOOR SIGNS DEDUCTIBLE: '||(CASE WHEN (c_custkey+7)%5=0 THEN ((c_custkey+7)%3+1)||'%' ELSE '1,'||((c_custkey+7)%9)||'00' END)||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+8)%3<>2 THEN 'WINDSTORM OR HAIL AMOUNT OF INSURANCE: '||((c_custkey+8)%9+1)||',000'||chr(10) ELSE '' END)||
+          |  (CASE WHEN (c_custkey+8)%4<>3 THEN 'WINDSTORM OR HAIL DEDUCTIBLE: '||(CASE WHEN (c_custkey+8)%5=0 THEN ((c_custkey+8)%3+1)||'%' ELSE '1,'||((c_custkey+8)%9)||'00' END)||chr(10) ELSE '' END)
+          |  AS ptext FROM customer)
+          |SELECT k AS c_custkey, ptext,
+          |  coalesce(nullif(regexp_extract(ptext,'(?i)BUILDING[^\d]*AMOUNT\s+OF\s+INSURANCE[:\s]*([0-9,]+|INCLUDED)',1),''),
+          |           nullif(regexp_extract(ptext,'(?i)BUILDING[:\s]*([0-9,]+)',1),'')) AS building_amt,
+          |  coalesce(nullif(regexp_extract(ptext,'(?i)BUILDING[^\d]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),''),
+          |           nullif(regexp_extract(ptext,'(?i)(?s)BUILDING.*?DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),'')) AS building_ded,
+          |  coalesce(nullif(regexp_extract(ptext,'(?i)BUSINESS\s+PERSONAL\s+PROPERTY[^\d]*AMOUNT\s+OF\s+INSURANCE[:\s]*([0-9,]+|INCLUDED)',1),''),
+          |           nullif(regexp_extract(ptext,'(?i)BUSINESS\s+PERSONAL\s+PROPERTY[:\s]*([0-9,]+)',1),'')) AS business_personal_property_amt,
+          |  nullif(regexp_extract(ptext,'(?i)BUSINESS\s+PERSONAL\s+PROPERTY[^\d]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),'') AS business_personal_property_ded,
+          |  coalesce(nullif(regexp_extract(ptext,'(?i)BUSINESS\s+INCOME[^\d]*AMOUNT\s+OF\s+INSURANCE[:\s]*([0-9,]+|ACTUAL\s+LOSS\s+SUSTAINED|INCLUDED)',1),''),
+          |           nullif(regexp_extract(ptext,'(?i)BUSINESS\s+INCOME[:\s]*([0-9,]+|ACTUAL\s+LOSS)',1),'')) AS business_income_amt,
+          |  nullif(regexp_extract(ptext,'(?i)BUSINESS\s+INCOME[^\d]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),'') AS business_income_ded,
+          |  nullif(regexp_extract(ptext,'(?i)EQUIPMENT\s+BREAKDOWN[^\d]*AMOUNT\s+OF\s+INSURANCE[:\s]*([0-9,]+|INCLUDED)',1),'') AS equipment_breakdown_amt,
+          |  nullif(regexp_extract(ptext,'(?i)EQUIPMENT\s+BREAKDOWN[^\d]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),'') AS equipment_breakdown_ded,
+          |  nullif(regexp_extract(ptext,'(?i)EMPLOYEE\s+DISHONESTY[^\d]*AMOUNT\s+OF\s+INSURANCE[:\s]*([0-9,]+|INCLUDED)',1),'') AS employee_dishonesty_amt,
+          |  nullif(regexp_extract(ptext,'(?i)EMPLOYEE\s+DISHONESTY[^\d]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),'') AS employee_dishonesty_ded,
+          |  nullif(regexp_extract(ptext,'(?i)MONEY\s+[&]?\s*SECURITIES[^\d]*AMOUNT\s+OF\s+INSURANCE[:\s]*([0-9,]+|INCLUDED)',1),'') AS money_securities_amt,
+          |  nullif(regexp_extract(ptext,'(?i)MONEY\s+[&]?\s*SECURITIES[^\d]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),'') AS money_securities_ded,
+          |  nullif(regexp_extract(ptext,'(?i)PUMPS\s+[&]?\s*CANOPY[^\d]*AMOUNT\s+OF\s+INSURANCE[:\s]*([0-9,]+|INCLUDED)',1),'') AS pumps_canopy_amt,
+          |  nullif(regexp_extract(ptext,'(?i)PUMPS\s+[&]?\s*CANOPY[^\d]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),'') AS pumps_canopy_ded,
+          |  nullif(regexp_extract(ptext,'(?i)OUTDOOR\s+SIGNS[^\d]*AMOUNT\s+OF\s+INSURANCE[:\s]*([0-9,]+|INCLUDED)',1),'') AS outdoor_signs_amt,
+          |  nullif(regexp_extract(ptext,'(?i)OUTDOOR\s+SIGNS[^\d]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),'') AS outdoor_signs_ded,
+          |  nullif(regexp_extract(ptext,'(?i)WINDSTORM\s+OR\s+HAIL[^\d]*AMOUNT\s+OF\s+INSURANCE[:\s]*([0-9,]+|INCLUDED)',1),'') AS windstorm_hail_amt,
+          |  nullif(regexp_extract(ptext,'(?i)WINDSTORM\s+OR\s+HAIL[^\d]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),'') AS windstorm_hail_ded
+          |FROM t""".stripMargin,
+
+      "perils_flags" ->
+        """WITH t AS (SELECT c_custkey,
+          |  (CASE WHEN c_custkey%2=0 THEN 'Covered Causes of Loss: BASIC'||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%4=1 THEN 'BASICALLY unrelated words'||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%3=0 THEN 'BROAD form applies'||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%5<>1 THEN 'SPECIAL causes of loss included'||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%7=0 THEN 'valued at REPLACEMENT COST' ELSE 'actual cash value' END)||chr(10)
+          |  AS ptext FROM customer)
+          |SELECT c_custkey, ptext,
+          |  regexp_matches(ptext,'(?i)\bBASIC\b') AS peril_basic,
+          |  regexp_matches(ptext,'(?i)\bBROAD\b') AS peril_broad,
+          |  regexp_matches(ptext,'(?i)\bSPECIAL\b') AS peril_special,
+          |  regexp_matches(ptext,'(?i)REPLACEMENT\s+COST') AS peril_replacement_cost
+          |FROM t""".stripMargin,
+
+      "insured_dba" ->
+        """WITH t AS (SELECT c_custkey,
+          |  CASE WHEN c_custkey%4=0 THEN 'POLICY NUMBER: POL-'||c_custkey||chr(10)||'NAMED INSURED: Acme Holdings '||c_custkey||' DBA: Joes Diner '||c_custkey
+          |       WHEN c_custkey%4=1 THEN 'NAMED INSURED: Solo Corp '||c_custkey||chr(10)||'Second Line Inc'
+          |       WHEN c_custkey%4=2 THEN 'INSURED: Fallback LLC '||c_custkey||' dba Side Biz '||c_custkey
+          |       ELSE 'no insured block here' END AS ptext FROM customer),
+          |r AS (SELECT c_custkey, coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)NAMED\s+INSURED[:\s]+([^\n]+(?:\n[^\n]+){0,3})',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)INSURED[:\s]+([^\n]+(?:\n[^\n]+){0,2})',1),'')) AS insured_raw
+          |  FROM t)
+          |SELECT c_custkey, insured_raw,
+          |  CASE WHEN contains(upper(trim(insured_raw)),'DBA')
+          |    THEN trim(regexp_split_to_array(trim(insured_raw),'(?i)\s+DBA\s*:?\s*')[1])
+          |    ELSE trim(insured_raw) END AS named_insured,
+          |  CASE WHEN contains(upper(trim(insured_raw)),'DBA')
+          |      AND len(regexp_split_to_array(trim(insured_raw),'(?i)\s+DBA\s*:?\s*'))>1
+          |    THEN trim(regexp_split_to_array(trim(insured_raw),'(?i)\s+DBA\s*:?\s*')[2])
+          |    END AS dba
+          |FROM r""".stripMargin,
+
+      "head_dates" ->
+        """WITH t AS (SELECT c_custkey,
+          |  (CASE WHEN c_custkey%3=0 THEN 'EFFECTIVE DATE: 01/15/2025'||chr(10)||'EXPIRATION DATE: 01/15/2026'||chr(10)||'ISSUE DATE: 12/0'||(c_custkey%9+1)||'/2024'||chr(10)
+          |        WHEN c_custkey%3=1 THEN 'coverage runs FROM 03/01/2025 TO 03/01/2026'||chr(10)
+          |        ELSE 'POLICY EXP: 07/04/2027'||chr(10) END)||
+          |  (CASE WHEN c_custkey%2=0 THEN 'MAILING ADDRESS: '||c_custkey||' Main St'||chr(10)||'Suite 12'
+          |        ELSE 'ADDRESS: '||c_custkey||' Oak Ave' END) AS ptext FROM customer)
+          |SELECT c_custkey,
+          |  regexp_replace(trim(coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)MAILING\s+ADDRESS[:\s]+([^\n]+(?:\n[^\n]+){0,2})',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)ADDRESS[:\s]+([^\n]+(?:\n[^\n]+){0,2})',1),''))),'\s+',' ','g') AS mailing_address,
+          |  coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)EFFECTIVE\s+DATE[:\s]+([0-9\/\-]+)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)FROM\s+([0-9\/\-]+)\s+TO\s+[0-9\/\-]+',1),'')) AS effective_date,
+          |  coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)EXPIRATION\s+DATE[:\s]+([0-9\/\-]+)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)POLICY\s+EXP[:\s]+([0-9\/\-]+)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)FROM\s+[0-9\/\-]+\s+TO\s+([0-9\/\-]+)',1),'')) AS expiration_date,
+          |  nullif(regexp_extract(ptext,'(?i)ISSUE\s+DATE[:\s]+([0-9\/\-]+)',1),'') AS issue_date
+          |FROM t""".stripMargin,
+
+      "policy_probes" ->
+        """WITH t AS (SELECT c_custkey,
+          |  (CASE WHEN c_custkey%3=0 THEN 'GENERAL AGGREGATE LIMIT APPLIES PER: POLICY'||chr(10)
+          |        WHEN c_custkey%3=1 THEN 'AGGREGATE LIMIT APPLIES PER LOCATION'||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%2=0 THEN 'Class 1 rating basis'||chr(10)||'Premium $ 12,'||(c_custkey%10)||'00'||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%4=0 THEN 'Class 2 subtotal $ 9,999'||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%5=0 THEN '10 20 Building'||chr(10)||'blah $ 100,000'||chr(10)
+          |        WHEN c_custkey%5=1 THEN 'Building'||chr(10)||'$ 250,000'||chr(10)
+          |        WHEN c_custkey%5=2 THEN 'Building and Personal Property $ 400,000'||chr(10)
+          |        WHEN c_custkey%5=3 THEN 'Building   $300,000'||chr(10) ELSE '' END) AS ptext
+          |  FROM customer)
+          |SELECT c_custkey,
+          |  regexp_matches(ptext,'(?is)AGGREGATE.*APPLIES\s+PER.*POLICY') AS agg_per_policy,
+          |  regexp_matches(ptext,'(?is)AGGREGATE.*APPLIES\s+PER.*PROJECT') AS agg_per_project,
+          |  regexp_matches(ptext,'(?is)AGGREGATE.*APPLIES\s+PER.*LOCATION') AS agg_per_location,
+          |  nullif(regexp_replace(coalesce(regexp_extract(ptext,'(?i)(?s)Class\s*1[\s\S]{0,200}?\$\s*([0-9,]+)',1),''),'[^0-9]','','g'),'') AS class1_amount,
+          |  nullif(regexp_replace(coalesce(regexp_extract(ptext,'(?i)(?s)Class\s*2[\s\S]{0,200}?\$\s*([0-9,]+)',1),''),'[^0-9]','','g'),'') AS class2_amount,
+          |  (c_custkey%5 IN (0,1,3)) AS has_building_limit
+          |FROM t""".stripMargin,
+      // policy_probes has_building_limit: the Spark side's negative lookahead
+      // (?!\s+and\s+Personal) is inexpressible in RE2 (DuckDB), so the oracle
+      // replays the expected flag arithmetically from the variant index —
+      // variants 0/1/3 carry a standalone Building limit, 2 the combined
+      // form, 4 none.
+
+      "gl_limits_tail" ->
+        """WITH t AS (SELECT c_custkey,
+          |  'PRODUCTS - COMP/OP AGG $ '||(CASE WHEN c_custkey%2=0 THEN '2,000,000' ELSE 'INCLUDED' END)||chr(10)||
+          |  (CASE WHEN c_custkey%3=2 THEN 'PERSONAL AND ADVERTISING INJURY $ 500,000'||chr(10)
+          |        ELSE 'PERSONAL & ADV INJURY $ 1,000,000'||chr(10) END)||
+          |  (CASE WHEN c_custkey%4=3 THEN ''
+          |        WHEN c_custkey%2=0 THEN 'DAMAGE TO RENTED PREMISES (Ea occurrence) $ 100,000'||chr(10)
+          |        ELSE 'DAMAGE TO PREMISES RENTED TO YOU $ 50,000'||chr(10) END) AS ptext
+          |  FROM customer)
+          |SELECT c_custkey,
+          |  coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)PRODUCTS\s*[-]?\s*COMP[/]?OP\s+AGG[^\$]*\$?\s*([0-9,]+|INCLUDED)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)PRODUCTS[/]?\s*COMPLETED\s+OPERATIONS[^\$]*\$?\s*([0-9,]+|INCLUDED)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)PRODUCTS[^\$]*AGGREGATE[^\$]*\$?\s*([0-9,]+|INCLUDED)',1),'')) AS products_comp_op,
+          |  coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)PERSONAL\s+[&]?\s*ADV[^\$]*INJURY[^\$]*\$?\s*([0-9,]+)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)PERSONAL\s+[&]?\s*ADVERTISING\s+INJURY[^\$]*\$?\s*([0-9,]+)',1),'')) AS personal_adv_injury,
+          |  coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)DAMAGE\s+TO\s+RENTED\s+PREMISES[^\$]*\$?\s*([0-9,]+)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)DAMAGE\s+TO\s+PREMISES\s+RENTED[^\$]*\$?\s*([0-9,]+)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)DAMAGE\s+TO\s+(?:PREMISES\s+)?RENTED[^\$]*\$?\s*([0-9,]+)',1),'')) AS damage_rented
+          |FROM t""".stripMargin,
+
+      "c7_items" ->
+        """SELECT c_custkey, 0::BIGINT AS idx, 'Building with Pumps & Canopy' AS name,
+          |  '$'||c_custkey||'00' AS value FROM customer WHERE c_custkey%6=0
+          |UNION ALL SELECT c_custkey, 0::BIGINT, 'Pumps & Canopy', 'pc-'||c_custkey FROM customer WHERE c_custkey%6=1
+          |UNION ALL SELECT c_custkey, 0::BIGINT, 'Pumps', 'p-'||c_custkey FROM customer WHERE c_custkey%6=2
+          |UNION ALL SELECT c_custkey, 1::BIGINT, 'Canopy', 'c-'||c_custkey FROM customer WHERE c_custkey%6=2
+          |UNION ALL SELECT c_custkey, 0::BIGINT, 'Pumps', 'only-'||c_custkey FROM customer WHERE c_custkey%6=3
+          |UNION ALL SELECT c_custkey, 0::BIGINT, 'Pumps', 'win-'||c_custkey FROM customer WHERE c_custkey%6=5""".stripMargin,
 
       "qc_compare" ->
         """WITH c AS (SELECT o_orderkey AS doc, 'total' AS field,
