@@ -86,6 +86,30 @@ object SparkEntry {
       .when(pmod(col("doc_id"), lit(11)) === 0, substring(col("text"), 1, 5))
       .otherwise(col("text"))
 
+  /** Rendered marker documents shared by the qc_head_meta/content contract
+    * queries: one page per (orderkey, linenumber), bodies derived from
+    * partkeys, concatenated in page order behind PAGE marker blocks. */
+  private def qcHeadDocs(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import s.implicits._
+    rd(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("page"))
+      .agg(min("l_partkey").as("pk"))
+      .select(col("k"), col("page"),
+        concat(lit("item page "), col("page").cast("string"),
+          lit(" of order "), col("k").cast("string"),
+          lit(" limit $"), pmod(col("pk"), lit(400)).cast("string"),
+          when(pmod(col("pk"), lit(7)) === 0, lit(" see EXAMPLE calculation"))
+            .otherwise(lit(""))).as("body"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (k: Long, it: Iterator[(Long, Int, String)]) =>
+        val txt = it.toSeq.sortBy(_._2)
+          .map { case (_, pg, b) => graft.segment.PageSegmenter.renderMarker(pg) + b }
+          .mkString
+        (k, txt)
+      }
+  }
+
   private val moneyVariants = Seq(
     "$1,234", "Included", "2%", "Inside $10,000 / Outside $10,000",
     "", "$ 500 ", "no digits here", "$0.00")
@@ -1162,23 +1186,7 @@ object SparkEntry {
       // over rendered marker documents; section metadata is emitted so the
       // whole cascade is arithmetically replayable by the oracle
       import s.implicits._
-      rd(s, d, "lineitem")
-        .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("page"))
-        .agg(min("l_partkey").as("pk"))
-        .select(col("k"), col("page"),
-          concat(lit("item page "), col("page").cast("string"),
-            lit(" of order "), col("k").cast("string"),
-            lit(" limit $"), pmod(col("pk"), lit(400)).cast("string"),
-            when(pmod(col("pk"), lit(7)) === 0, lit(" see EXAMPLE calculation"))
-              .otherwise(lit(""))).as("body"))
-        .as[(Long, Int, String)]
-        .groupByKey(_._1)
-        .mapGroups { (k: Long, it: Iterator[(Long, Int, String)]) =>
-          val txt = it.toSeq.sortBy(_._2)
-            .map { case (_, pg, b) => graft.segment.PageSegmenter.renderMarker(pg) + b }
-            .mkString
-          (k, txt)
-        }
+      qcHeadDocs(s, d)
         .flatMap { kt: (Long, String) =>
           graft.qc.QcHead.sectionDocument(kt._2).toSeq.sortBy(_._1).flatMap {
             case (cov, res) => res.map { case (sec, valid, _) =>
@@ -1189,6 +1197,21 @@ object SparkEntry {
           }
         }.toDF("k", "coverage", "start_page", "end_page", "page_count",
           "content_len", "valid", "n_warnings")
+    }),
+
+    "qc_head_content" -> ((s, d) => {
+      // R8 verbatim: the assembled section TEXT itself ([Match i] banners +
+      // page chunks) plus the A5 found-keyword list — qc_head_meta proves
+      // the cascade's arithmetic, this proves the bytes
+      import s.implicits._
+      qcHeadDocs(s, d)
+        .flatMap { kt: (Long, String) =>
+          graft.qc.QcHead.sectionDocument(kt._2).toSeq.sortBy(_._1).flatMap {
+            case (cov, res) => res.map { case (sec, _, found) =>
+              (kt._1, cov, sec.content, found.mkString(","))
+            }
+          }
+        }.toDF("k", "coverage", "content", "found_kw")
     }),
 
     "qc_head_sections" -> ((s, _) => {
@@ -2351,6 +2374,70 @@ object SparkEntry {
           |SELECT k, cov AS coverage, sp::BIGINT AS start_page, ep::BIGINT AS end_page,
           |  pc::BIGINT AS page_count, cl::BIGINT AS content_len,
           |  cl > 100 AS valid, nw::BIGINT AS n_warnings
+          |FROM sec, unnest(['GL','PROPERTY']) AS t(cov)""".stripMargin,
+
+      // verbatim R8 section text: same cascade as qc_head_meta, but instead
+      // of arithmetic lengths the oracle REBUILDS the assembled string —
+      // '[Match i] Page p' banners + the page chunks re-concatenated from
+      // marker+body renders in page order — and the A5 found-keyword list
+      "qc_head_content" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber::INT AS page, min(l_partkey) AS pk
+          |  FROM lineitem GROUP BY 1, 2),
+          |b0 AS (SELECT k, page, pk,
+          |  'item page '||page||' of order '||k||' limit $'||(pk%400)||
+          |  (CASE WHEN pk%7=0 THEN ' see EXAMPLE calculation' ELSE '' END) AS body FROM li),
+          |c AS (SELECT k, page, pk, 169 + length(page::VARCHAR) + length(body) AS clen FROM b0),
+          |pos AS (SELECT k, page, pk, clen,
+          |  coalesce(sum(clen) OVER (PARTITION BY k ORDER BY page
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS cum,
+          |  sum(clen) OVER (PARTITION BY k) AS total FROM c),
+          |bound AS (SELECT k, page, pk, cum+1 AS cstart,
+          |  coalesce(lead(cum+1) OVER (PARTITION BY k ORDER BY page), total) AS cend FROM pos),
+          |hits AS (SELECT k, page FROM bound WHERE pk%7 <> 0 AND pk%400 >= 200),
+          |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM bound GROUP BY 1),
+          |r0 AS (SELECT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
+          |  FROM hits h JOIN dom d ON h.k=d.k),
+          |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM r0),
+          |g AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
+          |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |  CURRENT ROW) AS grp FROM w),
+          |ranges AS (SELECT k, min(s) AS s, max(e) AS e FROM g GROUP BY k, grp),
+          |m0 AS (SELECT r.k, r.s, r.e, (r.e - r.s + 1) AS n_req FROM ranges r
+          |  WHERE EXISTS (SELECT 1 FROM bound b WHERE b.k = r.k AND b.page = r.s)),
+          |m AS (SELECT k, s, e, n_req, row_number() OVER (PARTITION BY k ORDER BY s) AS idx FROM m0),
+          |avail AS (SELECT m.k, m.idx, m.s, m.n_req, b.page, b.cend,
+          |  row_number() OVER (PARTITION BY m.k, m.idx ORDER BY b.page) AS arn,
+          |  count(*) OVER (PARTITION BY m.k, m.idx) AS cnt
+          |  FROM m JOIN bound b ON b.k = m.k AND b.page >= m.s),
+          |ends AS (SELECT k, idx, s, n_req, cnt,
+          |  max(CASE WHEN arn = least(cnt, n_req) THEN page END) AS end_page,
+          |  max(CASE WHEN arn = least(cnt, n_req) THEN cend END) AS end_char
+          |  FROM avail GROUP BY 1, 2, 3, 4, 5),
+          |ml AS (SELECT e.k, e.idx, e.s AS start_page, e.end_page,
+          |  bs.cstart AS start_char, e.end_char
+          |  FROM ends e JOIN bound bs ON bs.k=e.k AND bs.page=e.s),
+          |chunks AS (SELECT m.k, m.idx, m.start_page,
+          |  -- the slice starts AT the marker bar (the P1 match start, one
+          |  -- char past the block's leading newline) and, when a further
+          |  -- page follows, ends one char INTO its block (its leading
+          |  -- newline) — hence the substr(...,2) and the trailing chr(10)
+          |  substr(string_agg(chr(10)||repeat('=',80)||chr(10)||'PAGE '||b.page||chr(10)||
+          |    repeat('=',80)||chr(10)||b.body, '' ORDER BY b.page), 2)||
+          |  (CASE WHEN m.end_page < dd.mx THEN chr(10) ELSE '' END) AS chunk
+          |  FROM ml m JOIN dom dd ON dd.k=m.k
+          |  JOIN b0 b ON b.k=m.k AND b.page BETWEEN m.start_page AND m.end_page
+          |  WHERE m.end_char > m.start_char
+          |  GROUP BY m.k, m.idx, m.start_page, m.end_page, dd.mx),
+          |sec AS (SELECT k, string_agg(
+          |    chr(10)||chr(10)||repeat('=',80)||chr(10)||'[Match '||idx||'] Page '||start_page||
+          |    chr(10)||repeat('=',80)||chr(10)||chr(10)||chunk, '' ORDER BY idx) AS content
+          |  FROM chunks GROUP BY k)
+          |SELECT k, cov AS coverage, content,
+          |  coalesce(array_to_string(list_filter(
+          |    CASE WHEN cov='GL' THEN ['limit','aggregate','occurrence']
+          |         ELSE ['building','property','coverage'] END,
+          |    x -> contains(lower(content), x)), ','), '') AS found_kw
           |FROM sec, unnest(['GL','PROPERTY']) AS t(cov)""".stripMargin,
 
       // P1 replayed arithmetically: each rendered chunk is a fixed-width
