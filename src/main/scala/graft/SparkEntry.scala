@@ -110,6 +110,33 @@ object SparkEntry {
       }
   }
 
+  /** Span documents shared by the ep2_* contract queries: per order, an
+    * unmarked ocr preamble (exercises the page-1 default), then per page a
+    * marker-headed text span, an unmarked ocr span (inherits the page via
+    * forward-fill), and on every 3rd page an unmarked table span. */
+  private def ep2Docs(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Doc] = {
+    import s.implicits._
+    import graft.model.{Kind, Span}
+    rd(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("p"))
+      .agg(min(pmod(col("l_partkey"), lit(1000))).as("b"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k: Long, it: Iterator[(Long, Int, Long)]) =>
+        val rows = it.toSeq.sortBy(_._2)
+        val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+        spans += Span(Kind.Ocr, s"preamble of doc $k", null, 0)
+        for ((_, p, b) <- rows) {
+          spans += Span(Kind.Text,
+            graft.segment.PageSegmenter.renderMarker(p) + s"text body $b of page $p",
+            null, p * 10 + 1)
+          spans += Span(Kind.Ocr, s"ocr body $b page $p", null, p * 10 + 2)
+          if (p % 3 == 0) spans += Span(Kind.Table, s"r1|$b\nr2|${b + 1}", null, p * 10 + 3)
+        }
+        Doc(k.toString, spans.toSeq, (k % 8).toInt)
+      }
+  }
+
   private val moneyVariants = Seq(
     "$1,234", "Included", "2%", "Inside $10,000 / Outside $10,000",
     "", "$ 500 ", "no digits here", "$0.00")
@@ -641,6 +668,29 @@ object SparkEntry {
       }.toDF("c_custkey", "idx", "name", "value")
     }),
 
+    "ep2_page_relation" -> ((s, d) => {
+      // EP2 pageRelation over real span docs: marker page extraction,
+      // forward-fill of page identity across unmarked spans (window over
+      // offset order), page-1 default before the first marker, marker strip
+      // + trim — one row per (kind, span), all three kinds
+      val docs = ep2Docs(s, d)
+      graft.pipeline.CertJob.ReferenceOrder
+        .map(kind => graft.pipeline.CertJob.pageRelation(docs, kind)
+          .withColumn("kind", lit(kind)))
+        .reduce(_ unionByName _)
+        .select(col("doc_id"), col("kind"), col("page").cast("long").as("page"),
+          col("text"))
+    }),
+
+    "ep2_tables_output" -> ((s, d) => {
+      // S12 — structured-tables side output (cert_extract_gl.py:214-220):
+      // table spans split into rows, page identity from the forward-fill
+      graft.pipeline.CertJob.tablesSideOutput(ep2Docs(s, d))
+        .select(col("doc_id"), col("page").cast("long").as("page"),
+          posexplode(col("rows")).as(Seq("ri", "tr")))
+        .select(col("doc_id"), col("page"), col("ri").cast("long").as("ri"), col("tr"))
+    }),
+
     "qc_compare" -> ((s, d) => {
       val o = rd(s, d, "orders")
       val certKv = o.select(col("o_orderkey").as("doc"), lit("total").as("field"),
@@ -1030,6 +1080,25 @@ object SparkEntry {
       Media.resize(meta, 256).toDF()
         .select(col("media_ref"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+    }),
+
+    "media_video_frames" -> ((s, d) => {
+      // REAL video-frame decode: synthetic frames → PNG-frame container
+      // (GPNG) encode → container parse → evenly-spaced frame sampling →
+      // ImageIO decode of only the sampled frames → per-frame channel means.
+      // Lossless frames make the oracle an exact arithmetic replay; bounded
+      // at 600 clips (the check verifies the decode cycle, not throughput)
+      import s.implicits._
+      val refs = rd(s, d, "customer").filter(col("c_custkey") <= 600).select(
+        concat(lit("vid-"), col("c_custkey").cast("string")).as("ref"),
+        (lit(1) + pmod(col("c_custkey"), lit(10))).cast("int").as("nf"),
+        (lit(8) + pmod(col("c_custkey"), lit(9))).cast("int").as("w"),
+        (lit(6) + pmod(col("c_custkey"), lit(7))).cast("int").as("h"))
+        .as[(String, Int, Int, Int)]
+      Media.decodeVideoFrames(refs, 4).toDF()
+        .select(col("media_ref"), col("frame_index").cast("long").as("frame_index"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
     "stream_extract" -> ((s, _) => {
@@ -1737,6 +1806,48 @@ object SparkEntry {
           |UNION ALL SELECT c_custkey, 0::BIGINT, 'Pumps', 'only-'||c_custkey FROM customer WHERE c_custkey%6=3
           |UNION ALL SELECT c_custkey, 0::BIGINT, 'Pumps', 'win-'||c_custkey FROM customer WHERE c_custkey%6=5""".stripMargin,
 
+      "ep2_page_relation" ->
+        """WITH pg AS (SELECT l_orderkey AS k, l_linenumber::INT AS p, min(l_partkey%1000) AS b
+          |  FROM lineitem GROUP BY 1, 2),
+          |spans AS (
+          |  SELECT k, 'ocr' AS kind, 'preamble of doc '||k AS text, 0 AS off
+          |    FROM (SELECT DISTINCT k FROM pg)
+          |  UNION ALL SELECT k, 'text', chr(10)||repeat('=',80)||chr(10)||'PAGE '||p||chr(10)||
+          |    repeat('=',80)||chr(10)||'text body '||b||' of page '||p, p*10+1 FROM pg
+          |  UNION ALL SELECT k, 'ocr', 'ocr body '||b||' page '||p, p*10+2 FROM pg
+          |  UNION ALL SELECT k, 'table', 'r1|'||b||chr(10)||'r2|'||(b+1), p*10+3 FROM pg WHERE p%3=0),
+          |m AS (SELECT k, kind, text, off,
+          |  try_cast(nullif(regexp_extract(text,'^\s*={50,}\s*\n(?:PAGE|Page)\s+([0-9]+)\s*\n={50,}\n?',1),'') AS INT) AS mpage
+          |  FROM spans),
+          |filled AS (SELECT k, kind, text, off,
+          |  coalesce(last_value(mpage IGNORE NULLS) OVER (PARTITION BY k ORDER BY off
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS page FROM m)
+          |SELECT k::VARCHAR AS doc_id, kind, page::BIGINT AS page,
+          |  regexp_replace(regexp_replace(text,'^\s*={50,}\s*\n(?:PAGE|Page)\s+([0-9]+)\s*\n={50,}\n?',''),
+          |    '^\s+|\s+$','','g') AS text
+          |FROM filled""".stripMargin,
+
+      "ep2_tables_output" ->
+        """WITH pg AS (SELECT l_orderkey AS k, l_linenumber::INT AS p, min(l_partkey%1000) AS b
+          |  FROM lineitem GROUP BY 1, 2),
+          |spans AS (
+          |  SELECT k, 'ocr' AS kind, 'preamble of doc '||k AS text, 0 AS off
+          |    FROM (SELECT DISTINCT k FROM pg)
+          |  UNION ALL SELECT k, 'text', chr(10)||repeat('=',80)||chr(10)||'PAGE '||p||chr(10)||
+          |    repeat('=',80)||chr(10)||'text body '||b||' of page '||p, p*10+1 FROM pg
+          |  UNION ALL SELECT k, 'ocr', 'ocr body '||b||' page '||p, p*10+2 FROM pg
+          |  UNION ALL SELECT k, 'table', 'r1|'||b||chr(10)||'r2|'||(b+1), p*10+3 FROM pg WHERE p%3=0),
+          |m AS (SELECT k, kind, text, off,
+          |  try_cast(nullif(regexp_extract(text,'^\s*={50,}\s*\n(?:PAGE|Page)\s+([0-9]+)\s*\n={50,}\n?',1),'') AS INT) AS mpage
+          |  FROM spans),
+          |filled AS (SELECT k, kind, text, off,
+          |  coalesce(last_value(mpage IGNORE NULLS) OVER (PARTITION BY k ORDER BY off
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS page FROM m),
+          |tt AS (SELECT k, page, string_split(text, chr(10)) AS parts
+          |  FROM filled WHERE kind='table')
+          |SELECT k::VARCHAR AS doc_id, page::BIGINT AS page, i-1 AS ri, parts[i] AS tr
+          |FROM tt, unnest(generate_series(1, len(parts))) AS u(i)""".stripMargin,
+
       "qc_compare" ->
         """WITH c AS (SELECT o_orderkey AS doc, 'total' AS field,
           |  regexp_replace('$'||CAST(round(o_totalprice*100) AS BIGINT),'[^0-9]','','g') AS certificate FROM orders),
@@ -2321,6 +2432,31 @@ object SparkEntry {
           |SELECT media_ref, frame_index,
           |  upper(substr(md5(media_ref||'#'||frame_index),1,16)) AS feature_hex
           |FROM idx""".stripMargin,
+
+      // real GPNG container decode: the oracle replays each SAMPLED frame's
+      // channel means arithmetically (frame f of seed s is the synthPixel
+      // image of s+f; PNG frames are lossless so any defect in the
+      // encode/parse/seek/decode cycle breaks parity)
+      "media_video_frames" ->
+        """WITH r AS (SELECT 'vid-'||c_custkey AS media_ref,
+          |  1 + c_custkey%10 AS nf, 8 + c_custkey%9 AS w, 6 + c_custkey%7 AS h,
+          |  ('0x'||substr(md5('vid-'||c_custkey),1,8))::BIGINT AS seed
+          |  FROM customer WHERE c_custkey <= 600),
+          |n AS (SELECT media_ref, nf, w, h, seed, least(4, nf) AS n FROM r),
+          |f0 AS (SELECT media_ref, nf, n, w, h, seed, unnest(range(n)) AS i FROM n),
+          |f AS (SELECT media_ref, w, h,
+          |  (CASE WHEN n=1 THEN 0 ELSE (i*(nf-1))//(n-1) END)::BIGINT AS frame_index,
+          |  seed + (CASE WHEN n=1 THEN 0 ELSE (i*(nf-1))//(n-1) END) AS fseed FROM f0),
+          |px AS (SELECT media_ref, frame_index, w, h,
+          |  list_sum(list_transform(range(w*h), i -> ((i%w)*31 + (i//w)*17 + fseed) % 256)) AS sr,
+          |  list_sum(list_transform(range(w*h), i -> ((i%w)*13 + (i//w)*29 + fseed) % 256)) AS sg,
+          |  list_sum(list_transform(range(w*h), i -> ((i%w)*7  + (i//w)*43 + fseed) % 256)) AS sb
+          |  FROM f)
+          |SELECT media_ref, frame_index, w::BIGINT AS width, h::BIGINT AS height,
+          |  round(CAST(sr::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_r,
+          |  round(CAST(sg::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_g,
+          |  round(CAST(sb::DOUBLE/(w*h) AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS mean_b
+          |FROM px""".stripMargin,
 
       // EP3 metadata replay: P1 boundaries arithmetically (as p1_boundaries),
       // F1 hits from the body construction, R1 islands (as islands_merge),

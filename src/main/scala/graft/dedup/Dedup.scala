@@ -315,15 +315,19 @@ object Dedup {
     * a dropped bucket remain reachable through their other 3 bands (and a
     * whole dropped *fingerprint* group — e.g. the empty docs — is exact-dup
     * territory, caught upstream by [[exactDuplicates]], not LSH). */
+  /** One row per (id, fp, band): the 4 byte-band keys of each SimHash
+    * fingerprint — the banded relation [[simhashDuplicates]] self-joins. */
+  def simhashBandRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFingerprints(df, idCol, textCol).select(col(idCol), col("fp"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => concat(b.cast("string"), lit("|"),
+          call_function("shiftright", col("fp"), b * 8).bitwiseAND(255).cast("string")))).as("band"))
+
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     require(maxHamming <= 3,
       "4 byte-bands only guarantee recall for Hamming distance <= 3")
-    val fp = simhashFingerprints(df, idCol, textCol)
-    val bandedAll = fp.select(col(idCol), col("fp"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => concat(b.cast("string"), lit("|"),
-          call_function("shiftright", col("fp"), b * 8).bitwiseAND(255).cast("string")))).as("band"))
+    val bandedAll = simhashBandRows(df, idCol, textCol)
     // persisted: the typed fingerprint scan feeds both sides of the
     // candidate self-join (plus the hot-band agg when capped). Caller
     // releases via clearCache() after materializing (Verify/Bench do).

@@ -14,11 +14,15 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *    [[imageStats]], [[decodeStats]], [[resizeImage]], with deterministic
   *    synthetic PNGs ([[synthPngBytes]]) so the DuckDB oracle can replay
   *    decoded pixel statistics arithmetically.
-  *  - video/audio containers have no JDK codec and use the deterministic
-  *    STUB ([[decodeStub]]): bytes and metadata derive from md5 of the
-  *    media_ref, so the pipeline around the decoder — schema, batching,
-  *    partitioning, joins back to documents — is real and testable, and the
-  *    fake swaps for a real codec without touching the plumbing.
+  *  - AUDIO decodes for real via javax.sound (WAV/PCM), and VIDEO frame
+  *    sampling decodes for real via a PNG-frame container ([[synthVideoBytes]]
+  *    / [[videoFrameStats]]: length-prefixed ImageIO frames, seek + decode
+  *    only the sampled ones). Only true container formats the JDK cannot
+  *    read (mp4/webm) use the deterministic STUB ([[decodeStub]]): bytes and
+  *    metadata derive from md5 of the media_ref, so the pipeline around the
+  *    decoder — schema, batching, partitioning, joins back to documents — is
+  *    real and testable, and the fake swaps for a real codec without
+  *    touching the plumbing.
   */
 object Media {
 
@@ -261,6 +265,80 @@ object Media {
     refs.mapPartitions(_.map { case (ref, n) =>
       val seed = graft.text.TextAnalysis.hash32(ref)
       audioStats(ref, synthWavBytes(seed, n))
+    })
+  }
+
+  // ------------------------------------------------- real video path -------
+  // The JDK has no video codec, but a CONTAINER of PNG frames decodes for
+  // real on both sides of the boundary: the encoder writes a length-prefixed
+  // frame stream ("GPNG" magic, int32 frame count, then per frame an int32
+  // length + the PNG bytes) and the decoder parses the container, walks to
+  // the sampled frame offsets, and ImageIO-decodes ONLY the sampled frames —
+  // the seek-then-decode shape of a real frame sampler. [[decodeStub]] now
+  // remains only for true container formats the JDK cannot read (mp4/webm).
+
+  /** Real container bytes for the synthetic `seed` video: frame f's pixels
+    * are the [[synthPixel]] image of seed+f, so a codec-less engine (the
+    * DuckDB oracle) replays any sampled frame's statistics arithmetically. */
+  def synthVideoBytes(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GPNG")
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val png = synthPngBytes(seed + f, w, h)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** One REAL-decoded sampled frame of a video container. */
+  final case class VideoFrameStats(media_ref: String, frame_index: Int,
+      width: Int, height: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL container decode: parse the GPNG header, sample up to `k` evenly
+    * spaced frame indices (the same spacing rule as [[sampleFrames]]), skip
+    * unsampled frames by their length prefix, ImageIO-decode the sampled
+    * ones, and emit per-frame channel statistics. */
+  def videoFrameStats(ref: String, bytes: Array[Byte], k: Int): Seq[VideoFrameStats] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](4); in.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GPNG", s"not a GPNG container: $ref")
+    val nFrames = in.readInt()
+    val n = math.min(k, nFrames)
+    val sampled = (0 until n).map(i =>
+      if (n == 1) 0 else (i.toLong * (nFrames - 1) / (n - 1)).toInt)
+    val want = sampled.toSet
+    val byIdx = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+    var f = 0
+    while (f < nFrames) {
+      val len = in.readInt()
+      if (want(f)) {
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        byIdx(f) = buf
+      } else in.skipNBytes(len.toLong)
+      f += 1
+    }
+    sampled.map { idx =>
+      val st = imageStats(ref, byIdx(idx))
+      VideoFrameStats(ref, idx, st.width, st.height, st.mean_r, st.mean_g, st.mean_b)
+    }
+  }
+
+  /** Distributed real video-frame decode over (media_ref, n_frames, w, h)
+    * specs: per-partition synth → GPNG-encode → container-parse → ImageIO
+    * frame decode. Narrow, no shuffle; the mapPartitions boundary is where a
+    * production demuxer holds its per-executor context. */
+  def decodeVideoFrames(refs: Dataset[(String, Int, Int, Int)], k: Int): Dataset[VideoFrameStats] = {
+    import refs.sparkSession.implicits._
+    refs.mapPartitions(_.flatMap { case (ref, nf, w, h) =>
+      val seed = graft.text.TextAnalysis.hash32(ref)
+      videoFrameStats(ref, synthVideoBytes(seed, nf, w, h), k)
     })
   }
 

@@ -90,6 +90,33 @@ class MediaSpec extends SparkTestBase {
       Seq(("wav-a", 256L), ("wav-b", 400L)))
   }
 
+  test("real video path: GPNG container encode → seek → frame decode") {
+    val seed = graft.text.TextAnalysis.hash32("vid-test")
+    val bytes = synthVideoBytes(seed, nFrames = 10, w = 12, h = 8)
+    val frames = videoFrameStats("vid-test", bytes, k = 4)
+    // 4 evenly spaced of 10: 0, 3, 6, 9 — decode skips the other 6 frames
+    assert(frames.map(_.frame_index) == Seq(0, 3, 6, 9))
+    // each decoded frame's means equal the pure synthPixel replay of seed+f
+    for (f <- frames) {
+      val px = for (y <- 0 until 8; x <- 0 until 12) yield synthPixel(seed + f.frame_index, x, y)
+      def mean(sel: ((Int, Int, Int)) => Int): Double =
+        BigDecimal(px.map(sel).sum.toDouble / px.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f.width == 12 && f.height == 8)
+      assert(f.mean_r == mean(_._1) && f.mean_g == mean(_._2) && f.mean_b == mean(_._3),
+        s"frame ${f.frame_index}")
+    }
+    // single-frame container samples only index 0; bad magic rejected
+    assert(videoFrameStats("one", synthVideoBytes(1L, 1, 4, 4), 4).map(_.frame_index) == Seq(0))
+    intercept[IllegalArgumentException] {
+      videoFrameStats("bad", "nope".getBytes ++ Array[Byte](0, 0, 0, 0), 4)
+    }
+    // distributed form
+    import spark.implicits._
+    val got = decodeVideoFrames(Seq(("v1", 5, 8, 6), ("v2", 1, 8, 6)).toDS(), 4).collect()
+    assert(got.count(_.media_ref == "v1") == 4 && got.count(_.media_ref == "v2") == 1)
+  }
+
   test("resize caps the long edge and preserves aspect ratio") {
     val m = MediaMeta("r", "d", "jpeg", 1600, 800, 1, 10)
     val r = resizeMeta(m, 512)
