@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Main gen <nDocs> <nPartitions> <inputPath>
   *   graft.Main run <inputPath> <outputPath> <lineagePath> [commitBatch]
   *   graft.Main strip <inputPath> <outputPath> <lineagePath> [commitBatch]
+  *   graft.Main dedup <inputPath> <outputPath> [minJ] [maxDf] [maxBucket]
   *
   * `run` is resumable: partitions already present in the lineage table are
   * skipped (left-anti join), so re-submitting a killed job completes exactly
@@ -60,9 +61,27 @@ object Main {
           println(s"[graft] boilerplate strip: processed ${rows.length} partitions this run " +
             s"(docs=${rows.map(_.docs_in).sum}, content spans=${rows.map(_.spans_out).sum}); " +
             s"lineage now has $committed committed partitions")
+        case "dedup" :: in :: out :: rest =>
+          // corpus near-dup pairs over a (doc_id, text) table with the skew
+          // caps ON (DedupJob defaults) and the drops logged — the
+          // production MinHash/LSH path, drivable end-to-end
+          val minJ = rest.headOption.map(_.toDouble).getOrElse(0.5)
+          val caps = graft.pipeline.DedupJob.Caps(
+            maxDf = rest.lift(1).map(_.toInt).getOrElse(10000),
+            maxBucket = rest.lift(2).map(_.toInt).getOrElse(10000))
+          val docs = spark.read.parquet(in).select("doc_id", "text")
+          val (pairs, drops) = graft.pipeline.DedupJob.minhashNearDuplicates(
+            docs, "doc_id", "text", minJ = minJ, caps = caps)
+          pairs.write.mode("overwrite").parquet(out)
+          val n = spark.read.parquet(out).count()
+          spark.catalog.clearCache() // release the LSH operators' persisted relations
+          println(s"[graft] dedup: wrote $n near-dup pairs to $out " +
+            s"(minJ=$minJ, dropped hot shingles=${drops.hot_shingles}, " +
+            s"hot buckets=${drops.hot_buckets})")
         case _ =>
           System.err.println("usage: graft.Main gen <nDocs> <nPartitions> <path> | " +
-            "run <in> <out> <lineage> [commitBatch] | strip <in> <out> <lineage> [commitBatch]")
+            "run <in> <out> <lineage> [commitBatch] | strip <in> <out> <lineage> [commitBatch] | " +
+            "dedup <in> <out> [minJ] [maxDf] [maxBucket]")
           sys.exit(2)
       }
     } finally spark.stop()
