@@ -925,6 +925,17 @@ object SparkEntry {
         .select(col("query_id"), col("predicted_label").cast("long").as("predicted_label"))
     }),
 
+    "ivf_topk" -> ((s, d) => {
+      // IVF-Flat ANN: coarse quantizer trained on the corpus (hash-ordered
+      // seeds + 1 Lloyd step — RNG-free, so the oracle replays training),
+      // candidates indexed by typed argmin scan, queries probe 2 cells
+      val e = rd(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 8, nProbe = 2, iters = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+    }),
+
     "f3_loose_dollar" -> ((s, d) => {
       val text = concat(lit("ref "), (col("l_partkey") * 37).cast("string"),
         lit(" amount $"), pmod(col("l_suppkey"), lit(10)).cast("string"))
@@ -2215,6 +2226,59 @@ object SparkEntry {
           |votes AS (SELECT query_id, label, count(*) AS v FROM topk GROUP BY 1,2)
           |SELECT query_id, label::BIGINT AS predicted_label FROM votes
           |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY v DESC, label) = 1""".stripMargin,
+
+      // full IVF training replay: hash-ordered seeds -> Lloyd assignment
+      // (6dp cosine, smaller-cell tie-break) -> per-dimension 6dp means ->
+      // candidate index + 2-cell probe + exact rescore
+      "ivf_topk" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |seeds AS (
+          |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+          |         embedding AS c
+          |  FROM e
+          |  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 8),
+          |a0 AS (
+          |  SELECT e.vec_id, e.embedding, s.cell,
+          |    round(list_sum(list_transform(list_zip(e.embedding, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |      / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |       * sqrt(list_sum(list_transform(list_zip(s.c, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |  FROM e CROSS JOIN seeds s),
+          |asg AS (
+          |  SELECT vec_id, embedding, cell FROM a0
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) = 1),
+          |cm AS (
+          |  SELECT cell, unnest(range(len(embedding))) AS pos,
+          |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
+          |  FROM asg),
+          |cents AS (
+          |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+          |    SELECT cell, pos, round(avg(x), 6) AS m FROM cm GROUP BY 1, 2)
+          |  GROUP BY cell),
+          |casg AS (
+          |  SELECT neighbor_id, ce, cell FROM (
+          |    SELECT e.vec_id AS neighbor_id, e.embedding AS ce, c.cell,
+          |      round(list_sum(list_transform(list_zip(e.embedding, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |        / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |         * sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |    FROM e CROSS JOIN cents c)
+          |  QUALIFY row_number() OVER (PARTITION BY neighbor_id ORDER BY cs DESC, cell) = 1),
+          |probe AS (
+          |  SELECT query_id, qe, cell FROM (
+          |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+          |      round(list_sum(list_transform(list_zip(q.embedding, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |        / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |         * sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |    FROM e q CROSS JOIN cents c WHERE q.vec_id < 5)
+          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell) <= 2),
+          |s AS (
+          |  SELECT p.query_id, ca.neighbor_id,
+          |    round(list_sum(list_transform(list_zip(p.qe, ca.ce), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |      / (sqrt(list_sum(list_transform(list_zip(p.qe, p.qe), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |       * sqrt(list_sum(list_transform(list_zip(ca.ce, ca.ce), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
+          |  FROM probe p JOIN casg ca USING (cell) WHERE ca.neighbor_id <> p.query_id)
+          |SELECT query_id, neighbor_id, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
+          |FROM s QUALIFY rnk <= 10""".stripMargin,
 
       "f3_loose_dollar" ->
         """WITH t AS (SELECT l_orderkey, l_linenumber::BIGINT AS page,

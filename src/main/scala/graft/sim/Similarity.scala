@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -264,5 +264,144 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("__label"))
     votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("query_id"), col("__label").as("predicted_label"))
+  }
+
+  // ------------------------------------------------------------------------
+  // IVF-Flat — the trained-coarse-quantizer ANN path. Where the sign bucket
+  // (first-p-dims) and RHP-LSH (random hyperplanes) partition the space
+  // data-independently, IVF trains `nlist` centroids ON the corpus and
+  // assigns each vector to its nearest cell; queries probe the `nProbe`
+  // nearest cells and rescore exactly. Everything is RNG-free so the oracle
+  // replays training bit-for-bit: seeds are the nlist rows with the smallest
+  // md5(id) (a hash-ordered sample), Lloyd assignment uses the 6dp-rounded
+  // cosine with smaller-cell tie-break, and refined centroid components are
+  // per-dimension means rounded to 6dp (rounding absorbs the
+  // summation-order ulps that differ between engines).
+  // ------------------------------------------------------------------------
+
+  /** Cosine between a float vector column and a double centroid column, 6dp
+    * — interpreted HOFs, used only against the nlist-sized centroid side. */
+  private def centCosCol(vec: Column, cent: Column): Column = {
+    def d(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (s, v) => s + v)
+    round(d(vec, cent) / (sqrt(d(vec, vec)) * sqrt(d(cent, cent))), 6)
+  }
+
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("__cell", "__c")
+  }
+
+  /** Train the coarse quantizer: deterministic hash-ordered seeds refined by
+    * `iters` Lloyd steps. Each step is relational — one broadcast of the
+    * nlist-row centroid table, one argmin window, one posexplode + groupBy
+    * mean — and collects only nlist×dim doubles to the driver (centroids
+    * are driver/broadcast data by design, as in any IVF build). With
+    * iters ≥ 1 every seed row assigns to its own cell (self-cosine 1), so
+    * no cell starts empty; a cell that loses all members in a later step is
+    * dropped (standard Lloyd behavior — cell ids keep their seed index). */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 1): Array[(Int, Array[Double])] = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // TakeOrdered top-nlist, not a full sort: per-partition limit then merge
+    val seeds = base.withColumn("__h", md5(col("__id").cast("string")))
+      .orderBy(col("__h"), col("__id")).limit(nlist)
+      .select(col("__v")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](0).toArray.map(_.toDouble)
+      }
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = ivfAssignDf(base, "__id", "__v", centroidDf(spark, cents))
+      assigned.select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(round(avg(col("__x").cast("double")), 6).as("__m"))
+        .groupBy("__cell")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
+        .collect()
+        .map { r =>
+          r.getInt(0) -> r.getSeq[Row](1).map(_.getDouble(1)).toArray
+        }
+        .sortBy(_._1)
+    }
+  }
+
+  /** Relational cell assignment (argmin via broadcast of the nlist-row
+    * centroid table + one window) — the oracle-replayable twin of
+    * [[ivfAssignRows]]. The ×nlist row expansion before the argmin makes it
+    * the small-side/training form; the typed path is the scan-side one. */
+  def ivfAssignDf(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("__cos", centCosCol(col(vecCol), col("__c")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("__cell"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__c", "__cos", "__rn")
+  }
+
+  /** Typed scan-side cell assignment: per-row argmin loop over the centroid
+    * array in the task closure — no ×nlist row expansion, no shuffle, the
+    * production path for indexing the candidate corpus. Appends (__cell,
+    * __n) to (id, vec); identical semantics to [[ivfAssignDf]] (6dp-rounded
+    * cosine, smaller-cell tie-break), asserted in tests. */
+  def ivfAssignRows(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val schema = StructType(Seq(df.schema(idCol), df.schema(vecCol),
+      StructField("__cell", IntegerType, nullable = false),
+      StructField("__n", DoubleType, nullable = false)))
+    val centNorms = cents.map { case (c, v) =>
+      (c, v, math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)))
+    }
+    df.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
+      .mapPartitions { it =>
+        it.map { row =>
+          val vec = row.getSeq[Float](1)
+          val nrm = math.sqrt(dot(vec, vec))
+          var bestCell = -1; var bestCos = Double.NegativeInfinity
+          centNorms.foreach { case (c, cv, cn) =>
+            var s = 0.0; var j = 0
+            while (j < vec.length && j < cv.length) { s += vec(j).toDouble * cv(j); j += 1 }
+            val cos = BigDecimal(s / (nrm * cn))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cos > bestCos) { bestCos = cos; bestCell = c }
+          }
+          Row(row.get(0), row.get(1), bestCell, nrm)
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** IVF-Flat approximate top-k: train on the candidate corpus, index
+    * candidates into cells (typed argmin scan — narrow), probe each query's
+    * `nProbe` best cells, rescore exactly with the codegen cosine. The only
+    * wide operations are the cell join (query side broadcast — small by
+    * construction) and the final per-query top-k window. Recall is the
+    * standard IVF trade: a true neighbor living outside the probed cells is
+    * missed; raise nProbe to buy recall with scan volume. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 2,
+      iters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(candidates, idCol, vecCol, nlist, iters)
+    val cdf = centroidDf(candidates.sparkSession, cents)
+    val cands = ivfAssignRows(candidates, idCol, vecCol, cents)
+      .select(col("__cell"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), col("__n").as("__cn"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("__cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("__cos", centCosCol(col("__qv"), col("__c")))
+      .withColumn("__rn", row_number().over(probeW)).filter(col("__rn") <= nProbe)
+      .select(col("__cell"), col("query_id"), col("__qv"),
+        normCol(col("__qv")).as("__qn"))
+    val scored = cands.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dotCol(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
   }
 }

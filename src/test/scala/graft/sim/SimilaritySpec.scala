@@ -114,4 +114,51 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Int)].collect().toMap
     assert(got == Map(5L -> 0, 15L -> 1, 25L -> 2))
   }
+
+  test("ivf: typed and relational cell assignment agree; training is deterministic") {
+    val cents = ivfCentroids(df, "id", "vec", nlist = 4, iters = 1)
+    assert(cents.nonEmpty && cents.length <= 4)
+    // re-training yields bit-identical centroids (no RNG anywhere)
+    val again = ivfCentroids(df, "id", "vec", nlist = 4, iters = 1)
+    assert(cents.map(_._1).toSeq == again.map(_._1).toSeq)
+    assert(cents.zip(again).forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq })
+    val typed = ivfAssignRows(df, "id", "vec", cents)
+      .select(col("id"), col("__cell")).as[(Long, Int)].collect().toMap
+    val cdf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("__cell", "__c")
+    val rel = ivfAssignDf(df, "id", "vec", cdf)
+      .select(col("id"), col("__cell")).as[(Long, Int)].collect().toMap
+    assert(typed == rel)
+    // cells are cluster-pure: two hash-ordered seeds may land inside one
+    // tight cluster and split it (correct IVF behavior), but no cell may
+    // mix members of different clusters
+    for ((cell, members) <- rows.groupBy(r => typed(r._1)))
+      assert(members.map(_._1 / 10).distinct.size == 1,
+        s"cell $cell mixes clusters: ${members.map(_._1)}")
+  }
+
+  test("ivf top-k: exact precision within probed cells, recall vs brute force") {
+    val queries = df.filter(col("id").isin(0, 10, 20))
+    val exact = bruteForceTopK(df, queries, "id", "vec", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val approx = ivfTopK(df, queries, "id", "vec", k = 5,
+      nlist = 4, nProbe = 2, iters = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    // every reported cosine is the exact rescored value
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    for ((q, n, c, _) <- approx; e <- exactCos.get((q, n))) assert(c == e)
+    // tight clusters + own-cell probe: full recall of the true top-5 here
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val approxSet = approx.map(r => (r._1, r._2)).toSet
+    assert(exactSet.subsetOf(approxSet), s"missing ${exactSet -- approxSet}")
+  }
+
+  test("ivf: a second Lloyd iteration keeps the quantizer valid (possibly fewer cells)") {
+    val c2i = ivfCentroids(df, "id", "vec", nlist = 4, iters = 2)
+    assert(c2i.nonEmpty && c2i.length <= 4)
+    // assignment still total: every row lands in some surviving cell
+    val assigned = ivfAssignRows(df, "id", "vec", c2i)
+    assert(assigned.count() == rows.length)
+    val cells = c2i.map(_._1).toSet
+    assert(assigned.select("__cell").as[Int].collect().forall(cells.contains))
+  }
 }
