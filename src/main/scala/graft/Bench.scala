@@ -59,33 +59,67 @@ object Bench {
       .reduce(_ + _)
   }
 
-  /** EP1 throughput on a fresh synthetic corpus: docs/sec and spans/sec.
-    *
-    * The corpus is staged to LOCAL PARQUET once (untimed); every timed pass
-    * then reads parquet → extracts → counts. Input bytes live in the OS
-    * page cache (off-heap), not as a multi-GB deserialized object graph on
-    * the driver-default G1 heap: the cached-Dataset variant of this
-    * measurement intermittently hit this host's demand-paging fault storm
-    * (an identical 100k-doc pass measured 26.5s in one sweep and 1.3s in
-    * the next JVM), and read-parquet-then-extract is also the
-    * production-shaped cost. Best of `repeats` passes: a single pass is
-    * still a lottery against JVM warm-up (BASELINE.md noise analysis). */
+  /** EP1 kernel throughput on a fresh synthetic corpus (docs/sec,
+    * spans/sec) — input cached outside the timed region, best of `repeats`
+    * passes. This is the round-1/2-comparable headline: it isolates the
+    * extraction path (encoder decode + kernel) from input I/O. A single
+    * pass is a lottery against JVM warm-up and this host's bimodal
+    * multi-threaded allocation (BASELINE.md noise analysis). */
   private def ep1Throughput(spark: SparkSession, nDocs: Long,
       repeats: Int = 3): (Double, Double, Double) = {
+    val docs = Synth.generate(spark, nDocs, 32).cache()
+    docs.count() // materialize input outside the timed region
+    var spans = 0L
+    val sec = (1 to repeats).map { _ =>
+      time { spans = countSpans(ExtractJob.runTyped(docs, Ep1Config())) }
+    }.min
+    docs.unpersist()
+    (sec, nDocs / sec, spans / sec)
+  }
+
+  /** Production-shaped EP1 throughput: the corpus is staged to LOCAL
+    * PARQUET once (untimed), every timed pass then reads parquet →
+    * extracts → counts — the cost a real job pays. Reported as a second
+    * metric next to the cached headline; the gap between them is the input
+    * decode + object materialization a parquet scan adds (dominated on
+    * this host by the Dataset encoder's per-pass object-graph allocation,
+    * measured 3-20x the kernel cost at 32 threads with huge variance —
+    * which is why it does not replace the comparable cached headline). */
+  private def ep1FromParquet(spark: SparkSession, nDocs: Long,
+      repeats: Int = 3): (Double, Double) = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-ep1")
+    // the staged corpus is small (~2.5KB/doc), so under the production
+    // 128MB maxPartitionBytes the read would coalesce into a handful of
+    // input splits, capping every downstream stage. Size the splits to the
+    // corpus for the measurement — at real scale files are split-sized and
+    // the default is correct — and restore the confs after so the rest of
+    // the sweep sees production settings.
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldOpen = spark.conf.get("spark.sql.files.openCostInBytes")
     try {
       Synth.generate(spark, nDocs, 32).toDF()
         .write.mode("overwrite").parquet(dir.toString)
-      var spans = 0L
+      val totalBytes = {
+        val st = java.nio.file.Files.walk(dir)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally st.close()
+      }
+      val cores = spark.sparkContext.defaultParallelism
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        math.max(1L << 20, totalBytes / (cores * 2L)).toString)
       val sec = (1 to repeats).map { _ =>
         time {
           val docs = spark.read.parquet(dir.toString).as[graft.model.Doc]
-          spans = countSpans(ExtractJob.runTyped(docs, Ep1Config()))
+          countSpans(ExtractJob.runTyped(docs, Ep1Config()))
         }
       }.min
-      (sec, nDocs / sec, spans / sec)
+      (sec, nDocs / sec)
     } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldOpen)
       try {
         val st = java.nio.file.Files.walk(dir)
         try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -102,9 +136,11 @@ object Bench {
     if (args.headOption.contains("kernel")) return kernelMain()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 100k docs: at 20k the EP1 pass is ~0.3s of work behind ~0.3s of fixed
-    // scheduling overhead, so the headline halves on measurement size alone
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    // 20k docs, NOT more: a larger cached/per-pass object graph at 32
+    // threads trips this host's bimodal allocation behavior (a 100k-doc
+    // variant measured 26.5s vs 1.3s for identical passes across JVMs);
+    // 20k stayed in the stable band across rounds 1-3
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val spark = session(cpus)
 
     // untimed warm-up: JIT + parquet footer/codec init otherwise land on
@@ -116,6 +152,8 @@ object Bench {
     // sweep it pays the sweep's G1 heap fragmentation (observed 28k vs 62k
     // docs/s for identical code depending only on measurement order)
     val (ep1Sec, docsPerSec, spansPerSec) = ep1Throughput(spark, nDocs)
+    // production-shaped second metric: read staged parquet then extract
+    val (ep1ReadSec, ep1ReadDps) = ep1FromParquet(spark, nDocs)
 
     // per-query best-of-N: this host shows up to 7x single-pass noise
     // (BASELINE.md G1/demand-paging analysis; round 2 burned judge time on
@@ -177,6 +215,7 @@ object Bench {
         s""""max_pass_spread":${f"$maxSpread%.2f"},"max_pass_spread_query":"$maxSpreadQ","queries_spread_gt2":$over2,""" +
         s""""ep1_docs":$nDocs,"ep1_sec":${f"$ep1Sec%.3f"},""" +
         s""""ep1_docs_per_sec":${f"$docsPerSec%.1f"},"ep1_spans_per_sec":${f"$spansPerSec%.1f"},""" +
+        s""""ep1_read_sec":${f"$ep1ReadSec%.3f"},"ep1_read_docs_per_sec":${f"$ep1ReadDps%.1f"},""" +
         s""""sf":"$sfDir"}""")
     spark.stop()
   }

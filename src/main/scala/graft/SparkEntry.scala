@@ -890,6 +890,26 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
+    "dedup_clusters" -> ((s, d) => {
+      // near-dup pairs → connected components: min-label propagation to the
+      // fixpoint, labelling every paired doc with its component's min id —
+      // the keep-one-per-cluster stage of a production dedup pipeline
+      val pairs = Dedup.jaccardPairs(
+        rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
+        "doc_id", "t2", n = 3, minJ = 0.2)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
+    "dedup_canonical" -> ((s, d) => {
+      // full corpus view: every doc tagged with its cluster and whether it
+      // is the canonical (min-id) representative; singletons self-canonical
+      val docs = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2"))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "t2", n = 3, minJ = 0.2)
+      Dedup.canonicalize(rd(s, d, "documents").select(col("doc_id")), "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    }),
+
     // ---------------------------------------------------- similarity ------
     "knn_topk" -> ((s, d) => {
       val e = rd(s, d, "embeddings")
@@ -1338,6 +1358,22 @@ object SparkEntry {
     val toks = "list_filter(string_split_regex(lower(%s),'\\W+'), x -> x <> '')"
     def hash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
     def hash32(e: String) = s"('0x'||substr(md5($e),1,8))::BIGINT"
+    // n-gram Jaccard pair CTE chain (same derivation as the ngram_jaccard
+    // oracle, ending in `pairs(id_a, id_b)` at threshold 0.2) — shared by
+    // the connected-component cluster queries
+    lazy val jacPairs =
+      s"""t AS (SELECT doc_id, $docText AS t2 FROM documents),
+         |tok AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM t),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS shl
+         |  FROM tok WHERE len(toks) >= 3),
+         |rows_ AS (SELECT doc_id, ${hash60("s")} AS sh FROM (SELECT doc_id, unnest(shl) AS s FROM sh)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM rows_ a JOIN rows_ b ON a.sh=b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM common JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
+         |  WHERE round(c::DOUBLE/(sa.sz + sb.sz - c)::DOUBLE, 6) >= 0.2)""".stripMargin
     val f1 =
       "(NOT (contains(upper(%s),'EXAMPLE') OR contains(upper(%s),'CALCULATION') OR " +
         "contains(upper(%s),'HOW TO') OR contains(upper(%s),'SAMPLE') OR " +
@@ -2158,6 +2194,29 @@ object SparkEntry {
            |  round(c::DOUBLE/(sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
            |FROM common JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
            |WHERE round(c::DOUBLE/(sa.sz + sb.sz - c)::DOUBLE, 6) >= 0.2""".stripMargin,
+
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $jacPairs,
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT s, s FROM edges
+           |  UNION
+           |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+           |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+      "dedup_canonical" ->
+        s"""WITH RECURSIVE $jacPairs,
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT s, s FROM edges
+           |  UNION
+           |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+           |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+           |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+           |  coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+           |FROM documents d LEFT JOIN cc USING (doc_id)""".stripMargin,
 
       "knn_topk" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings),

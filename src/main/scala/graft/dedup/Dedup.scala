@@ -346,4 +346,70 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // ----------------------------------------- clustering / canonical --------
+  /** Connected components over an undirected near-dup pair graph — the
+    * final stage of a dedup pipeline: pairs → clusters → keep one doc per
+    * cluster. Iterative min-label propagation: every round each vertex
+    * takes the min of its own label and its neighbors' labels; the
+    * fixpoint labels every vertex with its component's minimum id,
+    * regardless of execution order (deterministic). Converges in
+    * O(component diameter) rounds — near-dup clusters are near-cliques, so
+    * a handful suffice. Each round is one shuffle join plus one groupBy
+    * min, both on the vertex key; nothing is collected or broadcast, so
+    * the plan holds at corpus scale. The per-round convergence probe is a
+    * `limit(1).count()` (first-changed-row early exit), and each round's
+    * labels are persisted + the previous round's released, keeping the
+    * lineage and cache bounded.
+    *
+    * Throws if not converged within `maxIters` — a partial labeling is not
+    * a clustering; raise the cap instead (20 covers any real dup graph:
+    * diameter > 20 means a 20-hop near-dup chain).
+    *
+    * Output: (id, cluster_id) for every vertex of `pairs`, with
+    * cluster_id = min id of its component. */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val fwd = pairs.select(col(idACol).as("__src"), col(idBCol).as("__dst"))
+    val edges = fwd.union(fwd.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("__src").as("__id")).distinct()
+      .withColumn("__lbl", col("__id")).persist(lvl)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val msgs = edges
+        .join(labels.select(col("__id").as("__src"), col("__lbl")), Seq("__src"))
+        .select(col("__dst").as("__id"), col("__lbl"))
+      val next = labels.union(msgs).groupBy("__id").agg(min("__lbl").as("__lbl"))
+        .persist(lvl)
+      converged = next.join(labels.withColumnRenamed("__lbl", "__old"), Seq("__id"))
+        .filter(col("__lbl") =!= col("__old")).limit(1).count() == 0
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents: not converged after $maxIters rounds")
+    // labels stays persisted for the caller's action (same contract as the
+    // LSH operators: release via clearCache() after materializing)
+    labels.select(col("__id").as("id"), col("__lbl").as("cluster_id"))
+  }
+
+  /** Deduplicated-corpus view: every doc tagged with its near-dup cluster
+    * and whether it is the cluster's canonical (minimum-id) representative.
+    * Docs in no pair are their own singleton cluster. Downstream keeps
+    * `is_canonical` rows to drop near-duplicates while retaining exactly
+    * one representative per cluster. One left join on the id — the
+    * component computation's shuffles dominate. */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol, maxIters)
+      .select(col("id").as(idCol), col("cluster_id"))
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("is_canonical", col("cluster_id") === col(idCol))
+  }
 }

@@ -185,4 +185,32 @@ class DedupSpec extends SparkTestBase {
       s"identical non-empty docs must still pair: $capped")
     spark.catalog.clearCache() // simhashDuplicates persists its band relation
   }
+  test("connected components: min-label fixpoint over chains, cliques, singletons") {
+    // components: chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    spark.catalog.clearCache()
+    // not-converged is an error, not a partial result: diameter-3 chain
+    // cannot settle in 1 round (vertex 4 needs label 1 to travel 3 hops)
+    val e = intercept[IllegalArgumentException] {
+      connectedComponents(pairs, "id_a", "id_b", maxIters = 1)
+    }
+    assert(e.getMessage.contains("not converged"))
+    spark.catalog.clearCache()
+  }
+
+  test("canonicalize tags every doc; singletons are their own canonical") {
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "payload")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val got = canonicalize(docs, "doc_id", pairs)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (4L, 4L, true), (5L, 1L, false), (6L, 6L, true)))
+    spark.catalog.clearCache()
+  }
 }
