@@ -66,7 +66,7 @@ object Bench {
     * pass is a lottery against JVM warm-up and this host's bimodal
     * multi-threaded allocation (BASELINE.md noise analysis). */
   private def ep1Throughput(spark: SparkSession, nDocs: Long,
-      repeats: Int = 3): (Double, Double, Double) = {
+      repeats: Int = 5): (Double, Double, Double) = {
     val docs = Synth.generate(spark, nDocs, 32).cache()
     docs.count() // materialize input outside the timed region
     var spans = 0L

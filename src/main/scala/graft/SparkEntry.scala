@@ -890,6 +890,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
+    "pii_scrub" -> ((s, d) => {
+      // deterministic PII injections over documents; redaction + per-class
+      // counts must match DuckDB's RE2 replay byte-for-byte
+      val t = concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact agent"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" call (555) 123-4567 or 555-987-6543")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          lit(" ssn 123-45-6789")).otherwise(lit("")))
+      val withT = rd(s, d, "documents").withColumn("t", t)
+      val (e, p, ssn) = TA.piiCountsCol(col("t"))
+      withT.select(col("doc_id"), TA.scrubPiiCol(col("t")).as("clean"),
+        e.cast("long").as("n_email"), p.cast("long").as("n_phone"),
+        ssn.cast("long").as("n_ssn"))
+    }),
+
     "dedup_clusters" -> ((s, d) => {
       // near-dup pairs → connected components: min-label propagation to the
       // fixpoint, labelling every paired doc with its component's min id —
@@ -2194,6 +2212,21 @@ object SparkEntry {
            |  round(c::DOUBLE/(sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
            |FROM common JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
            |WHERE round(c::DOUBLE/(sa.sz + sb.sz - c)::DOUBLE, 6) >= 0.2""".stripMargin,
+
+      "pii_scrub" ->
+        """WITH t AS (SELECT doc_id, text ||
+          |  (CASE WHEN doc_id%5=0 THEN ' contact agent'||doc_id||'@example.com' ELSE '' END) ||
+          |  (CASE WHEN doc_id%7=0 THEN ' call (555) 123-4567 or 555-987-6543' ELSE '' END) ||
+          |  (CASE WHEN doc_id%9=0 THEN ' ssn 123-45-6789' ELSE '' END) AS t FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(t,
+          |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+          |    '\(\d{3}\)\s*\d{3}[-.]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS clean,
+          |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+          |  len(regexp_extract_all(t, '\(\d{3}\)\s*\d{3}[-.]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+          |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn
+          |FROM t""".stripMargin,
 
       "dedup_clusters" ->
         s"""WITH RECURSIVE $jacPairs,

@@ -212,4 +212,42 @@ object TextAnalysis {
       }
     Some((lines.size.toLong, dup, bgRatio))
   }
+
+  // ----------------------------------------------------------- PII ---------
+  /** PII patterns for training-corpus scrubbing. Kept in the common subset
+    * of Java regex and RE2 (no lookaround, no backreferences) so DuckDB
+    * replays redaction and counts byte-for-byte. SSN is scrubbed before
+    * phone: the two shapes are disjoint (3-2-4 vs 3-3-4) but ordering makes
+    * the composition deterministic by construction, not by accident. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\(\\d{3}\\)\\s*\\d{3}[-.]\\d{4}|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redacted text: SSN → [SSN], phone → [PHONE], email → [EMAIL]. */
+  def scrubPiiCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, SsnRe, "[SSN]"),
+        PhoneRe, "[PHONE]"),
+      EmailRe, "[EMAIL]")
+
+  /** Per-class PII hit counts: (emails, phones, ssns) — counted on the raw
+    * text (phone counts are over the SSN-scrubbed text in [[scrubPiiCol]]'s
+    * composition, but the disjoint shapes make raw counts identical). */
+  def piiCountsCol(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+      regexp_count(text, lit(PhoneRe)),
+      regexp_count(text, lit(SsnRe)))
+
+  /** Pure twin of [[scrubPiiCol]]. */
+  def scrubPii(text: String): String =
+    text.replaceAll(SsnRe, "[SSN]")
+      .replaceAll(PhoneRe, "[PHONE]")
+      .replaceAll(EmailRe, "[EMAIL]")
+
+  /** Pure twin of [[piiCountsCol]]. */
+  def piiCounts(text: String): (Int, Int, Int) = {
+    def n(re: String) = re.r.findAllMatchIn(text).size
+    (n(EmailRe), n(PhoneRe), n(SsnRe))
+  }
 }

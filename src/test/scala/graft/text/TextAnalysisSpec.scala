@@ -102,4 +102,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fingerprint(" hello world \n") == fingerprint("hello world"))
     assert(fingerprint("hello world") != fingerprint("hello worlds"))
   }
+
+  test("pii scrub: redaction classes, ordering, Column/pure parity") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val samples = Seq(
+      1L -> "mail a.b-c_d%e+f@sub.example.co and x@y.io now",
+      2L -> "call (555) 123-4567 or 555-987-6543 or 555.111.2222",
+      3L -> "ssn 123-45-6789 but order 123-456-7890 is a phone",
+      4L -> "no pii here, just 12345 and v1.2.3",
+      5L -> "combo: a@b.cc (111) 222-3333 999-88-7777")
+    for ((_, t) <- samples) {
+      val s = scrubPii(t)
+      assert(!EmailRe.r.findFirstIn(s).isDefined, s)
+      assert(!SsnRe.r.findFirstIn(s).isDefined, s)
+    }
+    assert(scrubPii(samples(2)._2) ==
+      "ssn [SSN] but order [PHONE] is a phone")
+    assert(piiCounts(samples(4)._2) == ((1, 1, 1)))
+    assert(piiCounts(samples(3)._2) == ((0, 0, 0)))
+    // Column twin parity over the sample corpus
+    val df = samples.toDF("id", "t")
+    val (e, p, n) = piiCountsCol(col("t"))
+    val got = df.select(col("id"), scrubPiiCol(col("t")),
+      e.cast("int"), p.cast("int"), n.cast("int"))
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    for (((id, t), (gid, clean, ge, gp, gn)) <- samples.zip(got)) {
+      assert(id == gid)
+      assert(clean == scrubPii(t), s"doc $id")
+      assert(((ge, gp, gn)) == piiCounts(t), s"doc $id counts")
+    }
+  }
 }
