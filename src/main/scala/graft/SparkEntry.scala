@@ -10,7 +10,7 @@ import graft.pipeline.{Ep1Config, ExtractJob}
 import graft.qc.Qc
 import graft.ranges.Islands
 import graft.sim.Similarity
-import graft.text.{TextAnalysis => TA}
+import graft.text.{Packing, Sampling, TextAnalysis => TA}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -907,6 +907,32 @@ object SparkEntry {
         e.cast("long").as("n_email"), p.cast("long").as("n_phone"),
         ssn.cast("long").as("n_ssn"))
     }),
+
+    "decontaminate" -> ((s, d) => {
+      // benchmark decontamination: docs with doc_id%23==0 stand in for an
+      // eval suite; every corpus doc scored by 3-gram shingle overlap
+      // against that inventory (the eval docs themselves score 1.0)
+      val corpus = rd(s, d, "documents")
+      val bench = corpus.filter(pmod(col("doc_id"), lit(23)) === 0)
+      Dedup.contamination(corpus, "doc_id", "text", bench, "text",
+        n = 3, minOverlap = 0.5)
+    }),
+
+    "seq_pack" -> ((s, d) =>
+      // concat-then-split sequence packing: 8 md5 shards, 512-token budget
+      Packing.pack(rd(s, d, "documents"), "doc_id", "text",
+        budget = 512, nShards = 8)),
+
+    "sample_stratified" -> ((s, d) =>
+      // deterministic 25% per-language sample, md5-ranked
+      Sampling.stratified(rd(s, d, "documents"), "doc_id", "lang", 0.25)
+        .select(col("doc_id"), col("lang"),
+          col("sample_rank").cast("long").as("sample_rank"), col("stratum_n"))),
+
+    "vocab_topk" -> ((s, d) =>
+      // corpus-wide top-20 token vocabulary (distributed TopK, no global
+      // sort; k < |vocab| so the cut and its tie-break actually bind)
+      TA.topTokensDf(rd(s, d, "documents"), "text", 20)),
 
     "dedup_clusters" -> ((s, d) => {
       // near-dup pairs → connected components: min-label propagation to the
@@ -2227,6 +2253,54 @@ object SparkEntry {
           |  len(regexp_extract_all(t, '\(\d{3}\)\s*\d{3}[-.]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
           |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn
           |FROM t""".stripMargin,
+
+      "decontaminate" ->
+        s"""WITH tok AS (SELECT doc_id, ${toks.format("text")} AS toks FROM documents),
+           |sh AS (SELECT doc_id,
+           |  list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS shl
+           |  FROM tok WHERE len(toks) >= 3),
+           |rows_ AS (SELECT doc_id, ${hash60("s")} AS sh FROM (SELECT doc_id, unnest(shl) AS s FROM sh)),
+           |bench AS (SELECT DISTINCT sh FROM rows_ WHERE doc_id%23=0),
+           |per AS (SELECT r.doc_id, count(*) AS n_sh, count(b.sh) AS n_hits
+           |  FROM rows_ r LEFT JOIN bench b ON r.sh=b.sh GROUP BY 1),
+           |stats AS (SELECT d.doc_id,
+           |  coalesce(n_sh,0)::BIGINT AS n_shingles, coalesce(n_hits,0)::BIGINT AS n_hits,
+           |  (CASE WHEN coalesce(n_sh,0)=0 THEN 0.0
+           |    ELSE round(coalesce(n_hits,0)::DOUBLE/n_sh::DOUBLE,6) END) AS overlap_ratio
+           |  FROM documents d LEFT JOIN per ON d.doc_id=per.doc_id)
+           |SELECT doc_id, n_shingles, n_hits, overlap_ratio,
+           |  overlap_ratio >= 0.5 AS is_contaminated FROM stats""".stripMargin,
+
+      "seq_pack" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  ${hash60("doc_id::VARCHAR")} % 8 AS shard,
+           |  (CASE WHEN length(regexp_replace(text,'^\\s+|\\s+$$','','g'))=0 THEN 0
+           |    ELSE len(string_split_regex(regexp_replace(text,'^\\s+|\\s+$$','','g'),'\\s+')) END)::BIGINT AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT doc_id, shard, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end
+           |  FROM t)
+           |SELECT doc_id, shard, n_tokens, (tok_end-n_tokens)::BIGINT AS tok_start,
+           |  (shard*1099511627776 + (tok_end-n_tokens)//512)::BIGINT AS seq_first,
+           |  (CASE WHEN n_tokens=0 THEN shard*1099511627776 + (tok_end-n_tokens)//512
+           |    ELSE shard*1099511627776 + (tok_end-1)//512 END)::BIGINT AS seq_last,
+           |  ((tok_end-n_tokens)%512)::BIGINT AS offset_in_seq,
+           |  (CASE WHEN n_tokens=0 THEN FALSE
+           |    ELSE (tok_end-n_tokens)//512 <> (tok_end-1)//512 END) AS is_split
+           |FROM c""".stripMargin,
+
+      "sample_stratified" ->
+        """WITH r AS (SELECT doc_id, lang,
+          |  row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank,
+          |  count(*) OVER (PARTITION BY lang) AS stratum_n
+          |  FROM documents)
+          |SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank, stratum_n::BIGINT AS stratum_n
+          |FROM r WHERE sample_rank <= ceil(stratum_n * 0.25)""".stripMargin,
+
+      "vocab_topk" ->
+        s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS token FROM documents)
+           |SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1
+           |ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
 
       "dedup_clusters" ->
         s"""WITH RECURSIVE $jacPairs,

@@ -397,6 +397,51 @@ object Dedup {
     labels.select(col("__id").as("id"), col("__lbl").as("cluster_id"))
   }
 
+  // ------------------------------------------------ decontamination --------
+  /** Benchmark decontamination: per-corpus-doc overlap of its word n-gram
+    * shingles against a benchmark/eval set's shingle inventory — the
+    * training-data hygiene step that keeps evaluation prompts out of a
+    * pretraining corpus (n-gram overlap flagging à la the published
+    * GPT-3/Llama decontamination procedures).
+    *
+    * Plan shape: the corpus side is one narrow typed scan
+    * ([[shingleRows]]); the benchmark inventory is distinct-reduced to
+    * 60-bit hashes and — eval suites being small by construction —
+    * broadcast by default, so the corpus never shuffles for the overlap
+    * probe and the whole job is scan + broadcast-join + one groupBy on the
+    * doc id. Pass `broadcastBench = false` for a benchmark too big for
+    * executor memory: the probe becomes a plain shuffle join on the
+    * shingle hash. Docs with fewer than n tokens have no shingles and are
+    * trivially clean (n_shingles = 0, ratio 0).
+    *
+    * Output: one row per corpus doc —
+    * (id, n_shingles, n_hits, overlap_ratio, is_contaminated). */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      minOverlap: Double, broadcastBench: Boolean = true): DataFrame = {
+    val corpusSh = shingleRows(corpus, idCol, textCol, n)
+    // benchmark doc identity is irrelevant — only the distinct inventory
+    val benchSh = shingleRows(
+      benchmark.select(col(benchTextCol)).withColumn("__bid", lit(0L)),
+      "__bid", benchTextCol, n)
+      .select(col("sh")).distinct()
+    val probe = (if (broadcastBench) broadcast(benchSh) else benchSh)
+      .withColumn("__hit", lit(1L))
+    val perDoc = corpusSh
+      .join(probe, Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("overlap_ratio",
+        when(col("n_shingles") === 0, lit(0.0)).otherwise(
+          round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6)))
+      .withColumn("is_contaminated", col("overlap_ratio") >= minOverlap)
+  }
+
   /** Deduplicated-corpus view: every doc tagged with its near-dup cluster
     * and whether it is the cluster's canonical (minimum-id) representative.
     * Docs in no pair are their own singleton cluster. Downstream keeps

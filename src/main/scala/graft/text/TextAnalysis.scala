@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -249,5 +249,19 @@ object TextAnalysis {
   def piiCounts(text: String): (Int, Int, Int) = {
     def n(re: String) = re.r.findAllMatchIn(text).size
     (n(EmailRe), n(PhoneRe), n(SsnRe))
+  }
+
+  // ------------------------------------------------------- vocabulary ------
+  /** Corpus-wide top-k token vocabulary with frequencies, ties broken by
+    * token text so the cut is deterministic. The plan is the one you want
+    * at scale: explode → partial (map-side) count → final count →
+    * TakeOrderedAndProject, i.e. each partition ships only its local top-k
+    * candidates' counts, never a global sort. */
+  def topTokensDf(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(tokensCol(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
   }
 }

@@ -203,6 +203,48 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("contamination: per-doc benchmark overlap; broadcast default, shuffle fallback") {
+    val corpusRows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox sat very still"),
+      (3L, "completely different words entirely here now"),
+      (4L, "ab")) // < 3 tokens: no shingles, trivially clean
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox jumps high").toDF("text")
+    // doc 1 overlaps 3/7 shingles (0.428…), doc 2 exactly 2/5 (0.4): the
+    // 0.42 threshold puts them on opposite sides of the gate
+    val minOv = 0.42
+    val got = contamination(corpus, "doc_id", "text", bench, "text",
+      n = 3, minOverlap = minOv)
+      .select("doc_id", "n_shingles", "n_hits", "overlap_ratio", "is_contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // expected from the pure shingle twin
+    val benchSh = shingles("the quick brown fox jumps high", 3).toSet
+    val exp = corpusRows.map { case (id, t) =>
+      val sh = shingles(t, 3).toSet
+      val hits = sh.count(benchSh).toLong
+      val ratio = if (sh.isEmpty) 0.0
+        else BigDecimal(hits.toDouble / sh.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, sh.size.toLong, hits, ratio, ratio >= minOv)
+    }
+    assert(got == exp)
+    assert(got.map(r => r._1 -> r._5).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // plan: benchmark side broadcast by default even with auto-broadcast
+    // off (explicit hint); with broadcastBench=false, zero broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pB = contamination(corpus, "doc_id", "text", bench, "text", 3, minOv)
+        .queryExecution.executedPlan.toString
+      assert(pB.contains("BroadcastExchange"), pB)
+      val pS = contamination(corpus, "doc_id", "text", bench, "text", 3, minOv,
+        broadcastBench = false).queryExecution.executedPlan.toString
+      assert(!pS.contains("BroadcastExchange"), pS)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("canonicalize tags every doc; singletons are their own canonical") {
     val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "payload")
     val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")

@@ -103,6 +103,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fingerprint("hello world") != fingerprint("hello worlds"))
   }
 
+  test("topTokensDf: counts, deterministic tie-break, distributed top-k plan") {
+    import spark.implicits._
+    val df = Seq("b a a", "c b a", "d d", "e").toDF("text")
+    val top = TextAnalysis.topTokensDf(df, "text", 3)
+    val got = top.as[(String, Long)].collect().toSeq
+    // ties at count 2 (b, d) break on token text
+    assert(got == Seq(("a", 3L), ("b", 2L), ("d", 2L)))
+    assert(TextAnalysis.topTokensDf(df, "text", 4)
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 3L), ("b", 2L), ("d", 2L), ("c", 1L)))
+    // plan: partial agg + TakeOrderedAndProject, never a global sort
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("pii scrub: redaction classes, ordering, Column/pure parity") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
