@@ -908,6 +908,19 @@ object SparkEntry {
         ssn.cast("long").as("n_ssn"))
     }),
 
+    "line_dedup" -> ((s, d) => {
+      // CCNet-style line-level dedup over synthetic pages: corpus-wide
+      // nav/footer chrome and per-group section headers repeat past the
+      // cap; each doc's body line survives
+      val page = concat(
+        lit("Home | About Us | Contact\n"),
+        lit("Section "), pmod(col("doc_id"), lit(7)).cast("string"), lit("\n"),
+        col("text"), lit("\n"),
+        lit("Copyright 2026 - All Rights Reserved"))
+      Dedup.dedupLines(rd(s, d, "documents").withColumn("page", page),
+        "doc_id", "page", maxOccurrences = 5)
+    }),
+
     "decontaminate" -> ((s, d) => {
       // benchmark decontamination: docs with doc_id%23==0 stand in for an
       // eval suite; every corpus doc scored by 3-gram shingle overlap
@@ -2253,6 +2266,23 @@ object SparkEntry {
           |  len(regexp_extract_all(t, '\(\d{3}\)\s*\d{3}[-.]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
           |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn
           |FROM t""".stripMargin,
+
+      "line_dedup" ->
+        s"""WITH pg AS (SELECT doc_id,
+           |  'Home | About Us | Contact'||chr(10)||'Section '||(doc_id%7)||chr(10)||text||chr(10)||
+           |  'Copyright 2026 - All Rights Reserved' AS page FROM documents),
+           |l AS (SELECT doc_id, i AS line_idx, lines[i+1] AS line
+           |  FROM (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+           |  unnest(range(len(lines))) AS t(i)),
+           |h AS (SELECT doc_id, line_idx, line,
+           |  ${hash60("regexp_replace(trim(lower(line)),'\\s+',' ','g')")} AS lh FROM l),
+           |hot AS (SELECT lh FROM h GROUP BY lh HAVING count(*) > 5),
+           |m AS (SELECT h.doc_id, h.line_idx, h.line, (hot.lh IS NOT NULL) AS is_hot
+           |  FROM h LEFT JOIN hot ON h.lh=hot.lh)
+           |SELECT doc_id, count(*)::BIGINT AS n_lines,
+           |  sum(CASE WHEN is_hot THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           |  coalesce(string_agg(CASE WHEN NOT is_hot THEN line END, chr(10) ORDER BY line_idx), '') AS clean_text
+           |FROM m GROUP BY doc_id""".stripMargin,
 
       "decontaminate" ->
         s"""WITH tok AS (SELECT doc_id, ${toks.format("text")} AS toks FROM documents),

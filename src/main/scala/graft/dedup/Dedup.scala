@@ -397,6 +397,55 @@ object Dedup {
     labels.select(col("__id").as("id"), col("__lbl").as("cluster_id"))
   }
 
+  // ---------------------------------------------------- line dedup ---------
+  /** Line-level dedup (CCNet/RefinedWeb-style): strip lines whose
+    * normalized form repeats more than `maxOccurrences` times across the
+    * whole corpus — the standard pass that removes nav bars, cookie
+    * banners, and footer chrome that doc-level dedup can't see, while
+    * keeping each document's unique body.
+    *
+    * Plan: posexplode to (doc, line_idx, line) is narrow; the hot-line
+    * inventory is one count shuffle on the line hash, and is small by
+    * construction (only lines repeated corpus-wide), so AQE broadcasts the
+    * membership probe at runtime; reassembly is one groupBy on the doc id
+    * with a per-doc-bounded collect_list. Matching uses the fingerprint
+    * normalization (trim, case-fold, whitespace collapse); the emitted
+    * text keeps the original lines verbatim, in original order.
+    *
+    * Output: (id, n_lines, n_removed, clean_text). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Long): DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .withColumn("lh", fingerprintCol(col("line")))
+    val hot = lines.groupBy("lh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOccurrences)
+      .select(col("lh"), lit(true).as("__hot"))
+    lines.join(hot, Seq("lh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__hot"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__hot").isNull, struct(col("line_idx"), col("line"))))),
+            _.getField("line")),
+          "\n").as("clean_text"))
+  }
+
+  /** Pure twin of [[dedupLines]] for spec cross-checking:
+    * (id, nLines, nRemoved, cleanText) per doc. */
+  def dedupLinesPure(docs: Seq[(Long, String)], maxOccurrences: Long): Seq[(Long, Long, Long, String)] = {
+    val norm: String => String = l => l.trim.toLowerCase.replaceAll("\\s+", " ")
+    val occ = docs.flatMap(_._2.split("\n", -1)).groupBy(norm).map { case (k, v) => k -> v.size }
+    docs.map { case (id, t) =>
+      val ls = t.split("\n", -1).toSeq
+      val kept = ls.filter(l => occ(norm(l)) <= maxOccurrences)
+      (id, ls.size.toLong, (ls.size - kept.size).toLong, kept.mkString("\n"))
+    }
+  }
+
   // ------------------------------------------------ decontamination --------
   /** Benchmark decontamination: per-corpus-doc overlap of its word n-gram
     * shingles against a benchmark/eval set's shingle inventory — the

@@ -203,6 +203,27 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("line dedup: strips corpus-hot lines, keeps unique bodies in order") {
+    // chrome on every doc (hot at maxOcc=2), body unique, one shared-by-2
+    // line that must survive the cap exactly
+    val mk: Long => String = i =>
+      s"NAV BAR\nbody unique $i\n${if (i <= 2) "shared pair line" else s"tail $i"}\nfooter"
+    val rows = (1L to 5L).map(i => (i, mk(i)))
+    val got = dedupLines(rows.toDF("doc_id", "text"), "doc_id", "text", 2)
+      .select("doc_id", "n_lines", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == dedupLinesPure(rows, 2))
+    // NAV BAR + footer (5 occurrences) removed; "shared pair line" (2) kept
+    assert(got.head == ((1L, 4L, 2L, "body unique 1\nshared pair line")))
+    assert(got(3) == ((4L, 4L, 2L, "body unique 4\ntail 4")))
+    // normalization: case/whitespace variants of a line count together
+    val v = Seq((1L, "The Nav\nbody a"), (2L, "  the   nav \nbody b"), (3L, "THE NAV\nbody c"))
+    val got2 = dedupLines(v.toDF("doc_id", "text"), "doc_id", "text", 2)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().sortBy(_._1)
+    assert(got2.map(_._2).toSeq == Seq("body a", "body b", "body c"))
+    assert(got2.toSeq == dedupLinesPure(v, 2).map(r => (r._1, r._4)))
+  }
+
   test("contamination: per-doc benchmark overlap; broadcast default, shuffle fallback") {
     val corpusRows = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
