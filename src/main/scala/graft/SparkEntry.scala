@@ -936,6 +936,11 @@ object SparkEntry {
       Packing.pack(rd(s, d, "documents"), "doc_id", "text",
         budget = 512, nShards = 8)),
 
+    "seq_pack_shuffled" -> ((s, d) =>
+      // same packing with the deterministic md5 corpus shuffle on the tape
+      Packing.pack(rd(s, d, "documents"), "doc_id", "text",
+        budget = 512, nShards = 8, shuffleOrder = true)),
+
     "sample_stratified" -> ((s, d) =>
       // deterministic 25% per-language sample, md5-ranked
       Sampling.stratified(rd(s, d, "documents"), "doc_id", "lang", 0.25)
@@ -2309,6 +2314,24 @@ object SparkEntry {
            |  FROM documents),
            |c AS (SELECT doc_id, shard, n_tokens,
            |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end
+           |  FROM t)
+           |SELECT doc_id, shard, n_tokens, (tok_end-n_tokens)::BIGINT AS tok_start,
+           |  (shard*1099511627776 + (tok_end-n_tokens)//512)::BIGINT AS seq_first,
+           |  (CASE WHEN n_tokens=0 THEN shard*1099511627776 + (tok_end-n_tokens)//512
+           |    ELSE shard*1099511627776 + (tok_end-1)//512 END)::BIGINT AS seq_last,
+           |  ((tok_end-n_tokens)%512)::BIGINT AS offset_in_seq,
+           |  (CASE WHEN n_tokens=0 THEN FALSE
+           |    ELSE (tok_end-n_tokens)//512 <> (tok_end-1)//512 END) AS is_split
+           |FROM c""".stripMargin,
+
+      "seq_pack_shuffled" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  ${hash60("doc_id::VARCHAR")} % 8 AS shard,
+           |  (CASE WHEN length(regexp_replace(text,'^\\s+|\\s+$$','','g'))=0 THEN 0
+           |    ELSE len(string_split_regex(regexp_replace(text,'^\\s+|\\s+$$','','g'),'\\s+')) END)::BIGINT AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT doc_id, shard, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY md5(doc_id::VARCHAR), doc_id ROWS UNBOUNDED PRECEDING) AS tok_end
            |  FROM t)
            |SELECT doc_id, shard, n_tokens, (tok_end-n_tokens)::BIGINT AS tok_start,
            |  (shard*1099511627776 + (tok_end-n_tokens)//512)::BIGINT AS seq_first,

@@ -28,17 +28,25 @@ object Packing {
 
   /** Per-doc packing assignment over whitespace tokens.
     *
+    * `shuffleOrder = true` lays the tape in md5(id) order instead of id
+    * order — the deterministic corpus shuffle a pretraining run wants
+    * before packing (adjacent source docs land in different sequences),
+    * still RNG-free and replayable.
+    *
     * Output: (id, shard, n_tokens, tok_start, seq_first, seq_last,
     * offset_in_seq, is_split) — tok_start is the doc's first-token
     * position on its shard's tape, seq_first/seq_last the global ids of
     * the sequences holding its first/last token (equal when not split;
     * zero-token docs are pinned to seq_first). */
   def pack(df: DataFrame, idCol: String, textCol: String,
-      budget: Int, nShards: Int): DataFrame = {
+      budget: Int, nShards: Int, shuffleOrder: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val shard = pmod(TextAnalysis.hash60(col(idCol).cast("string")), lit(nShards.toLong))
-    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    val ord =
+      if (shuffleOrder) Seq(md5(col(idCol).cast("string")), col(idCol))
+      else Seq(col(idCol))
+    val w = Window.partitionBy("shard").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), shard.as("shard"),
         TextAnalysis.wsTokenCountCol(col(textCol)).cast("long").as("n_tokens"))

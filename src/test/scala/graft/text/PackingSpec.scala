@@ -52,4 +52,29 @@ class PackingSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"), plan)
     assert(plan.contains("hashpartitioning(shard"), plan)
   }
+
+  test("pack: md5 shuffle order reorders the tape but stays gapless and deterministic") {
+    val docs = (1L to 32L).map(i => (i, ("tok " * (i % 5 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    def run() = Packing.pack(docs, "doc_id", "text", budget = 8, nShards = 2,
+      shuffleOrder = true).select("doc_id", "shard", "n_tokens", "tok_start")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run()
+    assert(a == run()) // replayable: no RNG anywhere
+    // per shard the tape is gapless in md5 order, and that order is not id order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    var reordered = false
+    for ((_, g) <- a.groupBy(_._2)) {
+      val inOrder = g.sortBy(r => (hex(r._1), r._1))
+      var cum = 0L
+      for ((id, _, n, start) <- inOrder) {
+        assert(start == cum, s"doc $id tape gap in shuffled order")
+        cum += n
+      }
+      if (inOrder.map(_._1) != inOrder.map(_._1).sorted) reordered = true
+    }
+    assert(reordered, "md5 order coincided with id order on every shard")
+  }
 }
