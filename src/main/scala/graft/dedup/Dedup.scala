@@ -376,18 +376,26 @@ object Dedup {
       .distinct().persist(lvl)
     var labels = edges.select(col("__src").as("__id")).distinct()
       .withColumn("__lbl", col("__id")).persist(lvl)
+    // the dataset actually holding this round's cache (labels may be a
+    // projection of it after round 1 — unpersist must target the cached one)
+    var cached = labels
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val msgs = edges
         .join(labels.select(col("__id").as("__src"), col("__lbl")), Seq("__src"))
-        .select(col("__dst").as("__id"), col("__lbl"))
-      val next = labels.union(msgs).groupBy("__id").agg(min("__lbl").as("__lbl"))
+        .select(col("__dst").as("__id"), col("__lbl"), lit(null).cast("long").as("__self"))
+      // each id appears exactly once in `labels`, so min(__self) recovers
+      // the previous label inside the same aggregation — the convergence
+      // probe costs a filter on the already-shuffled result instead of a
+      // separate join (halves the shuffles per round)
+      val next = labels.withColumn("__self", col("__lbl")).union(msgs)
+        .groupBy("__id").agg(min("__lbl").as("__lbl"), min("__self").as("__old"))
         .persist(lvl)
-      converged = next.join(labels.withColumnRenamed("__lbl", "__old"), Seq("__id"))
-        .filter(col("__lbl") =!= col("__old")).limit(1).count() == 0
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("__lbl") =!= col("__old")).limit(1).count() == 0
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("__id"), col("__lbl"))
       it += 1
     }
     edges.unpersist()

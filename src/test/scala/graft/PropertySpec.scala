@@ -191,4 +191,68 @@ class PropertySpec extends AnyFunSuite {
       assert(spans.size == blocks.count(b => b.label == "heading" || b.label == "body"))
     }
   }
+
+  test("packing: tape is gapless, offsets bounded, split iff crossing a cut") {
+    import graft.text.Packing
+    val docsGen = Gen.listOfN(12, Gen.choose(0L, 20L)).map(_.zipWithIndex.map {
+      case (n, i) => (i.toLong + 1, n)
+    })
+    val budgetGen = Gen.choose(1L, 16L)
+    forAll(docsGen, budgetGen) { (docs, budget) =>
+      val packed = Packing.packPure(docs, budget)
+      var cum = 0L
+      for (((id, n), (pid, start, first, last, off)) <- docs.zip(packed)) {
+        assert(id == pid)
+        assert(start == cum, "gapless tape")
+        assert(off == start % budget && off < budget)
+        assert(first == start / budget)
+        if (n == 0) assert(last == first, "zero-token doc pinned")
+        else assert(last == (start + n - 1) / budget)
+        assert((first != last) == (n > 0 && start / budget != (start + n - 1) / budget))
+        cum += n
+      }
+    }
+  }
+
+  test("line dedup: kept lines a subsequence, hot lines gone, cap monotone") {
+    val lineGen = Gen.oneOf("nav", "footer", "alpha beta", "gamma", "unique line")
+    val docGen = Gen.listOfN(4, lineGen).map(_.mkString("\n"))
+    val corpusGen = Gen.listOfN(6, docGen).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong + 1, t)
+    })
+    forAll(corpusGen, Gen.choose(1L, 8L)) { (docs, cap) =>
+      val norm: String => String = _.trim.toLowerCase.replaceAll("\\s+", " ")
+      val occ = docs.flatMap(_._2.split("\n", -1)).groupBy(norm).map { case (k, v) => k -> v.size }
+      val out = Dedup.dedupLinesPure(docs, cap)
+      for (((id, t), (oid, nl, nr, clean)) <- docs.zip(out)) {
+        assert(id == oid)
+        val orig = t.split("\n", -1).toSeq
+        val kept = if (clean.isEmpty && nr == nl) Seq.empty else clean.split("\n", -1).toSeq
+        assert(nl == orig.size && nr == orig.size - kept.size)
+        // kept is exactly the original minus hot lines, order preserved
+        assert(kept == orig.filter(l => occ(norm(l)) <= cap))
+        assert(kept.forall(l => occ(norm(l)) <= cap))
+      }
+      // a looser cap never removes more
+      val out2 = Dedup.dedupLinesPure(docs, cap + 1)
+      assert(out.zip(out2).forall { case (a, b) => a._3 >= b._3 })
+    }
+  }
+
+  test("stratified sampling: size = ceil(frac*n), deterministic, nested in looser fracs") {
+    import graft.text.Sampling
+    val idsGen = Gen.listOfN(15, Gen.choose(1L, 500L)).map(_.distinct)
+    val fracGen = Gen.oneOf(0.1, 0.25, 0.5, 0.75)
+    forAll(idsGen, fracGen) { (ids, frac) =>
+      whenever(ids.nonEmpty) {
+        val kept = Sampling.stratifiedPure(ids, frac)
+        assert(kept.size == math.ceil(ids.size * frac).toInt)
+        assert(kept.toSet.subsetOf(ids.toSet))
+        assert(kept == Sampling.stratifiedPure(ids, frac), "deterministic")
+        // md5 ranking makes samples nested: frac ⊆ frac' for frac < frac'
+        val larger = Sampling.stratifiedPure(ids, math.min(1.0, frac * 2))
+        assert(kept.toSet.subsetOf(larger.toSet))
+      }
+    }
+  }
 }
