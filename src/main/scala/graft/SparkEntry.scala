@@ -947,6 +947,11 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           col("sample_rank").cast("long").as("sample_rank"), col("stratum_n"))),
 
+    "sample_hash" -> ((s, d) =>
+      // scale-path sample: md5-threshold filter, zero shuffles at any size
+      Sampling.hashThreshold(rd(s, d, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     "vocab_topk" -> ((s, d) =>
       // corpus-wide top-20 token vocabulary (distributed TopK, no global
       // sort; k < |vocab| so the cut and its tie-break actually bind)
@@ -2349,6 +2354,10 @@ object SparkEntry {
           |  FROM documents)
           |SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank, stratum_n::BIGINT AS stratum_n
           |FROM r WHERE sample_rank <= ceil(stratum_n * 0.25)""".stripMargin,
+
+      "sample_hash" ->
+        s"""SELECT doc_id, lang, source FROM documents
+           |WHERE ${hash60("doc_id::VARCHAR")} < ${(BigDecimal(0.25) * BigDecimal(1L << 60)).toLong}""".stripMargin,
 
       "vocab_topk" ->
         s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS token FROM documents)

@@ -30,4 +30,21 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.stratified(docs, "doc_id", "lang", 0.0))
   }
+
+  test("hashThreshold: pure-twin parity, zero-shuffle plan, frac=1 keeps all") {
+    val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val kept = Sampling.hashThreshold(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = (1L to 400L).filter(Sampling.hashThresholdPure(_, 0.25)).toSet
+    assert(kept == expect)
+    // binomial around frac·n, never exact by construction — sanity band only
+    assert(kept.size > 60 && kept.size < 140, s"got ${kept.size}")
+    assert(Sampling.hashThreshold(docs, "doc_id", 1.0).count() == 400)
+    // scale shape: a pure filter — no exchange of any kind in the plan
+    val plan = Sampling.hashThreshold(docs, "doc_id", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException](
+      Sampling.hashThreshold(docs, "doc_id", 1.5))
+  }
 }
