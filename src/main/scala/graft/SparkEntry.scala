@@ -908,6 +908,24 @@ object SparkEntry {
         ssn.cast("long").as("n_ssn"))
     }),
 
+    "curation_e2e" -> ((s, d) => {
+      // the full pretraining-corpus curation chain in ONE plan: line-level
+      // dedup of synthetic pages → token-count quality gate → zero-shuffle
+      // hash sample → sequence packing of the survivors. Demonstrates the
+      // operators compose relationally: one line-hash shuffle, one doc
+      // groupBy, a pure filter, one shard window — nothing collected.
+      val page = concat(lit("Home | About Us | Contact\n"), col("text"),
+        lit("\nCopyright 2026 - All Rights Reserved"))
+      val cleaned = Dedup.dedupLines(
+        rd(s, d, "documents").withColumn("page", page),
+        "doc_id", "page", maxOccurrences = 5)
+      val gated = cleaned
+        .withColumn("ws_tokens", TA.wsTokenCountCol(col("clean_text")).cast("long"))
+        .filter(col("ws_tokens") >= 8)
+      val sampled = Sampling.hashThreshold(gated, "doc_id", 0.5)
+      Packing.pack(sampled, "doc_id", "clean_text", budget = 128, nShards = 4)
+    }),
+
     "line_dedup" -> ((s, d) => {
       // CCNet-style line-level dedup over synthetic pages: corpus-wide
       // nav/footer chrome and per-group section headers repeat past the
@@ -2276,6 +2294,40 @@ object SparkEntry {
           |  len(regexp_extract_all(t, '\(\d{3}\)\s*\d{3}[-.]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
           |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn
           |FROM t""".stripMargin,
+
+      "curation_e2e" ->
+        s"""WITH pg AS (SELECT doc_id,
+           |  'Home | About Us | Contact'||chr(10)||text||chr(10)||
+           |  'Copyright 2026 - All Rights Reserved' AS page FROM documents),
+           |l AS (SELECT doc_id, i AS line_idx, lines[i+1] AS line
+           |  FROM (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+           |  unnest(range(len(lines))) AS t(i)),
+           |h AS (SELECT doc_id, line_idx, line,
+           |  ${hash60("regexp_replace(trim(lower(line)),'\\s+',' ','g')")} AS lh FROM l),
+           |hot AS (SELECT lh FROM h GROUP BY lh HAVING count(*) > 5),
+           |m AS (SELECT h.doc_id, h.line_idx, h.line, (hot.lh IS NOT NULL) AS is_hot
+           |  FROM h LEFT JOIN hot ON h.lh=hot.lh),
+           |cl AS (SELECT doc_id,
+           |  coalesce(string_agg(CASE WHEN NOT is_hot THEN line END, chr(10) ORDER BY line_idx), '') AS clean_text
+           |  FROM m GROUP BY doc_id),
+           |g AS (SELECT doc_id, clean_text,
+           |  (CASE WHEN length(regexp_replace(clean_text,'^\\s+|\\s+$$','','g'))=0 THEN 0
+           |    ELSE len(string_split_regex(regexp_replace(clean_text,'^\\s+|\\s+$$','','g'),'\\s+')) END)::BIGINT AS ws_tokens
+           |  FROM cl),
+           |sm AS (SELECT doc_id, ws_tokens FROM g WHERE ws_tokens >= 8
+           |  AND ${hash60("doc_id::VARCHAR")} < ${(BigDecimal(0.5) * BigDecimal(1L << 60)).toLong}),
+           |t2 AS (SELECT doc_id, ${hash60("doc_id::VARCHAR")} % 4 AS shard, ws_tokens AS n_tokens FROM sm),
+           |c AS (SELECT doc_id, shard, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end
+           |  FROM t2)
+           |SELECT doc_id, shard, n_tokens, (tok_end-n_tokens)::BIGINT AS tok_start,
+           |  (shard*1099511627776 + (tok_end-n_tokens)//128)::BIGINT AS seq_first,
+           |  (CASE WHEN n_tokens=0 THEN shard*1099511627776 + (tok_end-n_tokens)//128
+           |    ELSE shard*1099511627776 + (tok_end-1)//128 END)::BIGINT AS seq_last,
+           |  ((tok_end-n_tokens)%128)::BIGINT AS offset_in_seq,
+           |  (CASE WHEN n_tokens=0 THEN FALSE
+           |    ELSE (tok_end-n_tokens)//128 <> (tok_end-1)//128 END) AS is_split
+           |FROM c""".stripMargin,
 
       "line_dedup" ->
         s"""WITH pg AS (SELECT doc_id,
