@@ -169,7 +169,9 @@ object Bench {
       def pass(): Double = {
         val t = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
         // operators that persist() internal relations (dedup LSH) would
-        // otherwise accumulate CacheManager entries across the sweep
+        // otherwise accumulate CacheManager entries across the sweep;
+        // drain the tracked registry, then blanket-clear query-local caches
+        graft.io.Persisted.release(spark)
         spark.catalog.clearCache()
         t
       }

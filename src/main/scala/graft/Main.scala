@@ -74,7 +74,9 @@ object Main {
             docs, "doc_id", "text", minJ = minJ, caps = caps)
           pairs.write.mode("overwrite").parquet(out)
           val n = spark.read.parquet(out).count()
-          spark.catalog.clearCache() // release the LSH operators' persisted relations
+          // release exactly the LSH operators' persisted relations (not a
+          // blanket clearCache — a host application's caches stay cached)
+          graft.io.Persisted.release(spark)
           println(s"[graft] dedup: wrote $n near-dup pairs to $out " +
             s"(minJ=$minJ, dropped hot shingles=${drops.hot_shingles}, " +
             s"hot buckets=${drops.hot_buckets})")

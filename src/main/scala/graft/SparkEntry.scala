@@ -970,6 +970,26 @@ object SparkEntry {
       Sampling.hashThreshold(rd(s, d, "documents"), "doc_id", 0.25)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    "domain_cap" -> ((s, d) => {
+      // C4/CCNet-style per-domain cap: at most 10 docs per (synthetic)
+      // domain, chosen by md5(id) rank — exact window baseline
+      val docs = rd(s, d, "documents").withColumn("domain",
+        concat_ws("-", col("source"), (col("doc_id") % 7).cast("string")))
+      Sampling.domainCap(docs, "doc_id", "domain", 10)
+        .select(col("doc_id"), col("domain"),
+          col("domain_rank").cast("long").as("domain_rank"), col("domain_n"))
+    }),
+
+    "domain_cap_scalable" -> ((s, d) => {
+      // skew-safe twin: integer hash32 prefilter bounds the window to
+      // ~cap·slack rows per domain before the exact md5-rank cut
+      val docs = rd(s, d, "documents").withColumn("domain",
+        concat_ws("-", col("source"), (col("doc_id") % 7).cast("string")))
+      Sampling.domainCapScalable(docs, "doc_id", "domain", 10, slack = 2)
+        .select(col("doc_id"), col("domain"),
+          col("domain_rank").cast("long").as("domain_rank"), col("domain_n"))
+    }),
+
     "vocab_topk" -> ((s, d) =>
       // corpus-wide top-20 token vocabulary (distributed TopK, no global
       // sort; k < |vocab| so the cut and its tie-break actually bind)
@@ -2410,6 +2430,29 @@ object SparkEntry {
       "sample_hash" ->
         s"""SELECT doc_id, lang, source FROM documents
            |WHERE ${hash60("doc_id::VARCHAR")} < ${(BigDecimal(0.25) * BigDecimal(1L << 60)).toLong}""".stripMargin,
+
+      "domain_cap" ->
+        """WITH d AS (SELECT doc_id, source||'-'||(doc_id % 7) AS domain FROM documents),
+          |r AS (SELECT doc_id, domain,
+          |  row_number() OVER (PARTITION BY domain ORDER BY md5(doc_id::VARCHAR), doc_id) AS domain_rank,
+          |  count(*) OVER (PARTITION BY domain) AS domain_n FROM d)
+          |SELECT doc_id, domain, domain_rank::BIGINT AS domain_rank,
+          |  domain_n::BIGINT AS domain_n
+          |FROM r WHERE domain_rank <= 10""".stripMargin,
+
+      "domain_cap_scalable" ->
+        s"""WITH d AS (SELECT doc_id, source||'-'||(doc_id % 7) AS domain FROM documents),
+           |sz AS (SELECT domain, count(*) AS domain_n FROM d GROUP BY 1),
+           |pre AS (SELECT d.doc_id, d.domain, sz.domain_n
+           |  FROM d JOIN sz USING (domain)
+           |  WHERE sz.domain_n <= 10
+           |     OR ${hash32("d.doc_id::VARCHAR")} * sz.domain_n < ${10L * 2L * (1L << 32)}),
+           |r AS (SELECT doc_id, domain, domain_n,
+           |  row_number() OVER (PARTITION BY domain ORDER BY md5(doc_id::VARCHAR), doc_id) AS domain_rank
+           |  FROM pre)
+           |SELECT doc_id, domain, domain_rank::BIGINT AS domain_rank,
+           |  domain_n::BIGINT AS domain_n
+           |FROM r WHERE domain_rank <= 10""".stripMargin,
 
       "vocab_topk" ->
         s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS token FROM documents)

@@ -30,7 +30,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release relations persisted inside operators (SQL cache is held by
-      // the CacheManager until explicitly dropped, NOT the ContextCleaner)
+      // the CacheManager until explicitly dropped, NOT the ContextCleaner);
+      // drain the tracked registry, then blanket-clear query-local caches
+      graft.io.Persisted.release(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

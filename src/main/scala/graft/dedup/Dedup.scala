@@ -85,10 +85,11 @@ object Dedup {
     // the shingle relation feeds three join branches — persist it so the
     // tokenize+hash scan runs once, not per branch. NOTE: SQL cache is held
     // by the session CacheManager until explicitly released; long-lived
-    // sessions must spark.catalog.clearCache() (or unpersist) after the
-    // result is materialized (Verify/Bench do).
-    val rows = shingleRows(df, idCol, textCol, n, maxDf).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sessions release via Persisted.release / unpersistAfter (or a blanket
+    // clearCache) after the result is materialized (Verify/Bench do).
+    val rows = graft.io.Persisted.track(
+      shingleRows(df, idCol, textCol, n, maxDf).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = rows.toDF("id_a", "sh")
     val b = rows.toDF("id_b", "sh")
@@ -241,16 +242,17 @@ object Dedup {
       bandRowsAll.join(hot, Seq("band"), "left_anti")
         .select(bandRowsAll.columns.map(col): _*)
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandRows.toDF("id_a", "band")
+    val cand = graft.io.Persisted.track(bandRows.toDF("id_a", "band")
       .join(bandRows.toDF("id_b", "band"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cand.count() // materialize candidates, then release the band relation
     bandRows.unpersist(blocking = false)
     // verify candidates with exact n-gram Jaccard (persisted: 3 branches)
-    val rows = shingleRows(df, idCol, textCol, n, maxDf).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = graft.io.Persisted.track(
+      shingleRows(df, idCol, textCol, n, maxDf).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val common = cand
       .join(rows.toDF("id_a", "sh"), Seq("id_a"))
@@ -330,14 +332,15 @@ object Dedup {
     val bandedAll = simhashBandRows(df, idCol, textCol)
     // persisted: the typed fingerprint scan feeds both sides of the
     // candidate self-join (plus the hot-band agg when capped). Caller
-    // releases via clearCache() after materializing (Verify/Bench do).
-    val banded = (if (maxBucket <= 0) bandedAll
+    // releases via Persisted.release / unpersistAfter (or clearCache) after
+    // materializing (Verify/Bench do).
+    val banded = graft.io.Persisted.track((if (maxBucket <= 0) bandedAll
     else {
       val hot = bandedAll.groupBy("band").agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") > maxBucket).select("band")
       bandedAll.join(hot, Seq("band"), "left_anti")
         .select(bandedAll.columns.map(col): _*)
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     banded.select(col("band"), col(idCol).as("id_a"), col("fp").as("fp_a"))
       .join(banded.select(col("band"), col(idCol).as("id_b"), col("fp").as("fp_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -401,7 +404,9 @@ object Dedup {
     edges.unpersist()
     require(converged, s"connectedComponents: not converged after $maxIters rounds")
     // labels stays persisted for the caller's action (same contract as the
-    // LSH operators: release via clearCache() after materializing)
+    // LSH operators: release via Persisted.release / unpersistAfter, or a
+    // blanket clearCache, after materializing)
+    graft.io.Persisted.track(cached)
     labels.select(col("__id").as("id"), col("__lbl").as("cluster_id"))
   }
 

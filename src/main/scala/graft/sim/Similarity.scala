@@ -236,10 +236,12 @@ object Similarity {
       minCos: Double, tables: Int = 4, bits: Int = 12): DataFrame = {
     // persisted: the typed key computation (tables×bits dot products per
     // row) feeds both sides of the self-join — without the persist it runs
-    // twice, once per side. Caller releases via clearCache() after
-    // materializing (Verify/Bench do), same contract as jaccardPairs.
-    val keyed = rhpKeyRows(df, idCol, vecCol, tables, bits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // twice, once per side. Caller releases via Persisted.release /
+    // unpersistAfter (or clearCache) after materializing (Verify/Bench do),
+    // same contract as jaccardPairs.
+    val keyed = graft.io.Persisted.track(
+      rhpKeyRows(df, idCol, vecCol, tables, bits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = keyed.select(col("__key"), col(idCol).as("id_a"),
       col(vecCol).as("__va"), col("__n").as("__na"))
     val b = keyed.select(col("__key"), col(idCol).as("id_b"),

@@ -51,6 +51,64 @@ object Sampling {
     df.filter(TextAnalysis.hash60(col(idCol).cast("string")) < lit(cut))
   }
 
+  /** Per-domain cap — the C4/CCNet-style "at most `cap` pages per host"
+    * rebalancing step. Keeps the `cap` docs of each domain with the
+    * smallest md5(id) (ties by id), i.e. a deterministic uniform draw per
+    * domain; domains at or under the cap survive whole. Output: the kept
+    * rows plus (domain_rank, domain_n).
+    *
+    * Exact baseline: ONE shuffle on the domain key, but the row_number
+    * window sorts each domain inside a single task — right when no domain
+    * is huge, wrong for a 10M-page mega-domain (that task becomes the
+    * straggler). [[domainCapScalable]] is the skew-safe variant. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val ord = Window.partitionBy(domainCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val all = Window.partitionBy(domainCol)
+    df.withColumn("domain_rank", row_number().over(ord))
+      .withColumn("domain_n", count(lit(1)).over(all))
+      .filter(col("domain_rank") <= cap)
+  }
+
+  /** Skew-safe per-domain cap: a two-phase plan whose window never sorts
+    * more than ~`cap`·`slack` rows per domain, no matter how large the
+    * domain is.
+    *
+    *  1. domain sizes n_d (partial-agg shuffle, tiny output);
+    *  2. hash prefilter: domains with n_d ≤ cap pass whole; larger ones
+    *     keep a row iff hash32(id)·n_d < cap·slack·2³² — pure integer
+    *     math (exact while n_d < 2³¹ and cap·slack < 2³¹), so any engine
+    *     replays it bit-for-bit. Survivors per mega-domain ≈ Binomial
+    *     (n_d, cap·slack/n_d), mean cap·slack;
+    *  3. exact md5-rank window over the survivors (now bounded per
+    *     domain), keep rank ≤ cap.
+    *
+    * Same selection rule as [[domainCap]] restricted to prefilter
+    * survivors — deterministic and oracle-replayable, but NOT always
+    * identical to the exact baseline: a mega-domain's kept set is the
+    * cap-smallest md5s *among survivors*. With the default slack=4 the
+    * prefilter under-fills a domain (fewer than `cap` survivors) with
+    * probability ≈ P[Bin(n_d, 4cap/n_d) < cap] < e^(-1.2·cap) — already
+    * < 10⁻⁵ at cap=10 — and mean survivor volume is 4·cap rows per
+    * mega-domain into the sort. Output schema matches [[domainCap]]
+    * (domain_n is the ORIGINAL domain size, not the survivor count). */
+  def domainCapScalable(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int, slack: Int = 4): DataFrame = {
+    require(cap > 0 && slack > 0, s"cap/slack must be positive, got $cap/$slack")
+    require(cap.toLong * slack < (1L << 31), "cap*slack must fit 31 bits")
+    val sizes = df.groupBy(domainCol).agg(count(lit(1)).as("domain_n"))
+    val pre = df.join(sizes, Seq(domainCol))
+      .filter(col("domain_n") <= cap ||
+        TextAnalysis.hash32(col(idCol).cast("string")) * col("domain_n") <
+          lit(cap.toLong * slack * (1L << 32)))
+    val ord = Window.partitionBy(domainCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    pre.withColumn("domain_rank", row_number().over(ord))
+      .filter(col("domain_rank") <= cap)
+  }
+
   /** Pure twin of [[hashThreshold]]: would this id be kept? */
   def hashThresholdPure(id: Long, frac: Double): Boolean = {
     val cut = (BigDecimal(frac) * BigDecimal(1L << 60)).toLong

@@ -47,4 +47,52 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.hashThreshold(docs, "doc_id", 1.5))
   }
+
+  test("domainCap: md5-smallest cap per domain; small domains survive whole") {
+    val dom: Long => String = i => if (i % 5 == 0) "small.example" else s"big${i % 2}.example"
+    val docs = (1L to 100L).map(i => (i, dom(i))).toDF("doc_id", "domain")
+    val got = Sampling.domainCap(docs, "doc_id", "domain", 10)
+      .select("doc_id", "domain", "domain_rank", "domain_n")
+      .as[(Long, String, Int, Long)].collect()
+    // small.example has 20 docs (>cap) — every domain is capped to 10 here;
+    // check against the pure md5 order per domain
+    val byDom = (1L to 100L).groupBy(dom)
+    for ((d, ids) <- byDom) {
+      val kept = got.filter(_._2 == d)
+      assert(kept.length == math.min(10, ids.size))
+      assert(kept.map(_._1).toSet == Sampling.stratifiedPure(ids.toSeq, 1.0).take(10).toSet)
+      assert(kept.forall(_._4 == ids.size))
+      assert(kept.map(_._3).sorted.toSeq == (1 to kept.length))
+    }
+    // a genuinely small domain survives whole
+    val tiny = docs.union(Seq((1000L, "tiny.example"), (1001L, "tiny.example"))
+      .toDF("doc_id", "domain"))
+    val t = Sampling.domainCap(tiny, "doc_id", "domain", 10)
+      .filter($"domain" === "tiny.example").count()
+    assert(t == 2)
+  }
+
+  test("domainCapScalable: prefilter bounds the window; agrees with exact when slack covers") {
+    val dom: Long => String = i => s"d${i % 3}"
+    val docs = (1L to 300L).map(i => (i, dom(i))).toDF("doc_id", "domain")
+    // slack high enough that the binomial prefilter virtually never
+    // under-fills at this size → must agree with the exact baseline
+    val exact = Sampling.domainCap(docs, "doc_id", "domain", 5)
+      .select("doc_id").as[Long].collect().toSet
+    val scal = Sampling.domainCapScalable(docs, "doc_id", "domain", 5, slack = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scal == exact)
+    // with a tight slack the result is still deterministic and ≤ cap per
+    // domain, and every kept doc passes the integer prefilter predicate
+    val tight = Sampling.domainCapScalable(docs, "doc_id", "domain", 5, slack = 2)
+      .select("doc_id", "domain", "domain_n").as[(Long, String, Long)].collect()
+    assert(tight.groupBy(_._2).values.forall(_.length <= 5))
+    val cut = 5L * 2L * (1L << 32)
+    assert(tight.forall { case (id, _, n) =>
+      n <= 5 || TextAnalysis.hash32(id.toString) * n < cut })
+    // rerun is bit-identical (no RNG anywhere)
+    val rerun = Sampling.domainCapScalable(docs, "doc_id", "domain", 5, slack = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rerun == tight.map(_._1).toSet)
+  }
 }
