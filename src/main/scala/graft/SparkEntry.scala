@@ -990,6 +990,27 @@ object SparkEntry {
           col("domain_rank").cast("long").as("domain_rank"), col("domain_n"))
     }),
 
+    "mixture_sample" -> ((s, d) =>
+      // domain-reweighting: prescribe per-language output doc counts — en
+      // downsampled, de kept whole (target over-covers), zh deliberately
+      // untargeted → dropped (mixture weights define the output universe)
+      Sampling.mixtureSample(rd(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 60L, "de" -> 100000L, "fr" -> 40L, "es" -> 40L))
+        .select(col("doc_id"), col("lang"), col("stratum_n"),
+          col("stratum_target"))),
+
+    "substring_dedup" -> ((s, d) => {
+      // exact substring dedup at 8-token spans: a boilerplate sentence
+      // pasted into every 5th doc is stripped everywhere except one
+      // canonical (md5-smallest) occurrence
+      val page = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" standard legal disclaimer all liability" +
+          " is limited to the amounts stated herein")))
+        .otherwise(col("text"))
+      Dedup.dedupSubstrings(rd(s, d, "documents").withColumn("page", page),
+        "doc_id", "page", k = 8, maxOccurrences = 1)
+    }),
+
     "vocab_topk" -> ((s, d) =>
       // corpus-wide top-20 token vocabulary (distributed TopK, no global
       // sort; k < |vocab| so the cut and its tie-break actually bind)
@@ -1060,6 +1081,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           col("rank").cast("long").as("rnk"))
     }),
+
+    "semantic_dedup" -> ((s, d) =>
+      // SemDeDup: IVF-clustered embedding cells, in-cell duplicate drop
+      // with the keep-low-centroid-similarity precedence (one-pass rule);
+      // training is RNG-free so the oracle replays it end-to-end
+      Similarity.semanticDedup(rd(s, d, "embeddings"), "vec_id", "embedding",
+        minCos = 0.4002, nlist = 8, iters = 1)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("centroid_cos"), col("n_closer_dups"), col("is_kept"))),
 
     "f3_loose_dollar" -> ((s, d) => {
       val text = concat(lit("ref "), (col("l_partkey") * 37).cast("string"),
@@ -2454,6 +2484,41 @@ object SparkEntry {
            |  domain_n::BIGINT AS domain_n
            |FROM r WHERE domain_rank <= 10""".stripMargin,
 
+      "mixture_sample" ->
+        s"""WITH sz AS (SELECT lang, count(*) AS stratum_n FROM documents GROUP BY 1),
+           |t(lang, stratum_target) AS (VALUES ('en', 60), ('de', 100000), ('fr', 40), ('es', 40))
+           |SELECT d.doc_id, d.lang, sz.stratum_n::BIGINT AS stratum_n,
+           |  t.stratum_target::BIGINT AS stratum_target
+           |FROM documents d JOIN sz USING (lang) JOIN t USING (lang)
+           |WHERE sz.stratum_n <= t.stratum_target
+           |   OR ${hash32("d.doc_id::VARCHAR")} <
+           |      (t.stratum_target::BIGINT * 4294967296) // sz.stratum_n""".stripMargin,
+
+      "substring_dedup" ->
+        s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id%5=0
+           |    THEN text || ' standard legal disclaimer all liability is limited to the amounts stated herein'
+           |    ELSE text END AS page FROM documents),
+           |tk AS (SELECT doc_id, ${toks.format("page")} AS l FROM d),
+           |tok AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tk),
+           |kg AS (SELECT doc_id, pos, ${hash60("array_to_string(l[pos+1:pos+8], ' ')")} AS kh
+           |  FROM (SELECT doc_id, l, unnest(range(len(l)-7)) AS pos FROM tk WHERE len(l) >= 8)),
+           |m AS (SELECT doc_id, pos,
+           |  count(*) OVER (PARTITION BY kh) AS occ,
+           |  row_number() OVER (PARTITION BY kh ORDER BY md5(doc_id::VARCHAR), doc_id, pos) AS rn
+           |  FROM kg),
+           |starts AS (SELECT doc_id, pos FROM m WHERE occ > 1 AND rn > 1),
+           |cov AS (SELECT DISTINCT doc_id, pos + o AS pos FROM starts, unnest(range(8)) AS t(o)),
+           |kept AS (SELECT t.doc_id, t.pos, t.tok, (c.pos IS NOT NULL) AS is_cov
+           |  FROM tok t LEFT JOIN cov c ON t.doc_id=c.doc_id AND t.pos=c.pos),
+           |agg AS (SELECT doc_id, count(*) AS n_tokens,
+           |  sum(CASE WHEN is_cov THEN 1 ELSE 0 END) AS n_removed,
+           |  coalesce(string_agg(CASE WHEN NOT is_cov THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+           |  FROM kept GROUP BY 1)
+           |SELECT d.doc_id, coalesce(n_tokens,0)::BIGINT AS n_tokens,
+           |  coalesce(n_removed,0)::BIGINT AS n_removed,
+           |  coalesce(clean_text,'') AS clean_text
+           |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
       "vocab_topk" ->
         s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS token FROM documents)
            |SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1
@@ -2602,6 +2667,51 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      "semantic_dedup" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |seeds AS (
+          |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+          |         embedding AS c
+          |  FROM e
+          |  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 8),
+          |a0 AS (
+          |  SELECT e.vec_id, e.embedding, s.cell,
+          |    round(list_sum(list_transform(list_zip(e.embedding, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |      / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |       * sqrt(list_sum(list_transform(list_zip(s.c, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |  FROM e CROSS JOIN seeds s),
+          |asg AS (
+          |  SELECT vec_id, embedding, cell FROM a0
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) = 1),
+          |cm AS (
+          |  SELECT cell, unnest(range(len(embedding))) AS pos,
+          |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
+          |  FROM asg),
+          |cents AS (
+          |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+          |    SELECT cell, pos, round(avg(x), 6) AS m FROM cm GROUP BY 1, 2)
+          |  GROUP BY cell),
+          |keyed AS (
+          |  SELECT vec_id, ce, cell, cs AS ccos FROM (
+          |    SELECT e.vec_id, e.embedding AS ce, c.cell,
+          |      round(list_sum(list_transform(list_zip(e.embedding, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |        / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |         * sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |    FROM e CROSS JOIN cents c)
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) = 1),
+          |closer AS (
+          |  SELECT a.vec_id, count(*) AS n_closer
+          |  FROM keyed a JOIN keyed b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          |  WHERE (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+          |    AND round(list_sum(list_transform(list_zip(a.ce, b.ce), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |      / (sqrt(list_sum(list_transform(list_zip(a.ce, a.ce), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |       * sqrt(list_sum(list_transform(list_zip(b.ce, b.ce), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) >= 0.4002
+          |  GROUP BY 1)
+          |SELECT k.vec_id, k.cell::BIGINT AS cell, k.ccos AS centroid_cos,
+          |  coalesce(c.n_closer, 0)::BIGINT AS n_closer_dups,
+          |  coalesce(c.n_closer, 0) = 0 AS is_kept
+          |FROM keyed k LEFT JOIN closer c USING (vec_id)""".stripMargin,
 
       "f3_loose_dollar" ->
         """WITH t AS (SELECT l_orderkey, l_linenumber::BIGINT AS page,

@@ -459,6 +459,111 @@ object Dedup {
     }
   }
 
+  // --------------------------------------- exact substring (span) dedup ----
+  /** Exact substring dedup at k-token granularity — the span-level pass (à
+    * la "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022) that doc-level AND line-level dedup both miss: a boilerplate
+    * paragraph pasted mid-document into thousands of otherwise-unique pages.
+    *
+    * A token span is duplicated when its k-gram occurs more than
+    * `maxOccurrences` times corpus-wide. Every occurrence of a duplicated
+    * k-gram is stripped EXCEPT one canonical copy — the occurrence with the
+    * smallest (md5(id), id, pos), the engine's standard RNG-free draw — so
+    * the corpus keeps exactly one copy of each duplicated span (per-k-gram;
+    * overlapping duplicated k-grams strip as the union of their windows).
+    * Tokens are [[graft.text.TextAnalysis.tokensCol]] words; the emitted
+    * text is the kept tokens space-joined in original order.
+    *
+    * Plan: posexplode + a per-doc lead window build the k-grams (narrow +
+    * per-doc-bounded sort); ONE groupBy on the 60-bit k-gram hash with
+    * map-side partial agg computes (occurrence count, canonical occurrence)
+    * — a viral k-gram combines per-partition instead of sorting a hot
+    * window partition; duplicated starts explode into ≤k covered positions
+    * each; reassembly is one groupBy on the doc id. Nothing is ever
+    * all-pairs and no relation is collected.
+    *
+    * Output: one row per input doc — (id, n_tokens, n_removed, clean_text). */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxOccurrences: Long = 1): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val toks = df
+      .select(col(idCol), posexplode(tokensCol(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val kg = toks
+      .withColumn("kgram", concat_ws(" ",
+        col("tok") +: (1 until k).map(i => lead("tok", i).over(w)): _*))
+      // concat_ws skips nulls, so a tail window short of k tokens yields a
+      // shorter string — valid k-grams are exactly those whose last lead
+      // still lands inside the doc (materialized as a column: window
+      // expressions are not allowed directly in a filter)
+      .withColumn("__last", lead("tok", k - 1).over(w))
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("pos"), hash60(col("kgram")).as("kh"))
+    // the k-gram relation feeds both the occurrence agg and the start join
+    // — persist it so the per-doc window runs once, not per branch (same
+    // caller-release contract as the LSH operators: Persisted.release /
+    // unpersistAfter after materializing)
+    val kgShared = graft.io.Persisted.track(
+      kg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dup = kgShared.groupBy("kh")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(md5(col(idCol).cast("string")), col(idCol), col("pos")))
+          .as("keeper"))
+      .filter(col("occ") > maxOccurrences)
+      .select("kh", "keeper")
+    val starts = kgShared.join(dup, Seq("kh"))
+      .filter(!(col("keeper").getField(idCol) === col(idCol) &&
+        col("keeper").getField("pos") === col("pos")))
+    val covered = starts
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    val assembled = toks.join(covered, Seq(idCol, "pos"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__cov").isNull, struct(col("pos"), col("tok"))))),
+            _.getField("tok")),
+          " ").as("clean_text"))
+    // token-less docs vanish at the posexplode — restore them so the
+    // output keeps the one-row-per-doc contract
+    df.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
+  /** Pure twin of [[dedupSubstrings]] for spec cross-checking:
+    * (id, nTokens, nRemoved, cleanText) per doc. Same 60-bit k-gram hash
+    * grouping as the DataFrame form so the two agree bit-for-bit even on a
+    * (vanishingly unlikely) hash collision. */
+  def dedupSubstringsPure(docs: Seq[(Long, String)], k: Int,
+      maxOccurrences: Long): Seq[(Long, Long, Long, String)] = {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val toks = docs.map { case (id, t) => id -> graft.text.TextAnalysis.tokens(t) }
+    val occs = for {
+      (id, ts) <- toks
+      p <- 0 to ts.size - k
+    } yield (hash60(ts.slice(p, p + k).mkString(" ")), id, p)
+    val removed: Set[(Long, Int)] = occs.groupBy(_._1).values
+      .filter(_.size > maxOccurrences)
+      .flatMap { os =>
+        val keeper = os.minBy { case (_, id, p) => (md5hex(id.toString), id, p) }
+        os.filterNot(_ == keeper)
+          .flatMap { case (_, id, p) => (p until p + k).map(id -> _) }
+      }.toSet
+    toks.map { case (id, ts) =>
+      val kept = ts.zipWithIndex.filterNot { case (_, p) => removed(id -> p) }
+      (id, ts.size.toLong, (ts.size - kept.size).toLong, kept.map(_._1).mkString(" "))
+    }
+  }
+
   // ------------------------------------------------ decontamination --------
   /** Benchmark decontamination: per-corpus-doc overlap of its word n-gram
     * shingles against a benchmark/eval set's shingle inventory — the

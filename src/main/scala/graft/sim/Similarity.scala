@@ -406,4 +406,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
+
+  /** SemDeDup-style semantic dedup (à la Abbas et al. 2023): cluster the
+    * embedding space with the trained IVF coarse quantizer, then inside
+    * each cell drop documents that are semantic duplicates (cosine ≥
+    * `minCos`) of a preceding document. Precedence follows the paper's
+    * keep-low-centroid-similarity rule: within a duplicate pair the doc
+    * with the SMALLER cosine to its cell centroid survives (it preserves
+    * more cluster diversity), ties broken by id — fully deterministic and
+    * RNG-free, so the oracle replays training, assignment, and the drop
+    * decision bit-for-bit.
+    *
+    * This is the ONE-PASS relational rule: a doc is dropped when ANY
+    * duplicate partner precedes it in the (centroid_cos, id) order, even
+    * if that partner is itself dropped. The paper's sequential greedy
+    * scan differs only on chains (A~B, B~C, A≁C: greedy re-keeps C) —
+    * a corpus-scale pass cannot iterate per-item, and over-dropping
+    * borderline chain tails is the conservative direction for dedup.
+    *
+    * Plan: training collects only nlist×dim centroid doubles; assignment
+    * is the typed narrow argmin scan; the pair enumeration is in-cell only
+    * (one shuffle on the cell id — never corpus all-pairs; cell volume is
+    * the nlist dial, exactly the SemDeDup algorithm's own knob); the final
+    * attach is one groupBy + left join on the id. The assigned relation
+    * feeds both join sides + the output — persisted under the
+    * [[graft.io.Persisted]] caller-release contract.
+    *
+    * Output: one row per input doc —
+    * (id, cell, centroid_cos, n_closer_dups, is_kept). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, nlist: Int = 16, iters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nlist, iters)
+    val cdf = centroidDf(df.sparkSession, cents)
+    val keyed = graft.io.Persisted.track(
+      ivfAssignRows(df, idCol, vecCol, cents)
+        .join(broadcast(cdf), Seq("__cell"))
+        .withColumn("__ccos", centCosCol(col(vecCol), col("__c")))
+        .drop("__c")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = keyed.select(col("__cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"), col("__ccos").as("__cca"))
+    val b = keyed.select(col("__cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"), col("__ccos").as("__ccb"))
+    val closer = a.join(b, Seq("__cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      // partner precedes in (centroid_cos, id) order...
+      .filter(col("__ccb") < col("__cca") ||
+        (col("__ccb") === col("__cca") && col("id_b") < col("id_a")))
+      // ...and is a semantic duplicate
+      .filter(round(dotCol(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")), 6) >= minCos)
+      .groupBy(col("id_a").as(idCol))
+      .agg(count(lit(1)).as("n_closer_dups"))
+    keyed.select(col(idCol), col("__cell").as("cell"),
+        col("__ccos").as("centroid_cos"))
+      .join(closer, Seq(idCol), "left")
+      .withColumn("n_closer_dups", coalesce(col("n_closer_dups"), lit(0L)))
+      .withColumn("is_kept", col("n_closer_dups") === 0)
+  }
 }

@@ -109,6 +109,45 @@ object Sampling {
       .filter(col("domain_rank") <= cap)
   }
 
+  /** Source-mixture resampling — down-sample each stratum to a target doc
+    * count so the output approximates a prescribed mixture (the domain-
+    * reweighting step of a pretraining recipe: "this corpus should be X
+    * docs of web, Y of news, Z of code"). Deterministic, RNG-free, and the
+    * corpus itself NEVER shuffles.
+    *
+    * `targets` maps stratum value → desired output doc count. A stratum at
+    * or under its target survives whole; a larger one keeps a row iff
+    * hash32(id) < (target·2³²) div n_s — exact integer math at ANY stratum
+    * size (the per-stratum cut is a 64-bit floor division, never
+    * hash·n_s), so any engine replays the kept set bit-for-bit. Kept size
+    * is Binomial(n_s, cut/2³²) with mean ≤ target (the floor biases a few
+    * docs low, never high). Strata absent from `targets` are dropped —
+    * weights define the output universe, same as a mixture config file.
+    *
+    * Plan: one tiny per-stratum count agg joined to the literal targets
+    * relation (both broadcast — rows = |strata|), then a pure filter on
+    * the scan. Output: kept rows + (stratum_n, stratum_target). */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(t => t > 0 && t <= (1L << 30)),
+      s"targets must be in (0, 2^30] so target<<32 fits int64")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.toDF(stratumCol, "stratum_target")
+    val sizes = df.groupBy(stratumCol).agg(count(lit(1)).as("stratum_n"))
+      .join(tgt, Seq(stratumCol)) // inner join: untargeted strata drop out
+    df.join(broadcast(sizes), Seq(stratumCol))
+      .filter(col("stratum_n") <= col("stratum_target") ||
+        TextAnalysis.hash32(col(idCol).cast("string")) <
+          expr(s"shiftleft(stratum_target, 32) div stratum_n"))
+  }
+
+  /** Pure twin of [[mixtureSample]]'s keep rule: is `id` kept in a stratum
+    * of size `n` with target `target`? */
+  def mixtureSamplePure(id: Long, n: Long, target: Long): Boolean =
+    n <= target || TextAnalysis.hash32(id.toString) < ((target << 32) / n)
+
   /** Pure twin of [[hashThreshold]]: would this id be kept? */
   def hashThresholdPure(id: Long, frac: Double): Boolean = {
     val cut = (BigDecimal(frac) * BigDecimal(1L << 60)).toLong

@@ -276,4 +276,53 @@ class DedupSpec extends SparkTestBase {
       (4L, 4L, true), (5L, 1L, false), (6L, 6L, true)))
     spark.catalog.clearCache()
   }
+
+  test("substring dedup: duplicated k-token spans stripped to one canonical copy") {
+    val shared = "standard legal disclaimer all liability limited to amounts stated"
+    val corpus = Seq(
+      (1L, s"unique opening for doc one $shared and a unique tail one"),
+      (2L, s"another different beginning here $shared plus other words two"),
+      (3L, s"third document text starts now $shared closing remarks three"),
+      (4L, "no shared content in this document at all just words"),
+      (5L, "tiny doc"), // shorter than k — no k-grams, untouched
+      (6L, ""))         // token-less — must still get an output row
+    val got = dedupSubstrings(corpus.toDF("id", "text"), "id", "text", k = 5)
+      .select("id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // bit-for-bit parity with the pure twin
+    assert(got == dedupSubstringsPure(corpus, k = 5, maxOccurrences = 1).sortBy(_._1))
+    // the shared 9-token span is stripped from 2 of the 3 docs carrying it
+    val strippedDocs = got.filter(r => r._1 <= 3 && r._2 > r._4.split(" ").length)
+    assert(strippedDocs.length == 2)
+    assert(strippedDocs.forall(r => !r._4.contains("disclaimer")))
+    // exactly one doc keeps the canonical copy intact
+    assert(got.count(r => r._1 <= 3 && r._4.contains(shared)) == 1)
+    // untouched docs: nothing removed, text = space-joined tokens
+    assert(got.find(_._1 == 4L).get._3 == 0)
+    assert(got.find(_._1 == 5L).get == ((5L, 2L, 0L, "tiny doc")))
+    assert(got.find(_._1 == 6L).get == ((6L, 0L, 0L, "")))
+    // deterministic rerun
+    val rerun = dedupSubstrings(corpus.toDF("id", "text"), "id", "text", k = 5)
+      .select("id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rerun == got)
+  }
+
+  test("substring dedup: maxOccurrences tolerates repeats up to the cap") {
+    val span = "alpha beta gamma delta epsilon"
+    val corpus = (1L to 4L).map(i => (i, s"doc number $i has $span inside"))
+    // cap 4: the span occurs 4 times ≤ 4 → nothing stripped
+    val loose = dedupSubstringsPure(corpus, k = 5, maxOccurrences = 4)
+    assert(loose.forall(_._3 == 0))
+    val looseDf = dedupSubstrings(corpus.toDF("id", "text"), "id", "text",
+        k = 5, maxOccurrences = 4)
+      .select("id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(looseDf == loose.sortBy(_._1))
+    // cap 1: stripped everywhere but the canonical occurrence
+    val strict = dedupSubstrings(corpus.toDF("id", "text"), "id", "text",
+        k = 5, maxOccurrences = 1)
+      .select("id", "n_removed").as[(Long, Long)].collect()
+    assert(strict.count(_._2 > 0) == 3)
+  }
 }

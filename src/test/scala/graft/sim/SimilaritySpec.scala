@@ -161,4 +161,34 @@ class SimilaritySpec extends SparkTestBase {
     val cells = c2i.map(_._1).toSet
     assert(assigned.select("__cell").as[Int].collect().forall(cells.contains))
   }
+
+  test("semantic dedup: one survivor chain per cell, keep-low-centroid-sim precedence") {
+    val got = semanticDedup(df, "id", "vec", minCos = 0.97, nlist = 3, iters = 1)
+      .select("id", "cell", "centroid_cos", "n_closer_dups", "is_kept")
+      .as[(Long, Int, Double, Long, Boolean)].collect().sortBy(_._1).toSeq
+    graft.io.Persisted.release(spark)
+    // one row per input doc, deterministic rerun
+    assert(got.map(_._1) == rows.map(_._1))
+    val rerun = semanticDedup(df, "id", "vec", minCos = 0.97, nlist = 3, iters = 1)
+      .select("id", "cell", "centroid_cos", "n_closer_dups", "is_kept")
+      .as[(Long, Int, Double, Long, Boolean)].collect().sortBy(_._1).toSeq
+    graft.io.Persisted.release(spark)
+    assert(rerun == got)
+    // replay the drop rule from first principles: same cell, cos >= minCos,
+    // partner precedes in (centroid_cos, id)
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    for ((id, cell, ccos, n, kept) <- got) {
+      val closer = got.filter { case (oid, ocell, occos, _, _) =>
+        oid != id && ocell == cell &&
+          (occos < ccos || (occos == ccos && oid < id)) &&
+          cosine(vecs(oid), vecs(id)) >= 0.97
+      }
+      assert(n == closer.length, s"doc $id")
+      assert(kept == (n == 0))
+    }
+    // the jittered clusters contain genuine semantic dups, and something
+    // must also survive in every cell
+    assert(got.exists(!_._5))
+    assert(got.groupBy(_._2).values.forall(_.exists(_._5)))
+  }
 }

@@ -95,4 +95,35 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(rerun == tight.map(_._1).toSet)
   }
+
+  test("mixtureSample: per-stratum targets, pure-twin parity, corpus never shuffles") {
+    val lang: Long => String = i => Seq("en", "de", "fr")((i % 3).toInt)
+    val docs = (1L to 600L).map(i => (i, lang(i), s"payload $i")).toDF("doc_id", "lang", "text")
+    // en: 200 docs → target 50 (downsample); de: 200 → 500 (kept whole);
+    // fr untargeted → dropped entirely
+    val targets = Map("en" -> 50L, "de" -> 500L)
+    val got = Sampling.mixtureSample(docs, "doc_id", "lang", targets)
+      .select("doc_id", "lang", "stratum_n", "stratum_target")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.forall(_._2 != "fr"))
+    assert(got.count(_._2 == "de") == 200) // under target → whole
+    val en = got.filter(_._2 == "en")
+    // binomial around 50 with the floor cut biasing low — sanity band
+    assert(en.length > 25 && en.length < 75, s"got ${en.length}")
+    // every row agrees with the pure keep rule, and no kept row is missing
+    val expEn = (1L to 600L).filter(i => lang(i) == "en" &&
+      Sampling.mixtureSamplePure(i, 200L, 50L)).toSet
+    assert(en.map(_._1).toSet == expEn)
+    assert(got.forall(r => r._3 == 200L && targets(r._2) == r._4))
+    // plan shape: the only shuffle is the tiny per-stratum count agg — the
+    // corpus side reaches the filter through a broadcast join
+    val plan = Sampling.mixtureSample(docs, "doc_id", "lang", targets)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(docs, "doc_id", "lang", Map.empty))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(docs, "doc_id", "lang", Map("en" -> 0L)))
+  }
 }
