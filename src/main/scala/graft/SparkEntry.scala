@@ -10,7 +10,7 @@ import graft.pipeline.{Ep1Config, ExtractJob}
 import graft.qc.Qc
 import graft.ranges.Islands
 import graft.sim.Similarity
-import graft.text.{Packing, Sampling, TextAnalysis => TA}
+import graft.text.{Importance, Packing, Sampling, TextAnalysis => TA}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1080,6 +1080,16 @@ object SparkEntry {
         k = 10, nlist = 8, nProbe = 2, iters = 1)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           col("rank").cast("long").as("rnk"))
+    }),
+
+    "dsir_score" -> ((s, d) => {
+      // DSIR importance scoring: docs with doc_id%11==0 stand in for the
+      // target domain; every corpus doc scored by hashed-bigram LLR in
+      // exact integer micro-nats (the only float op is one ln per bucket)
+      val corpus = rd(s, d, "documents")
+      val target = corpus.filter(pmod(col("doc_id"), lit(11)) === 0)
+      Importance.dsirScores(corpus, "doc_id", "text", target, "text",
+        buckets = 256)
     }),
 
     "semantic_dedup" -> ((s, d) =>
@@ -2667,6 +2677,25 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      "dsir_score" ->
+        s"""WITH tk AS (SELECT doc_id, ${toks.format("text")} AS l FROM documents),
+           |bg AS (SELECT doc_id, ${hash60("b")} % 256 AS bucket FROM
+           |  (SELECT doc_id, unnest(list_transform(range(len(l)-1), i -> l[i+1]||' '||l[i+2])) AS b
+           |   FROM tk WHERE len(l) >= 2)),
+           |tt AS (SELECT count(*) AS n FROM bg WHERE doc_id % 11 = 0),
+           |rt AS (SELECT count(*) AS n FROM bg),
+           |tc AS (SELECT bucket, count(*) AS c FROM bg WHERE doc_id % 11 = 0 GROUP BY 1),
+           |rc AS (SELECT bucket, count(*) AS c FROM bg GROUP BY 1),
+           |w AS (SELECT rc.bucket,
+           |  round((ln((coalesce(tc.c,0)+1)::DOUBLE / (tt.n+256)::DOUBLE)
+           |       - ln((rc.c+1)::DOUBLE / (rt.n+256)::DOUBLE)) * 1e6)::BIGINT AS wm
+           |  FROM rc LEFT JOIN tc USING (bucket), tt, rt),
+           |per AS (SELECT bg.doc_id, count(*) AS nb, sum(w.wm) AS sm
+           |  FROM bg JOIN w USING (bucket) GROUP BY 1)
+           |SELECT d.doc_id, coalesce(nb,0)::BIGINT AS n_bigrams,
+           |  coalesce(sm,0)::BIGINT AS score_micro
+           |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
       "semantic_dedup" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings),

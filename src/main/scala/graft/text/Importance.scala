@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance scoring (Data Selection via Importance Resampling,
+  * Xie et al. 2023): score each corpus document by how much more likely its
+  * hashed-bigram profile is under a small target distribution than under
+  * the raw corpus — the standard "select pretraining data that looks like
+  * the target domain" step.
+  *
+  * Estimator: bag-of-hashed-bigrams with Laplace smoothing. Bigrams hash
+  * into `buckets` buckets; per bucket b,
+  * p(b) = (count(b) + 1) / (total + buckets), estimated separately on the
+  * target set and the raw corpus; a document's score is
+  * Σ_bigrams ln(p_target(bucket) / p_raw(bucket)).
+  *
+  * Determinism across engines: each bucket's log-ratio is rounded
+  * half-up to MICRO-NATS (×10⁶, a 64-bit integer) BEFORE the per-doc sum,
+  * so the sum is exact integer arithmetic — order-independent, no float
+  * accumulation drift between Spark's partial aggregation and any oracle's
+  * single-threaded sum. The only float op is one `ln` per bucket (B values
+  * corpus-wide), where a final 6-decimal rounding absorbs libm ulps.
+  *
+  * Plan shape: one narrow bigram explode per side; bucket count aggs
+  * output ≤ `buckets` rows each (partial agg, tiny result); the weight
+  * table (buckets rows) broadcasts into the corpus bigram stream; the
+  * per-doc sum is one groupBy on the doc id; a final left join restores
+  * bigram-less docs. The corpus shuffles only on (bucket → tiny) and
+  * (doc id) — nothing quadratic, nothing collected.
+  *
+  * Output: one row per corpus doc — (id, n_bigrams, score_micro) where
+  * `score_micro` is the summed log-ratio in micro-nats. Scores are a
+  * RANKING signal (select top-k, or resample ∝ score as the paper does,
+  * e.g. compose with [[Sampling.hashThreshold]]/top-k windows); their
+  * absolute sign is not meaningful — with a small target set the
+  * smoothing floor shifts the whole distribution negative. */
+object Importance {
+
+  /** One row per (id, bucket) per bigram occurrence (NOT distinct — DSIR
+    * counts occurrences). Bucket = hash60 of the bigram mod `buckets`.
+    * Built from the token array with transform+explode — completely
+    * narrow, no per-doc window shuffle. */
+  private[text] def bigramBuckets(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    val t = TextAnalysis.tokensCol(col(textCol))
+    val bigrams = when(size(t) < 2, array()).otherwise(
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    df.select(col(idCol), explode(bigrams).as("__bg"))
+      .select(col(idCol), (TextAnalysis.hash60(col("__bg")) % buckets).as("bucket"))
+  }
+
+  /** (bucket, w_micro) weight table: smoothed log-ratio per bucket in
+    * micro-nats. Buckets unseen on both sides get the ratio of the two
+    * smoothing floors (a constant), emitted only for observed buckets —
+    * unobserved buckets never match a corpus bigram, so they are dead
+    * weight by construction. */
+  private[text] def bucketWeights(corpusB: DataFrame, targetB: DataFrame,
+      buckets: Int): DataFrame = {
+    val tc = targetB.groupBy("bucket").agg(count(lit(1)).as("__tc"))
+    val rc = corpusB.groupBy("bucket").agg(count(lit(1)).as("__rc"))
+    val tTot = targetB.groupBy().agg(count(lit(1)).as("__tt"))
+    val rTot = corpusB.groupBy().agg(count(lit(1)).as("__rt"))
+    rc.join(tc, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("__tc", "__rc"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("w_micro",
+        round(
+          (log((col("__tc") + 1).cast("double") /
+              (col("__tt") + lit(buckets)).cast("double")) -
+           log((col("__rc") + 1).cast("double") /
+              (col("__rt") + lit(buckets)).cast("double"))) * 1e6)
+          .cast("long"))
+      .select("bucket", "w_micro")
+  }
+
+  def dsirScores(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val corpusB = graft.io.Persisted.track(
+      bigramBuckets(corpus, idCol, textCol, buckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val targetB = bigramBuckets(
+      target.select(col(targetTextCol)).withColumn("__tid", lit(0L)),
+      "__tid", targetTextCol, buckets)
+    val weights = bucketWeights(corpusB, targetB, buckets)
+    val perDoc = corpusB
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_micro")).as("score_micro"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("score_micro", coalesce(col("score_micro"), lit(0L)))
+  }
+
+  /** Pure twin for spec cross-checking: (id, nBigrams, scoreMicro) rows
+    * from in-memory corpora, same hashing/smoothing/rounding. */
+  def dsirScoresPure(corpus: Seq[(Long, String)], target: Seq[String],
+      buckets: Int): Seq[(Long, Long, Long)] = {
+    def bg(text: String): Seq[Long] = {
+      val t = TextAnalysis.tokens(text)
+      if (t.length < 2) Seq.empty
+      else t.sliding(2).map(p => TextAnalysis.hash60(p.mkString(" ")) % buckets).toSeq
+    }
+    val corpusB = corpus.map { case (id, t) => id -> bg(t) }
+    val rc = corpusB.flatMap(_._2).groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val tcAll = target.flatMap(bg)
+    val tc = tcAll.groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val rt = rc.values.sum; val tt = tcAll.size.toLong
+    def w(b: Long): Long = {
+      val lr = math.log((tc.getOrElse(b, 0L) + 1).toDouble / (tt + buckets)) -
+        math.log((rc.getOrElse(b, 0L) + 1).toDouble / (rt + buckets))
+      BigDecimal(lr * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    corpusB.map { case (id, bs) => (id, bs.size.toLong, bs.map(w).sum) }
+  }
+}
