@@ -1082,6 +1082,26 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"))
     }),
 
+    "selection_e2e" -> ((s, d) => {
+      // the data-selection chain composed as ONE plan: strip duplicated
+      // 8-token spans → DSIR-score the CLEANED text against the %11 target
+      // slice → keep the 200 most target-like docs via distributed top-k
+      // (orderBy+limit → TakeOrderedAndProject, never a global window)
+      val page = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" standard legal disclaimer all liability" +
+          " is limited to the amounts stated herein")))
+        .otherwise(col("text"))
+      val clean = Dedup.dedupSubstrings(
+        rd(s, d, "documents").withColumn("page", page),
+        "doc_id", "page", k = 8, maxOccurrences = 1)
+        .select(col("doc_id"), col("clean_text"))
+      val target = clean.filter(pmod(col("doc_id"), lit(11)) === 0)
+      Importance.dsirScores(clean, "doc_id", "clean_text",
+          target, "clean_text", buckets = 256)
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(200)
+        .select(col("doc_id"), col("n_bigrams"), col("score_micro"))
+    }),
+
     "dsir_score" -> ((s, d) => {
       // DSIR importance scoring: docs with doc_id%11==0 stand in for the
       // target domain; every corpus doc scored by hashed-bigram LLR in
@@ -2677,6 +2697,47 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      "selection_e2e" ->
+        s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id%5=0
+           |    THEN text || ' standard legal disclaimer all liability is limited to the amounts stated herein'
+           |    ELSE text END AS page FROM documents),
+           |tk AS (SELECT doc_id, ${toks.format("page")} AS l FROM d),
+           |tok AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tk),
+           |kg AS (SELECT doc_id, pos, ${hash60("array_to_string(l[pos+1:pos+8], ' ')")} AS kh
+           |  FROM (SELECT doc_id, l, unnest(range(len(l)-7)) AS pos FROM tk WHERE len(l) >= 8)),
+           |m AS (SELECT doc_id, pos,
+           |  count(*) OVER (PARTITION BY kh) AS occ,
+           |  row_number() OVER (PARTITION BY kh ORDER BY md5(doc_id::VARCHAR), doc_id, pos) AS rn
+           |  FROM kg),
+           |starts AS (SELECT doc_id, pos FROM m WHERE occ > 1 AND rn > 1),
+           |cov AS (SELECT DISTINCT doc_id, pos + o AS pos FROM starts, unnest(range(8)) AS t(o)),
+           |kept AS (SELECT t.doc_id, t.pos, t.tok, (c.pos IS NOT NULL) AS is_cov
+           |  FROM tok t LEFT JOIN cov c ON t.doc_id=c.doc_id AND t.pos=c.pos),
+           |agg AS (SELECT doc_id,
+           |  coalesce(string_agg(CASE WHEN NOT is_cov THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+           |  FROM kept GROUP BY 1),
+           |clean AS (SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text
+           |  FROM d LEFT JOIN agg USING (doc_id)),
+           |tk2 AS (SELECT doc_id, ${toks.format("clean_text")} AS l FROM clean),
+           |bg AS (SELECT doc_id, ${hash60("b")} % 256 AS bucket FROM
+           |  (SELECT doc_id, unnest(list_transform(range(len(l)-1), i -> l[i+1]||' '||l[i+2])) AS b
+           |   FROM tk2 WHERE len(l) >= 2)),
+           |tt AS (SELECT count(*) AS n FROM bg WHERE doc_id % 11 = 0),
+           |rt AS (SELECT count(*) AS n FROM bg),
+           |tc AS (SELECT bucket, count(*) AS c FROM bg WHERE doc_id % 11 = 0 GROUP BY 1),
+           |rc AS (SELECT bucket, count(*) AS c FROM bg GROUP BY 1),
+           |w AS (SELECT rc.bucket,
+           |  round((ln((coalesce(tc.c,0)+1)::DOUBLE / (tt.n+256)::DOUBLE)
+           |       - ln((rc.c+1)::DOUBLE / (rt.n+256)::DOUBLE)) * 1e6)::BIGINT AS wm
+           |  FROM rc LEFT JOIN tc USING (bucket), tt, rt),
+           |per AS (SELECT bg.doc_id, count(*) AS nb, sum(w.wm) AS sm
+           |  FROM bg JOIN w USING (bucket) GROUP BY 1),
+           |scored AS (SELECT c.doc_id, coalesce(nb,0)::BIGINT AS n_bigrams,
+           |  coalesce(sm,0)::BIGINT AS score_micro
+           |  FROM clean c LEFT JOIN per USING (doc_id))
+           |SELECT doc_id, n_bigrams, score_micro FROM scored
+           |ORDER BY score_micro DESC, doc_id LIMIT 200""".stripMargin,
 
       "dsir_score" ->
         s"""WITH tk AS (SELECT doc_id, ${toks.format("text")} AS l FROM documents),
