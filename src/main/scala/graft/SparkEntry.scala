@@ -2506,7 +2506,7 @@ object SparkEntry {
            |pre AS (SELECT d.doc_id, d.domain, sz.domain_n
            |  FROM d JOIN sz USING (domain)
            |  WHERE sz.domain_n <= 10
-           |     OR ${hash32("d.doc_id::VARCHAR")} * sz.domain_n < ${10L * 2L * (1L << 32)}),
+           |     OR ${hash32("d.doc_id::VARCHAR")} < ${10L * 2L * (1L << 32)} // sz.domain_n),
            |r AS (SELECT doc_id, domain, domain_n,
            |  row_number() OVER (PARTITION BY domain ORDER BY md5(doc_id::VARCHAR), doc_id) AS domain_rank
            |  FROM pre)

@@ -78,10 +78,12 @@ object Sampling {
     *
     *  1. domain sizes n_d (partial-agg shuffle, tiny output);
     *  2. hash prefilter: domains with n_d ≤ cap pass whole; larger ones
-    *     keep a row iff hash32(id)·n_d < cap·slack·2³² — pure integer
-    *     math (exact while n_d < 2³¹ and cap·slack < 2³¹), so any engine
+    *     keep a row iff hash32(id) < (cap·slack·2³²) div n_d — the
+    *     per-domain cut is a 64-bit floor division (cap·slack ≤ 2³⁰ keeps
+    *     the shift in int64), EXACT at any domain size — no hash·n_d
+    *     product that would overflow past n_d = 2³¹ — so any engine
     *     replays it bit-for-bit. Survivors per mega-domain ≈ Binomial
-    *     (n_d, cap·slack/n_d), mean cap·slack;
+    *     (n_d, cut/2³²), mean ≲ cap·slack;
     *  3. exact md5-rank window over the survivors (now bounded per
     *     domain), keep rank ≤ cap.
     *
@@ -97,12 +99,12 @@ object Sampling {
   def domainCapScalable(df: DataFrame, idCol: String, domainCol: String,
       cap: Int, slack: Int = 4): DataFrame = {
     require(cap > 0 && slack > 0, s"cap/slack must be positive, got $cap/$slack")
-    require(cap.toLong * slack < (1L << 31), "cap*slack must fit 31 bits")
+    require(cap.toLong * slack <= (1L << 30), "cap*slack must be <= 2^30 so the shift fits int64")
     val sizes = df.groupBy(domainCol).agg(count(lit(1)).as("domain_n"))
     val pre = df.join(sizes, Seq(domainCol))
       .filter(col("domain_n") <= cap ||
-        TextAnalysis.hash32(col(idCol).cast("string")) * col("domain_n") <
-          lit(cap.toLong * slack * (1L << 32)))
+        TextAnalysis.hash32(col(idCol).cast("string")) <
+          expr(s"${cap.toLong * slack * (1L << 32)}L div domain_n"))
     val ord = Window.partitionBy(domainCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     pre.withColumn("domain_rank", row_number().over(ord))

@@ -89,7 +89,7 @@ class SamplingSpec extends SparkTestBase {
     assert(tight.groupBy(_._2).values.forall(_.length <= 5))
     val cut = 5L * 2L * (1L << 32)
     assert(tight.forall { case (id, _, n) =>
-      n <= 5 || TextAnalysis.hash32(id.toString) * n < cut })
+      n <= 5 || TextAnalysis.hash32(id.toString) < cut / n })
     // rerun is bit-identical (no RNG anywhere)
     val rerun = Sampling.domainCapScalable(docs, "doc_id", "domain", 5, slack = 2)
       .select("doc_id").as[Long].collect().toSet
