@@ -28,6 +28,18 @@ object SparkEntry {
   private def rd(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Shared fixture for the substring-dedup queries (`substring_dedup`,
+    * `selection_e2e`): every 5th doc gets the same pasted boilerplate
+    * sentence. ONE definition feeds both Spark entries and (via
+    * [[disclaimerSentence]]) both SQL oracles — editing it in one place
+    * keeps all four derivations in lockstep. */
+  private val disclaimerSentence =
+    " standard legal disclaimer all liability is limited to the amounts stated herein"
+  private def disclaimerPage: Column =
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(col("text"), lit(disclaimerSentence)))
+      .otherwise(col("text"))
+
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -1003,11 +1015,8 @@ object SparkEntry {
       // exact substring dedup at 8-token spans: a boilerplate sentence
       // pasted into every 5th doc is stripped everywhere except one
       // canonical (md5-smallest) occurrence
-      val page = when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(col("text"), lit(" standard legal disclaimer all liability" +
-          " is limited to the amounts stated herein")))
-        .otherwise(col("text"))
-      Dedup.dedupSubstrings(rd(s, d, "documents").withColumn("page", page),
+      Dedup.dedupSubstrings(
+        rd(s, d, "documents").withColumn("page", disclaimerPage),
         "doc_id", "page", k = 8, maxOccurrences = 1)
     }),
 
@@ -1087,12 +1096,8 @@ object SparkEntry {
       // 8-token spans → DSIR-score the CLEANED text against the %11 target
       // slice → keep the 200 most target-like docs via distributed top-k
       // (orderBy+limit → TakeOrderedAndProject, never a global window)
-      val page = when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(col("text"), lit(" standard legal disclaimer all liability" +
-          " is limited to the amounts stated herein")))
-        .otherwise(col("text"))
       val clean = Dedup.dedupSubstrings(
-        rd(s, d, "documents").withColumn("page", page),
+        rd(s, d, "documents").withColumn("page", disclaimerPage),
         "doc_id", "page", k = 8, maxOccurrences = 1)
         .select(col("doc_id"), col("clean_text"))
       val target = clean.filter(pmod(col("doc_id"), lit(11)) === 0)
@@ -1521,6 +1526,9 @@ object SparkEntry {
       "'item '||l_linenumber||' limit $'||(l_partkey%400)||" +
         "(CASE WHEN l_orderkey%7=0 THEN ' see EXAMPLE calculation' ELSE '' END)"
     val toks = "list_filter(string_split_regex(lower(%s),'\\W+'), x -> x <> '')"
+    // SQL twin of the Spark-side disclaimerPage fixture (same constant)
+    val disclaimerCase =
+      s"CASE WHEN doc_id%5=0 THEN text || '$disclaimerSentence' ELSE text END"
     def hash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
     def hash32(e: String) = s"('0x'||substr(md5($e),1,8))::BIGINT"
     // n-gram Jaccard pair CTE chain (same derivation as the ngram_jaccard
@@ -2525,9 +2533,7 @@ object SparkEntry {
            |      (t.stratum_target::BIGINT * 4294967296) // sz.stratum_n""".stripMargin,
 
       "substring_dedup" ->
-        s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id%5=0
-           |    THEN text || ' standard legal disclaimer all liability is limited to the amounts stated herein'
-           |    ELSE text END AS page FROM documents),
+        s"""WITH d AS (SELECT doc_id, $disclaimerCase AS page FROM documents),
            |tk AS (SELECT doc_id, ${toks.format("page")} AS l FROM d),
            |tok AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tk),
            |kg AS (SELECT doc_id, pos, ${hash60("array_to_string(l[pos+1:pos+8], ' ')")} AS kh
@@ -2699,9 +2705,7 @@ object SparkEntry {
           |FROM s QUALIFY rnk <= 10""".stripMargin,
 
       "selection_e2e" ->
-        s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id%5=0
-           |    THEN text || ' standard legal disclaimer all liability is limited to the amounts stated herein'
-           |    ELSE text END AS page FROM documents),
+        s"""WITH d AS (SELECT doc_id, $disclaimerCase AS page FROM documents),
            |tk AS (SELECT doc_id, ${toks.format("page")} AS l FROM d),
            |tok AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tk),
            |kg AS (SELECT doc_id, pos, ${hash60("array_to_string(l[pos+1:pos+8], ' ')")} AS kh

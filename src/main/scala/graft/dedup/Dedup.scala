@@ -241,7 +241,12 @@ object Dedup {
       // the candidate stage renames positionally
       bandRowsAll.join(hot, Seq("band"), "left_anti")
         .select(bandRowsAll.columns.map(col): _*)
+    // tracked even though the success path self-unpersists right after the
+    // candidate materialization below: if that action fails, the caller's
+    // error-path Persisted.release can still reclaim the band relation
+    // (release/prune are idempotent, so the early unpersist stays correct)
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.io.Persisted.track(bandRows)
     val cand = graft.io.Persisted.track(bandRows.toDF("id_a", "band")
       .join(bandRows.toDF("id_b", "band"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -392,9 +397,15 @@ object Dedup {
       // the previous label inside the same aggregation — the convergence
       // probe costs a filter on the already-shuffled result instead of a
       // separate join (halves the shuffles per round)
-      val next = labels.withColumn("__self", col("__lbl")).union(msgs)
-        .groupBy("__id").agg(min("__lbl").as("__lbl"), min("__self").as("__old"))
-        .persist(lvl)
+      // tracked at creation (not only on the success exit): if the loop
+      // throws — non-convergence below, or a failed action — the caller's
+      // Persisted.release can still reclaim this round's cache; rounds that
+      // complete unpersist their predecessor, and the registry prunes those
+      // dead entries on the next track
+      val next = graft.io.Persisted.track(
+        labels.withColumn("__self", col("__lbl")).union(msgs)
+          .groupBy("__id").agg(min("__lbl").as("__lbl"), min("__self").as("__old"))
+          .persist(lvl))
       converged = next.filter(col("__lbl") =!= col("__old")).limit(1).count() == 0
       cached.unpersist()
       cached = next
@@ -405,8 +416,8 @@ object Dedup {
     require(converged, s"connectedComponents: not converged after $maxIters rounds")
     // labels stays persisted for the caller's action (same contract as the
     // LSH operators: release via Persisted.release / unpersistAfter, or a
-    // blanket clearCache, after materializing)
-    graft.io.Persisted.track(cached)
+    // blanket clearCache, after materializing); already tracked at persist
+    // time inside the loop
     labels.select(col("__id").as("id"), col("__lbl").as("cluster_id"))
   }
 

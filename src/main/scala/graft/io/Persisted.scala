@@ -26,16 +26,36 @@ import scala.collection.mutable
 object Persisted {
   private val reg = mutable.Map.empty[SparkSession, mutable.Buffer[Dataset[_]]]
 
+  /** Drop dead entries so the registry stays bounded even for callers that
+    * never call [[release]]: datasets already evicted some other way (an
+    * operator's own early unpersist, a blanket `clearCache()` — still a
+    * sanctioned release path) and sessions that have been stopped. Runs
+    * inside every [[track]]/[[trackedCount]]; without it the strong
+    * references here would pin plans (and stopped sessions) for the JVM
+    * lifetime. Caller must hold the monitor. */
+  private def prune(): Unit = {
+    reg.filterInPlace { (s, buf) =>
+      if (s.sparkContext.isStopped) false
+      else {
+        val live = buf.filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        buf.clear(); buf ++= live
+        buf.nonEmpty
+      }
+    }
+  }
+
   /** Register a dataset an operator leaves persisted for the caller's
     * action. Returns it unchanged. */
   private[graft] def track[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    prune()
     reg.getOrElseUpdate(ds.sparkSession, mutable.Buffer.empty) += ds
     ds
   }
 
-  /** Number of tracked (not yet released) relations for this session. */
+  /** Number of tracked (not yet released, still-cached) relations for this
+    * session. */
   def trackedCount(spark: SparkSession): Int =
-    synchronized { reg.get(spark).map(_.size).getOrElse(0) }
+    synchronized { prune(); reg.get(spark).map(_.size).getOrElse(0) }
 
   /** Unpersist every operator-persisted relation of this session and clear
     * the registry. Idempotent — already-unpersisted datasets no-op — and it

@@ -55,13 +55,15 @@ object Importance {
     * micro-nats. Buckets unseen on both sides get the ratio of the two
     * smoothing floors (a constant), emitted only for observed buckets —
     * unobserved buckets never match a corpus bigram, so they are dead
-    * weight by construction. */
+    * weight by construction. Grand totals are the SUMS of the (≤ buckets
+    * rows) per-bucket aggs — never a second full scan of either bigram
+    * relation (every bigram lands in some bucket, so the sums are exact). */
   private[text] def bucketWeights(corpusB: DataFrame, targetB: DataFrame,
       buckets: Int): DataFrame = {
     val tc = targetB.groupBy("bucket").agg(count(lit(1)).as("__tc"))
     val rc = corpusB.groupBy("bucket").agg(count(lit(1)).as("__rc"))
-    val tTot = targetB.groupBy().agg(count(lit(1)).as("__tt"))
-    val rTot = corpusB.groupBy().agg(count(lit(1)).as("__rt"))
+    val tTot = tc.agg(coalesce(sum(col("__tc")), lit(0L)).as("__tt"))
+    val rTot = rc.agg(coalesce(sum(col("__rc")), lit(0L)).as("__rt"))
     rc.join(tc, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("__tc", "__rc"))
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
@@ -82,9 +84,14 @@ object Importance {
     val corpusB = graft.io.Persisted.track(
       bigramBuckets(corpus, idCol, textCol, buckets)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val targetB = bigramBuckets(
-      target.select(col(targetTextCol)).withColumn("__tid", lit(0L)),
-      "__tid", targetTextCol, buckets)
+    // persisted: the target bigram pipeline (which may itself be an
+    // expensive upstream chain, e.g. selection_e2e's cleaned corpus) feeds
+    // both the per-bucket agg and its total inside bucketWeights
+    val targetB = graft.io.Persisted.track(
+      bigramBuckets(
+        target.select(col(targetTextCol)).withColumn("__tid", lit(0L)),
+        "__tid", targetTextCol, buckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val weights = bucketWeights(corpusB, targetB, buckets)
     val perDoc = corpusB
       .join(broadcast(weights), Seq("bucket"))

@@ -306,6 +306,7 @@ class DedupSpec extends SparkTestBase {
       .select("id", "n_tokens", "n_removed", "clean_text")
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(rerun == got)
+    graft.io.Persisted.release(spark)
   }
 
   test("substring dedup: maxOccurrences tolerates repeats up to the cap") {
@@ -324,5 +325,6 @@ class DedupSpec extends SparkTestBase {
         k = 5, maxOccurrences = 1)
       .select("id", "n_removed").as[(Long, Long)].collect()
     assert(strict.count(_._2 > 0) == 3)
+    graft.io.Persisted.release(spark)
   }
 }
