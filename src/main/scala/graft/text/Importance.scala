@@ -43,11 +43,17 @@ object Importance {
     * narrow, no per-doc window shuffle. */
   private[text] def bigramBuckets(df: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame = {
-    val t = TextAnalysis.tokensCol(col(textCol))
+    // materialize the token array BEFORE the HOF: transform lambdas run
+    // interpreted, so an inlined tokenize expression would re-execute the
+    // regex split on every element access — O(tokens²) per doc (the same
+    // bound-column rule minhashSignatureFromShingles documents). With __t
+    // referenced several times, CollapseProject keeps it materialized.
+    val arr = df.select(col(idCol), TextAnalysis.tokensCol(col(textCol)).as("__t"))
+    val t = col("__t")
     val bigrams = when(size(t) < 2, array()).otherwise(
       transform(sequence(lit(0), size(t) - 2),
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-    df.select(col(idCol), explode(bigrams).as("__bg"))
+    arr.select(col(idCol), explode(bigrams).as("__bg"))
       .select(col(idCol), (TextAnalysis.hash60(col("__bg")) % buckets).as("bucket"))
   }
 
