@@ -1095,11 +1095,15 @@ object SparkEntry {
       // the data-selection chain composed as ONE plan: strip duplicated
       // 8-token spans → DSIR-score the CLEANED text against the %11 target
       // slice → keep the 200 most target-like docs via distributed top-k
-      // (orderBy+limit → TakeOrderedAndProject, never a global window)
-      val clean = Dedup.dedupSubstrings(
+      // (orderBy+limit → TakeOrderedAndProject, never a global window).
+      // clean feeds three consumers (target slice, corpus bigrams, final
+      // row restore) — persisted under the Persisted caller-release
+      // contract so the substring-dedup reassembly runs once
+      val clean = graft.io.Persisted.track(Dedup.dedupSubstrings(
         rd(s, d, "documents").withColumn("page", disclaimerPage),
         "doc_id", "page", k = 8, maxOccurrences = 1)
         .select(col("doc_id"), col("clean_text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val target = clean.filter(pmod(col("doc_id"), lit(11)) === 0)
       Importance.dsirScores(clean, "doc_id", "clean_text",
           target, "clean_text", buckets = 256)
