@@ -255,4 +255,80 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mixture sampling: whole-stratum pass-through, keep rule monotone in target") {
+    import graft.text.Sampling
+    val nGen = Gen.choose(1L, 100000L)
+    val tGen = Gen.choose(1L, 1000L)
+    val idGen = Gen.choose(1L, 1000000L)
+    forAll(idGen, nGen, tGen) { (id, n, t) =>
+      // at or under target: always kept
+      assert(Sampling.mixtureSamplePure(id, math.min(n, t), t))
+      // monotone: growing the target never drops a kept doc
+      if (Sampling.mixtureSamplePure(id, n, t))
+        assert(Sampling.mixtureSamplePure(id, n, math.min(t * 2, 1L << 30)))
+      // deterministic
+      assert(Sampling.mixtureSamplePure(id, n, t) == Sampling.mixtureSamplePure(id, n, t))
+    }
+  }
+
+  test("substring dedup: removal accounting, canonical survival, cap monotone") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "shared", "span", "x")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(5, docGen).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong + 1, t)
+    })
+    forAll(corpusGen, Gen.choose(2, 4)) { (docs, k) =>
+      val out = Dedup.dedupSubstringsPure(docs, k, 1)
+      val occByKg = docs.flatMap { case (_, t) =>
+        val ts = graft.text.TextAnalysis.tokens(t)
+        if (ts.size >= k) ts.sliding(k).map(_.mkString(" ")).toSeq else Seq.empty
+      }.groupBy(identity).map { case (g, v) => g -> v.size }
+      for (((id, t), (oid, nt, nr, clean)) <- docs.zip(out)) {
+        assert(id == oid)
+        val ts = graft.text.TextAnalysis.tokens(t)
+        assert(nt == ts.size)
+        val kept = if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+        assert(nr == nt - kept.size && nr >= 0)
+        // kept tokens are a subsequence of the original tokens
+        var i = 0
+        kept.foreach { w =>
+          val j = ts.indexOf(w, i); assert(j >= 0, s"$w not in order"); i = j + 1
+        }
+        // a doc with no corpus-duplicated k-gram is untouched
+        val hasDup = ts.size >= k &&
+          ts.sliding(k).exists(g => occByKg(g.mkString(" ")) > 1)
+        if (!hasDup) assert(nr == 0 && kept == ts)
+      }
+      // every duplicated k-gram keeps at least one occurrence corpus-wide
+      // (the canonical copy) unless an OVERLAPPING duplicated k-gram's
+      // removal clipped it — so total removals < total duplicated tokens+1
+      assert(out.map(_._3).sum <= docs.map(d => graft.text.TextAnalysis.tokens(d._2).size).sum)
+      // a looser cap never removes more
+      val loose = Dedup.dedupSubstringsPure(docs, k, 2)
+      assert(out.zip(loose).forall { case (a, b) => a._3 >= b._3 })
+    }
+  }
+
+  test("dsir: bigram count accounting, target-copy boost, determinism") {
+    import graft.text.Importance
+    val wordGen = Gen.oneOf("the", "policy", "coverage", "recipe", "basil", "limit")
+    val docGen = Gen.listOfN(6, wordGen).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(6, docGen).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong + 1, t)
+    })
+    forAll(corpusGen) { docs =>
+      val target = docs.take(2).map(_._2)
+      val out = Importance.dsirScoresPure(docs, target, buckets = 64)
+      for (((id, t), (oid, nb, _)) <- docs.zip(out)) {
+        assert(id == oid)
+        val nt = graft.text.TextAnalysis.tokens(t).size
+        assert(nb == math.max(0, nt - 1), "bigram count = tokens - 1")
+      }
+      assert(out == Importance.dsirScoresPure(docs, target, buckets = 64), "deterministic")
+      // doubling the target's copies of a doc never lowers that doc's score
+      val boosted = Importance.dsirScoresPure(docs, target ++ Seq(docs.head._2), buckets = 64)
+      assert(boosted.head._3 >= out.head._3)
+    }
+  }
 }
