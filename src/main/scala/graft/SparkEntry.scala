@@ -1563,7 +1563,7 @@ object SparkEntry {
         |  FROM lineitem WHERE l_quantity >= 45),
         |dom AS (SELECT l_orderkey AS k, min(l_linenumber)::BIGINT AS mn,
         |  max(l_linenumber)::BIGINT AS mx FROM lineitem GROUP BY 1),
-        |r AS (SELECT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
+        |r AS (SELECT DISTINCT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
         |  FROM hits h JOIN dom d ON h.k=d.k),
         |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM r),
@@ -2916,7 +2916,7 @@ object SparkEntry {
           |  WHERE NOT g.drop_ocr AND pk%17<>0 AND ((pk%7<>0 AND pk%400>=200) OR pk%11=0)),
           |th AS (SELECT k, page FROM b WHERE (sk%400>=200) OR sk%13=0),
           |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM b GROUP BY 1),
-          |or0 AS (SELECT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
+          |or0 AS (SELECT DISTINCT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
           |  FROM oh h JOIN dom d ON h.k=d.k),
           |ow AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM or0),
@@ -2928,7 +2928,7 @@ object SparkEntry {
           |    AND EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.e)),
           |okept AS (SELECT DISTINCT b.k, b.page FROM b JOIN ovalid v ON b.k=v.k
           |  AND b.page BETWEEN v.s AND v.e),
-          |tr0 AS (SELECT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
+          |tr0 AS (SELECT DISTINCT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
           |  FROM th h JOIN dom d ON h.k=d.k),
           |tw AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM tr0),
@@ -3090,7 +3090,7 @@ object SparkEntry {
           |  coalesce(lead(cum+1) OVER (PARTITION BY k ORDER BY page), total) AS cend FROM pos),
           |hits AS (SELECT k, page FROM bound WHERE pk%7 <> 0 AND pk%400 >= 200),
           |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM bound GROUP BY 1),
-          |r0 AS (SELECT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
+          |r0 AS (SELECT DISTINCT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
           |  FROM hits h JOIN dom d ON h.k=d.k),
           |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM r0),
@@ -3098,8 +3098,13 @@ object SparkEntry {
           |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
           |  CURRENT ROW) AS grp FROM w),
           |ranges AS (SELECT k, min(s) AS s, max(e) AS e FROM g GROUP BY k, grp),
+          |-- range validity via an INNER JOIN on bound's unique (k,page) key,
+          |-- NOT `WHERE EXISTS`: DuckDB's correlated-EXISTS decorrelation can
+          |-- nondeterministically DUPLICATE the outer row under parallel
+          |-- execution (observed ~30% of runs at sf0.1), which doubled a
+          |-- section downstream; the join is 1:1 by construction
           |m0 AS (SELECT r.k, r.s, r.e, (r.e - r.s + 1) AS n_req FROM ranges r
-          |  WHERE EXISTS (SELECT 1 FROM bound b WHERE b.k = r.k AND b.page = r.s)),
+          |  JOIN bound b ON b.k = r.k AND b.page = r.s),
           |m AS (SELECT k, s, e, n_req, row_number() OVER (PARTITION BY k ORDER BY s) AS idx FROM m0),
           |avail AS (SELECT m.k, m.idx, m.s, m.n_req, b.page, b.cend,
           |  row_number() OVER (PARTITION BY m.k, m.idx ORDER BY b.page) AS arn,
@@ -3143,7 +3148,7 @@ object SparkEntry {
           |  coalesce(lead(cum+1) OVER (PARTITION BY k ORDER BY page), total) AS cend FROM pos),
           |hits AS (SELECT k, page FROM bound WHERE pk%7 <> 0 AND pk%400 >= 200),
           |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM bound GROUP BY 1),
-          |r0 AS (SELECT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
+          |r0 AS (SELECT DISTINCT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
           |  FROM hits h JOIN dom d ON h.k=d.k),
           |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM r0),
@@ -3151,8 +3156,13 @@ object SparkEntry {
           |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
           |  CURRENT ROW) AS grp FROM w),
           |ranges AS (SELECT k, min(s) AS s, max(e) AS e FROM g GROUP BY k, grp),
+          |-- range validity via an INNER JOIN on bound's unique (k,page) key,
+          |-- NOT `WHERE EXISTS`: DuckDB's correlated-EXISTS decorrelation can
+          |-- nondeterministically DUPLICATE the outer row under parallel
+          |-- execution (observed ~30% of runs at sf0.1), which doubled a
+          |-- section downstream; the join is 1:1 by construction
           |m0 AS (SELECT r.k, r.s, r.e, (r.e - r.s + 1) AS n_req FROM ranges r
-          |  WHERE EXISTS (SELECT 1 FROM bound b WHERE b.k = r.k AND b.page = r.s)),
+          |  JOIN bound b ON b.k = r.k AND b.page = r.s),
           |m AS (SELECT k, s, e, n_req, row_number() OVER (PARTITION BY k ORDER BY s) AS idx FROM m0),
           |avail AS (SELECT m.k, m.idx, m.s, m.n_req, b.page, b.cend,
           |  row_number() OVER (PARTITION BY m.k, m.idx ORDER BY b.page) AS arn,

@@ -42,6 +42,17 @@ object Islands {
     hits
       .withColumn("start", start)
       .withColumn("end", end)
+      // project to exactly (keys, start, end) and dedupe BEFORE the window:
+      // two hits can clamp to the SAME (start,end) (both endpoints at the
+      // domain edge), and tied rows under ORDER BY(start,end) carry
+      // asymmetric prev_end/new_grp flags — whichever tie comes first gets
+      // the island-break flag — so the grp assignment would depend on the
+      // physical row order, i.e. on partitioning. Distinct rows make the
+      // window order total and the merge partitioning-invariant (the same
+      // fix the DuckDB oracles apply with SELECT DISTINCT, where the
+      // non-total order demonstrably flipped islands run-to-run).
+      .select((keyCols.map(col) :+ col("start") :+ col("end")): _*)
+      .distinct()
       .withColumn("prev_end",
         max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_grp",
