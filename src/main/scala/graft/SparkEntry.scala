@@ -164,6 +164,21 @@ object SparkEntry {
       }
   }
 
+  /** Shared fixture for the temporal-join contract queries: clicks as the
+    * probe side, purchases aggregated to one row per (user_id, ts) — the
+    * as-of right side must be (key, ts)-unique — with cent-exact values. */
+  private def asofFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = rd(s, d, "events").select(col("event_id"), col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"),
+      col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "us")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("us").as("pus"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
+    (clicks, purch)
+  }
+
   private val moneyVariants = Seq(
     "$1,234", "Included", "2%", "Inside $10,000 / Outside $10,000",
     "", "$ 500 ", "no digits here", "$0.00")
@@ -228,6 +243,41 @@ object SparkEntry {
       rd(s, d, "events").groupBy("event_type").agg(
         count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    }),
+
+    // Backward as-of join (TemporalJoins.asofJoin — union-and-forward-fill,
+    // one key shuffle, never an inequality join): every click event gets the
+    // most recent at-or-before purchase of the same user. The oracle is
+    // DuckDB's native ASOF LEFT JOIN — an independent engine's
+    // implementation of the same semantics, not a replay of ours.
+    "asof_join" -> ((s, d) => {
+      val (clicks, purch) = asofFixture(s, d)
+      graft.join.TemporalJoins.asofJoin(
+        clicks, purch, "user_id", "us", "pus", Seq("purchase_cents"))
+    }),
+
+    // Same join with a 1-hour tolerance: matches older than the window are
+    // nulled, exercising the staleness path end-to-end.
+    "asof_tolerance" -> ((s, d) => {
+      val (clicks, purch) = asofFixture(s, d)
+      graft.join.TemporalJoins.asofJoin(
+        clicks, purch, "user_id", "us", "pus", Seq("purchase_cents"),
+        toleranceMicros = Some(3600L * 1000000L))
+    }),
+
+    // Interval containment join (TemporalJoins.rangeJoin — time-bucketed
+    // equi-join; a raw BETWEEN join would plan as BroadcastNestedLoopJoin):
+    // all (click, purchase-window) pairs where the click lands within 24
+    // hours after a purchase by the same user. 6-hour buckets.
+    "range_join" -> ((s, d) => {
+      val (clicks, purch) = asofFixture(s, d)
+      val ivs = purch.select(col("user_id").as("iu"), col("pus").as("win_start"),
+        (col("pus") + 86400L * 1000000L).as("win_end"))
+      graft.join.TemporalJoins.rangeJoin(
+          clicks.withColumnRenamed("user_id", "cu"), "cu", "us",
+          ivs, "iu", "win_start", "win_end", 21600L * 1000000L)
+        .select(col("event_id"), col("cu").as("user_id"), col("us"),
+          col("win_start"))
     }),
 
     // --------------------------------------------- extraction semantics ---
@@ -1534,6 +1584,14 @@ object SparkEntry {
     val disclaimerCase =
       s"CASE WHEN doc_id%5=0 THEN text || '$disclaimerSentence' ELSE text END"
     def hash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+    // temporal-join fixture: clicks + (user, ts)-unique purchase rollup,
+    // kept in lockstep with SparkEntry.asofFixture
+    val asofCte =
+      """e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us AS pus,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)""".stripMargin
     def hash32(e: String) = s"('0x'||substr(md5($e),1,8))::BIGINT"
     // n-gram Jaccard pair CTE chain (same derivation as the ngram_jaccard
     // oracle, ending in `pairs(id_a, id_b)` at threshold 0.2) — shared by
@@ -1610,6 +1668,28 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY 1""".stripMargin,
+
+      // independent-engine check: DuckDB's native ASOF LEFT JOIN vs our
+      // union-and-forward-fill — same backward (>=, ties match) semantics
+      "asof_join" ->
+        s"""WITH $asofCte
+           |SELECT c.event_id, c.user_id, c.us, p.pus AS matched_pus, p.purchase_cents
+           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.pus""".stripMargin,
+
+      "asof_tolerance" ->
+        s"""WITH $asofCte,
+           |j AS (SELECT c.event_id, c.user_id, c.us, p.pus, p.purchase_cents
+           |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.pus)
+           |SELECT event_id, user_id, us,
+           |  CASE WHEN us - pus <= 3600000000 THEN pus END AS matched_pus,
+           |  CASE WHEN us - pus <= 3600000000 THEN purchase_cents END AS purchase_cents
+           |FROM j""".stripMargin,
+
+      "range_join" ->
+        s"""WITH $asofCte
+           |SELECT c.event_id, c.user_id, c.us, p.pus AS win_start
+           |FROM c JOIN p ON c.user_id = p.user_id
+           |  AND c.us BETWEEN p.pus AND p.pus + 86400000000""".stripMargin,
 
       "f1_dollar_filter" ->
         s"""WITH t AS (SELECT l_orderkey, l_linenumber::BIGINT AS page, $pageText AS text FROM lineitem)
