@@ -934,6 +934,21 @@ object SparkEntry {
           col("is_duplicate"))
     }),
 
+    // Incremental Bloom-filter dedup (Bloom.build/probe): the filter is
+    // built over the even-doc_id half ("already ingested"), broadcast, and
+    // the odd half probes it map-only. m is sized so the sf0.1 corpus
+    // produces genuine false positives — the oracle replays the double
+    // hashing exactly, so even those FPs must match bit-for-bit.
+    "bloom_dedup" -> ((s, d) => {
+      val t = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2"))
+      val filter = graft.dedup.Bloom.build(
+        t.filter(pmod(col("doc_id"), lit(2)) === 0), "t2", m = 16384, k = 4)
+      graft.dedup.Bloom.probe(
+          t.filter(pmod(col("doc_id"), lit(2)) === 1), "t2", filter, m = 16384, k = 4)
+        .select(col("doc_id"), col("flagged"))
+    }),
+
     "minhash_sig" -> ((s, d) => {
       Dedup.minhashSignaturesTyped(rd(s, d, "documents"), "doc_id", "text", n = 3, k = 4)
         .select(col("doc_id"),
@@ -2415,6 +2430,20 @@ object SparkEntry {
            |  count(*) OVER (PARTITION BY fp) AS group_size,
            |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
            |FROM f""".stripMargin,
+
+      // Kirsch–Mitzenmacher double hashing replayed from md5: position_i =
+      // (h1 + i·h2) mod m; flagged = every probe position set by the build
+      // side — reproducing the filter's false positives exactly
+      "bloom_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |h AS (SELECT doc_id, ('0x'||substr(md5(t2),1,15))::BIGINT AS h1,
+           |  (('0x'||substr(md5(t2),17,10))::BIGINT | 1) AS h2 FROM t),
+           |bp AS (SELECT DISTINCT (h1 + i*h2) % 16384 AS pos
+           |  FROM h, (SELECT unnest(range(4)) AS i) WHERE doc_id % 2 = 0),
+           |pp AS (SELECT doc_id, (h1 + i*h2) % 16384 AS pos
+           |  FROM h, (SELECT unnest(range(4)) AS i) WHERE doc_id % 2 = 1)
+           |SELECT doc_id, bool_and(pos IN (SELECT pos FROM bp)) AS flagged
+           |FROM pp GROUP BY 1""".stripMargin,
 
       "minhash_sig" ->
         s"""WITH t AS (SELECT doc_id, ${toks.format("text")} AS toks FROM documents),
