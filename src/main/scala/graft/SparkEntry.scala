@@ -934,6 +934,17 @@ object SparkEntry {
           col("is_duplicate"))
     }),
 
+    // Sparse TF-IDF cosine pairs (SparseSim.tfidfPairs): inverted-index
+    // candidates, milli-nat integer IDF weights (exact int64 dots/norms),
+    // maxDf stopword cap live at both scales — at sf0.1 it genuinely drops
+    // the injected duplicate-block tokens (df > 200), changing the result.
+    "tfidf_pairs" -> ((s, d) => {
+      graft.sim.SparseSim.tfidfPairs(
+        rd(s, d, "documents").withColumn("t2", docText)
+          .select(col("doc_id"), col("t2")),
+        "doc_id", "t2", minCos = 0.5, maxDf = 200)
+    }),
+
     // Incremental Bloom-filter dedup (Bloom.build/probe): the filter is
     // built over the even-doc_id half ("already ingested"), broadcast, and
     // the odd half probes it map-only. m is sized so the sf0.1 corpus
@@ -2430,6 +2441,24 @@ object SparkEntry {
            |  count(*) OVER (PARTITION BY fp) AS group_size,
            |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
            |FROM f""".stripMargin,
+
+      // full TF-IDF replay: token counts → df cap → milli-nat integer IDF →
+      // exact int64 dot products and norms → 6dp cosine
+      "tfidf_pairs" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |tok AS (SELECT doc_id, unnest(${toks.format("t2")}) AS tok FROM t),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY 1 HAVING count(*) <= 200),
+           |n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+           |idf AS (SELECT tok, (round(ln((nd+1)::DOUBLE/(dfreq+1)::DOUBLE)*1000))::BIGINT + 1000 AS idfm
+           |  FROM dfq, n),
+           |w AS (SELECT doc_id, tf.tok, tf*idfm AS w FROM tf JOIN idf ON tf.tok = idf.tok),
+           |nr AS (SELECT doc_id, sum(w*w) AS n2 FROM w GROUP BY 1),
+           |d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w*b.w) AS dot
+           |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(dot::DOUBLE/(sqrt(na.n2::DOUBLE)*sqrt(nb.n2::DOUBLE)),6) AS cosine
+           |FROM d JOIN nr na ON na.doc_id = id_a JOIN nr nb ON nb.doc_id = id_b
+           |WHERE round(dot::DOUBLE/(sqrt(na.n2::DOUBLE)*sqrt(nb.n2::DOUBLE)),6) >= 0.5""".stripMargin,
 
       // Kirsch–Mitzenmacher double hashing replayed from md5: position_i =
       // (h1 + i·h2) mod m; flagged = every probe position set by the build
