@@ -1187,6 +1187,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("score_micro"))
     }),
 
+    "lm_perplexity" -> ((s, d) => {
+      // CCNet-style perplexity filter: hashed-bigram conditional LM trained
+      // on the lang='en' slice (raw text), scoring every doc's injected
+      // text; exact integer micro-nats, two-level backoff gate-covered
+      val docs = rd(s, d, "documents")
+      graft.text.Perplexity.lmScores(
+        docs.withColumn("t2", docText).select(col("doc_id"), col("t2")),
+        "doc_id", "t2",
+        docs.filter(col("lang") === "en").select("text"), "text",
+        ctxBuckets = 1024, bigramBuckets = 8192)
+    }),
+
     "dsir_score" -> ((s, d) => {
       // DSIR importance scoring: docs with doc_id%11==0 stand in for the
       // target domain; every corpus doc scored by hashed-bigram LLR in
@@ -2884,6 +2896,32 @@ object SparkEntry {
            |  FROM clean c LEFT JOIN per USING (doc_id))
            |SELECT doc_id, n_bigrams, score_micro FROM scored
            |ORDER BY score_micro DESC, doc_id LIMIT 200""".stripMargin,
+
+      // conditional-LM replay: joint (context, bigram) counts from the
+      // lang='en' reference, add-one over the hashed event space, backoff
+      // CASE mirrors coalesce(w_joint, w_ctx, ln B2) in micro-nats
+      "lm_perplexity" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |ctk AS (SELECT doc_id, ${toks.format("t2")} AS l FROM t),
+           |cbg AS (SELECT doc_id, ${hash60("l[i+1]")} % 1024 AS b1,
+           |    ${hash60("l[i+1]||' '||l[i+2]")} % 8192 AS b12
+           |  FROM (SELECT doc_id, l, unnest(range(len(l)-1)) AS i FROM ctk WHERE len(l) >= 2)),
+           |rtk AS (SELECT ${toks.format("text")} AS l FROM documents WHERE lang = 'en'),
+           |rbg AS (SELECT ${hash60("l[i+1]")} % 1024 AS b1,
+           |    ${hash60("l[i+1]||' '||l[i+2]")} % 8192 AS b12
+           |  FROM (SELECT l, unnest(range(len(l)-1)) AS i FROM rtk WHERE len(l) >= 2)),
+           |c12 AS (SELECT b1, b12, count(*) AS c FROM rbg GROUP BY 1, 2),
+           |c1 AS (SELECT b1, count(*) AS c FROM rbg GROUP BY 1),
+           |ev AS (SELECT cbg.doc_id,
+           |  CASE WHEN c12.c IS NOT NULL
+           |         THEN round((ln((c1.c+8192)::DOUBLE) - ln((c12.c+1)::DOUBLE))*1e6)::BIGINT
+           |       WHEN c1.c IS NOT NULL THEN round(ln((c1.c+8192)::DOUBLE)*1e6)::BIGINT
+           |       ELSE round(ln(8192::DOUBLE)*1e6)::BIGINT END AS nll
+           |  FROM cbg LEFT JOIN c12 USING (b1, b12) LEFT JOIN c1 USING (b1)),
+           |per AS (SELECT doc_id, count(*) AS nb, sum(nll) AS sm FROM ev GROUP BY 1)
+           |SELECT d.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+           |  coalesce(sm, 0)::BIGINT AS nll_micro
+           |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
       "dsir_score" ->
         s"""WITH tk AS (SELECT doc_id, ${toks.format("text")} AS l FROM documents),

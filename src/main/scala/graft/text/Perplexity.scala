@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model perplexity scoring: train a hashed-bigram
+  * conditional model on a REFERENCE corpus (the "clean" text you trust),
+  * then score every corpus document by its negative log-likelihood under
+  * that model — the classic "drop the pages a clean-text LM finds
+  * surprising" quality filter (Wenzek et al. 2020 use a 5-gram KenLM; the
+  * hashed bigram keeps the same shape with a bounded, replayable state).
+  *
+  * Model: contexts hash into `ctxBuckets` (b1 = hash60(w1) mod B1) and
+  * bigrams into `bigramBuckets` (b12 = hash60(w1 " " w2) mod B2), counted
+  * JOINTLY on (b1, b12) — b12 alone would conflate bigrams from different
+  * contexts. Add-one smoothing over the hashed event space:
+  *
+  *   p(bigram | context) = (c(b1,b12) + 1) / (c(b1) + B2)
+  *
+  * with two-level backoff for corpus events the reference never saw:
+  * unseen bigram in a seen context → numerator 1; unseen context → the
+  * constant 1/B2. Per-bigram cost is integerized to MICRO-NATS
+  * (round(-ln p · 10⁶)) BEFORE the per-doc sum — the same exact-int64
+  * discipline as [[Importance.dsirScores]], so partial aggregation order
+  * can never move the result. Perplexity = exp(nll_micro / 10⁶ / n) when a
+  * float is wanted; the operator returns the exact integers.
+  *
+  * Plan shape: reference side → two bounded aggs (joint table ≤ distinct
+  * reference bigrams, context table ≤ B1 rows), both broadcast — the
+  * corpus NEVER shuffles for the probe; corpus side → narrow bigram
+  * explode, two broadcast left joins, one groupBy on the doc id. For a
+  * reference corpus too big to broadcast, pass `broadcastModel = false`
+  * and the joins shuffle on the hash keys like any equi-join.
+  */
+object Perplexity {
+
+  /** (b1, b12) per bigram occurrence. Same bound-array discipline as
+    * [[Importance.bigramBuckets]]: tokens materialized before the HOF. */
+  private[text] def bigramRows(df: DataFrame, idCol: String, textCol: String,
+      ctxBuckets: Int, bigramBuckets: Int): DataFrame = {
+    val arr = df.select(col(idCol), TextAnalysis.tokensCol(col(textCol)).as("__t"))
+    val t = col("__t")
+    val pairs = when(size(t) < 2, array()).otherwise(
+      transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("w1"),
+          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)).as("bg"))))
+    arr.select(col(idCol), explode(pairs).as("__p"))
+      .select(col(idCol),
+        (TextAnalysis.hash60(col("__p.w1")) % ctxBuckets).as("b1"),
+        (TextAnalysis.hash60(col("__p.bg")) % bigramBuckets).as("b12"))
+  }
+
+  /** Score `corpus` docs under a bigram model trained on `reference`.
+    * Output: (idCol, n_bigrams, nll_micro) — exact integers; bigram-less
+    * docs score (0, 0). */
+  def lmScores(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      ctxBuckets: Int = 1024, bigramBuckets: Int = 8192,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(ctxBuckets > 0 && bigramBuckets > 0,
+      s"buckets must be positive: $ctxBuckets, $bigramBuckets")
+    val refB = graft.io.Persisted.track(
+      bigramRows(reference.select(col(refTextCol)).withColumn("__rid", lit(0L)),
+        "__rid", refTextCol, ctxBuckets, bigramBuckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val joint = refB.groupBy("b1", "b12").agg(count(lit(1)).as("__c12"))
+    val ctx = refB.groupBy("b1").agg(count(lit(1)).as("__c1"))
+    def hint(t: DataFrame): DataFrame = if (broadcastModel) broadcast(t) else t
+    // per-event cost in micro-nats; -ln p = ln(denom) - ln(numer)
+    val jointW = joint.join(ctx, Seq("b1"))
+      .select(col("b1"), col("b12"),
+        round((log((col("__c1") + bigramBuckets).cast("double")) -
+          log((col("__c12") + 1).cast("double"))) * 1e6).cast("long").as("__wj"))
+    val ctxW = ctx.select(col("b1"),
+      round(log((col("__c1") + bigramBuckets).cast("double")) * 1e6)
+        .cast("long").as("__wc"))
+    val w0 = math.round(math.log(bigramBuckets.toDouble) * 1e6)
+    val perDoc = bigramRows(corpus, idCol, textCol, ctxBuckets, bigramBuckets)
+      .join(hint(jointW), Seq("b1", "b12"), "left")
+      .join(hint(ctxW), Seq("b1"), "left")
+      .select(col(idCol),
+        coalesce(col("__wj"), col("__wc"), lit(w0)).as("__nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__nll").as("nll_micro"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("nll_micro", coalesce(col("nll_micro"), lit(0L)))
+  }
+
+  /** Pure twin: same hashing, smoothing, backoff, and micro-nat rounding. */
+  def lmScoresPure(corpus: Seq[(Long, String)], reference: Seq[String],
+      ctxBuckets: Int, bigramBuckets: Int): Seq[(Long, Long, Long)] = {
+    def rows(text: String): Seq[(Long, Long)] = {
+      val t = TextAnalysis.tokens(text)
+      if (t.length < 2) Seq.empty
+      else t.sliding(2).map { p =>
+        (TextAnalysis.hash60(p.head) % ctxBuckets,
+          TextAnalysis.hash60(p.mkString(" ")) % bigramBuckets)
+      }.toSeq
+    }
+    val ref = reference.flatMap(rows)
+    val c12 = ref.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = ref.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def w(b1: Long, b12: Long): Long = c1.get(b1) match {
+      case Some(n1) =>
+        val num = c12.getOrElse((b1, b12), 0L) + 1
+        micro(math.log((n1 + bigramBuckets).toDouble) - math.log(num.toDouble))
+      case None => micro(math.log(bigramBuckets.toDouble))
+    }
+    corpus.map { case (id, t) =>
+      val bs = rows(t)
+      (id, bs.size.toLong, bs.map((w _).tupled).sum)
+    }
+  }
+}
