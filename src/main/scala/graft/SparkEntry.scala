@@ -934,6 +934,19 @@ object SparkEntry {
           col("is_duplicate"))
     }),
 
+    // KMV distinct-count sketch (Sketches.kmvDistinct): typed Aggregator
+    // with a bounded k-smallest-hash buffer — map-side combine, one sketch
+    // shuffle — whose estimate is a pure set function, so DuckDB replays
+    // it exactly (HLL never could). Exact count alongside for error
+    // visibility in the gate output.
+    "kmv_distinct" -> ((s, d) => {
+      val li = rd(s, d, "lineitem")
+      graft.sketch.Sketches.kmvDistinct(li, Seq("l_returnflag"), "l_partkey", 64)
+        .join(li.groupBy("l_returnflag")
+          .agg(count_distinct(col("l_partkey")).as("distinct_exact")),
+          Seq("l_returnflag"))
+    }),
+
     // Sparse TF-IDF cosine pairs (SparseSim.tfidfPairs): inverted-index
     // candidates, milli-nat integer IDF weights (exact int64 dots/norms),
     // maxDf stopword cap live at both scales — at sf0.1 it genuinely drops
@@ -2453,6 +2466,23 @@ object SparkEntry {
            |  count(*) OVER (PARTITION BY fp) AS group_size,
            |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
            |FROM f""".stripMargin,
+
+      // KMV replay: k smallest distinct 60-bit hashes per group, estimate
+      // (k-1)·2⁶⁰ / kth in exact 128-bit (HUGEINT) integer division
+      "kmv_distinct" ->
+        """WITH h AS (SELECT DISTINCT l_returnflag,
+          |  ('0x'||substr(md5(l_partkey::VARCHAR),1,15))::BIGINT AS hv FROM lineitem),
+          |r AS (SELECT l_returnflag, hv,
+          |  row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn FROM h),
+          |a AS (SELECT l_returnflag, count(*) AS cnt,
+          |  max(CASE WHEN rn = 64 THEN hv END) AS kth FROM r WHERE rn <= 64 GROUP BY 1),
+          |x AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_exact
+          |  FROM lineitem GROUP BY 1)
+          |SELECT a.l_returnflag,
+          |  CASE WHEN cnt < 64 THEN cnt
+          |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
+          |  END AS distinct_est, x.distinct_exact
+          |FROM a JOIN x USING (l_returnflag)""".stripMargin,
 
       // full TF-IDF replay: token counts → df cap → milli-nat integer IDF →
       // exact int64 dot products and norms → 6dp cosine

@@ -1,0 +1,129 @@
+package graft.sketch
+
+import graft.text.TextAnalysis
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching with K-Minimum-Values (Bar-Yossef et al. 2002):
+  * keep the k smallest distinct 60-bit hashes per group; if fewer than k
+  * survive the count is exact, otherwise estimate (k-1)·M / kth_min with
+  * M = 2⁶⁰ the hash range.
+  *
+  * Why KMV and not HyperLogLog here: Spark's `approx_count_distinct`
+  * (HLL++) is a fine production sketch but its result depends on internal
+  * register encodings no other engine reproduces — it can never pass an
+  * exact cross-engine gate. KMV's state is just "the k smallest distinct
+  * hashes", a pure function of the input SET: merge order, partitioning,
+  * and engine cannot move it, so DuckDB replays the estimate bit-for-bit
+  * (hashes are the md5-derived [[TextAnalysis.hash60]]; the final division
+  * is exact 128-bit integer math on both sides).
+  *
+  * Scale shape: the [[KmvAggregator]] is a typed Aggregator with a bounded
+  * sorted-array buffer (≤ k longs), so Spark runs it as a real partial
+  * aggregation — map-side combine on every partition, k·8 bytes of state
+  * per group in flight, ONE shuffle of sketch buffers (not rows). That is
+  * the same execution profile as approx_count_distinct, with a replayable
+  * answer.
+  */
+object Sketches {
+
+  /** Typed KMV aggregator over pre-hashed values (use [[kmvHash]]).
+    * Buffer = ascending array of ≤ k distinct hashes. */
+  class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], Long] {
+    require(k >= 2, s"k must be >= 2: $k")
+    private val M = 1L << 60
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already kept
+      else {
+        val ins = -pos - 1
+        if (buf.length < k) {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins < k) {
+          val out = new Array[Long](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        } else buf // not among the k smallest
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge two sorted distinct arrays, keep the k smallest distinct
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(buf: Array[Long]): Long =
+      if (buf.length < k) buf.length.toLong
+      else (BigInt(k - 1) * M / BigInt(buf.last)).toLong
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** The hash KMV expects: md5-derived 60-bit over the value's canonical
+    * string form — replayable as `('0x'||substr(md5(x::VARCHAR),1,15))`. */
+  def kmvHash(c: Column): Column = TextAnalysis.hash60(c.cast("string"))
+
+  /** `groupBy(groupCols).agg(distinct_est)` over `valueCol` with the KMV
+    * aggregator: bounded per-group state, map-side combine, one sketch
+    * shuffle. Output: group columns + `distinct_est`. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    val agg = udaf(new KmvAggregator(k))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(kmvHash(col(valueCol))).as("distinct_est"))
+  }
+
+  /** Relational twin of [[kmvDistinct]] for cross-checks and oracles: the
+    * same answer from distinct → per-group rank window → closed-form
+    * estimate. Costs a full distinct + sort per group, which is exactly
+    * what the sketch avoids — baseline only. */
+  def kmvDistinctRelational(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 1L << 60
+    val h = df.select(groupCols.map(col) :+ kmvHash(col(valueCol)).as("__h"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    h.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        max(when(col("__rn") === k, col("__h"))).as("__kth"))
+      .withColumn("distinct_est",
+        when(col("__cnt") < k, col("__cnt"))
+          // (k-1)·2⁶⁰ needs 128-bit: DECIMAL(38,0) division, floored like
+          // BigInt and DuckDB HUGEINT do for positive operands
+          .otherwise(floor(lit(BigDecimal(k - 1) * BigDecimal(M))
+            .cast("decimal(38,0)") / col("__kth").cast("decimal(38,0)"))
+            .cast("long")))
+      .drop("__cnt", "__kth")
+  }
+
+  /** Pure twin: exact replay of the KMV estimate over an in-memory set. */
+  def kmvDistinctPure(values: Seq[String], k: Int): Long = {
+    val hs = values.map(TextAnalysis.hash60).distinct.sorted.take(k)
+    if (hs.length < k) hs.length.toLong
+    else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hs.last)).toLong
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sketch
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val K = 32
+
+  test("KmvAggregator ≡ relational twin ≡ pure twin; partitioning-invariant") {
+    val rows = (1 to 3000).map { i =>
+      val g = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      // group a: ~1000 distinct; group b: only 7 distinct (exact path);
+      // group c: heavy duplication, ~200 distinct
+      val v = g match {
+        case "a" => s"val$i"
+        case "b" => s"small${i % 7}"
+        case _   => s"mid${i % 200}"
+      }
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val agg = Sketches.kmvDistinct(df, Seq("g"), "v", K)
+      .as[(String, Long)].collect().toMap
+    val rel = Sketches.kmvDistinctRelational(df, Seq("g"), "v", K)
+      .as[(String, Long)].collect().toMap
+    assert(agg == rel)
+    val byG = rows.groupBy(_._1)
+    for ((g, grp) <- byG)
+      assert(agg(g) == Sketches.kmvDistinctPure(grp.map(_._2), K), s"group $g")
+    // exact path: below k the sketch IS the distinct count
+    assert(agg("b") == 7L)
+    // estimate path: within 40% of truth at k=32 (1/sqrt(k) ≈ 18% stddev)
+    assert(math.abs(agg("a") - 1000.0) / 1000.0 < 0.4, agg("a").toString)
+    assert(math.abs(agg("c") - 200.0) / 200.0 < 0.4, agg("c").toString)
+    // partitioning cannot move a set-function
+    val rep = Sketches.kmvDistinct(df.repartition(17), Seq("g"), "v", K)
+      .as[(String, Long)].collect().toMap
+    assert(rep == agg)
+  }
+
+  test("aggregator buffer is bounded and merge keeps sorted distinct") {
+    val a = new Sketches.KmvAggregator(4)
+    var buf = a.zero
+    for (h <- Seq(50L, 10L, 30L, 10L, 70L, 20L, 5L)) buf = a.reduce(buf, h)
+    assert(buf.toSeq == Seq(5L, 10L, 20L, 30L)) // 4 smallest, sorted, distinct
+    val merged = a.merge(Array(5L, 10L, 20L, 30L), Array(1L, 10L, 15L, 40L))
+    assert(merged.toSeq == Seq(1L, 5L, 10L, 15L))
+    assert(a.finish(Array(1L, 2L, 3L)) == 3L) // under k → exact
+  }
+
+  test("plan: partial aggregation of sketch buffers, not a distinct shuffle") {
+    val df = (1 to 500).map(i => ("g", s"v$i")).toDF("g", "v")
+    val plan = Sketches.kmvDistinct(df, Seq("g"), "v", K)
+      .queryExecution.executedPlan.toString
+    // typed Aggregator runs as ObjectHashAggregate/SortAggregate with a
+    // partial stage before the exchange — rows are combined map-side
+    assert(plan.contains("Aggregate"), plan)
+    assert(plan.toLowerCase.contains("partial"), plan)
+  }
+}
