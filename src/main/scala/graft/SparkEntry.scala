@@ -947,6 +947,20 @@ object SparkEntry {
           Seq("l_returnflag"))
     }),
 
+    // Count-Min frequency sketch (Sketches.cmsBuild/Estimate): d×w counter
+    // grid treeReduce-added, estimate = min over rows. w=512 forces real
+    // collisions at both scales; the oracle replays cell counts and the
+    // min, so over-counts must match exactly. Exact frequency alongside.
+    "cms_freq" -> ((s, d) => {
+      val t = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2"))
+      val sketch = graft.sketch.Sketches.cmsBuild(t, "t2", width = 512, depth = 3)
+      val probes = t.groupBy("t2")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("freq_exact"))
+      graft.sketch.Sketches.cmsEstimate(probes, "t2", sketch, 512, 3)
+        .select("doc_id", "freq_est", "freq_exact")
+    }),
+
     // Sparse TF-IDF cosine pairs (SparseSim.tfidfPairs): inverted-index
     // candidates, milli-nat integer IDF weights (exact int64 dots/norms),
     // maxDf stopword cap live at both scales — at sf0.1 it genuinely drops
@@ -2483,6 +2497,20 @@ object SparkEntry {
           |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
           |  END AS distinct_est, x.distinct_exact
           |FROM a JOIN x USING (l_returnflag)""".stripMargin,
+
+      // CMS replay: per-(row, cell) build counts, probe = min over rows
+      "cms_freq" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |h AS (SELECT doc_id, t2, ('0x'||substr(md5(t2),1,15))::BIGINT AS h1,
+           |  (('0x'||substr(md5(t2),17,10))::BIGINT | 1) AS h2 FROM t),
+           |cell AS (SELECT i, (h1 + i*h2) % 512 AS pos, count(*) AS c
+           |  FROM h, (SELECT unnest(range(3)) AS i) GROUP BY 1, 2),
+           |probe AS (SELECT min(doc_id) AS doc_id, h1, h2, count(*) AS freq_exact
+           |  FROM h GROUP BY t2, h1, h2),
+           |px AS (SELECT p.doc_id, p.freq_exact, i, (p.h1 + i*p.h2) % 512 AS pos
+           |  FROM probe p, (SELECT unnest(range(3)) AS i))
+           |SELECT px.doc_id, min(coalesce(c, 0)) AS freq_est, px.freq_exact
+           |FROM px LEFT JOIN cell USING (i, pos) GROUP BY 1, 3""".stripMargin,
 
       // full TF-IDF replay: token counts → df cap → milli-nat integer IDF →
       // exact int64 dot products and norms → 6dp cosine

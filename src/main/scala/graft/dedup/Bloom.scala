@@ -35,9 +35,14 @@ object Bloom {
   }
 
   private def checkParams(m: Int, k: Int): Unit = {
-    require(m > 0 && m % 8 == 0, s"m must be a positive multiple of 8: $m")
+    // position math only needs m > 0; the byte-multiple constraint is
+    // build/probe's (bitset layout) and is asserted there
+    require(m > 0, s"m must be positive: $m")
     require(k >= 1 && k <= 100, s"k out of range: $k")
   }
+
+  private def checkBitset(m: Int): Unit =
+    require(m % 8 == 0, s"m must be a multiple of 8 for the bitset: $m")
 
   /** Column form of the k bit positions for a string (array<long>),
     * null-safe (null text → null array). */
@@ -74,7 +79,7 @@ object Bloom {
     * CONFIG, not the data; nulls are skipped. Deterministic and
     * partitioning-invariant (OR is commutative). */
   def build(df: DataFrame, textCol: String, m: Int, k: Int): Array[Byte] = {
-    checkParams(m, k)
+    checkParams(m, k); checkBitset(m)
     import org.apache.spark.sql.Encoders
     val bytes = m / 8
     val parts = df.select(col(textCol)).na.drop(Seq(textCol))
@@ -111,7 +116,7 @@ object Bloom {
     * false. */
   def probe(df: DataFrame, textCol: String, filter: Array[Byte], m: Int,
       k: Int, flagCol: String = "flagged"): DataFrame = {
-    checkParams(m, k)
+    checkParams(m, k); checkBitset(m)
     require(filter.length == m / 8, s"filter is ${filter.length} bytes, want ${m / 8}")
     val bc = df.sparkSession.sparkContext.broadcast(filter)
     val flag = udf { (s: String) =>

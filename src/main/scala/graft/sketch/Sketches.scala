@@ -126,4 +126,72 @@ object Sketches {
     if (hs.length < k) hs.length.toLong
     else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hs.last)).toLong
   }
+
+  // -------------------------------------------------------- Count-Min -----
+  // Frequency estimation (Cormode & Muthukrishnan 2005): d hash rows of w
+  // counters; item increments cell (i, h_i(x)) per row, estimate = min over
+  // rows — never under-counts, over-counts only on collisions. The sketch
+  // merges by elementwise ADD (commutative/associative), so the build is
+  // partitioning-invariant and the estimate — collisions included — is a
+  // pure function of the input multiset any engine can replay. Positions
+  // reuse the Bloom double hash ([[graft.dedup.Bloom.positionsPure]] with
+  // m = width, k = depth), with the row offset making rows independent.
+
+  /** Build a d×w sketch over `textCol` occurrences (weight 1 per row):
+    * per-partition long arrays, treeReduce-added. Memory d·w·8 bytes —
+    * a config, not the data. Nulls are skipped. */
+  def cmsBuild(df: DataFrame, textCol: String, width: Int, depth: Int): Array[Long] = {
+    require(width > 0 && depth >= 1 && depth <= 10, s"bad cms dims $width x $depth")
+    import org.apache.spark.sql.Encoders
+    val cells = width * depth
+    val parts = df.select(col(textCol)).na.drop(Seq(textCol))
+      .select(col(textCol).cast("string")).as[String](Encoders.STRING)
+      .rdd.mapPartitions { it =>
+        val t = new Array[Long](cells)
+        var any = false
+        for (s <- it) {
+          any = true
+          val ps = graft.dedup.Bloom.positionsPure(s, width, depth)
+          var i = 0
+          while (i < depth) { t(i * width + ps(i).toInt) += 1; i += 1 }
+        }
+        if (any) Iterator.single(t) else Iterator.empty
+      }
+    if (parts.isEmpty()) new Array[Long](cells)
+    else parts.treeReduce({ (a, b) =>
+      val out = new Array[Long](cells)
+      var i = 0
+      while (i < cells) { out(i) = a(i) + b(i); i += 1 }
+      out
+    })
+  }
+
+  /** Pure point estimate: min over rows of the item's cell. */
+  def cmsEstimatePure(sketch: Array[Long], text: String, width: Int, depth: Int): Long = {
+    val ps = graft.dedup.Bloom.positionsPure(text, width, depth)
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val v = sketch(i * width + ps(i).toInt)
+      if (v < best) best = v
+      i += 1
+    }
+    best
+  }
+
+  /** Attach `estCol` = CMS frequency estimate of `textCol` to every probe
+    * row. Sketch rides a broadcast variable; map-only (same documented
+    * UDF exception as [[graft.dedup.Bloom.probe]] — a broadcast array is
+    * out of Column reach). Null text → null estimate. */
+  def cmsEstimate(df: DataFrame, textCol: String, sketch: Array[Long],
+      width: Int, depth: Int, estCol: String = "freq_est"): DataFrame = {
+    require(sketch.length == width * depth,
+      s"sketch has ${sketch.length} cells, want ${width * depth}")
+    val bc = df.sparkSession.sparkContext.broadcast(sketch)
+    val est = udf { (s: String) =>
+      if (s == null) None
+      else Some(cmsEstimatePure(bc.value, s, width, depth))
+    }
+    df.withColumn(estCol, est(col(textCol).cast("string")))
+  }
 }

@@ -50,6 +50,33 @@ class SketchesSpec extends SparkTestBase {
     assert(a.finish(Array(1L, 2L, 3L)) == 3L) // under k → exact
   }
 
+  test("CMS: never under-counts, exact without collisions, replay with them") {
+    val W = 64
+    val D = 3
+    val items = (1 to 900).map(i => s"item${i % 30}") // 30 distinct, 30 each
+    val df = items.toDF("v")
+    val sk = Sketches.cmsBuild(df, "v", W, D)
+    // partitioning-invariant (elementwise add is commutative)
+    assert(java.util.Arrays.equals(sk, Sketches.cmsBuild(df.repartition(11), "v", W, D)))
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for ((v, c) <- truth) {
+      val est = Sketches.cmsEstimatePure(sk, v, W, D)
+      assert(est >= c, s"$v under-counted: $est < $c")
+      assert(est <= c + 900, s"$v absurd: $est")
+    }
+    // estimate column matches the pure twin; null → null
+    val probes = (truth.keys.toSeq :+ "never-seen").map(Option(_)) :+ None
+    val got = Sketches.cmsEstimate(probes.toDF("v"), "v", sk, W, D)
+      .as[(Option[String], Option[Long])].collect().toMap
+    for (p <- probes) p match {
+      case Some(s) => assert(got(p).contains(Sketches.cmsEstimatePure(sk, s, W, D)))
+      case None    => assert(got(p).isEmpty)
+    }
+    // a wide sketch with no collisions is exact
+    val wide = Sketches.cmsBuild(df, "v", 8192, 4)
+    assert(truth.forall { case (v, c) => Sketches.cmsEstimatePure(wide, v, 8192, 4) == c })
+  }
+
   test("plan: partial aggregation of sketch buffers, not a distinct shuffle") {
     val df = (1 to 500).map(i => ("g", s"v$i")).toDF("g", "v")
     val plan = Sketches.kmvDistinct(df, Seq("g"), "v", K)
