@@ -934,6 +934,17 @@ object SparkEntry {
           col("is_duplicate"))
     }),
 
+    // Exact distributed percentiles: Spark's `percentile` (sort-based exact
+    // linear interpolation) vs DuckDB's quantile_cont — two engines' exact
+    // quantile implementations must agree to 6dp. (approx_percentile is the
+    // sketch alternative; like HLL it is not cross-engine replayable.)
+    "percentiles" -> ((s, d) => {
+      rd(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("price_p75"))
+    }),
+
     // KMV distinct-count sketch (Sketches.kmvDistinct): typed Aggregator
     // with a bounded k-smallest-hash buffer — map-side combine, one sketch
     // shuffle — whose estimate is a pure set function, so DuckDB replays
@@ -1448,6 +1459,32 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
         .select(col("doc_id"), col("span.kind").as("kind"),
           col("span.offset").cast("long").as("offset"))
+    }),
+
+    "stream_dedup" -> ((s, d) => {
+      // streaming stateful dedup (dropDuplicatesWithinWatermark), run as a
+      // REAL stream and still exactly oracle-able: duplicates are made
+      // FULL-ROW identical (doc_key = doc_id % 100 determines every
+      // column), so whichever occurrence the state store keeps, the
+      // surviving row set is the DISTINCT of the derivation.
+      import org.apache.spark.sql.streaming.Trigger
+      val base = 1767225600L // 2026-01-01 00:00:00 UTC
+      val rows = rd(s, d, "documents").select(
+        pmod(col("doc_id"), lit(100)).as("doc_key"),
+        concat(lit("Body Variant  "), pmod(col("doc_id"), lit(100)).cast("string"))
+          .as("text"),
+        (lit(base) + pmod(col("doc_id"), lit(100))).cast("timestamp")
+          .as("event_time"))
+      val (inDir, out, ck) = streamDirs("stream-dedup", d) { p =>
+        rows.coalesce(1).write.parquet(p)
+      }
+      val in = s.readStream.schema(rows.schema).parquet(inDir)
+      graft.streaming.StreamJob.dedupStream(in, "text", "1 hour")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.read.parquet(out).select("doc_key", "text", "fp")
     }),
 
     "stream_window" -> ((s, d) => {
@@ -2481,6 +2518,13 @@ object SparkEntry {
            |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
            |FROM f""".stripMargin,
 
+      "percentiles" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+          |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+          |  round(quantile_cont(l_extendedprice, 0.75), 6) AS price_p75
+          |FROM lineitem GROUP BY 1""".stripMargin,
+
       // KMV replay: k smallest distinct 60-bit hashes per group, estimate
       // (k-1)·2⁶⁰ / kth in exact 128-bit (HUGEINT) integer division
       "kmv_distinct" ->
@@ -3215,6 +3259,15 @@ object SparkEntry {
       // event_time = 1767225600 + l_orderkey%3600; every regular window
       // finalizes (the sentinel doc's watermark passes them all), the
       // sentinel's own window never emits and is excluded here.
+      // the streaming dedup's survivors are full-row identical per key, so
+      // the oracle is simply the DISTINCT of the derivation + the exact
+      // fingerprint the state keyed on
+      "stream_dedup" ->
+        s"""SELECT DISTINCT doc_id % 100 AS doc_key,
+           |  'Body Variant  ' || (doc_id % 100) AS text,
+           |  ${hash60("regexp_replace(trim(lower('Body Variant  ' || (doc_id % 100))),'\\s+',' ','g')")} AS fp
+           |FROM documents""".stripMargin,
+
       "stream_window" ->
         """WITH sp AS (SELECT l_orderkey AS k,
           |  'p'||l_linenumber||'-'||l_orderkey AS text FROM lineitem

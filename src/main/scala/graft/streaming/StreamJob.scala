@@ -64,6 +64,31 @@ object StreamJob {
         col("n_spans"), col("n_chars"))
   }
 
+  /** Streaming exact dedup: drop rows whose normalized-text fingerprint
+    * (same trim/case-fold/whitespace-squash + hash60 as
+    * [[graft.dedup.Dedup.exactDuplicates]]) has already been seen, using
+    * Spark's built-in `dropDuplicatesWithinWatermark` state store — the
+    * idiomatic tool, preferred over hand-rolled flatMapGroupsWithState
+    * state. State holds one entry per distinct fingerprint and is evicted
+    * once the watermark passes `event_time + watermarkDelay`, so memory is
+    * bounded by the distinct volume inside the watermark horizon, not the
+    * stream's lifetime (size the delay to the dedup window you actually
+    * need; cross-horizon dedup is [[graft.dedup.Bloom]]'s job).
+    *
+    * Which duplicate survives is whichever the state store sees first —
+    * so for deterministic downstream results feed FULL-ROW-identical
+    * duplicates (then any survivor is the same row), or treat survivors
+    * as representatives only. Output adds the `fp` column. */
+  def dedupStream(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      watermarkDelay: String = "10 seconds"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withWatermark("event_time", watermarkDelay)
+      .withColumn("fp", graft.text.TextAnalysis.hash60(
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** One span arriving as a streaming event. */
   final case class SpanEvent(doc_id: String, event_time: java.sql.Timestamp,
       kind: String, text: String, media_ref: String, offset: Int)

@@ -27,6 +27,42 @@ class StreamJobSpec extends SparkTestBase {
     for ((id, spans) <- batch) assert(streamed(id) == spans, s"doc $id")
   }
 
+  test("dedupStream: cross-batch duplicate drop, first arrival survives") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF()
+      .select(col("_1").cast("timestamp").as("event_time"),
+        col("_2").as("marker"), col("_3").as("text"))
+    val q = StreamJob.dedupStream(docs, "text", "1 hour")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+
+    input.addData((100L, "b1", "Alpha Text"), (110L, "b1", "beta"))
+    q.processAllAvailable()
+    // same normalized fp across batches ('  alpha   text ' ≡ 'Alpha Text');
+    // a genuinely new text passes
+    input.addData((200L, "b2", "  alpha   text "), (210L, "b2", "gamma"))
+    q.processAllAvailable()
+    // duplicate within one batch also collapses
+    input.addData((300L, "b3", "delta"), (301L, "b3", "delta"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dd").as[(java.sql.Timestamp, String, String, Long)]
+      .collect()
+    assert(got.length == 4)
+    val byText = got.map(r => r._3.trim.toLowerCase.replaceAll("\\s+", " ") -> r._2).toMap
+    assert(byText == Map("alpha text" -> "b1", "beta" -> "b1",
+      "gamma" -> "b2", "delta" -> "b3"))
+    // fp is the exact-dedup fingerprint (cross-operator agreement)
+    for (r <- got)
+      assert(r._4 == graft.text.TextAnalysis.hash60(
+        r._3.trim.toLowerCase.replaceAll("\\s+", " ")))
+  }
+
   test("watermarked windowed metrics: append finalization + late-data drop") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
