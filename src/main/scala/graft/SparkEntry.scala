@@ -958,6 +958,21 @@ object SparkEntry {
           Seq("l_returnflag"))
     }),
 
+    // BM25 top-k retrieval (SparseSim.bm25TopK): three probe queries against
+    // the corpus inverted index; query side broadcasts, one row_number
+    // window per query. k1=1.5 (not the 1.2 default) so every float
+    // constant in the score (k1+1=2.5, 1-b=0.25, b·1000=750) is exactly
+    // representable — no cross-engine ulp hazard in the literals.
+    "bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(1L -> "mortgagee bank", 2L -> "duplicate content block",
+        3L -> "policy limit payment").toDF("qid", "qtext")
+      graft.sim.SparseSim.bm25TopK(
+        rd(s, d, "documents").withColumn("t2", docText)
+          .select(col("doc_id"), col("t2")),
+        "doc_id", "t2", queries, "qid", "qtext", k = 10, k1 = 1.5)
+    }),
+
     // Count-Min frequency sketch (Sketches.cmsBuild/Estimate): d×w counter
     // grid treeReduce-added, estimate = min over rows. w=512 forces real
     // collisions at both scales; the oracle replays cell counts and the
@@ -2541,6 +2556,30 @@ object SparkEntry {
           |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
           |  END AS distinct_est, x.distinct_exact
           |FROM a JOIN x USING (l_returnflag)""".stripMargin,
+
+      // BM25 replay: tf/dl/df/avgdl → Lucene-form idf in milli-nats → one
+      // rounding per (query, doc, term) → exact int64 sums → ranked window
+      "bm25_topk" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |tok AS (SELECT doc_id, unnest(${toks.format("t2")}) AS tok FROM t),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+           |st AS (SELECT count(*) AS n, round(avg(dl)*1000)::BIGINT AS avgdlm FROM dl),
+           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |q(qid, qtext) AS (VALUES (1, 'mortgagee bank'),
+           |  (2, 'duplicate content block'), (3, 'policy limit payment')),
+           |qt AS (SELECT DISTINCT qid, unnest(${toks.format("qtext")}) AS tok FROM q),
+           |idf AS (SELECT qid, qt.tok,
+           |    round(ln((n - df + 0.5)/(df + 0.5) + 1)*1000)::BIGINT AS idfm, avgdlm
+           |  FROM qt JOIN dfq USING (tok), st),
+           |terms AS (SELECT qid, tf.doc_id,
+           |    round(idfm * (tf * 2.5) / (tf + 1.5 * (0.25 + dl.dl * 750.0 / avgdlm)))::BIGINT AS sc
+           |  FROM tf JOIN idf USING (tok) JOIN dl ON dl.doc_id = tf.doc_id),
+           |sc AS (SELECT qid, doc_id, sum(sc)::BIGINT AS score_milli FROM terms GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id) AS rk,
+           |    score_milli FROM sc)
+           |SELECT qid, doc_id, rk::BIGINT AS rank, score_milli FROM r WHERE rk <= 10""".stripMargin,
 
       // CMS replay: per-(row, cell) build counts, probe = min over rows
       "cms_freq" ->

@@ -72,6 +72,101 @@ object SparseSim {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; Lucene's non-negative
+    * idf form): score every corpus doc against each query string and keep
+    * the k best per query — the retrieval step of targeted data selection
+    * ("find the documents most like these probes") next to [[tfidfPairs]]'
+    * all-pairs shape.
+    *
+    *   idf_milli(t) = round(ln((N - df + 0.5)/(df + 0.5) + 1) · 1000)
+    *   score(q,d)   = Σ_{t ∈ q∩d} round(idf_milli(t) · tf·(k1+1) /
+    *                    (tf + k1·(1 − b + b·dl·1000/avgdl_milli)))   [micro-ish]
+    *
+    * Every rounded term is a deterministic function of exact integers
+    * (tf, dl, avgdl_milli, df, N), rounded ONCE — so the per-(query, doc)
+    * sum is exact int64 and any engine replays it. Repeated query terms
+    * count once (qtf = 1), the common simplification.
+    *
+    * Plan: corpus → (id, tok, tf) shuffle + dl agg; the QUERY side is tiny
+    * by construction and broadcasts into the token join — the corpus never
+    * reshuffles per query; ranking is one row_number window per query
+    * (deterministic tie-break on doc id). Output: (qid, id, rank,
+    * score_milli). */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.io.Persisted.track(
+      corpus.select(col(idCol), explode(TextAnalysis.tokensCol(col(textCol))).as("__tok"))
+        .groupBy(col(idCol), col("__tok"))
+        .agg(count(lit(1)).as("__tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dl = tf.groupBy(idCol).agg(sum("__tf").as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      round(avg(col("__dl")) * 1000).cast("long").as("__avgdlm"))
+    val dfreq = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val qtok = queries
+      .select(col(qidCol), explode(TextAnalysis.tokensCol(col(qTextCol))).as("__tok"))
+      .distinct()
+    val idf = dfreq.join(broadcast(qtok), Seq("__tok")) // query vocab only
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col("__tok"),
+        round(log((col("__n") - col("__df") + 0.5) /
+          (col("__df") + 0.5) + 1.0) * 1000).cast("long").as("__idfm"),
+        col("__avgdlm"))
+    val terms = tf.join(broadcast(idf), Seq("__tok"))
+      .join(dl, Seq(idCol))
+      .select(col(qidCol), col(idCol),
+        round(col("__idfm") * (col("__tf") * (k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + col("__dl") * lit(b * 1000.0) / col("__avgdlm"))))
+          .cast("long").as("__sc"))
+    val scored = terms.groupBy(qidCol, idCol).agg(sum("__sc").as("score_milli"))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("score_milli").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(qidCol, idCol, "rank", "score_milli")
+  }
+
+  /** Pure twin of [[bm25TopK]]. */
+  def bm25TopKPure(corpus: Seq[(Long, String)], queries: Seq[(Long, String)],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): Seq[(Long, Long, Long, Long)] = {
+    def half(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val tf = corpus.map { case (id, t) =>
+      id -> TextAnalysis.tokens(t).groupBy(identity)
+        .map { case (x, v) => x -> v.size.toLong }
+    }.filter(_._2.nonEmpty)
+    val n = tf.size
+    val dl = tf.map { case (id, m) => id -> m.values.sum }.toMap
+    val avgdlm = half(dl.values.sum.toDouble / n * 1000)
+    val dfreq = tf.flatMap(_._2.keys).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    def idfm(df: Long): Long =
+      half(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1000)
+    (for {
+      (qid, qt) <- queries
+      qtoks = TextAnalysis.tokens(qt).distinct
+      // keep exactly the docs sharing ≥1 query term (the join's semantics),
+      // even if their rounded score sums to 0
+      scores = tf.collect { case (id, m)
+          if qtoks.exists(t => m.contains(t) && dfreq.contains(t)) =>
+        id -> qtoks.collect {
+          case t if m.contains(t) && dfreq.contains(t) =>
+            val tfv = m(t)
+            // SAME float op order as the Column path: dl·(b·1000)/avgdlm —
+            // float multiplication is not associative, a different grouping
+            // can differ in ulps and flip the final integer rounding
+            half(idfm(dfreq(t)) * (tfv * (k1 + 1)) /
+              (tfv + k1 * ((1 - b) + dl(id) * (b * 1000.0) / avgdlm)))
+        }.sum
+      }
+      ((id, sc), i) <- scores.sortBy { case (id, sc) => (-sc, id) }
+        .zipWithIndex.take(k)
+    } yield (qid, id, (i + 1).toLong, sc)).toSeq
+  }
+
   /** Pure twin: same tokenization, milli-nat IDF, integer weights, and
     * 6dp cosine, for spec cross-checking over in-memory corpora. */
   def tfidfPairsPure(corpus: Seq[(Long, String)], minCos: Double,

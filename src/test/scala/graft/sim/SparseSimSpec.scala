@@ -52,6 +52,40 @@ class SparseSimSpec extends SparkTestBase {
       SparseSim.tfidfPairsPure(corpus, 0.0, 2).map(r => (r._1, r._2)).toSet)
   }
 
+  test("bm25TopK ≡ pure twin; ranking favors rare matched terms") {
+    val df = corpus.toDF("doc_id", "text")
+    val queries = Seq(1L -> "insurance liability limit", 2L -> "quick fox",
+      3L -> "unmatched zebra tokens", 4L -> "the")
+    val qdf = queries.toDF("qid", "qtext")
+    val got = graft.io.Persisted.unpersistAfter(spark) {
+      SparseSim.bm25TopK(df, "doc_id", "text", qdf, "qid", "qtext", k = 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val exp = SparseSim.bm25TopKPure(corpus, queries, k = 3).toSet
+    assert(got == exp)
+    // insurance query retrieves docs 3 and 4 ahead of everything else
+    val q1 = got.filter(_._1 == 1L).toSeq.sortBy(_._3).map(_._2)
+    assert(q1.take(2).toSet == Set(3L, 4L))
+    // a query with no corpus tokens retrieves nothing
+    assert(!got.exists(_._1 == 3L))
+    // ties break on doc id, so reruns are stable
+    val again = graft.io.Persisted.unpersistAfter(spark) {
+      SparseSim.bm25TopK(df.repartition(9), "doc_id", "text", qdf, "qid", "qtext", 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    assert(again == got)
+  }
+
+  test("bm25 plan: query side broadcasts, corpus never reshuffles per query") {
+    val df = corpus.toDF("doc_id", "text")
+    val qdf = Seq(1L -> "insurance").toDF("qid", "qtext")
+    val plan = SparseSim.bm25TopK(df, "doc_id", "text", qdf, "qid", "qtext", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    graft.io.Persisted.release(spark)
+  }
+
   test("plan: one token shuffle feeding a persisted weight relation; caches released") {
     val df = corpus.toDF("doc_id", "text")
     val pairs = SparseSim.tfidfPairs(df, "doc_id", "text", 0.1)
