@@ -958,6 +958,16 @@ object SparkEntry {
           Seq("l_returnflag"))
     }),
 
+    // Context-window chunking (Chunking.chunkDf): 32-token chunks with
+    // 8-token overlap — completely narrow (zero exchanges at any corpus
+    // size), integer-exact boundaries the oracle replays with list slicing.
+    "doc_chunks" -> ((s, d) => {
+      graft.text.Chunking.chunkDf(
+        rd(s, d, "documents").withColumn("t2", docText)
+          .select(col("doc_id"), col("t2")),
+        "doc_id", "t2", chunkSize = 32, overlap = 8)
+    }),
+
     // BM25 top-k retrieval (SparseSim.bm25TopK): three probe queries against
     // the corpus inverted index; query side broadcasts, one row_number
     // window per query. k1=1.5 (not the 1.2 default) so every float
@@ -2556,6 +2566,19 @@ object SparkEntry {
           |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
           |  END AS distinct_est, x.distinct_exact
           |FROM a JOIN x USING (l_returnflag)""".stripMargin,
+
+      // chunk replay: same integer ceil-division for the chunk count,
+      // 1-based inclusive list slicing for the windows
+      "doc_chunks" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |tok AS (SELECT doc_id, ${toks.format("t2")} AS l FROM t),
+           |nc AS (SELECT doc_id, l,
+           |  CASE WHEN len(l) = 0 THEN 0 WHEN len(l) <= 32 THEN 1
+           |       ELSE 1 + (len(l) - 32 + 23) // 24 END AS nchunks FROM tok),
+           |c AS (SELECT doc_id, i AS chunk_id, l[i*24 + 1 : i*24 + 32] AS ck
+           |  FROM (SELECT doc_id, l, unnest(range(nchunks)) AS i FROM nc))
+           |SELECT doc_id, chunk_id::BIGINT AS chunk_id, len(ck)::BIGINT AS n_tokens,
+           |  array_to_string(ck, ' ') AS chunk_text FROM c""".stripMargin,
 
       // BM25 replay: tf/dl/df/avgdl → Lucene-form idf in milli-nats → one
       // rounding per (query, doc, term) → exact int64 sums → ranked window
