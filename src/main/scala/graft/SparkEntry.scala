@@ -958,6 +958,17 @@ object SparkEntry {
           Seq("l_returnflag"))
     }),
 
+    // RNG-free priority sampling (Sampling.prioritySample): weight ∝
+    // n_chars, k=50, estimator weights attached (ŵ = max(w, τ)); selection
+    // runs at full double precision, display columns rounded to 6dp.
+    "priority_sample" -> ((s, d) => {
+      Sampling.prioritySample(
+        rd(s, d, "documents").select(col("doc_id"), col("n_chars").as("w")),
+        "doc_id", "w", k = 50)
+        .select(col("doc_id"), col("w"), round(col("priority"), 6).as("priority"),
+          col("est_weight"))
+    }),
+
     // Context-window chunking (Chunking.chunkDf): 32-token chunks with
     // 8-token overlap — completely narrow (zero exchanges at any corpus
     // size), integer-exact boundaries the oracle replays with list slicing.
@@ -2566,6 +2577,19 @@ object SparkEntry {
           |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
           |  END AS distinct_est, x.distinct_exact
           |FROM a JOIN x USING (l_returnflag)""".stripMargin,
+
+      // priority-sampling replay: q = w·2⁶⁰/(h+1) in the same op order,
+      // τ = the 51st priority, ŵ = max(w, τ)
+      "priority_sample" ->
+        s"""WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
+           |q AS (SELECT doc_id, w, (w::DOUBLE * 1152921504606846976.0) /
+           |    ((${hash60("doc_id::VARCHAR")} + 1)::DOUBLE) AS pr FROM w),
+           |r AS (SELECT doc_id, w, pr, row_number() OVER (ORDER BY pr DESC, doc_id) AS rk FROM q),
+           |tau AS (SELECT CASE WHEN (SELECT count(*) FROM r) >= 51
+           |  THEN (SELECT pr FROM r WHERE rk = 51) ELSE 0.0 END AS tau)
+           |SELECT doc_id, w, round(pr, 6) AS priority,
+           |  round(greatest(w::DOUBLE, tau), 6) AS est_weight
+           |FROM r, tau WHERE rk <= 50""".stripMargin,
 
       // chunk replay: same integer ceil-division for the chunk count,
       // 1-based inclusive list slicing for the windows

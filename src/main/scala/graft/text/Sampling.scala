@@ -147,6 +147,61 @@ object Sampling {
 
   /** Pure twin of [[mixtureSample]]'s keep rule: is `id` kept in a stratum
     * of size `n` with target `target`? */
+  /** Weight-proportional priority sampling WITHOUT randomness (Duffield,
+    * Lund & Thorup 2007): each row gets priority q = w·2⁶⁰/(hash60(id)+1)
+    * — the deterministic stand-in for w/uniform(0,1] — and the k highest
+    * priorities are kept. Alongside each kept row the estimator weight
+    * ŵ = max(w, τ) is emitted, with τ the (k+1)-th priority: summing ŵ
+    * over any subset of the sample unbiasedly estimates that subset's
+    * total weight in the corpus — the standard "sample few, answer
+    * sum-queries about many" primitive (here: sample ∝ quality/token
+    * weight and still report corpus-level token totals).
+    *
+    * Determinism: the hash is md5-derived, priorities are single-rounding
+    * doubles computed in one fixed op order, ties break on id — reruns,
+    * repartitions, and the SQL oracle agree row-for-row. Plan: priorities
+    * are narrow; the top-(k+1) cut is orderBy+limit, which Spark executes
+    * as distributed TakeOrderedAndProject (per-partition heaps, no global
+    * sort); the τ attach is a window over ≤ k+1 rows.
+    *
+    * Output: row columns + (priority, est_weight), est rounded to 6dp. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val M = (1L << 60).toDouble // 2^60 is exactly representable
+    val q = (col(weightCol).cast("double") * M) /
+      (TextAnalysis.hash60(col(idCol).cast("string")) + 1L).cast("double")
+    val top = df.withColumn("priority", q)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k + 1)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__tau",
+        when(col("__n") === k + 1, min(col("priority")).over(all)).otherwise(0.0))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy().orderBy(col("priority").desc, col(idCol))))
+      .filter(col("__rk") <= k)
+      .withColumn("est_weight",
+        round(greatest(col(weightCol).cast("double"), col("__tau")), 6))
+      .drop("__n", "__tau", "__rk")
+  }
+
+  /** Pure twin of [[prioritySample]]: (id, priority, estWeight) rows. */
+  def prioritySamplePure(rows: Seq[(Long, Long)], k: Int): Seq[(Long, Double, Double)] = {
+    val M = (1L << 60).toDouble
+    val qs = rows.map { case (id, w) =>
+      (id, w, (w.toDouble * M) / (TextAnalysis.hash60(id.toString) + 1L).toDouble)
+    }.sortBy { case (id, _, q) => (-q, id) }
+    val tau = if (qs.length >= k + 1) qs(k)._3 else 0.0
+    qs.take(k).map { case (id, w, q) =>
+      (id, q, BigDecimal(math.max(w.toDouble, tau))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   def mixtureSamplePure(id: Long, n: Long, target: Long): Boolean =
     n <= target || TextAnalysis.hash32(id.toString) < ((target << 32) / n)
 

@@ -31,6 +31,36 @@ class SamplingSpec extends SparkTestBase {
       Sampling.stratified(docs, "doc_id", "lang", 0.0))
   }
 
+  test("prioritySample: pure-twin parity, tau law, under-k exactness, top-k plan") {
+    val rows = (1L to 500L).map(i => (i, 1L + (i * 7) % 100)) // ids, weights
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.prioritySample(df, "doc_id", "w", 30)
+      .select("doc_id", "priority", "est_weight")
+      .as[(Long, Double, Double)].collect().toSeq
+    val exp = Sampling.prioritySamplePure(rows, 30)
+    assert(got.sortBy(_._1) == exp.sortBy(_._1))
+    // estimator law: every kept row's est = max(w, tau) with ONE tau
+    val wById = rows.toMap
+    val taus = got.collect { case (id, _, est) if est != wById(id).toDouble => est }
+    assert(taus.distinct.size <= 1)
+    // priorities of kept rows all exceed tau
+    if (taus.nonEmpty) assert(got.forall(_._2 >= taus.head))
+    // partitioning cannot move the sample
+    val rep = Sampling.prioritySample(df.repartition(13), "doc_id", "w", 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rep == got.map(_._1).toSet)
+    // k >= n keeps everything with est = w exactly
+    val small = Sampling.prioritySample(df.limit(10), "doc_id", "w", 30)
+      .select("doc_id", "est_weight").as[(Long, Double)].collect()
+    assert(small.length == 10)
+    assert(small.forall { case (id, est) => est == wById(id).toDouble })
+    // the top-(k+1) cut is a distributed TakeOrderedAndProject, not a
+    // global sort
+    val plan = Sampling.prioritySample(df, "doc_id", "w", 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("hashThreshold: pure-twin parity, zero-shuffle plan, frac=1 keeps all") {
     val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
     val kept = Sampling.hashThreshold(docs, "doc_id", 0.25)
