@@ -958,6 +958,18 @@ object SparkEntry {
           Seq("l_returnflag"))
     }),
 
+    // Z-order curve values (Layout.zValue) over a 2-D key grid — the
+    // layout step that makes BOTH filter dimensions row-group-skippable
+    // (LayoutSpec asserts the bounding-box property of the full zOrdered
+    // repartition; the curve math is what the oracle replays bit-exactly).
+    "zorder_layout" -> ((s, d) => {
+      rd(s, d, "lineitem")
+        .select(pmod(col("l_orderkey"), lit(256)).as("ka"),
+          pmod(col("l_partkey"), lit(256)).as("kb"))
+        .distinct()
+        .withColumn("zval", graft.io.Layout.zValue(col("ka"), col("kb"), 8))
+    }),
+
     // RNG-free priority sampling (Sampling.prioritySample): weight ∝
     // n_chars, k=50, estimator weights attached (ŵ = max(w, τ)); selection
     // runs at full double precision, display columns rounded to 6dp.
@@ -2577,6 +2589,14 @@ object SparkEntry {
           |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
           |  END AS distinct_est, x.distinct_exact
           |FROM a JOIN x USING (l_returnflag)""".stripMargin,
+
+      // Morton interleave replayed with DuckDB bit ops
+      "zorder_layout" ->
+        """SELECT DISTINCT l_orderkey % 256 AS ka, l_partkey % 256 AS kb,
+          |  list_sum(list_transform(range(8), i ->
+          |    ((((l_orderkey % 256) >> i) & 1) << (2*i)) +
+          |    ((((l_partkey % 256) >> i) & 1) << (2*i + 1))))::BIGINT AS zval
+          |FROM lineitem""".stripMargin,
 
       // priority-sampling replay: q = w·2⁶⁰/(h+1) in the same op order,
       // τ = the 51st priority, ŵ = max(w, τ)
