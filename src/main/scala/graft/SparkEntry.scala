@@ -113,6 +113,34 @@ object SparkEntry {
       .when(pmod(col("doc_id"), lit(11)) === 0, substring(col("text"), 1, 5))
       .otherwise(col("text"))
 
+  /** Deterministic HTML page per document for the dom_nodes/dom_main
+    * contract queries: title + nav anchors + main div (h1, one or two
+    * paragraphs sliced from the document text, an optional inline-link
+    * paragraph) + footer, seasoned with a comment, a script body holding a
+    * bare `<`, and a `>` inside a quoted attribute — every piece a pure
+    * function of (doc_id, text) the DuckDB oracle re-renders. */
+  private def domHtml: Column = {
+    val id = col("doc_id").cast("string")
+    val seed = conv(substring(md5(id), 1, 8), 16, 10).cast("long")
+    def slice(from: Int) =
+      trim(regexp_replace(substring(col("text"), from, 60), "\\s+", " "))
+    concat(
+      lit("<html><head><title>T"), id,
+      lit("</title><script>var x = 1 < 2;</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About "), id,
+      lit("</a></nav>"),
+      when(pmod(seed, lit(3)) === 0, lit("<!-- promo -->")).otherwise(lit("")),
+      lit("<div class=\"main\" data-x=\"a>b\"><h1>Doc "), id,
+      lit("</h1><p>"), slice(1), lit("</p>"),
+      when(pmod(seed, lit(2)) === 0,
+        concat(lit("<p>"), slice(61), lit("</p>"))).otherwise(lit("")),
+      when(pmod(seed, lit(5)) === 0,
+        lit("<p>Extra <a href=\"/x\">inline link</a> tail</p>"))
+        .otherwise(lit("")),
+      lit("</div><footer>(c) 2026 <a href=\"/privacy\">Privacy</a>" +
+        "</footer></body></html>"))
+  }
+
   /** Rendered marker documents shared by the qc_head_meta/content contract
     * queries: one page per (orderkey, linenumber), bodies derived from
     * partkeys, concatenated in page order behind PAGE marker blocks. */
@@ -968,6 +996,33 @@ object SparkEntry {
           pmod(col("l_partkey"), lit(256)).as("kb"))
         .distinct()
         .withColumn("zval", graft.io.Layout.zValue(col("ka"), col("kb"), 8))
+    }),
+
+    // DOM tokenization (Dom.nodesDf): stack-based HTML → ordered text-node
+    // rows, run over HTML synthesized from each document (title / nav
+    // anchors / main div / optional second paragraph / optional inline-link
+    // paragraph / footer, plus a comment, a script body with a bare `<`,
+    // and a `>` inside a quoted attribute). The template is a deterministic
+    // function of (doc_id, text), so the oracle replays the node list —
+    // path, depth, anchor flag, collapsed text, word counts — without
+    // parsing any HTML: a tokenizer defect shifts or corrupts rows and
+    // breaks parity. Plan: typed mapPartitions, zero exchanges.
+    "dom_nodes" -> ((s, d) => {
+      val docs = rd(s, d, "documents").select(col("doc_id"), domHtml.as("html"))
+      graft.segment.Dom.nodesDf(docs, "doc_id", "html")
+    }),
+
+    // Readability-style main-container selection (Dom.mainContent): group
+    // text nodes by parent path, score Σ(n_words − 3·n_link_words), keep
+    // the per-doc argmax container's nodes. One partial-agg groupBy + one
+    // per-doc window; the oracle replays scoring and argmax over the same
+    // replayed node list.
+    "dom_main" -> ((s, d) => {
+      val docs = rd(s, d, "documents").select(col("doc_id"), domHtml.as("html"))
+      graft.segment.Dom.mainContent(
+        graft.segment.Dom.nodesDf(docs, "doc_id", "html"), "doc_id")
+        .select(col("doc_id"), col("node_idx"), col("parent"), col("path"),
+          col("text"), col("score"), col("content_words"))
     }),
 
     // RNG-free priority sampling (Sampling.prioritySample): weight ∝
@@ -2597,6 +2652,67 @@ object SparkEntry {
           |    ((((l_orderkey % 256) >> i) & 1) << (2*i)) +
           |    ((((l_partkey % 256) >> i) & 1) << (2*i + 1))))::BIGINT AS zval
           |FROM lineitem""".stripMargin,
+
+      // DOM-node replay: re-render the template's node list (no HTML
+      // parsing) — optional rows gated on the same md5 seed branches,
+      // document order via a per-template ordinal
+      "dom_nodes" ->
+        s"""WITH d AS (SELECT doc_id::VARCHAR AS id,
+           |  ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT AS seed,
+           |  trim(regexp_replace(substr(text,1,60), '\\s+', ' ', 'g')) AS s1,
+           |  trim(regexp_replace(substr(text,61,60), '\\s+', ' ', 'g')) AS s2
+           |  FROM documents),
+           |n AS (
+           |  SELECT id, 0 AS ord, 'html/head/title' AS path, 3 AS dep, FALSE AS a, 'T'||id AS text FROM d
+           |  UNION ALL SELECT id, 1, 'html/body/nav/a', 4, TRUE, 'Home' FROM d
+           |  UNION ALL SELECT id, 2, 'html/body/nav/a', 4, TRUE, 'About '||id FROM d
+           |  UNION ALL SELECT id, 3, 'html/body/div/h1', 4, FALSE, 'Doc '||id FROM d
+           |  UNION ALL SELECT id, 4, 'html/body/div/p', 4, FALSE, s1 FROM d WHERE len(s1) > 0
+           |  UNION ALL SELECT id, 5, 'html/body/div/p', 4, FALSE, s2 FROM d WHERE seed%2=0 AND len(s2) > 0
+           |  UNION ALL SELECT id, 6, 'html/body/div/p', 4, FALSE, 'Extra' FROM d WHERE seed%5=0
+           |  UNION ALL SELECT id, 7, 'html/body/div/p/a', 5, TRUE, 'inline link' FROM d WHERE seed%5=0
+           |  UNION ALL SELECT id, 8, 'html/body/div/p', 4, FALSE, 'tail' FROM d WHERE seed%5=0
+           |  UNION ALL SELECT id, 9, 'html/body/footer', 3, FALSE, '(c) 2026' FROM d
+           |  UNION ALL SELECT id, 10, 'html/body/footer/a', 4, TRUE, 'Privacy' FROM d)
+           |SELECT id AS doc_id,
+           |  (row_number() OVER (PARTITION BY id ORDER BY ord) - 1)::BIGINT AS node_idx,
+           |  path, dep::BIGINT AS depth, a AS in_anchor, text,
+           |  len(string_split(text, ' '))::BIGINT AS n_words,
+           |  (CASE WHEN a THEN len(string_split(text, ' ')) ELSE 0 END)::BIGINT AS n_link_words
+           |FROM n""".stripMargin,
+
+      // main-container replay: same node list → parent path → score
+      // Σ(words − 3·link words) → per-doc argmax (score desc, parent asc)
+      // → that container's nodes
+      "dom_main" ->
+        s"""WITH d AS (SELECT doc_id::VARCHAR AS id,
+           |  ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT AS seed,
+           |  trim(regexp_replace(substr(text,1,60), '\\s+', ' ', 'g')) AS s1,
+           |  trim(regexp_replace(substr(text,61,60), '\\s+', ' ', 'g')) AS s2
+           |  FROM documents),
+           |n AS (
+           |  SELECT id, 0 AS ord, 'html/head/title' AS path, FALSE AS a, 'T'||id AS text FROM d
+           |  UNION ALL SELECT id, 1, 'html/body/nav/a', TRUE, 'Home' FROM d
+           |  UNION ALL SELECT id, 2, 'html/body/nav/a', TRUE, 'About '||id FROM d
+           |  UNION ALL SELECT id, 3, 'html/body/div/h1', FALSE, 'Doc '||id FROM d
+           |  UNION ALL SELECT id, 4, 'html/body/div/p', FALSE, s1 FROM d WHERE len(s1) > 0
+           |  UNION ALL SELECT id, 5, 'html/body/div/p', FALSE, s2 FROM d WHERE seed%2=0 AND len(s2) > 0
+           |  UNION ALL SELECT id, 6, 'html/body/div/p', FALSE, 'Extra' FROM d WHERE seed%5=0
+           |  UNION ALL SELECT id, 7, 'html/body/div/p/a', TRUE, 'inline link' FROM d WHERE seed%5=0
+           |  UNION ALL SELECT id, 8, 'html/body/div/p', FALSE, 'tail' FROM d WHERE seed%5=0
+           |  UNION ALL SELECT id, 9, 'html/body/footer', FALSE, '(c) 2026' FROM d
+           |  UNION ALL SELECT id, 10, 'html/body/footer/a', TRUE, 'Privacy' FROM d),
+           |nn AS (SELECT id, (row_number() OVER (PARTITION BY id ORDER BY ord) - 1) AS node_idx,
+           |  path, regexp_extract(path, '^(.*)/[^/]*$$', 1) AS parent, text,
+           |  len(string_split(text, ' ')) AS w,
+           |  CASE WHEN a THEN len(string_split(text, ' ')) ELSE 0 END AS lw FROM n),
+           |sc AS (SELECT id, parent, sum(w - 3*lw) AS score, sum(w) AS content_words,
+           |  row_number() OVER (PARTITION BY id ORDER BY sum(w - 3*lw) DESC, parent ASC) AS rk
+           |  FROM nn GROUP BY id, parent)
+           |SELECT nn.id AS doc_id, nn.node_idx::BIGINT AS node_idx, nn.parent,
+           |  nn.path, nn.text, sc.score::BIGINT AS score,
+           |  sc.content_words::BIGINT AS content_words
+           |FROM nn JOIN sc ON nn.id = sc.id AND nn.parent = sc.parent AND sc.rk = 1""".stripMargin,
 
       // priority-sampling replay: q = w·2⁶⁰/(h+1) in the same op order,
       // τ = the 51st priority, ŵ = max(w, τ)

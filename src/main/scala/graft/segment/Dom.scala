@@ -1,0 +1,226 @@
+package graft.segment
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Batched per-partition DOM tokenization — the north-star stage that turns
+  * raw HTML into ordered text-node rows an extraction pipeline can score
+  * (BASELINE.json north_star: "batched per-partition DOM tokenization and
+  * boilerplate classification ... à la Boilerpipe/Readability").
+  *
+  * [[textNodes]] is a single-pass, stack-based tokenizer — no DOM library,
+  * no backtracking, O(doc length):
+  *  - open/close/self-closing tags with quoted attributes (a `>` inside a
+  *    quoted attribute value does NOT end the tag);
+  *  - HTML void elements (`br`, `img`, `meta`, ...) never push;
+  *  - raw-text elements (`script`, `style`) are skipped wholesale — their
+  *    bodies are code, not content, and may contain `<`;
+  *  - comments (`<!-- -->`) and directives (`<!doctype>`, `<? ?>`) skipped;
+  *  - lenient recovery: a close tag with no matching open is ignored; a
+  *    close tag pops every deeper unclosed element (how browsers recover);
+  *    an open tag whose kind is on top of the stack and cannot self-nest
+  *    (`p`, `li`, `tr`, `td`, `th`, `option`) implies a sibling close first
+  *    (the HTML5 "implied end tag" everyone actually relies on).
+  * Every rule is deterministic, so an independent engine that knows the
+  * template of a synthesized document can replay the node list without
+  * parsing — which is exactly how the `dom_nodes` oracle checks this.
+  *
+  * Each emitted node carries its ancestor `path` ("html/body/div/p"),
+  * `depth`, whether it sits inside an `<a>` (anchor text is Boilerpipe's
+  * strongest boilerplate signal), the whitespace-collapsed text, and word
+  * counts. [[nodesDf]] runs the tokenizer as a typed `mapPartitions` —
+  * completely NARROW, zero shuffles at any corpus size, per-doc bounded
+  * memory. [[mainContent]] then picks each document's main container à la
+  * Readability: group nodes by parent path, score words-minus-penalized-
+  * link-words, keep the argmax container's nodes — one partial-aggregated
+  * groupBy plus one per-doc window, nothing global.
+  */
+object Dom {
+
+  /** Elements that never take a closing tag (HTML void elements). */
+  val VoidTags: Set[String] = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+
+  /** Raw-text elements whose bodies are skipped (may contain bare `<`). */
+  val RawTextTags: Set[String] = Set("script", "style")
+
+  /** Elements that cannot nest directly inside themselves: an open with an
+    * identical top-of-stack implies a sibling close (HTML5 implied end). */
+  val NoSelfNest: Set[String] = Set("p", "li", "tr", "td", "th", "option")
+
+  /** Penalty multiplier for anchor words in [[mainContent]] scoring. */
+  val LinkWordPenalty = 3L
+
+  final case class Node(idx: Int, path: String, depth: Int,
+      inAnchor: Boolean, text: String, nWords: Int, nLinkWords: Int)
+
+  // --------------------------------------------------------- tokenizer ----
+
+  private def isNameStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def isNameChar(c: Char): Boolean =
+    isNameStart(c) || (c >= '0' && c <= '9') || c == '-'
+
+  private def collapse(s: String): String =
+    s.replaceAll("\\s+", " ").replaceAll("^ | $", "")
+
+  private def words(s: String): Int =
+    if (s.isEmpty) 0 else s.split(" ").count(_.nonEmpty)
+
+  /** All text nodes of `html` in document order. Single pass, lenient. */
+  def textNodes(html: String): Vector[Node] = {
+    val n = html.length
+    val stack = ArrayBuffer.empty[String]
+    val out = Vector.newBuilder[Node]
+    var idx = 0
+    val buf = new StringBuilder
+
+    def flush(): Unit = {
+      val t = collapse(buf.toString)
+      buf.clear()
+      if (t.nonEmpty) {
+        val w = words(t)
+        val anchor = stack.contains("a")
+        out += Node(idx, stack.mkString("/"), stack.length, anchor, t, w,
+          if (anchor) w else 0)
+        idx += 1
+      }
+    }
+
+    // scan an open/close tag body starting at the tag-name end; returns
+    // (indexAfterGt, selfClosing) honoring quoted attribute values
+    def scanTagEnd(from: Int): (Int, Boolean) = {
+      var i = from
+      var self = false
+      while (i < n && html(i) != '>') {
+        val c = html(i)
+        if (c == '"' || c == '\'') {
+          i += 1
+          while (i < n && html(i) != c) i += 1
+          if (i < n) i += 1
+        } else {
+          self = c == '/'
+          i += 1
+        }
+      }
+      (if (i < n) i + 1 else n, self)
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html(i)
+      if (c != '<' || i + 1 >= n) { buf.append(c); i += 1 }
+      else {
+        val c1 = html(i + 1)
+        if (c1 == '!') {
+          flush()
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            val e = html.indexOf('>', i + 2)
+            i = if (e < 0) n else e + 1
+          }
+        } else if (c1 == '?') {
+          flush()
+          val e = html.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
+        } else if (c1 == '/') {
+          flush()
+          var j = i + 2
+          val s = j
+          while (j < n && isNameChar(html(j))) j += 1
+          val name = html.substring(s, j).toLowerCase
+          val e = html.indexOf('>', j)
+          i = if (e < 0) n else e + 1
+          val at = stack.lastIndexOf(name)
+          if (at >= 0) stack.remove(at, stack.length - at)
+        } else if (isNameStart(c1)) {
+          flush()
+          var j = i + 1
+          while (j < n && isNameChar(html(j))) j += 1
+          val name = html.substring(i + 1, j).toLowerCase
+          val (after, self) = scanTagEnd(j)
+          i = after
+          if (RawTextTags.contains(name) && !self) {
+            // skip raw body through the matching case-insensitive close
+            val close = "</" + name
+            val lower = html
+            var k = i
+            var found = -1
+            while (found < 0 && k + close.length <= n) {
+              if (lower.regionMatches(true, k, close, 0, close.length)) found = k
+              else k += 1
+            }
+            if (found < 0) i = n
+            else {
+              val e = html.indexOf('>', found)
+              i = if (e < 0) n else e + 1
+            }
+          } else if (!self && !VoidTags.contains(name)) {
+            if (NoSelfNest.contains(name) && stack.nonEmpty &&
+              stack.last == name) stack.remove(stack.length - 1)
+            stack += name
+          }
+        } else { buf.append(c); i += 1 }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  // --------------------------------------------------------- DataFrame ----
+
+  val NodeSchema: StructType = StructType(Seq(
+    StructField("doc", StringType, nullable = true),
+    StructField("node_idx", LongType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("depth", LongType, nullable = false),
+    StructField("in_anchor", BooleanType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_link_words", LongType, nullable = false)))
+
+  /** One row per text node: (idCol, node_idx, path, depth, in_anchor, text,
+    * n_words, n_link_words). Typed mapPartitions over (id, html) — narrow,
+    * zero shuffles; null/empty html yields no rows. */
+  def nodesDf(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("string").as("doc"),
+      col(htmlCol).as("__html"))
+    src.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getString(0)
+        val html = if (r.isNullAt(1)) "" else r.getString(1)
+        textNodes(html).iterator.map(nd =>
+          Row(id, nd.idx.toLong, nd.path, nd.depth.toLong, nd.inAnchor,
+            nd.text, nd.nWords.toLong, nd.nLinkWords.toLong))
+      }
+    }(Encoders.row(NodeSchema)).withColumnRenamed("doc", idCol)
+  }
+
+  /** Readability-style container selection over [[nodesDf]] output: group
+    * text nodes by parent path, score Σ(n_words − LinkWordPenalty·
+    * n_link_words), keep every node of the per-doc argmax container
+    * (ties → lexicographically smallest parent). Output adds `parent`,
+    * `score`, `content_words`. One groupBy (map-side partial agg) + one
+    * per-doc window + one equi-join — shuffles only on the doc key. */
+  def mainContent(nodes: DataFrame, idCol: String): DataFrame = {
+    val parent = regexp_extract(col("path"), "^(.*)/[^/]*$", 1)
+    val scored = nodes.withColumn("parent", parent)
+      .groupBy(col(idCol), col("parent"))
+      .agg(sum(col("n_words") - lit(LinkWordPenalty) * col("n_link_words"))
+        .as("score"),
+        sum("n_words").as("content_words"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc,
+      col("parent").asc)
+    val win = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    nodes.withColumn("parent", parent)
+      .join(win, Seq(idCol, "parent"))
+  }
+}

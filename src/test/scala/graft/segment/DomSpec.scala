@@ -1,0 +1,134 @@
+package graft.segment
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DomSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def nodes(html: String): Vector[Dom.Node] = Dom.textNodes(html)
+
+  test("basic tree: paths, depth, order, anchor flag, word counts") {
+    val ns = nodes(
+      "<html><body><nav><a href=\"/\">Home</a> <a>About us</a></nav>" +
+        "<div><h1>Title here</h1><p>body text runs on</p></div></body></html>")
+    assert(ns.map(_.text) ==
+      Vector("Home", "About us", "Title here", "body text runs on"))
+    assert(ns.map(_.path) == Vector("html/body/nav/a", "html/body/nav/a",
+      "html/body/div/h1", "html/body/div/p"))
+    assert(ns.map(_.depth) == Vector(4, 4, 4, 4))
+    assert(ns.map(_.inAnchor) == Vector(true, true, false, false))
+    assert(ns.map(_.nWords) == Vector(1, 2, 2, 4))
+    assert(ns.map(_.nLinkWords) == Vector(1, 2, 0, 0))
+    assert(ns.map(_.idx) == Vector(0, 1, 2, 3))
+  }
+
+  test("whitespace-only runs between tags emit no node; text collapses") {
+    val ns = nodes("<div>  a\n\n  b\tc  </div>\n  <p> </p>")
+    assert(ns.map(_.text) == Vector("a b c"))
+  }
+
+  test("inline tags split a run into separate nodes with correct paths") {
+    val ns = nodes("<p>Extra <a href=\"/x\">inline link</a> tail</p>")
+    assert(ns.map(n => (n.text, n.path, n.inAnchor)) == Vector(
+      ("Extra", "p", false), ("inline link", "p/a", true),
+      ("tail", "p", false)))
+  }
+
+  test("script/style bodies are skipped even with bare < and fake tags") {
+    val ns = nodes("<p>a</p><script>if (1 < 2) { x = \"</div>ish\"; }" +
+      "</script><style>p > a { color: red }</style><p>b</p>")
+    assert(ns.map(_.text) == Vector("a", "b"))
+    val open = nodes("<p>a</p><script>never closed 1 < 2")
+    assert(open.map(_.text) == Vector("a"))
+  }
+
+  test("comments and directives are invisible; unterminated comment eats tail") {
+    val ns = nodes("<!doctype html><?xml v?><p>a<!-- hidden <b>bold</b> -->b</p>")
+    assert(ns.map(_.text) == Vector("a", "b"))
+    assert(ns.map(_.path) == Vector("p", "p"))
+    assert(nodes("<p>a<!-- open forever <p>ghost").map(_.text) == Vector("a"))
+  }
+
+  test("quoted attributes may contain > and unquoted attrs still close") {
+    val ns = nodes("<div data-x=\"a>b\" class='c>d'><p align=center>t</p></div>")
+    assert(ns.map(n => (n.text, n.path)) == Vector(("t", "div/p")))
+  }
+
+  test("void and self-closing elements never push onto the stack") {
+    val ns = nodes("<div>a<br>b<img src=\"x\">c<span/>d</div>")
+    assert(ns.map(_.path) == Vector("div", "div", "div", "div"))
+    assert(ns.map(_.text) == Vector("a", "b", "c", "d"))
+  }
+
+  test("lenient recovery: stray close ignored, ancestor close pops through") {
+    assert(nodes("</div><p>a</p>").map(n => (n.text, n.path)) ==
+      Vector(("a", "p")))
+    // unclosed <b> inside div: closing div pops b too
+    val ns = nodes("<div><b>bold<p>after</p></div><p>out</p>")
+    assert(ns.map(n => (n.text, n.path)) == Vector(
+      ("bold", "div/b"), ("after", "div/b/p"), ("out", "p")))
+  }
+
+  test("implied sibling close: p/li cannot self-nest, div can") {
+    val ns = nodes("<ul><li>one<li>two</ul><p>a<p>b")
+    assert(ns.map(n => (n.text, n.path)) == Vector(
+      ("one", "ul/li"), ("two", "ul/li"), ("a", "p"), ("b", "p")))
+    val divs = nodes("<div>o<div>i</div></div>")
+    assert(divs.map(_.path) == Vector("div", "div/div"))
+  }
+
+  test("bare < before a non-letter is text, not a tag") {
+    assert(nodes("<p>1 < 2 and x <= y</p>").map(_.text) ==
+      Vector("1 < 2 and x <= y"))
+  }
+
+  test("tag names are case-insensitive") {
+    val ns = nodes("<DIV><P>a</p></div><SCRIPT>x<1</ScRiPt><p>b</p>")
+    assert(ns.map(n => (n.text, n.path)) == Vector(("a", "div/p"), ("b", "p")))
+  }
+
+  test("nodesDf ≡ pure tokenizer and the plan is narrow (no Exchange)") {
+    val docs = Seq(
+      ("d1", "<html><body><p>alpha beta</p><a>x</a></body></html>"),
+      ("d2", "<div>solo</div>"),
+      ("d3", null.asInstanceOf[String]),
+      ("d4", "")).toDF("id", "html")
+    val got = Dom.nodesDf(docs, "id", "html")
+      .as[(String, Long, String, Long, Boolean, String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val want = Seq("d1" -> docs.where($"id" === "d1").head.getString(1),
+      "d2" -> "<div>solo</div>").flatMap { case (id, h) =>
+      Dom.textNodes(h).map(n => (id, n.idx.toLong, n.path, n.depth.toLong,
+        n.inAnchor, n.text, n.nWords.toLong, n.nLinkWords.toLong))
+    }
+    assert(got.toSeq == want)
+    val plan = Dom.nodesDf(docs, "id", "html").queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), plan)
+  }
+
+  test("mainContent picks the word-heaviest container, penalizing links") {
+    val html = "<html><body>" +
+      "<nav><a>one</a> <a>two three</a> <a>four</a></nav>" +
+      "<div><h1>Real Title</h1><p>six seven eight nine ten eleven</p>" +
+      "<p>twelve thirteen</p></div>" +
+      "<footer>fine print <a>privacy</a></footer></body></html>"
+    val out = Dom.mainContent(
+      Dom.nodesDf(Seq(("d", html)).toDF("id", "html"), "id", "html"), "id")
+    val rows = out.select("text", "parent", "score", "content_words")
+      .as[(String, String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).distinct.toSeq == Seq("html/body/div"))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("Real Title", "six seven eight nine ten eleven", "twelve thirteen"))
+    // score = 2 + 6 + 2 words, no links
+    assert(rows.head._3 == 10L && rows.head._4 == 10L)
+  }
+
+  test("mainContent tie-break: equal scores pick smallest parent path") {
+    val html = "<body><div><p>aa bb</p></div><section><p>cc dd</p></section></body>"
+    val out = Dom.mainContent(
+      Dom.nodesDf(Seq(("d", html)).toDF("id", "html"), "id", "html"), "id")
+    assert(out.select("parent").distinct.as[String].collect().toSeq ==
+      Seq("body/div"))
+  }
+}
