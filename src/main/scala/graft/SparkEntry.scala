@@ -1012,6 +1012,36 @@ object SparkEntry {
       graft.segment.Dom.nodesDf(docs, "doc_id", "html")
     }),
 
+    // North-star interleaved strip (Dom.stripInterleaved): HTML text spans
+    // DOM-cleaned (anchor text dropped, all-anchor spans removed), media
+    // spans passed through untouched, every survivor keeping its original
+    // offset so (doc_id, offset) restores the interleaving. Zero-shuffle
+    // plan; the oracle re-renders both branches from the same lineitem
+    // derivation.
+    "dom_interleaved" -> ((s, d) => {
+      val li = rd(s, d, "lineitem").filter(col("l_orderkey") <= 20000)
+      val textSpans = li.select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        lit("text").as("kind"),
+        when(pmod(col("l_orderkey"), lit(11)) === 0,
+          lit("<nav><a href=\"/\">related item links</a></nav>"))
+          .otherwise(concat(lit("<div><h1>Item "),
+            col("l_linenumber").cast("string"),
+            lit("</h1><p>qty "), col("l_quantity").cast("long").cast("string"),
+            lit(" price "), pmod(col("l_partkey"), lit(1000)).cast("string"),
+            lit("</p><a href=\"/m\">more</a></div>"))).as("text"),
+        lit(null).cast("string").as("media_ref"),
+        (col("l_linenumber") * 2).cast("int").as("offset"))
+      val mediaSpans = li.filter(pmod(col("l_partkey"), lit(3)) === 0).select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        lit("media").as("kind"),
+        lit(null).cast("string").as("text"),
+        concat(lit("img-"), col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("media_ref"),
+        (col("l_linenumber") * 2 + 1).cast("int").as("offset"))
+      graft.segment.Dom.stripInterleaved(textSpans.unionByName(mediaSpans))
+    }),
+
     // Readability-style main-container selection (Dom.mainContent): group
     // text nodes by parent path, score Σ(n_words − 3·n_link_words), keep
     // the per-doc argmax container's nodes. One partial-agg groupBy + one
@@ -2680,6 +2710,21 @@ object SparkEntry {
            |  len(string_split(text, ' '))::BIGINT AS n_words,
            |  (CASE WHEN a THEN len(string_split(text, ' ')) ELSE 0 END)::BIGINT AS n_link_words
            |FROM n""".stripMargin,
+
+      // interleaved-strip replay: text branch re-rendered as the non-anchor
+      // node join, all-anchor spans excluded, media branch passed through
+      "dom_interleaved" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+          |  l_quantity::BIGINT AS q, l_partkey%1000 AS pr, l_partkey AS pk
+          |  FROM lineitem WHERE l_orderkey <= 20000)
+          |SELECT k::VARCHAR AS doc_id, 'text' AS kind,
+          |  'Item '||ln||' qty '||q||' price '||pr AS text,
+          |  CAST(NULL AS VARCHAR) AS media_ref, (ln*2)::INT AS "offset"
+          |FROM li WHERE k%11 <> 0
+          |UNION ALL
+          |SELECT k::VARCHAR, 'media', CAST(NULL AS VARCHAR),
+          |  'img-'||k||'-'||ln, (ln*2+1)::INT
+          |FROM li WHERE pk%3 = 0""".stripMargin,
 
       // main-container replay: same node list → parent path → score
       // Σ(words − 3·link words) → per-doc argmax (score desc, parent asc)

@@ -203,6 +203,42 @@ object Dom {
     }(Encoders.row(NodeSchema)).withColumnRenamed("doc", idCol)
   }
 
+  /** The north-star interleaved-span strip: over exploded span rows
+    * `(doc_id, kind, text, media_ref, offset)`, tokenize each NON-media
+    * span's text as HTML and replace it with the space-joined text of its
+    * non-anchor nodes (anchor text is boilerplate — nav, footers, related
+    * links); spans whose content is all-anchor or empty are dropped.
+    * `media` spans pass through untouched — the "media-span passthrough
+    * that preserves interleaving order via a stable sort on offset within
+    * doc_id" (BASELINE.json north_star): every surviving span keeps its
+    * original `offset`, so the consumer's `(doc_id, offset)` sort restores
+    * the exact interleaving.
+    *
+    * Plan: one filter per branch + a typed mapPartitions + unionByName —
+    * completely NARROW, zero shuffles at any corpus size. */
+  def stripInterleaved(spans: DataFrame): DataFrame = {
+    val cols = Seq("doc_id", "kind", "text", "media_ref", "offset")
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType, nullable = true),
+      StructField("kind", StringType, nullable = true),
+      StructField("text", StringType, nullable = true),
+      StructField("media_ref", StringType, nullable = true),
+      StructField("offset", IntegerType, nullable = true)))
+    val src = spans.select(col("doc_id").cast("string"), col("kind"),
+      col("text"), col("media_ref"), col("offset").cast("int"))
+    val media = src.filter(col("kind") === "media")
+    val cleaned = src.filter(col("kind") =!= "media").mapPartitions { it =>
+      it.flatMap { r =>
+        val html = if (r.isNullAt(2)) "" else r.getString(2)
+        val t = textNodes(html).iterator.filter(!_.inAnchor).map(_.text)
+          .mkString(" ")
+        if (t.isEmpty) Iterator.empty
+        else Iterator.single(Row(r.get(0), r.get(1), t, r.get(3), r.get(4)))
+      }
+    }(Encoders.row(schema))
+    cleaned.unionByName(media.select(cols.map(col): _*))
+  }
+
   /** Readability-style container selection over [[nodesDf]] output: group
     * text nodes by parent path, score Σ(n_words − LinkWordPenalty·
     * n_link_words), keep every node of the per-doc argmax container

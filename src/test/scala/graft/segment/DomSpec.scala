@@ -124,6 +124,28 @@ class DomSpec extends SparkTestBase {
     assert(rows.head._3 == 10L && rows.head._4 == 10L)
   }
 
+  test("stripInterleaved: cleans text spans, media passthrough, offsets kept") {
+    val spans = Seq(
+      ("d1", "text", "<div><h1>Item 1</h1><p>qty 5</p><a>more</a></div>", null, 0),
+      ("d1", "media", null, "img-1", 1),
+      ("d1", "text", "<nav><a>only links here</a></nav>", null, 2), // all-anchor
+      ("d1", "text", "tail words", null, 3),
+      ("d2", "text", "plain words", null, 0))
+      .asInstanceOf[Seq[(String, String, String, String, Int)]]
+      .toDF("doc_id", "kind", "text", "media_ref", "offset")
+    val out = Dom.stripInterleaved(spans)
+      .as[(String, String, String, String, Int)].collect()
+      .sortBy(r => (r._1, r._5))
+    assert(out.toSeq == Seq(
+      ("d1", "text", "Item 1 qty 5", null, 0),
+      ("d1", "media", null, "img-1", 1),
+      ("d1", "text", "tail words", null, 3),
+      ("d2", "text", "plain words", null, 0)))
+    // the plan is narrow: no Exchange anywhere
+    val plan = Dom.stripInterleaved(spans).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("mainContent tie-break: equal scores pick smallest parent path") {
     val html = "<body><div><p>aa bb</p></div><section><p>cc dd</p></section></body>"
     val out = Dom.mainContent(
