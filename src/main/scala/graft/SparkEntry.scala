@@ -1338,6 +1338,16 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"))
     }),
 
+    "pq_topk" -> ((s, d) => {
+      // Product-quantized ANN (Pq.adcTopK): 4 codebooks of 8 centroids over
+      // 16-dim subspaces, trained RNG-free (md5 seeds + 1 Lloyd step) so
+      // the oracle replays training, encoding, and the int64 micro-unit ADC
+      // sums end-to-end; candidates shuffle only nPartitions·nq·k heap rows
+      val e = rd(s, d, "embeddings")
+      graft.sim.Pq.adcTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, m = 4, ksub = 8, iters = 1)
+    }),
+
     "selection_e2e" -> ((s, d) => {
       // the data-selection chain composed as ONE plan: strip duplicated
       // 8-token spans → DSIR-score the CLEANED text against the %11 target
@@ -3226,6 +3236,45 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      // PQ replay: md5-seeded subspace codebooks → micro-unit argmin
+      // assignment → 6dp means → encode → per-query distance tables →
+      // exact int64 ADC sums → per-query top-k
+      "pq_topk" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |sv AS (SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS v
+          |  FROM e, unnest([0,1,2,3]) AS t(s)),
+          |seeds AS (SELECT s, cell, v FROM (
+          |  SELECT s, row_number() OVER (PARTITION BY s
+          |    ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell, v FROM sv)
+          |  WHERE cell < 8),
+          |a0 AS (SELECT sv.vec_id, sv.s, sv.v, seeds.cell,
+          |  round(list_sum(list_transform(list_zip(sv.v, seeds.v),
+          |    x -> (x[1]::DOUBLE - x[2]::DOUBLE)*(x[1]::DOUBLE - x[2]::DOUBLE)))*1e6)::BIGINT AS dm
+          |  FROM sv JOIN seeds ON sv.s = seeds.s),
+          |asg AS (SELECT vec_id, s, v, cell FROM a0
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, cell) = 1),
+          |cm AS (SELECT s, cell, unnest(range(len(v))) AS pos,
+          |  unnest(list_transform(v, x -> x::DOUBLE)) AS x FROM asg),
+          |cents AS (SELECT s, cell, list(mn ORDER BY pos) AS c FROM (
+          |  SELECT s, cell, pos, round(avg(x), 6) AS mn FROM cm GROUP BY 1, 2, 3)
+          |  GROUP BY 1, 2),
+          |enc AS (SELECT vec_id, s, cell AS code FROM (
+          |  SELECT sv.vec_id, sv.s, cents.cell,
+          |    round(list_sum(list_transform(list_zip(sv.v, cents.c),
+          |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)*(x[1]::DOUBLE - x[2]::DOUBLE)))*1e6)::BIGINT AS dm
+          |  FROM sv JOIN cents ON sv.s = cents.s)
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, cell) = 1),
+          |dtab AS (SELECT q.vec_id AS query_id, cents.s, cents.cell AS code,
+          |  round(list_sum(list_transform(list_zip(q.v, cents.c),
+          |    x -> (x[1]::DOUBLE - x[2]::DOUBLE)*(x[1]::DOUBLE - x[2]::DOUBLE)))*1e6)::BIGINT AS dm
+          |  FROM sv q JOIN cents ON q.s = cents.s WHERE q.vec_id < 5),
+          |adc AS (SELECT d.query_id, enc.vec_id AS neighbor_id, sum(d.dm) AS adist
+          |  FROM enc JOIN dtab d ON enc.s = d.s AND enc.code = d.code
+          |  WHERE enc.vec_id <> d.query_id GROUP BY 1, 2)
+          |SELECT query_id, neighbor_id, adist::BIGINT AS adist,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id)::BIGINT AS rank
+          |FROM adc QUALIFY rank <= 10""".stripMargin,
 
       "selection_e2e" ->
         s"""WITH d AS (SELECT doc_id, $disclaimerCase AS page FROM documents),
