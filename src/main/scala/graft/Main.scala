@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Main gen <nDocs> <nPartitions> <inputPath>
   *   graft.Main run <inputPath> <outputPath> <lineagePath> [commitBatch]
   *   graft.Main strip <inputPath> <outputPath> <lineagePath> [commitBatch]
+  *   graft.Main domstrip <inputPath> <outputPath> <lineagePath> [commitBatch]
   *   graft.Main dedup <inputPath> <outputPath> [minJ] [maxDf] [maxBucket]
   *
   * `run` is resumable: partitions already present in the lineage table are
@@ -60,6 +61,14 @@ object Main {
           val committed = TableIO.readLineage(spark, lineage).count()
           println(s"[graft] boilerplate strip: processed ${rows.length} partitions this run " +
             s"(docs=${rows.map(_.docs_in).sum}, content spans=${rows.map(_.spans_out).sum}); " +
+            s"lineage now has $committed committed partitions")
+        case "domstrip" :: in :: out :: lineage :: rest =>
+          val batch = rest.headOption.map(_.toInt).getOrElse(8)
+          val rows = graft.pipeline.DomStripJob.runJob(spark, in, out, lineage,
+            commitBatch = batch)
+          val committed = TableIO.readLineage(spark, lineage).count()
+          println(s"[graft] dom strip: processed ${rows.length} partitions this run " +
+            s"(docs=${rows.map(_.docs_in).sum}, spans=${rows.map(_.spans_out).sum}); " +
             s"lineage now has $committed committed partitions")
         case "dedup" :: in :: out :: rest =>
           // corpus near-dup pairs over a (doc_id, text) table with the skew

@@ -215,17 +215,23 @@ object Dom {
     * the exact interleaving.
     *
     * Plan: one filter per branch + a typed mapPartitions + unionByName —
-    * completely NARROW, zero shuffles at any corpus size. */
-  def stripInterleaved(spans: DataFrame): DataFrame = {
-    val cols = Seq("doc_id", "kind", "text", "media_ref", "offset")
+    * completely NARROW, zero shuffles at any corpus size. `extraCols` are
+    * carried through unchanged (e.g. `partition_id` for the resumable
+    * job). */
+  def stripInterleaved(spans: DataFrame, extraCols: Seq[String] = Nil)
+      : DataFrame = {
+    val cols = Seq("doc_id", "kind", "text", "media_ref", "offset") ++
+      extraCols
     val schema = StructType(Seq(
       StructField("doc_id", StringType, nullable = true),
       StructField("kind", StringType, nullable = true),
       StructField("text", StringType, nullable = true),
       StructField("media_ref", StringType, nullable = true),
-      StructField("offset", IntegerType, nullable = true)))
-    val src = spans.select(col("doc_id").cast("string"), col("kind"),
-      col("text"), col("media_ref"), col("offset").cast("int"))
+      StructField("offset", IntegerType, nullable = true)) ++
+      extraCols.map(spans.schema(_)))
+    val src = spans.select(col("doc_id").cast("string") +: col("kind") +:
+      col("text") +: col("media_ref") +: col("offset").cast("int") +:
+      extraCols.map(col): _*)
     val media = src.filter(col("kind") === "media")
     val cleaned = src.filter(col("kind") =!= "media").mapPartitions { it =>
       it.flatMap { r =>
@@ -233,7 +239,9 @@ object Dom {
         val t = textNodes(html).iterator.filter(!_.inAnchor).map(_.text)
           .mkString(" ")
         if (t.isEmpty) Iterator.empty
-        else Iterator.single(Row(r.get(0), r.get(1), t, r.get(3), r.get(4)))
+        else Iterator.single(Row.fromSeq(
+          r.get(0) +: r.get(1) +: t +: r.get(3) +: r.get(4) +:
+            (5 until r.length).map(r.get)))
       }
     }(Encoders.row(schema))
     cleaned.unionByName(media.select(cols.map(col): _*))
