@@ -1338,6 +1338,18 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"))
     }),
 
+    // Integer-micro PageRank (PageRank.ranks): host-centrality for crawl
+    // seed weighting, 3 fixed iterations over a lineitem-derived edge list;
+    // every step is int64 floor division, so the oracle's unrolled replay
+    // is bit-identical under any partitioning
+    "pagerank" -> ((s, d) => {
+      graft.graph.PageRank.ranks(
+        rd(s, d, "lineitem").select(
+          pmod(col("l_orderkey"), lit(500)).as("src"),
+          pmod(col("l_partkey"), lit(500)).as("dst")),
+        "src", "dst", iters = 3)
+    }),
+
     "pq_topk" -> ((s, d) => {
       // Product-quantized ANN (Pq.adcTopK): 4 codebooks of 8 centroids over
       // 16-dim subspaces, trained RNG-free (md5 seeds + 1 Lloyd step) so
@@ -3236,6 +3248,28 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      // PageRank replay: 3 unrolled iterations of the exact int64 update
+      // share = r // deg; r' = 150000 + (850000·Σshare) // 10⁶
+      "pagerank" ->
+        """WITH e AS (SELECT DISTINCT l_orderkey%500 AS src, l_partkey%500 AS dst
+          |  FROM lineitem),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          |r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+          |c1 AS (SELECT e.dst AS node, sum(r0.r // d.deg) AS inflow
+          |  FROM e JOIN deg d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+          |r1 AS (SELECT n.node, (150000 + (850000 * coalesce(c1.inflow, 0)) // 1000000)::BIGINT AS r
+          |  FROM nodes n LEFT JOIN c1 USING (node)),
+          |c2 AS (SELECT e.dst AS node, sum(r1.r // d.deg) AS inflow
+          |  FROM e JOIN deg d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+          |r2 AS (SELECT n.node, (150000 + (850000 * coalesce(c2.inflow, 0)) // 1000000)::BIGINT AS r
+          |  FROM nodes n LEFT JOIN c2 USING (node)),
+          |c3 AS (SELECT e.dst AS node, sum(r2.r // d.deg) AS inflow
+          |  FROM e JOIN deg d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+          |r3 AS (SELECT n.node, (150000 + (850000 * coalesce(c3.inflow, 0)) // 1000000)::BIGINT AS r
+          |  FROM nodes n LEFT JOIN c3 USING (node))
+          |SELECT node, r AS rank_micro FROM r3""".stripMargin,
 
       // PQ replay: md5-seeded subspace codebooks → micro-unit argmin
       // assignment → 6dp means → encode → per-query distance tables →
