@@ -1338,6 +1338,29 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"))
     }),
 
+    // Incremental crawl ingest as ONE plan: the committed corpus (even
+    // doc_ids) contributes a Bloom filter (driver-held bytes in the probe
+    // expression — the only cross-relation state); the increment (odd
+    // doc_ids) is exact-deduped within batch (one fingerprint window),
+    // probed against the corpus filter (probably-seen docs dropped,
+    // FP-exact — the oracle replays the double hashing bit-for-bit), and
+    // quality-gated. The corpus itself never shuffles.
+    "ingest_e2e" -> ((s, d) => {
+      val t = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2"))
+      val filter = graft.dedup.Bloom.build(
+        t.filter(pmod(col("doc_id"), lit(2)) === 0), "t2", m = 16384, k = 4)
+      val deduped = Dedup.exactDuplicates(
+        t.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "t2",
+        passthrough = Seq("t2"))
+        .filter(!col("is_duplicate"))
+      graft.dedup.Bloom.probe(deduped, "t2", filter, m = 16384, k = 4)
+        .filter(!col("flagged"))
+        .select(col("doc_id"), TA.qualityScoreCol(col("t2")).as("quality"),
+          TA.wsTokenCountCol(col("t2")).cast("long").as("ws_tokens"))
+        .filter(col("quality") >= 0.3)
+    }),
+
     // Integer-micro PageRank (PageRank.ranks): host-centrality for crawl
     // seed weighting, 3 fixed iterations over a lineitem-derived edge list;
     // every step is int64 floor division, so the oracle's unrolled replay
@@ -3248,6 +3271,39 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      // ingest replay: within-batch fingerprint dedup → corpus Bloom
+      // positions → probe (FP-exact) → quality gate
+      "ingest_e2e" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |ded AS (SELECT doc_id, t2 FROM (
+           |  SELECT doc_id, t2, min(doc_id) OVER (PARTITION BY fp) AS can FROM (
+           |    SELECT doc_id, t2,
+           |      ${hash60("regexp_replace(trim(lower(t2)),'\\s+',' ','g')")} AS fp
+           |    FROM t WHERE doc_id % 2 = 1))
+           |  WHERE doc_id = can),
+           |bp AS (SELECT DISTINCT (('0x'||substr(md5(t2),1,15))::BIGINT
+           |    + i*(('0x'||substr(md5(t2),17,10))::BIGINT | 1)) % 16384 AS pos
+           |  FROM t, (SELECT unnest(range(4)) AS i) WHERE doc_id % 2 = 0),
+           |pp AS (SELECT doc_id, t2,
+           |    (('0x'||substr(md5(t2),1,15))::BIGINT
+           |    + i*(('0x'||substr(md5(t2),17,10))::BIGINT | 1)) % 16384 AS pos
+           |  FROM ded, (SELECT unnest(range(4)) AS i)),
+           |keep AS (SELECT doc_id, t2 FROM pp GROUP BY 1, 2
+           |  HAVING NOT bool_and(pos IN (SELECT pos FROM bp))),
+           |q AS (SELECT doc_id, t2, ${toks.format("t2")} AS toks,
+           |  greatest(length(t2),1)::DOUBLE AS n FROM keep),
+           |sc AS (SELECT doc_id, t2,
+           |  round(CAST(0.25*least(length(t2)::DOUBLE/500.0, 1.0)
+           |    + 0.35*((length(t2)-length(regexp_replace(t2,'[A-Za-z]','','g')))::DOUBLE/n)
+           |    + 0.25*(1.0 - least(((length(t2)-length(regexp_replace(t2,'[.,;:!?]','','g')))::DOUBLE/n)*10.0, 1.0))
+           |    + 0.15*least((len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','a','that'], x)))::DOUBLE
+           |        / greatest(len(toks),1)::DOUBLE)*4.0, 1.0) AS VARCHAR)::DECIMAL(25,20), 4)::DOUBLE AS quality
+           |  FROM q)
+           |SELECT doc_id, quality,
+           |  (CASE WHEN length(regexp_replace(t2,'^\\s+|\\s+$$','','g'))=0 THEN 0
+           |    ELSE len(string_split_regex(regexp_replace(t2,'^\\s+|\\s+$$','','g'),'\\s+')) END)::BIGINT AS ws_tokens
+           |FROM sc WHERE quality >= 0.3""".stripMargin,
 
       // PageRank replay: 3 unrolled iterations of the exact int64 update
       // share = r // deg; r' = 150000 + (850000·Σshare) // 10⁶
