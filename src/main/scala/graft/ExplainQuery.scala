@@ -24,7 +24,8 @@ object ExplainQuery {
     // eager candidate materialization) — audited only when named explicitly,
     // so a bare plan sweep stays side-effect-free and fast
     val eagerConstructors =
-      Set("stream_extract", "stream_window", "stream_assemble", "minhash_dups")
+      Set("stream_extract", "stream_window", "stream_assemble", "minhash_dups",
+        "bpe_merges", "bpe_segment")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

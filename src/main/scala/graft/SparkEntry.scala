@@ -1338,6 +1338,32 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"))
     }),
 
+    // BPE merge training (Bpe.trainMerges): 3 merge rounds over the corpus
+    // word-frequency table — the corpus shuffles once (vocab groupBy),
+    // every round runs on the bounded vocab relation and collects exactly
+    // one argmax rule. Deterministic total-order tie-break, int64 counts;
+    // the oracle replays the 3 rounds with the wrapped-symbol replace
+    // trick (canonical greedy merge semantics).
+    "bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val (merges, vocabDf) =
+        graft.text.Bpe.trainMerges(rd(s, d, "documents"), "text", k = 3)
+      vocabDf.unpersist()
+      merges.map(m => (m.round.toLong, m.lhs, m.rhs, m.pairCount))
+        .toDF("round", "lhs", "rhs", "pair_count")
+    }),
+
+    // The segmented vocab after those 3 merges: top-50 words by frequency
+    // with their symbol sequences — a wrong rule anywhere upstream changes
+    // the segmentation and breaks parity.
+    "bpe_segment" -> ((s, d) => {
+      val (_, vocabDf) =
+        graft.text.Bpe.trainMerges(rd(s, d, "documents"), "text", k = 3)
+      vocabDf.orderBy(col("cnt").desc, col("word")).limit(50)
+        .select(col("word"), col("cnt"),
+          concat_ws(" ", col("syms")).as("segmented"))
+    }),
+
     // Incremental crawl ingest as ONE plan: the committed corpus (even
     // doc_ids) contributes a Bloom filter (driver-held bytes in the probe
     // expression — the only cross-relation state); the increment (odd
@@ -3271,6 +3297,62 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      // BPE replay: vocab → 3 unrolled (pair-count → argmax → wrapped-
+      // replace merge) rounds; replace over [sym][sym] encodings is exactly
+      // the canonical greedy left-to-right merge
+      "bpe_merges" ->
+        s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS w FROM documents),
+           |v0 AS (SELECT w AS word, count(*) AS cnt,
+           |  list_filter(string_split(w, ''), x -> x <> '') AS syms FROM tok GROUP BY 1),
+           |p1 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
+           |  FROM v0, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+           |b1 AS (SELECT l, r, pc FROM p1 ORDER BY pc DESC, l, r LIMIT 1),
+           |v1 AS (SELECT word, cnt,
+           |  regexp_extract_all(replace('['||array_to_string(syms,'][')||']',
+           |    '['||b1.l||']['||b1.r||']', '['||b1.l||b1.r||']'), '\\[([^\\]]*)\\]', 1) AS syms
+           |  FROM v0, b1),
+           |p2 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
+           |  FROM v1, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+           |b2 AS (SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 1),
+           |v2 AS (SELECT word, cnt,
+           |  regexp_extract_all(replace('['||array_to_string(syms,'][')||']',
+           |    '['||b2.l||']['||b2.r||']', '['||b2.l||b2.r||']'), '\\[([^\\]]*)\\]', 1) AS syms
+           |  FROM v1, b2),
+           |p3 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
+           |  FROM v2, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+           |b3 AS (SELECT l, r, pc FROM p3 ORDER BY pc DESC, l, r LIMIT 1)
+           |SELECT 1::BIGINT AS round, l AS lhs, r AS rhs, pc::BIGINT AS pair_count FROM b1
+           |UNION ALL SELECT 2::BIGINT, l, r, pc::BIGINT FROM b2
+           |UNION ALL SELECT 3::BIGINT, l, r, pc::BIGINT FROM b3""".stripMargin,
+
+      "bpe_segment" ->
+        s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS w FROM documents),
+           |v0 AS (SELECT w AS word, count(*) AS cnt,
+           |  list_filter(string_split(w, ''), x -> x <> '') AS syms FROM tok GROUP BY 1),
+           |p1 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
+           |  FROM v0, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+           |b1 AS (SELECT l, r, pc FROM p1 ORDER BY pc DESC, l, r LIMIT 1),
+           |v1 AS (SELECT word, cnt,
+           |  regexp_extract_all(replace('['||array_to_string(syms,'][')||']',
+           |    '['||b1.l||']['||b1.r||']', '['||b1.l||b1.r||']'), '\\[([^\\]]*)\\]', 1) AS syms
+           |  FROM v0, b1),
+           |p2 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
+           |  FROM v1, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+           |b2 AS (SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 1),
+           |v2 AS (SELECT word, cnt,
+           |  regexp_extract_all(replace('['||array_to_string(syms,'][')||']',
+           |    '['||b2.l||']['||b2.r||']', '['||b2.l||b2.r||']'), '\\[([^\\]]*)\\]', 1) AS syms
+           |  FROM v1, b2),
+           |p3 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
+           |  FROM v2, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+           |b3 AS (SELECT l, r, pc FROM p3 ORDER BY pc DESC, l, r LIMIT 1),
+           |v3 AS (SELECT word, cnt,
+           |  regexp_extract_all(replace('['||array_to_string(syms,'][')||']',
+           |    '['||b3.l||']['||b3.r||']', '['||b3.l||b3.r||']'), '\\[([^\\]]*)\\]', 1) AS syms
+           |  FROM v2, b3)
+           |SELECT word, cnt, array_to_string(syms, ' ') AS segmented
+           |FROM v3 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
 
       // ingest replay: within-batch fingerprint dedup → corpus Bloom
       // positions → probe (FP-exact) → quality gate

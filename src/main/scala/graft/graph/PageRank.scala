@@ -39,10 +39,16 @@ object PageRank {
     require(dampMicro >= 0 && dampMicro <= Micro, s"dampMicro: $dampMicro")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
+    // the node and degree-annotated edge relations feed every iteration —
+    // persisted under the Persisted caller-release contract (Verify/Bench
+    // release after the action) so the distinct/degree shuffles run once,
+    // not once per iteration per join side
+    val nodes = graft.io.Persisted.track(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src")
+    val ed = graft.io.Persisted.track(e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val floor = lit(Micro - dampMicro)
     val init = nodes.withColumn("rank_micro", lit(Micro))
     (1 to iters).foldLeft(init) { (ranks, _) =>

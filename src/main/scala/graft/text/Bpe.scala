@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016), distributed the
+  * way real BPE trainers work: the corpus is reduced ONCE to a word-
+  * frequency table (one groupBy — the only corpus-sized shuffle), and every
+  * merge round then runs on that bounded vocab relation: adjacent-symbol
+  * pairs exploded, weighted by word count, partial-aggregated, and the
+  * argmax — ONE row — collected to the driver as the round's merge rule,
+  * which a typed map then applies to the vocab's symbol sequences.
+  *
+  * Merge semantics are the canonical greedy left-to-right single pass: on a
+  * match both symbols are consumed and scanning continues AFTER the merged
+  * token (so `a a a a` with rule (a,a) becomes `aa aa`, and `a a a`
+  * becomes `aa a`). [[mergePair]] implements it directly; the oracle
+  * replays it with a plain string `replace` over `[sym][sym]`-wrapped
+  * encodings — wrapping makes adjacent matches share no characters, so
+  * sequential non-overlapping replace is exactly the same greedy pass.
+  *
+  * Ties in the argmax break on (pair count desc, left asc, right asc) — a
+  * total order, so training is deterministic and engine-replayable. All
+  * counts are int64.
+  */
+object Bpe {
+
+  final case class Merge(round: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** Canonical greedy left-to-right merge of (a, b) in one pass. */
+  def mergePair(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private val VocabSchema = StructType(Seq(
+    StructField("word", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("syms", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+
+  /** The word-frequency vocab with each word split to character symbols:
+    * (word, cnt, syms). One explode + one groupBy over the corpus. */
+  def vocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokensCol(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", filter(split(col("word"), ""), s => s =!= ""))
+
+  /** Train `k` merges; returns the rules and the final segmented vocab
+    * (word, cnt, syms). Each round collects exactly one argmax row; the
+    * evolving vocab is persisted per round and the previous round released
+    * (k is small by construction — this is a driver-paced loop over a
+    * bounded relation, not a corpus iteration). Stops early if no pair is
+    * left. */
+  def trainMerges(df: DataFrame, textCol: String, k: Int)
+      : (Seq[Merge], DataFrame) = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val merges = Seq.newBuilder[Merge]
+    var state = graft.io.Persisted.track(vocab(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var prev: DataFrame = null
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val best = state.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          j => struct(element_at(col("syms"), j + 1).as("lhs"),
+            element_at(col("syms"), j + 2).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(round, a, b, pc)
+        val next = graft.io.Persisted.track(state.mapPartitions { it =>
+          it.map { r =>
+            Row(r.getString(0), r.getLong(1),
+              mergePair(r.getSeq[String](2).toVector, a, b))
+          }
+        }(Encoders.row(VocabSchema))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        next.count() // materialize before releasing the parent
+        if (prev != null) prev.unpersist()
+        prev = state
+        state = next
+        round += 1
+      }
+    }
+    if (prev != null) prev.unpersist()
+    (merges.result(), state)
+  }
+}
