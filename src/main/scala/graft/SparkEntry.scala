@@ -1338,6 +1338,18 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"))
     }),
 
+    // Sampled quantile sketch (Sketches.sampledQuantiles): the quantile
+    // member of the sketch family — zero-shuffle hash-threshold draw
+    // (dyadic frac 1/16 → the 2⁶⁰ cut is exact), one window over the
+    // sketch-sized sample, rank = max(1, ceil(q·m))
+    "quantile_sample" -> ((s, d) => {
+      graft.sketch.Sketches.sampledQuantiles(
+        rd(s, d, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_extendedprice").cast("double").as("v")),
+        "id", "v", qs = Seq(0.25, 0.5, 0.9, 0.99), frac = 0.0625)
+    }),
+
     // BPE merge training (Bpe.trainMerges): 3 merge rounds over the corpus
     // word-frequency table — the corpus shuffles once (vocab groupBy),
     // every round runs on the bounded vocab relation and collects exactly
@@ -3297,6 +3309,18 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      // quantile-sketch replay: same hash cut (2⁶⁰/16), same rank pick
+      "quantile_sample" ->
+        s"""WITH b AS (SELECT l_orderkey*10 + l_linenumber AS id,
+           |  l_extendedprice::DOUBLE AS v FROM lineitem),
+           |smp AS (SELECT id, v FROM b
+           |  WHERE ${hash60("id::VARCHAR")} < 72057594037927936),
+           |r AS (SELECT v, row_number() OVER (ORDER BY v, id) AS rn,
+           |  count(*) OVER () AS m FROM smp),
+           |q(q) AS (VALUES (0.25), (0.5), (0.9), (0.99))
+           |SELECT q.q::DOUBLE AS q, r.v AS est, r.m::BIGINT AS sample_n
+           |FROM r JOIN q ON r.rn = greatest(1, ceil(q.q::DOUBLE * r.m)::BIGINT)""".stripMargin,
 
       // BPE replay: vocab → 3 unrolled (pair-count → argmax → wrapped-
       // replace merge) rounds; replace over [sym][sym] encodings is exactly

@@ -3,7 +3,7 @@ package graft.sketch
 import graft.text.TextAnalysis
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Distinct-count sketching with K-Minimum-Values (Bar-Yossef et al. 2002):
@@ -193,5 +193,51 @@ object Sketches {
       else Some(cmsEstimatePure(bc.value, s, width, depth))
     }
     df.withColumn(estCol, est(col(textCol).cast("string")))
+  }
+
+  // ------------------------------------------------- sampled quantiles ----
+
+  /** Approximate quantiles from a deterministic hash-threshold sample — the
+    * quantile member of the sketch family next to KMV (distinct), CMS
+    * (frequency) and Bloom (membership). The full relation never sorts:
+    * rows with `md5-hash60(id) < frac·2⁶⁰` survive (an RNG-free uniform
+    * draw — [[graft.text.Sampling.hashThreshold]]'s cut, so reruns and the
+    * oracle agree row-for-row), and quantile `q` is estimated as the
+    * sample's element at rank `max(1, ceil(q·m))` in (value, id) order.
+    * Error is the standard sampling bound (~1/√(frac·n) rank error); the
+    * exact `percentile` op is the non-sketch alternative.
+    *
+    * Plan: a pure filter (zero shuffles) + ONE window over the
+    * sketch-sized sample (bounded by frac, by construction — the window
+    * never sees the full relation). Output: (q, est, sample_n). */
+  def sampledQuantiles(df: DataFrame, idCol: String, valCol: String,
+      qs: Seq[Double], frac: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"qs: $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = graft.text.Sampling.hashThreshold(
+      df.select(col(idCol), col(valCol)), idCol, frac)
+    val w = Window.orderBy(col(valCol), col(idCol))
+    val ranked = sample.withColumn("__rn", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    ranked.crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(col("q") * col("__m")).cast("long")))
+      .select(col("q"), col(valCol).as("est"), col("__m").as("sample_n"))
+  }
+
+  /** Pure twin of [[sampledQuantiles]] over (id, value) pairs. */
+  def sampledQuantilesPure(rows: Seq[(Long, Double)], qs: Seq[Double],
+      frac: Double): Seq[(Double, Double, Long)] = {
+    val sample = rows
+      .filter(r => graft.text.Sampling.hashThresholdPure(r._1, frac))
+      .sortBy(r => (r._2, r._1)).map(_._2)
+    val m = sample.length.toLong
+    qs.map { q =>
+      val rank = math.max(1L, math.ceil(q * m).toLong)
+      (q, sample((rank - 1).toInt), m)
+    }
   }
 }

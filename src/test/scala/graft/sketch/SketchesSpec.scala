@@ -86,4 +86,25 @@ class SketchesSpec extends SparkTestBase {
     assert(plan.contains("Aggregate"), plan)
     assert(plan.toLowerCase.contains("partial"), plan)
   }
+
+  test("sampledQuantiles ≡ pure twin; ranks hit both edges; sample bounded") {
+    val rows = (0L until 4000L).map(i => (i, ((i * 37) % 997).toDouble))
+    val df = rows.toDF("id", "v").repartition(7)
+    val qs = Seq(0.001, 0.25, 0.5, 0.9, 1.0)
+    val got = Sketches.sampledQuantiles(df, "id", "v", qs, frac = 0.1)
+      .as[(Double, Double, Long)].collect().sortBy(_._1)
+    val want = Sketches.sampledQuantilesPure(rows, qs, frac = 0.1)
+      .sortBy(_._1)
+    assert(got.toSeq == want)
+    val m = got.head._3
+    assert(m > 0 && m < 1000, s"sample size $m should be ~400 of 4000")
+    // q=1.0 returns the sample max; tiny q returns the sample min
+    val sample = rows.filter(r =>
+      graft.text.Sampling.hashThresholdPure(r._1, 0.1)).map(_._2)
+    assert(got.last._2 == sample.max)
+    assert(got.head._2 == sample.min)
+    // estimates should be near the true quantiles (coarse sanity)
+    val trueMed = rows.map(_._2).sorted.apply(2000)
+    assert(math.abs(got(2)._2 - trueMed) < 100, s"${got(2)._2} vs $trueMed")
+  }
 }
