@@ -141,6 +141,23 @@ object SparkEntry {
         "</footer></body></html>"))
   }
 
+  /** lineitem-derived HTML text-span body shared by dom_interleaved and
+    * stream_domstrip (and their common oracle): every 11th order is an
+    * all-anchor nav (dropped by the strip), the rest a div with h1 + a
+    * qty/price paragraph + a boilerplate anchor. */
+  private def domSpanText: Column =
+    when(pmod(col("l_orderkey"), lit(11)) === 0,
+      lit("<nav><a href=\"/\">related item links</a></nav>"))
+      .otherwise(concat(lit("<div><h1>Item "),
+        col("l_linenumber").cast("string"),
+        lit("</h1><p>qty "), col("l_quantity").cast("long").cast("string"),
+        lit(" price "), pmod(col("l_partkey"), lit(1000)).cast("string"),
+        lit("</p><a href=\"/m\">more</a></div>")))
+
+  private def domMediaRef: Column =
+    concat(lit("img-"), col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string"))
+
   /** Rendered marker documents shared by the qc_head_meta/content contract
     * queries: one page per (orderkey, linenumber), bodies derived from
     * partkeys, concatenated in page order behind PAGE marker blocks. */
@@ -1022,22 +1039,14 @@ object SparkEntry {
       val li = rd(s, d, "lineitem").filter(col("l_orderkey") <= 20000)
       val textSpans = li.select(
         col("l_orderkey").cast("string").as("doc_id"),
-        lit("text").as("kind"),
-        when(pmod(col("l_orderkey"), lit(11)) === 0,
-          lit("<nav><a href=\"/\">related item links</a></nav>"))
-          .otherwise(concat(lit("<div><h1>Item "),
-            col("l_linenumber").cast("string"),
-            lit("</h1><p>qty "), col("l_quantity").cast("long").cast("string"),
-            lit(" price "), pmod(col("l_partkey"), lit(1000)).cast("string"),
-            lit("</p><a href=\"/m\">more</a></div>"))).as("text"),
+        lit("text").as("kind"), domSpanText.as("text"),
         lit(null).cast("string").as("media_ref"),
         (col("l_linenumber") * 2).cast("int").as("offset"))
       val mediaSpans = li.filter(pmod(col("l_partkey"), lit(3)) === 0).select(
         col("l_orderkey").cast("string").as("doc_id"),
         lit("media").as("kind"),
         lit(null).cast("string").as("text"),
-        concat(lit("img-"), col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string")).as("media_ref"),
+        domMediaRef.as("media_ref"),
         (col("l_linenumber") * 2 + 1).cast("int").as("offset"))
       graft.segment.Dom.stripInterleaved(textSpans.unionByName(mediaSpans))
     }),
@@ -1738,6 +1747,30 @@ object SparkEntry {
         .option("checkpointLocation", ck)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
+      s.read.parquet(out)
+    }),
+
+    "stream_domstrip" -> ((s, d) => {
+      // the north-star DOM strip as a REAL checkpointed stream (file source
+      // → AvailableNow → append sink) over span docs grouped from the SAME
+      // lineitem derivation as dom_interleaved — the stateless strip makes
+      // stream output ≡ batch output, so the oracle replay is identical
+      val li = rd(s, d, "lineitem").filter(col("l_orderkey") <= 20000)
+      val textSpan = struct(lit("text").as("kind"), domSpanText.as("text"),
+        lit(null).cast("string").as("media_ref"),
+        (col("l_linenumber") * 2).cast("int").as("offset"))
+      val mediaSpan = struct(lit("media").as("kind"),
+        lit(null).cast("string").as("text"), domMediaRef.as("media_ref"),
+        (col("l_linenumber") * 2 + 1).cast("int").as("offset"))
+      val docs = li.select(col("l_orderkey").cast("string").as("doc_id"),
+          when(pmod(col("l_partkey"), lit(3)) === 0,
+            array(textSpan, mediaSpan)).otherwise(array(textSpan)).as("sp"))
+        .groupBy("doc_id").agg(flatten(collect_list(col("sp"))).as("spans"))
+        .withColumn("partition_id", lit(0))
+      val (inDir, out, ck) = streamDirs("stream-domstrip", d) { p =>
+        docs.coalesce(1).write.parquet(p)
+      }
+      graft.streaming.StreamJob.domStrip(s, inDir, out, ck).awaitTermination()
       s.read.parquet(out)
     }),
 
@@ -2797,6 +2830,21 @@ object SparkEntry {
       // interleaved-strip replay: text branch re-rendered as the non-anchor
       // node join, all-anchor spans excluded, media branch passed through
       "dom_interleaved" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+          |  l_quantity::BIGINT AS q, l_partkey%1000 AS pr, l_partkey AS pk
+          |  FROM lineitem WHERE l_orderkey <= 20000)
+          |SELECT k::VARCHAR AS doc_id, 'text' AS kind,
+          |  'Item '||ln||' qty '||q||' price '||pr AS text,
+          |  CAST(NULL AS VARCHAR) AS media_ref, (ln*2)::INT AS "offset"
+          |FROM li WHERE k%11 <> 0
+          |UNION ALL
+          |SELECT k::VARCHAR, 'media', CAST(NULL AS VARCHAR),
+          |  'img-'||k||'-'||ln, (ln*2+1)::INT
+          |FROM li WHERE pk%3 = 0""".stripMargin,
+
+      // streaming strip ≡ batch strip: the stateless per-row operator makes
+      // the stream output identical, so the replay is dom_interleaved's
+      "stream_domstrip" ->
         """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln,
           |  l_quantity::BIGINT AS q, l_partkey%1000 AS pr, l_partkey AS pk
           |  FROM lineitem WHERE l_orderkey <= 20000)

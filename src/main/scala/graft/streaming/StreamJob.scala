@@ -4,6 +4,7 @@ import graft.model.Doc
 import graft.pipeline.{Ep1Config, ExtractJob}
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming ingest for the extraction pipeline. The reference is strictly
@@ -35,6 +36,32 @@ object StreamJob {
       .parquet(inputPath)
       .as[Doc]
     transform(in, cfg).writeStream
+      .format("parquet")
+      .option("path", outputPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming north-star DOM strip: watch `inputPath` for new parquet
+    * files of the interleaved span-doc schema, explode, run the stateless
+    * zero-shuffle [[graft.segment.Dom.stripInterleaved]] (HTML text spans
+    * cleaned, media spans passed through with their offsets), append span
+    * rows to `outputPath`. Checkpointed — restart resumes from the last
+    * committed micro-batch; batch ≡ stream is asserted in StreamJobSpec
+    * (the strip is per-row, so the streaming plan is the batch plan under
+    * a micro-batch scheduler). */
+  def domStrip(spark: SparkSession, inputPath: String, outputPath: String,
+      checkpointPath: String, maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val in = spark.readStream
+      .schema(Synth.docSchema(spark))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputPath)
+    val rows = in.select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), col("span.kind").as("kind"),
+        col("span.text").as("text"), col("span.media_ref").as("media_ref"),
+        col("span.offset").as("offset"))
+    graft.segment.Dom.stripInterleaved(rows).writeStream
       .format("parquet")
       .option("path", outputPath)
       .option("checkpointLocation", checkpointPath)

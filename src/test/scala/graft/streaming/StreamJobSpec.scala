@@ -140,4 +140,38 @@ class StreamJobSpec extends SparkTestBase {
     val n2 = spark.read.parquet(out).count()
     assert(n1 == n2 && n1 == 10)
   }
+
+  test("streaming DOM strip over file source matches the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-domstream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+
+    val docs = (0 until 20).map { i =>
+      graft.model.Doc(f"d$i%02d", Seq(
+        graft.model.Span("text",
+          s"<div><h1>T $i</h1><p>body $i</p><a>more</a></div>", null, 0),
+        graft.model.Span("media", null, s"img-$i", 1),
+        graft.model.Span("text", "<nav><a>links only</a></nav>", null, 2)),
+        i % 4)
+    }
+    docs.toDF().write.parquet(in)
+
+    val q = StreamJob.domStrip(spark, in, out, ckpt)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "kind", "text", "media_ref", "offset")
+      .as[(String, String, String, String, Int)].collect().sortBy(r => (r._1, r._5))
+    val batchRows = docs.toDF()
+      .select(col("doc_id"), explode(col("spans")).as("sp"))
+      .select(col("doc_id"), col("sp.kind").as("kind"), col("sp.text").as("text"),
+        col("sp.media_ref").as("media_ref"), col("sp.offset").as("offset"))
+    val batch = graft.segment.Dom.stripInterleaved(batchRows)
+      .as[(String, String, String, String, Int)].collect().sortBy(r => (r._1, r._5))
+    assert(streamed.toSeq == batch.toSeq)
+    // restart with the same checkpoint appends nothing
+    StreamJob.domStrip(spark, in, out, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == batch.length)
+  }
 }
