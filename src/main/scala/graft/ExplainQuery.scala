@@ -24,8 +24,9 @@ object ExplainQuery {
     // eager candidate materialization) — audited only when named explicitly,
     // so a bare plan sweep stays side-effect-free and fast
     val eagerConstructors =
-      Set("stream_extract", "stream_window", "stream_assemble", "minhash_dups",
-        "bpe_merges", "bpe_segment")
+      Set("stream_extract", "stream_window", "stream_assemble", "stream_dedup",
+        "stream_domstrip", "minhash_dups", "bpe_merges", "bpe_segment",
+        "cms_freq", "bloom_dedup", "ingest_e2e", "pq_topk")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

@@ -481,9 +481,10 @@ object SparkEntry {
           val txt = rows.map { case (_, pg, b) =>
             graft.segment.PageSegmenter.renderMarker(pg) + b }.mkString
           val bounds = graft.segment.PageSegmenter.p1Boundaries(txt)
+          val idx = new graft.qc.QcHead.BoundaryIndex(bounds)
           bounds.iterator.map(b => (k, b.page.toLong,
             graft.qc.QcHead.lineNumber(txt, b.start).toLong,
-            graft.qc.QcHead.pageFromCharPosition(bounds, b.start + 1).toLong))
+            idx.pageAt(b.start + 1).toLong))
         }.toDF("k", "page", "line_no", "page_at")
     }),
 

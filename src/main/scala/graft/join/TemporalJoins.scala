@@ -125,14 +125,18 @@ object TemporalJoins {
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
     require(points.columns.intersect(intervals.columns).isEmpty,
       "point and interval column names must be disjoint")
-    def bucket(ts: Column): Column =
-      ((ts - pmod(ts, lit(bucketMicros))) / bucketMicros).cast("long")
+    // integral `div`, NOT Column./ (double division): doubles are exact only
+    // below 2^53, and the contract is "micros since epoch or any monotone
+    // long" — a float path would silently mis-bucket large keys
+    def bucket(name: String): Column = expr(
+      s"(cast(`$name` as bigint) - pmod(cast(`$name` as bigint), ${bucketMicros}L))" +
+        s" div ${bucketMicros}L")
 
-    val pts = points.withColumn("__pb", bucket(col(pTsCol).cast("long")))
+    val pts = points.withColumn("__pb", bucket(pTsCol))
     val ivs = intervals
       .filter(col(iEndCol).cast("long") >= col(iStartCol).cast("long"))
       .withColumn("__ib", explode(sequence(
-        bucket(col(iStartCol).cast("long")), bucket(col(iEndCol).cast("long")))))
+        bucket(iStartCol), bucket(iEndCol))))
     pts.join(ivs,
         pts("__pb") === ivs("__ib") && pts(pKey) === ivs(iKey) &&
           pts(pTsCol).cast("long").between(

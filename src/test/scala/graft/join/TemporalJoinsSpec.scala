@@ -116,6 +116,19 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(got == naive)
   }
 
+  test("rangeJoin: timestamps above 2^53 bucket exactly (integral div)") {
+    // adjacent bucket indices up near 2^62 differ by 1 in a quotient far
+    // beyond double precision — a float division path collapses them
+    val base = (1L << 62) + 1L
+    val pts = Seq((1L, base, 10L), (1L, base + 3L, 11L), (1L, base + 6L, 12L))
+      .toDF("k", "ts", "pid")
+    val ivs = Seq((1L, base, base + 1L, 20L), (1L, base + 3L, base + 4L, 21L),
+      (1L, base + 5L, base + 7L, 22L)).toDF("ik", "s", "e", "iid")
+    val got = TemporalJoins.rangeJoin(pts, "k", "ts", ivs, "ik", "s", "e", 3L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L), (11L, 21L), (12L, 22L)))
+  }
+
   test("rangeJoin plan: equi-join on (key, bucket), no nested-loop") {
     val pts = Seq((1L, 0L, 10L)).toDF("k", "ts", "pid")
     val ivs = Seq((1L, 0L, 15L, 20L)).toDF("ik", "s", "e", "iid")

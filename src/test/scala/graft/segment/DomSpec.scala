@@ -43,6 +43,18 @@ class DomSpec extends SparkTestBase {
     assert(open.map(_.text) == Vector("a"))
   }
 
+  test("raw-text close requires a tag-name boundary: </scripty> stays inside") {
+    // HTML5: the close-tag name must be followed by whitespace, '/', '>' or
+    // EOF — a longer name like </scripty> must NOT terminate <script>
+    val ns = nodes("<p>a</p><script>x = '</scripty>' + '</scripts>';</script><p>b</p>")
+    assert(ns.map(_.text) == Vector("a", "b"))
+    // whitespace and '/' after the name are valid close forms
+    assert(nodes("<script>x</script ><p>c</p>").map(_.text) == Vector("c"))
+    assert(nodes("<script>x</script/><p>d</p>").map(_.text) == Vector("d"))
+    // a close that never reaches a boundary (EOF mid-name) eats the tail
+    assert(nodes("<p>a</p><script>y = 1</scrip").map(_.text) == Vector("a"))
+  }
+
   test("comments and directives are invisible; unterminated comment eats tail") {
     val ns = nodes("<!doctype html><?xml v?><p>a<!-- hidden <b>bold</b> -->b</p>")
     assert(ns.map(_.text) == Vector("a", "b"))
@@ -144,6 +156,19 @@ class DomSpec extends SparkTestBase {
     // the plan is narrow: no Exchange anywhere
     val plan = Dom.stripInterleaved(spans).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("stripInterleaved: null kind lands in the cleaned branch, not dropped") {
+    val spans = Seq(
+      ("d1", null, "<p>null kind words</p>", null, 0),
+      ("d1", "media", null, "img-1", 1))
+      .asInstanceOf[Seq[(String, String, String, String, Int)]]
+      .toDF("doc_id", "kind", "text", "media_ref", "offset")
+    val out = Dom.stripInterleaved(spans)
+      .as[(String, String, String, String, Int)].collect().sortBy(_._5)
+    assert(out.toSeq == Seq(
+      ("d1", null, "null kind words", null, 0),
+      ("d1", "media", null, "img-1", 1)))
   }
 
   test("mainContent tie-break: equal scores pick smallest parent path") {
