@@ -771,6 +771,143 @@ object SparkEntry {
         FE.glLimit(col("__t"), "damage_to_rented_premises").as("damage_rented"))
     }),
 
+    "misc_fields_head" -> ((s, d) => {
+      // qc_head.py:967-1060 — the misc-field tail, head half: premiums
+      // (last-match-per-pattern), insurer name (greedy \s-spanning class,
+      // comma-bounded), NAIC, producer name/phone/email, the holder family
+      // (4 independent extracts), occurrence-vs-claims-made precedence,
+      // aggregate-applies-per capture form. Blank lines fence the
+      // multi-line captures so each variant's expected value is readable.
+      val k = col("c_custkey")
+      val ks = k.cast("string")
+      val d10 = pmod(k, lit(10)).cast("string")
+      val text = concat(
+        when(pmod(k, lit(3)) === 0,
+          concat(lit("PREMIUM: $ 1,200.50\nADVANCE PREMIUM: $ 9"), d10, lit("0\n\n")))
+          .when(pmod(k, lit(3)) === 1,
+            concat(lit("TOTAL: 3,4"), d10, lit("0\nPREMIUM: 777\n\n")))
+          .otherwise(lit("")),
+        when(pmod(k, lit(4)) === 0,
+          concat(lit("INSURER: ACME INSURANCE CO "), d10, lit(", ADMITTED\nNAIC # A123"), d10, lit(",\n\n")))
+          .when(pmod(k, lit(4)) === 1,
+            concat(lit("INSURING COMPANY: ZETA MUTUAL "), d10, lit(", STOCK\nNAIC NO. 55"), d10, lit(",\n\n")))
+          .when(pmod(k, lit(4)) === 2,
+            concat(lit("COMPANY: OMEGA GROUP 7"), d10, lit(", NON-ADMITTED\nNAIC: 9Q8"), d10, lit(",\n\n")))
+          .otherwise(lit("")),
+        when(pmod(k, lit(5)) === 0,
+          concat(lit("PRODUCER: Smith & Jones Agency "), ks,
+            lit("\nSuite 4\n\nPHONE: (555) 123-40"), d10,
+            lit("\nE-MAIL: agent"), ks, lit("@example.com\n\n")))
+          .when(pmod(k, lit(5)) === 1,
+            concat(lit("AGENCY: Brown Bros "), ks, lit("\n\nEMAIL: b"), ks, lit("@x.org\n\n")))
+          .when(pmod(k, lit(5)) === 2, concat(lit("PHONE: 555-000"), d10, lit("\n\n")))
+          .otherwise(lit("")),
+        when(pmod(k, lit(6)) === 0,
+          concat(lit("CERTIFICATE HOLDER: City of Springfield "), ks,
+            lit("\nADDITIONAL INSURED: Land Corp "), ks, lit("\n\n")))
+          .when(pmod(k, lit(6)) === 1, concat(lit("LOSS PAYEE: First Bank "), ks, lit("\n\n")))
+          .when(pmod(k, lit(6)) === 2, concat(lit("MORTGAGEE: Home Trust "), ks, lit("\n\n")))
+          .when(pmod(k, lit(6)) === 3, concat(lit("CERTIFICATE HOLDER: County "), ks, lit("\n\n")))
+          .otherwise(lit("")),
+        when(pmod(k, lit(7)) === 0, lit("written on an OCCURRENCE basis\n"))
+          .when(pmod(k, lit(7)) === 1, lit("CLAIMS-MADE form applies\n"))
+          .when(pmod(k, lit(7)) === 2, lit("CLAIMS MADE wording without hyphen\n"))
+          .when(pmod(k, lit(7)) === 3, lit("policies may OCCUR and CLAIMS-MADE both\n"))
+          .otherwise(lit("")),
+        when(pmod(k, lit(2)) === 0, lit("AGGREGATE LIMIT APPLIES PER: POLICY X PROJECT\n"))
+          .otherwise(lit("AGGREGATE APPLIES PER LOC\n")))
+      rd(s, d, "customer").withColumn("__t", text).select(k,
+        FE.totalPremium(col("__t")).as("total_premium"),
+        FE.premiumTotal(col("__t")).as("premium_total"),
+        FE.advancePremium(col("__t")).as("advance_premium"),
+        FE.insurerName(col("__t")).as("insurer_name"),
+        FE.insurerNaic(col("__t")).as("insurer_naic"),
+        FE.producerName(col("__t")).as("producer_name"),
+        FE.producerPhone(col("__t")).as("producer_phone"),
+        FE.producerEmail(col("__t")).as("producer_email"),
+        FE.certificateHolder(col("__t")).as("certificate_holder"),
+        FE.additionalInsured(col("__t")).as("additional_insured"),
+        FE.lossPayee(col("__t")).as("loss_payee"),
+        FE.mortgagee(col("__t")).as("mortgagee"),
+        FE.occurrenceOrClaimsMade(col("__t")).as("occurrence_or_claims_made"),
+        FE.aggregateAppliesPerText(col("__t")).as("aggregate_applies_per"))
+    }),
+
+    "misc_fields_tail" -> ((s, d) => {
+      // qc_head.py:940-949 + 1062-1116 — tail half: deductible fallbacks,
+      // description-of-operations, WC-excluded gate (incl. the bare-keyword
+      // first match the reference crashes on → null here), the 5 auto-type
+      // substring flags (OWNED⊂NON-OWNED quirk), classification, premium
+      // basis, remarks first-wins, cancellation
+      val k = col("c_custkey")
+      val d10 = pmod(k, lit(10)).cast("string")
+      val text = concat(
+        when(pmod(k, lit(3)) === 0, lit("DEDUCTIBLE: $ 2,500\n\n"))
+          .when(pmod(k, lit(3)) === 1,
+            concat(lit("WINDSTORM OR HAIL DEDUCTIBLE: "), d10, lit("%\n\n")))
+          .otherwise(lit("")),
+        when(pmod(k, lit(4)) === 0,
+          concat(lit("DESCRIPTION OF OPERATIONS: retail fuel sales\nstation "), d10, lit("\n\n")))
+          .when(pmod(k, lit(4)) === 1,
+            concat(lit("OPERATIONS: warehousing "), d10, lit("\n\n")))
+          .otherwise(lit("")),
+        when(pmod(k, lit(5)) === 0, lit("WORKERS COMPENSATION\nMEMBER EXCLUDED: N\n\n"))
+          .when(pmod(k, lit(5)) === 1, lit("COMPENSATION schedule\nPROPRIETOR listed\n\n"))
+          .when(pmod(k, lit(5)) === 2, lit("MEMBER EXCLUDED: Y\n\n"))
+          .otherwise(lit("")),
+        when(pmod(k, lit(6)) === 0, lit("AUTOMOBILE LIABILITY\nANY AUTO\nHIRED AUTOS\n\n"))
+          .when(pmod(k, lit(6)) === 1, lit("AUTO coverage\nNON-OWNED AUTOS\n\n"))
+          .when(pmod(k, lit(6)) === 2, lit("SCHEDULED AUTOS and OWNED AUTOS\n\n"))
+          .otherwise(lit("")),
+        when(pmod(k, lit(7)) === 0,
+          concat(lit("CLASS: 0932 service station "), d10, lit("\n\n"))).otherwise(lit("")),
+        when(pmod(k, lit(2)) === 0, lit("PREMIUM BASIS: gross sales\n\n")).otherwise(lit("")),
+        when(pmod(k, lit(8)) === 0, lit("REMARKS: see endorsements\nsecond line\n\n"))
+          .when(pmod(k, lit(8)) === 1,
+            concat(lit("SPECIAL PROVISIONS: waiver applies "), d10, lit("\n\n")))
+          .when(pmod(k, lit(8)) === 2, lit("SPECIAL CONDITIONS: none noted\n\n"))
+          .otherwise(lit("")),
+        when(pmod(k, lit(9)) === 0, lit("CANCELLATION: 30 days notice\nto holder\n\n"))
+          .otherwise(lit("")))
+      rd(s, d, "customer").withColumn("__t", text).select(k,
+        FE.propertyDeductibleFallback(col("__t")).as("property_deductible"),
+        FE.windstormDeductible(col("__t")).as("windstorm_deductible"),
+        FE.descriptionOfOperations(col("__t")).as("description_of_operations"),
+        FE.wcExcluded(col("__t")).as("wc_excluded"),
+        FE.autoTypeFlag(col("__t"), "ANY AUTO").as("any_auto"),
+        FE.autoTypeFlag(col("__t"), "OWNED AUTOS").as("owned_autos"),
+        FE.autoTypeFlag(col("__t"), "HIRED AUTOS").as("hired_autos"),
+        FE.autoTypeFlag(col("__t"), "SCHEDULED AUTOS").as("scheduled_autos"),
+        FE.autoTypeFlag(col("__t"), "NON-OWNED AUTOS").as("non_owned_autos"),
+        FE.classification(col("__t")).as("classification"),
+        FE.premiumBasis(col("__t")).as("premium_basis"),
+        FE.remarks(col("__t")).as("remarks"),
+        FE.cancellationProvisions(col("__t")).as("cancellation_provisions"))
+    }),
+
+    "locations_list" -> ((s, d) => {
+      // qc_head.py:951-965 — the locations list: all matches of all 4
+      // patterns in pattern-major order, python-stripped, len>5 filter,
+      // first-occurrence dedup; exploded to (key, loc_idx, location) rows.
+      // Variant 0 carries a literal duplicate (two identical ADDRESS
+      // blocks) to prove the dedup; variant 2's short value proves the
+      // len>5 drop.
+      val k = col("c_custkey")
+      val d10 = pmod(k, lit(10)).cast("string")
+      val text = concat(
+        when(pmod(k, lit(4)) === 0,
+          concat(lit("ADDRESS: 9 Oak Avenue Unit "), d10,
+            lit("\n\nADDRESS: 9 Oak Avenue Unit "), d10, lit("\n\n")))
+          .when(pmod(k, lit(4)) === 1,
+            concat(lit("LOCATION/DESCRIPTION: 12 Main Street Floor "), d10,
+              lit("\n\nPROPERTY: brick warehouse "), d10, lit("\n\n")))
+          .when(pmod(k, lit(4)) === 2, lit("LOCATION: x1\n\n"))
+          .otherwise(lit("LOCATION: 700 Industrial Parkway\n\n")))
+      rd(s, d, "customer").withColumn("__t", text)
+        .select(k, posexplode(FE.locations(col("__t"))))
+        .select(k, col("pos").cast("long").as("loc_idx"), col("col").as("location"))
+    }),
+
     "c7_items" -> ((s, d) => {
       // C7 item-level: pumpsCanopyItems' last-key-wins slot scan + 3-level
       // precedence returning items (llm_pl_pol_cov.py:264-321) — combined
@@ -2469,6 +2606,109 @@ object SparkEntry {
           |    nullif(regexp_extract(ptext,'(?i)DAMAGE\s+TO\s+PREMISES\s+RENTED[^\$]*\$?\s*([0-9,]+)',1),''),
           |    nullif(regexp_extract(ptext,'(?i)DAMAGE\s+TO\s+(?:PREMISES\s+)?RENTED[^\$]*\$?\s*([0-9,]+)',1),'')) AS damage_rented
           |FROM t""".stripMargin,
+
+      "misc_fields_head" ->
+        """WITH t AS (SELECT c_custkey,
+          |  (CASE WHEN c_custkey%3=0 THEN 'PREMIUM: $ 1,200.50'||chr(10)||'ADVANCE PREMIUM: $ 9'||(c_custkey%10)||'0'||chr(10)||chr(10)
+          |        WHEN c_custkey%3=1 THEN 'TOTAL: 3,4'||(c_custkey%10)||'0'||chr(10)||'PREMIUM: 777'||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%4=0 THEN 'INSURER: ACME INSURANCE CO '||(c_custkey%10)||', ADMITTED'||chr(10)||'NAIC # A123'||(c_custkey%10)||','||chr(10)||chr(10)
+          |        WHEN c_custkey%4=1 THEN 'INSURING COMPANY: ZETA MUTUAL '||(c_custkey%10)||', STOCK'||chr(10)||'NAIC NO. 55'||(c_custkey%10)||','||chr(10)||chr(10)
+          |        WHEN c_custkey%4=2 THEN 'COMPANY: OMEGA GROUP 7'||(c_custkey%10)||', NON-ADMITTED'||chr(10)||'NAIC: 9Q8'||(c_custkey%10)||','||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%5=0 THEN 'PRODUCER: Smith & Jones Agency '||c_custkey||chr(10)||'Suite 4'||chr(10)||chr(10)||'PHONE: (555) 123-40'||(c_custkey%10)||chr(10)||'E-MAIL: agent'||c_custkey||'@example.com'||chr(10)||chr(10)
+          |        WHEN c_custkey%5=1 THEN 'AGENCY: Brown Bros '||c_custkey||chr(10)||chr(10)||'EMAIL: b'||c_custkey||'@x.org'||chr(10)||chr(10)
+          |        WHEN c_custkey%5=2 THEN 'PHONE: 555-000'||(c_custkey%10)||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%6=0 THEN 'CERTIFICATE HOLDER: City of Springfield '||c_custkey||chr(10)||'ADDITIONAL INSURED: Land Corp '||c_custkey||chr(10)||chr(10)
+          |        WHEN c_custkey%6=1 THEN 'LOSS PAYEE: First Bank '||c_custkey||chr(10)||chr(10)
+          |        WHEN c_custkey%6=2 THEN 'MORTGAGEE: Home Trust '||c_custkey||chr(10)||chr(10)
+          |        WHEN c_custkey%6=3 THEN 'CERTIFICATE HOLDER: County '||c_custkey||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%7=0 THEN 'written on an OCCURRENCE basis'||chr(10)
+          |        WHEN c_custkey%7=1 THEN 'CLAIMS-MADE form applies'||chr(10)
+          |        WHEN c_custkey%7=2 THEN 'CLAIMS MADE wording without hyphen'||chr(10)
+          |        WHEN c_custkey%7=3 THEN 'policies may OCCUR and CLAIMS-MADE both'||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%2=0 THEN 'AGGREGATE LIMIT APPLIES PER: POLICY X PROJECT'||chr(10)
+          |        ELSE 'AGGREGATE APPLIES PER LOC'||chr(10) END) AS ptext FROM customer)
+          |SELECT c_custkey,
+          |  (regexp_extract_all(ptext,'(?i)PREMIUM[:\s]+\$?\s*([0-9,]+\.?\d*)',1))[-1] AS total_premium,
+          |  (regexp_extract_all(ptext,'(?i)TOTAL[:\s]+\$?\s*([0-9,]+\.?\d*)',1))[-1] AS premium_total,
+          |  (regexp_extract_all(ptext,'(?i)ADVANCE\s+PREMIUM[:\s]+\$?\s*([0-9,]+\.?\d*)',1))[-1] AS advance_premium,
+          |  nullif(regexp_replace(coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)INSURER[:\s]+([A-Z0-9\s&\-\.]+)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)INSURING\s+COMPANY[:\s]+([A-Z0-9\s&\-\.]+)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)COMPANY[:\s]+([A-Z0-9\s&\-\.]+)',1),'')),'^\s+|\s+$','','g'),'') AS insurer_name,
+          |  nullif(regexp_replace(coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)NAIC\s+(?:#|NUMBER|NO\.?)[:\s]*([0-9A-Z]+)',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)NAIC[:\s]+([0-9A-Z]+)',1),'')),'^\s+|\s+$','','g'),'') AS insurer_naic,
+          |  nullif(regexp_replace(coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)PRODUCER[:\s]+([^\n]+(?:\n[^\n]+){0,2})',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)AGENCY[:\s]+([^\n]+(?:\n[^\n]+){0,2})',1),'')),'^\s+|\s+$','','g'),'') AS producer_name,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)PHONE[:\s]+([0-9\-\(\)\s]+)',1),''),'^\s+|\s+$','','g'),'') AS producer_phone,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)E[-]?MAIL[:\s]+([^\s\n]+)',1),''),'^\s+|\s+$','','g'),'') AS producer_email,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)CERTIFICATE\s+HOLDER[:\s]+([^\n]+)',1),''),'^\s+|\s+$','','g'),'') AS certificate_holder,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)ADDITIONAL\s+INSURED[:\s]+([^\n]+)',1),''),'^\s+|\s+$','','g'),'') AS additional_insured,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)LOSS\s+PAYEE[:\s]+([^\n]+)',1),''),'^\s+|\s+$','','g'),'') AS loss_payee,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)MORTGAGEE[:\s]+([^\n]+)',1),''),'^\s+|\s+$','','g'),'') AS mortgagee,
+          |  CASE WHEN regexp_matches(ptext,'(?i)(OCCUR|OCCURRENCE)') THEN 'Occurrence'
+          |       WHEN regexp_matches(ptext,'(?i)CLAIMS[-]?MADE') THEN 'Claims-Made' END AS occurrence_or_claims_made,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)AGGREGATE\s+(?:LIMIT\s+)?APPLIES\s+PER[:\s]+([^\n]+)',1),''),'^\s+|\s+$','','g'),'') AS aggregate_applies_per
+          |FROM t""".stripMargin,
+
+      "misc_fields_tail" ->
+        """WITH t AS (SELECT c_custkey,
+          |  (CASE WHEN c_custkey%3=0 THEN 'DEDUCTIBLE: $ 2,500'||chr(10)||chr(10)
+          |        WHEN c_custkey%3=1 THEN 'WINDSTORM OR HAIL DEDUCTIBLE: '||(c_custkey%10)||'%'||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%4=0 THEN 'DESCRIPTION OF OPERATIONS: retail fuel sales'||chr(10)||'station '||(c_custkey%10)||chr(10)||chr(10)
+          |        WHEN c_custkey%4=1 THEN 'OPERATIONS: warehousing '||(c_custkey%10)||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%5=0 THEN 'WORKERS COMPENSATION'||chr(10)||'MEMBER EXCLUDED: N'||chr(10)||chr(10)
+          |        WHEN c_custkey%5=1 THEN 'COMPENSATION schedule'||chr(10)||'PROPRIETOR listed'||chr(10)||chr(10)
+          |        WHEN c_custkey%5=2 THEN 'MEMBER EXCLUDED: Y'||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%6=0 THEN 'AUTOMOBILE LIABILITY'||chr(10)||'ANY AUTO'||chr(10)||'HIRED AUTOS'||chr(10)||chr(10)
+          |        WHEN c_custkey%6=1 THEN 'AUTO coverage'||chr(10)||'NON-OWNED AUTOS'||chr(10)||chr(10)
+          |        WHEN c_custkey%6=2 THEN 'SCHEDULED AUTOS and OWNED AUTOS'||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%7=0 THEN 'CLASS: 0932 service station '||(c_custkey%10)||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%2=0 THEN 'PREMIUM BASIS: gross sales'||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%8=0 THEN 'REMARKS: see endorsements'||chr(10)||'second line'||chr(10)||chr(10)
+          |        WHEN c_custkey%8=1 THEN 'SPECIAL PROVISIONS: waiver applies '||(c_custkey%10)||chr(10)||chr(10)
+          |        WHEN c_custkey%8=2 THEN 'SPECIAL CONDITIONS: none noted'||chr(10)||chr(10) ELSE '' END)||
+          |  (CASE WHEN c_custkey%9=0 THEN 'CANCELLATION: 30 days notice'||chr(10)||'to holder'||chr(10)||chr(10) ELSE '' END) AS ptext
+          |  FROM customer)
+          |SELECT c_custkey,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)DEDUCTIBLE[:\s]+\$?\s*([0-9,]+)',1),''),'^\s+|\s+$','','g'),'') AS property_deductible,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)WINDSTORM[^\$]*DEDUCTIBLE[:\s]*([0-9,]+|[\d%]+)',1),''),'^\s+|\s+$','','g'),'') AS windstorm_deductible,
+          |  nullif(regexp_replace(coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)DESCRIPTION\s+OF\s+OPERATIONS[:\s]+([^\n]+(?:\n[^\n]+){0,5})',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)OPERATIONS[:\s]+([^\n]+(?:\n[^\n]+){0,3})',1),'')),'^\s+|\s+$','','g'),'') AS description_of_operations,
+          |  CASE WHEN contains(upper(ptext),'WORKERS') OR contains(upper(ptext),'COMPENSATION')
+          |    THEN nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)PROPRIETOR|PARTNER|EXECUTIVE\s+OFFICER|MEMBER\s+EXCLUDED[:\s]+([YN/A]+)',1),''),'^\s+|\s+$','','g'),'') END AS wc_excluded,
+          |  (contains(upper(ptext),'AUTO') AND contains(upper(ptext),'ANY AUTO')) AS any_auto,
+          |  (contains(upper(ptext),'AUTO') AND contains(upper(ptext),'OWNED AUTOS')) AS owned_autos,
+          |  (contains(upper(ptext),'AUTO') AND contains(upper(ptext),'HIRED AUTOS')) AS hired_autos,
+          |  (contains(upper(ptext),'AUTO') AND contains(upper(ptext),'SCHEDULED AUTOS')) AS scheduled_autos,
+          |  (contains(upper(ptext),'AUTO') AND contains(upper(ptext),'NON-OWNED AUTOS')) AS non_owned_autos,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)CLASS[:\s]+([^\n]+)',1),''),'^\s+|\s+$','','g'),'') AS classification,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)PREMIUM\s+BASIS[:\s]+([^\n]+)',1),''),'^\s+|\s+$','','g'),'') AS premium_basis,
+          |  nullif(regexp_replace(coalesce(
+          |    nullif(regexp_extract(ptext,'(?i)REMARKS[:\s]+([^\n]+(?:\n[^\n]+){0,10})',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)SPECIAL\s+PROVISIONS[:\s]+([^\n]+(?:\n[^\n]+){0,5})',1),''),
+          |    nullif(regexp_extract(ptext,'(?i)SPECIAL\s+CONDITIONS[:\s]+([^\n]+(?:\n[^\n]+){0,5})',1),'')),'^\s+|\s+$','','g'),'') AS remarks,
+          |  nullif(regexp_replace(nullif(regexp_extract(ptext,'(?i)CANCELLATION[:\s]+([^\n]+(?:\n[^\n]+){0,3})',1),''),'^\s+|\s+$','','g'),'') AS cancellation_provisions
+          |FROM t""".stripMargin,
+
+      "locations_list" ->
+        """WITH t AS (SELECT c_custkey,
+          |  (CASE WHEN c_custkey%4=0 THEN 'ADDRESS: 9 Oak Avenue Unit '||(c_custkey%10)||chr(10)||chr(10)||'ADDRESS: 9 Oak Avenue Unit '||(c_custkey%10)||chr(10)||chr(10)
+          |        WHEN c_custkey%4=1 THEN 'LOCATION/DESCRIPTION: 12 Main Street Floor '||(c_custkey%10)||chr(10)||chr(10)||'PROPERTY: brick warehouse '||(c_custkey%10)||chr(10)||chr(10)
+          |        WHEN c_custkey%4=2 THEN 'LOCATION: x1'||chr(10)||chr(10)
+          |        ELSE 'LOCATION: 700 Industrial Parkway'||chr(10)||chr(10) END) AS ptext FROM customer),
+          |l AS (SELECT c_custkey,
+          |  regexp_extract_all(ptext,'(?i)LOCATION[/]?DESCRIPTION[:\s]+([^\n]+(?:\n[^\n]+){0,2})',1)
+          |  || regexp_extract_all(ptext,'(?i)LOCATION[:\s]+([^\n]+(?:\n[^\n]+){0,2})',1)
+          |  || regexp_extract_all(ptext,'(?i)PROPERTY[:\s]+([^\n]+(?:\n[^\n]+){0,2})',1)
+          |  || regexp_extract_all(ptext,'(?i)ADDRESS[:\s]+([^\n]+(?:\n[^\n]+){0,2})',1) AS locs FROM t),
+          |e AS (SELECT c_custkey, unnest(locs) AS loc0, unnest(generate_series(1,len(locs))) AS ord FROM l),
+          |s AS (SELECT c_custkey, regexp_replace(loc0,'^\s+|\s+$','','g') AS location, ord FROM e),
+          |d AS (SELECT c_custkey, location, min(ord) AS o FROM s WHERE len(location)>5 GROUP BY c_custkey, location)
+          |SELECT c_custkey, row_number() OVER (PARTITION BY c_custkey ORDER BY o) - 1 AS loc_idx, location
+          |FROM d""".stripMargin,
 
       "c7_items" ->
         """SELECT c_custkey, 0::BIGINT AS idx, 'Building with Pumps & Canopy' AS name,

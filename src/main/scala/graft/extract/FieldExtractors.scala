@@ -198,4 +198,152 @@ object FieldExtractors {
     text.rlike("(?mi)^\\s*\\d+\\s+\\d+\\s+Building(?!\\s+and\\s+Personal)\\b[\\s\\S]{0,80}?\\$\\s*[0-9,]+") ||
       text.rlike("(?mi)^\\s*Building(?!\\s+and\\s+Personal)\\b\\s*(?:\\n|\\s)+\\$\\s*[0-9,]+") ||
       text.rlike("(?mi)^\\s*Building(?!\\s+and\\s+Personal)\\b[\\t ]+\\$?\\s*[0-9,]+\\s*$")
+
+  // ------------------------------------------------ §2.8 misc-field tail ---
+  // traveler/qc_head.py:940-1116 — the remaining ~14 fields of the 40-field
+  // battery: deductible fallbacks, locations list, premiums, insurer, NAIC,
+  // producer contact, holder family, occurrence-vs-claims-made,
+  // aggregate-applies-per capture, operations, WC, auto-type flags, class,
+  // premium basis, remarks, cancellation.
+
+  /** Python `.strip()` (all whitespace incl. newlines — SQL `trim` strips
+    * spaces only), with the reference's `cleaned_fields` empty-string drop:
+    * a whitespace-only capture becomes null, not "". */
+  private def pyStrip(v: Column): Column =
+    nullif(regexp_replace(v, "^\\s+|\\s+$", ""), lit(""))
+
+  /** LAST match of a single pattern (the reference's finditer loops assign
+    * per match, so the final assignment wins). Null when no match. */
+  def lastMatch(text: Column, pattern: String, group: Int = 1): Column = {
+    val arr = regexp_extract_all(text, lit("(?i)" + pattern), lit(group))
+    when(size(arr) > 0, element_at(arr, lit(-1))).otherwise(lit(null).cast("string"))
+  }
+
+  // qc_head.py:940-949 — deductible fallbacks (tried when the property-table
+  // pass produced none)
+  def propertyDeductibleFallback(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("DEDUCTIBLE[:\\s]+\\$?\\s*([0-9,]+)")))
+
+  def windstormDeductible(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("WINDSTORM[^\\$]*DEDUCTIBLE[:\\s]*([0-9,]+|[\\d%]+)")))
+
+  // qc_head.py:951-965 — locations list: every match of every pattern in
+  // pattern-major order, python-stripped, len>5 filter, first-occurrence
+  // dedup (the reference's `if loc_text not in fields['locations']`)
+  val LocationPatterns: Seq[String] = Seq(
+    "LOCATION[/]?DESCRIPTION[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,2})",
+    "LOCATION[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,2})",
+    "PROPERTY[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,2})",
+    "ADDRESS[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,2})")
+
+  def locations(text: Column): Column = {
+    val all = flatten(array(LocationPatterns.map(p =>
+      regexp_extract_all(text, lit("(?i)" + p), lit(1))): _*))
+    val stripped = transform(all, x => regexp_replace(x, "^\\s+|\\s+$", ""))
+    array_distinct(filter(stripped, x => length(x) > 5))
+  }
+
+  // qc_head.py:967-983 — premiums: three finditer patterns whose group(0)
+  // classification is statically per-pattern (a PREMIUM-pattern match never
+  // contains ADVANCE because the match starts at "PREMIUM"), so each field
+  // is the LAST match of its own pattern
+  def totalPremium(text: Column): Column =
+    lastMatch(text, "PREMIUM[:\\s]+\\$?\\s*([0-9,]+\\.?\\d*)")
+  def premiumTotal(text: Column): Column =
+    lastMatch(text, "TOTAL[:\\s]+\\$?\\s*([0-9,]+\\.?\\d*)")
+  def advancePremium(text: Column): Column =
+    lastMatch(text, "ADVANCE\\s+PREMIUM[:\\s]+\\$?\\s*([0-9,]+\\.?\\d*)")
+
+  // qc_head.py:985-997 — insurer name: the reference's char class includes
+  // \s, so the greedy capture runs across newlines until a char outside
+  // [A-Z0-9\s&\-.] (faithfully kept; synthesis bounds it with ',' or ':')
+  def insurerName(text: Column): Column = pyStrip(extractFirst(text, Seq(
+    "INSURER[:\\s]+([A-Z0-9\\s&\\-\\.]+)",
+    "INSURING\\s+COMPANY[:\\s]+([A-Z0-9\\s&\\-\\.]+)",
+    "COMPANY[:\\s]+([A-Z0-9\\s&\\-\\.]+)")))
+
+  // qc_head.py:999-1008
+  def insurerNaic(text: Column): Column = pyStrip(extractFirst(text, Seq(
+    "NAIC\\s+(?:#|NUMBER|NO\\.?)[:\\s]*([0-9A-Z]+)",
+    "NAIC[:\\s]+([0-9A-Z]+)")))
+
+  // qc_head.py:1010-1029 — producer/agency + contact
+  def producerName(text: Column): Column = pyStrip(extractFirst(text, Seq(
+    "PRODUCER[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,2})",
+    "AGENCY[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,2})")))
+
+  def producerPhone(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("PHONE[:\\s]+([0-9\\-\\(\\)\\s]+)")))
+
+  def producerEmail(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("E[-]?MAIL[:\\s]+([^\\s\\n]+)")))
+
+  // qc_head.py:1031-1047 — holder family: the reference loops all four
+  // patterns WITHOUT break and each match classifies to its own field, so
+  // the four are independent single extracts
+  def certificateHolder(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("CERTIFICATE\\s+HOLDER[:\\s]+([^\\n]+)")))
+  def additionalInsured(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("ADDITIONAL\\s+INSURED[:\\s]+([^\\n]+)")))
+  def lossPayee(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("LOSS\\s+PAYEE[:\\s]+([^\\n]+)")))
+  def mortgagee(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("MORTGAGEE[:\\s]+([^\\n]+)")))
+
+  // qc_head.py:1049-1055 — OCCUR wins over CLAIMS-MADE when both present
+  def occurrenceOrClaimsMade(text: Column): Column =
+    when(text.rlike("(?i)(OCCUR|OCCURRENCE)"), lit("Occurrence"))
+      .when(text.rlike("(?i)CLAIMS[-]?MADE"), lit("Claims-Made"))
+      .otherwise(lit(null).cast("string"))
+
+  // qc_head.py:1057-1060 — the capture form (the §2.8 boolean probes at
+  // :822-831 are aggregateAppliesPer above)
+  def aggregateAppliesPerText(text: Column): Column = pyStrip(extractFirst(text,
+    Seq("AGGREGATE\\s+(?:LIMIT\\s+)?APPLIES\\s+PER[:\\s]+([^\\n]+)")))
+
+  // qc_head.py:1062-1071
+  def descriptionOfOperations(text: Column): Column = pyStrip(extractFirst(text, Seq(
+    "DESCRIPTION\\s+OF\\s+OPERATIONS[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,5})",
+    "OPERATIONS[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,3})")))
+
+  // qc_head.py:1073-1080 — WC excluded flag, gated on WORKERS/COMPENSATION.
+  // The reference regex's alternation captures only in the MEMBER EXCLUDED
+  // branch; when the first match is a bare keyword (PROPRIETOR etc.) the
+  // reference raises AttributeError on group(1) — here that case yields
+  // null (a documented deviation: crash → absent field).
+  def wcExcluded(text: Column): Column =
+    when(upper(text).contains("WORKERS") || upper(text).contains("COMPENSATION"),
+      pyStrip(extractFirst(text,
+        Seq("PROPRIETOR|PARTNER|EXECUTIVE\\s+OFFICER|MEMBER\\s+EXCLUDED[:\\s]+([YN/A]+)"))))
+      .otherwise(lit(null).cast("string"))
+
+  // qc_head.py:1082-1091 — auto-type flags: plain substring probes on the
+  // uppercased text, gated on AUTO/AUTOMOBILE; note "OWNED AUTOS" is a
+  // substring of "NON-OWNED AUTOS", so owned is true whenever non-owned is
+  // (faithful to the reference's `auto_type in content_upper`)
+  val AutoTypes: Seq[(String, String)] = Seq(
+    "any_auto" -> "ANY AUTO", "owned_autos" -> "OWNED AUTOS",
+    "hired_autos" -> "HIRED AUTOS", "scheduled_autos" -> "SCHEDULED AUTOS",
+    "non_owned_autos" -> "NON-OWNED AUTOS")
+
+  def autoTypeFlag(text: Column, label: String): Column =
+    upper(text).contains("AUTO") && upper(text).contains(label)
+
+  // qc_head.py:1093-1096
+  def classification(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("CLASS[:\\s]+([^\\n]+)")))
+
+  // qc_head.py:1098-1101
+  def premiumBasis(text: Column): Column =
+    pyStrip(extractFirst(text, Seq("PREMIUM\\s+BASIS[:\\s]+([^\\n]+)")))
+
+  // qc_head.py:1103-1112 — first-wins over the three remark forms
+  def remarks(text: Column): Column = pyStrip(extractFirst(text, Seq(
+    "REMARKS[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,10})",
+    "SPECIAL\\s+PROVISIONS[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,5})",
+    "SPECIAL\\s+CONDITIONS[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,5})")))
+
+  // qc_head.py:1114-1116
+  def cancellationProvisions(text: Column): Column = pyStrip(extractFirst(text,
+    Seq("CANCELLATION[:\\s]+([^\\n]+(?:\\n[^\\n]+){0,3})")))
 }

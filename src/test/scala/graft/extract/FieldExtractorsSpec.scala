@@ -117,4 +117,89 @@ class FieldExtractorsSpec extends SparkTestBase {
       assert(got == expected, s"building-limit detector on: $t")
     }
   }
+
+  // ------------------------------------------------ §2.8 misc-field tail ---
+
+  test("premiums: last match per pattern; PREMIUM pattern hits inside ADVANCE lines") {
+    val t = "PREMIUM: $ 1,200.50\nADVANCE PREMIUM: $ 900\nTOTAL: 77\nTOTAL: 88\n"
+    // the PREMIUM finditer also matches the "PREMIUM: $ 900" suffix of the
+    // ADVANCE line (group 0 starts at PREMIUM), and the last match wins —
+    // exactly the reference's overwrite behavior (qc_head.py:974-983)
+    assert(one(totalPremium(col("text")), t) == "900")
+    assert(one(advancePremium(col("text")), t) == "900")
+    assert(one(premiumTotal(col("text")), t) == "88")
+    assert(one(totalPremium(col("text")), "no money here") == null)
+  }
+
+  test("insurer name: greedy whitespace-spanning class, first-wins patterns") {
+    assert(one(insurerName(col("text")), "INSURER: ACME INS CO 9, ADMITTED") == "ACME INS CO 9")
+    // the class includes \s (and (?i) lowercases A-Z), so the capture runs
+    // across the newline until the comma
+    assert(one(insurerName(col("text")), "INSURING COMPANY: ZETA\nMUTUAL, x") == "ZETA\nMUTUAL")
+    assert(one(insurerName(col("text")), "COMPANY: OMEGA GROUP, y") == "OMEGA GROUP")
+    assert(one(insurerNaic(col("text")), "NAIC # A1230,") == "A1230")
+    assert(one(insurerNaic(col("text")), "NAIC NO. 5512,") == "5512")
+    assert(one(insurerNaic(col("text")), "NAIC: 9Q87,") == "9Q87")
+  }
+
+  test("WC excluded: gate + bare-keyword first match yields null (ref crashes)") {
+    assert(one(wcExcluded(col("text")), "WORKERS COMPENSATION\nMEMBER EXCLUDED: N") == "N")
+    // first alternation match is the captureless PROPRIETOR branch →
+    // group(1) empty → null (the reference raises AttributeError here)
+    assert(one(wcExcluded(col("text")), "COMPENSATION\nPROPRIETOR listed") == null)
+    // gate: no WORKERS/COMPENSATION → field absent even though the
+    // pattern would match
+    assert(one(wcExcluded(col("text")), "MEMBER EXCLUDED: Y") == null)
+  }
+
+  test("auto flags: substring semantics make OWNED true under NON-OWNED") {
+    val t = "AUTO coverage\nNON-OWNED AUTOS"
+    def flag(label: String, text: String): Boolean =
+      Seq(text).toDF("text").select(autoTypeFlag(col("text"), label))
+        .collect()(0).getBoolean(0)
+    assert(flag("NON-OWNED AUTOS", t) && flag("OWNED AUTOS", t))
+    assert(!flag("ANY AUTO", t) && !flag("HIRED AUTOS", t))
+    // a label always contains AUTO, so the gate can only be off when no
+    // label is present at all (faithful: `'AUTO' in content_upper`)
+    assert(!flag("ANY AUTO", "no vehicles mentioned"))
+  }
+
+  test("locations: pattern-major order, python strip, len>5, first-occurrence dedup") {
+    val t = "ADDRESS: 9 Oak Avenue\n\nLOCATION: 12 Main Street\n\nADDRESS: 9 Oak Avenue\n\nPROPERTY: x1\n"
+    val got = Seq(t).toDF("text").select(locations(col("text")).as("l"))
+      .collect()(0).getSeq[String](0)
+    // LOCATION pattern fires before ADDRESS (pattern-major), duplicate
+    // ADDRESS capture dedups to one, the len<=5 PROPERTY value drops
+    assert(got == Seq("12 Main Street", "9 Oak Avenue"))
+  }
+
+  test("occurrence-vs-claims-made precedence and holder family independence") {
+    assert(one(occurrenceOrClaimsMade(col("text")), "OCCUR and CLAIMS-MADE") == "Occurrence")
+    assert(one(occurrenceOrClaimsMade(col("text")), "CLAIMS-MADE only") == "Claims-Made")
+    assert(one(occurrenceOrClaimsMade(col("text")), "CLAIMS MADE spaced") == null)
+    val h = "CERTIFICATE HOLDER: City A\nADDITIONAL INSURED: Corp B\nLOSS PAYEE: Bank C\nMORTGAGEE: Trust D"
+    assert(one(certificateHolder(col("text")), h) == "City A")
+    assert(one(additionalInsured(col("text")), h) == "Corp B")
+    assert(one(lossPayee(col("text")), h) == "Bank C")
+    assert(one(mortgagee(col("text")), h) == "Trust D")
+  }
+
+  test("remaining tail fields: deductibles, operations, class, basis, remarks, cancellation") {
+    assert(one(propertyDeductibleFallback(col("text")), "DEDUCTIBLE: $ 2,500") == "2,500")
+    // alternation order: [0-9,]+ wins over [\d%]+ so the % is left behind
+    assert(one(windstormDeductible(col("text")), "WINDSTORM OR HAIL DEDUCTIBLE: 5%") == "5")
+    assert(one(descriptionOfOperations(col("text")),
+      "DESCRIPTION OF OPERATIONS: retail fuel\nstation 7\n\nnext") == "retail fuel\nstation 7")
+    assert(one(descriptionOfOperations(col("text")), "OPERATIONS: warehousing") == "warehousing")
+    assert(one(classification(col("text")), "CLASS: 0932 service") == "0932 service")
+    assert(one(premiumBasis(col("text")), "PREMIUM BASIS: gross sales") == "gross sales")
+    assert(one(remarks(col("text")), "REMARKS: a\nb\n\nc") == "a\nb")
+    assert(one(remarks(col("text")), "SPECIAL PROVISIONS: waiver") == "waiver")
+    assert(one(remarks(col("text")), "SPECIAL CONDITIONS: none") == "none")
+    assert(one(cancellationProvisions(col("text")), "CANCELLATION: 30 days\nnotice") == "30 days\nnotice")
+    assert(one(aggregateAppliesPerText(col("text")),
+      "AGGREGATE LIMIT APPLIES PER: POLICY X") == "POLICY X")
+    assert(one(aggregateAppliesPerText(col("text")),
+      "AGGREGATE APPLIES PER LOC") == "LOC")
+  }
 }
