@@ -161,7 +161,9 @@ object SparkEntry {
   /** Rendered marker documents shared by the qc_head_meta/content contract
     * queries: one page per (orderkey, linenumber), bodies derived from
     * partkeys, concatenated in page order behind PAGE marker blocks. */
-  private def qcHeadDocs(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, String)] = {
+  /** Per-(order, page) body rows shared by the qc_head_* queries (and
+    * replayed verbatim by their oracles). */
+  private def qcHeadPages(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, Int, String)] = {
     import s.implicits._
     rd(s, d, "lineitem")
       .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("page"))
@@ -173,6 +175,11 @@ object SparkEntry {
           when(pmod(col("pk"), lit(7)) === 0, lit(" see EXAMPLE calculation"))
             .otherwise(lit(""))).as("body"))
       .as[(Long, Int, String)]
+  }
+
+  private def qcHeadDocs(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import s.implicits._
+    qcHeadPages(s, d)
       .groupByKey(_._1)
       .mapGroups { (k: Long, it: Iterator[(Long, Int, String)]) =>
         val txt = it.toSeq.sortBy(_._2)
@@ -206,6 +213,72 @@ object SparkEntry {
           if (p % 3 == 0) spans += Span(Kind.Table, s"r1|$b\nr2|${b + 1}", null, p * 10 + 3)
         }
         Doc(k.toString, spans.toSeq, (k % 8).toInt)
+      }
+  }
+
+  /** Interleaved docs with media spans derived from lineitem (one doc per
+    * order): per page a caption text span plus a media span with ref
+    * `mm-<k>-<page>`; every 5th page's media span carries an EMPTY ref and
+    * must be dropped by the metadata stage's ref filter. Replaces the
+    * Synth-only corpus so the md5-replay oracles apply (round-3 VERDICT
+    * item 3). */
+  private def mediaDocs(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Doc] = {
+    import s.implicits._
+    import graft.model.{Kind, Span}
+    rd(s, d, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("p"))
+      .distinct()
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (k: Long, it: Iterator[(Long, Int)]) =>
+        val pages = it.map(_._2).toSeq.sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+        for (p <- pages) {
+          spans += Span(Kind.Text, s"caption $p of doc $k", "", p * 3)
+          spans += Span(Kind.Media, "",
+            if (p % 5 == 0) "" else s"mm-$k-$p", p * 3 + 1)
+        }
+        Doc(k.toString, spans.toSeq, (k % 8).toInt)
+      }
+  }
+
+  /** Two-source EP1 docs rendered from lineitem — the full-cascade corpus
+    * shared by ep1_oracle (batch) and stream_extract (same corpus through
+    * the checkpointed streaming job): per page an ocr span (with '###'
+    * gibberish, dollar amounts straddling the F1 bar, skip words, keywords,
+    * and doc-level padding flipping the A2 gate) and a text span. `maxKey`
+    * bounds the corpus for the streaming twin (replayed by the oracle's
+    * WHERE). */
+  private def ep1OracleDocs(s: SparkSession, d: String,
+      maxKey: Long = Long.MaxValue): org.apache.spark.sql.Dataset[Doc] = {
+    import s.implicits._
+    import graft.model.{Kind => MKind, Span => MSpan}
+    val pages = rd(s, d, "lineitem")
+      .filter(col("l_orderkey") <= maxKey)
+      .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("page"))
+      .agg(min("l_partkey").as("pk"), min("l_suppkey").as("sk"))
+    val rendered = pages.select(col("k"), col("page"),
+      when(pmod(col("pk"), lit(17)) === 0, lit("###"))
+        .otherwise(concat(lit("ocr page "), col("page").cast("string"),
+          lit(" of "), col("k").cast("string"),
+          lit(" limit $"), pmod(col("pk"), lit(400)).cast("string"),
+          when(pmod(col("pk"), lit(11)) === 0, lit(" loss payee noted")).otherwise(lit("")),
+          when(pmod(col("pk"), lit(7)) === 0, lit(" see EXAMPLE calculation")).otherwise(lit("")),
+          when(pmod(col("k"), lit(2)) === 0, repeat(lit(" pad"), 75)).otherwise(lit(""))))
+        .as("obody"),
+      concat(lit("text page "), col("page").cast("string"),
+        lit(" of "), col("k").cast("string"),
+        lit(" amount $"), pmod(col("sk"), lit(400)).cast("string"),
+        when(pmod(col("sk"), lit(13)) === 0, lit(" mortgagee listed")).otherwise(lit("")))
+        .as("tbody"))
+    rendered.as[(Long, Int, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (k: Long, it: Iterator[(Long, Int, String, String)]) =>
+        val spans = it.toSeq.sortBy(_._2).flatMap { case (_, pg, ob, tb) =>
+          Seq(MSpan(MKind.Ocr, graft.segment.PageSegmenter.renderMarker(pg) + ob, "", pg * 2),
+            MSpan(MKind.Text, graft.segment.PageSegmenter.renderMarker(pg) + tb, "", pg * 2 + 1))
+        }
+        Doc(k.toString, spans, (k % 8).toInt)
       }
   }
 
@@ -1664,42 +1737,21 @@ object SparkEntry {
       // '###' gibberish page, and doc-level padding that flips the A2
       // total-chars gate.
       import s.implicits._
-      import graft.model.{Doc => MDoc, Kind => MKind, Span => MSpan}
-      val pages = rd(s, d, "lineitem")
-        .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("page"))
-        .agg(min("l_partkey").as("pk"), min("l_suppkey").as("sk"))
-      val rendered = pages.select(col("k"), col("page"),
-        when(pmod(col("pk"), lit(17)) === 0, lit("###"))
-          .otherwise(concat(lit("ocr page "), col("page").cast("string"),
-            lit(" of "), col("k").cast("string"),
-            lit(" limit $"), pmod(col("pk"), lit(400)).cast("string"),
-            when(pmod(col("pk"), lit(11)) === 0, lit(" loss payee noted")).otherwise(lit("")),
-            when(pmod(col("pk"), lit(7)) === 0, lit(" see EXAMPLE calculation")).otherwise(lit("")),
-            when(pmod(col("k"), lit(2)) === 0, repeat(lit(" pad"), 75)).otherwise(lit(""))))
-          .as("obody"),
-        concat(lit("text page "), col("page").cast("string"),
-          lit(" of "), col("k").cast("string"),
-          lit(" amount $"), pmod(col("sk"), lit(400)).cast("string"),
-          when(pmod(col("sk"), lit(13)) === 0, lit(" mortgagee listed")).otherwise(lit("")))
-          .as("tbody"))
-      rendered.as[(Long, Int, String, String)]
-        .groupByKey(_._1)
-        .flatMapGroups { (k: Long, it: Iterator[(Long, Int, String, String)]) =>
-          val spans = it.toSeq.sortBy(_._2).flatMap { case (_, pg, ob, tb) =>
-            Seq(MSpan(MKind.Ocr, graft.segment.PageSegmenter.renderMarker(pg) + ob, "", pg * 2),
-              MSpan(MKind.Text, graft.segment.PageSegmenter.renderMarker(pg) + tb, "", pg * 2 + 1))
-          }
-          graft.pipeline.Ep1Core.process(MDoc(k.toString, spans, 0))
-            .map(sp => (k, sp.offset.toLong, sp.kind, sp.text)).iterator
+      ep1OracleDocs(s, d)
+        .flatMap { doc =>
+          graft.pipeline.Ep1Core.process(doc, graft.pipeline.Ep1Config())
+            .map(sp => (doc.doc_id.toLong, sp.offset.toLong, sp.kind, sp.text)).iterator
         }.toDF("k", "offset", "kind", "text")
     }),
 
     // ------------------------------------ engine-native (rows-only) -------
     "ep1_extract" -> ((s, _) => ep1Extract(s)),
 
-    "media_meta" -> ((s, _) => {
-      import s.implicits._
-      Media.extractMetadata(Synth.generate(s, 200, 8)).toDF()
+    "media_meta" -> ((s, d) => {
+      // metadata stage over interleaved docs (media-kind + non-empty-ref
+      // filter, per-partition batch decode) — refs derive from lineitem so
+      // the md5 stub math replays in SQL
+      Media.extractMetadata(mediaDocs(s, d)).toDF()
         .select(col("media_ref"), col("doc_id"), col("format"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -1773,19 +1825,17 @@ object SparkEntry {
           hex(col("feature")).as("feature_hex"))
     }),
 
-    "media_frames" -> ((s, _) => {
-      // deterministic frame sampling over the media metadata (decode is the
-      // documented stub; sampling/batching plumbing is real)
-      import s.implicits._
-      val meta = Media.extractMetadata(Synth.generate(s, 200, 8))
+    "media_frames" -> ((s, d) => {
+      // deterministic frame sampling over doc-derived media metadata
+      // (decode is the documented stub; sampling/batching plumbing is real)
+      val meta = Media.extractMetadata(mediaDocs(s, d))
       Media.sampleFrames(meta, 4).toDF()
         .select(col("media_ref"), col("frame_index").cast("long").as("frame_index"),
           hex(col("feature")).as("feature_hex"))
     }),
 
-    "media_resize" -> ((s, _) => {
-      import s.implicits._
-      val meta = Media.extractMetadata(Synth.generate(s, 200, 8))
+    "media_resize" -> ((s, d) => {
+      val meta = Media.extractMetadata(mediaDocs(s, d))
       Media.resize(meta, 256).toDF()
         .select(col("media_ref"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
@@ -1810,18 +1860,23 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
-    "stream_extract" -> ((s, _) => {
+    "stream_extract" -> ((s, d) => {
       // streaming EP1: same operator as batch, file source + AvailableNow
-      // trigger + checkpoint; result read back from the streamed sink
+      // trigger + checkpoint, over the ep1_oracle corpus bounded to
+      // l_orderkey <= 8000 — the DuckDB oracle replays the FULL cascade
+      // (shared SQL with ep1_oracle, bounded WHERE), so the streamed path
+      // is held to the same rows+schema+hash bar as the batch one
       import s.implicits._
-      val (in, out, ck) = streamDirs("stream-contract", "synth-40x2") { p =>
-        Synth.generate(s, 40, 2).toDF().write.mode("overwrite").parquet(p)
+      val (in, out, ck) = streamDirs("stream-contract", s"ep1docs-$d") { p =>
+        ep1OracleDocs(s, d, maxKey = 8000L).toDF()
+          .write.mode("overwrite").parquet(p)
       }
       graft.streaming.StreamJob.run(s, in, out, ck).awaitTermination()
       s.read.parquet(out)
         .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
-        .select(col("doc_id"), col("span.kind").as("kind"),
-          col("span.offset").cast("long").as("offset"))
+        .select(col("doc_id").cast("long").as("k"),
+          col("span.offset").cast("long").as("offset"),
+          col("span.kind").as("kind"), col("span.text").as("text"))
     }),
 
     "stream_dedup" -> ((s, d) => {
@@ -1913,22 +1968,24 @@ object SparkEntry {
     }),
 
     "stream_assemble" -> ((s, d) => {
-      // custom-state streaming (flatMapGroupsWithState): span events from
-      // lineitem arrive one-per-row; docs assemble and run EP1 when the
-      // watermark closes their session gap (sentinel doc a day later closes
-      // every regular gap). Rows-only: semantics are asserted against the
-      // batch kernel in StreamJobSpec.
+      // custom-state streaming (flatMapGroupsWithState): the ep1_oracle
+      // corpus (bounded to l_orderkey <= 2000) arrives one SPAN EVENT per
+      // row; docs assemble (sorted by offset — identical to the batch doc)
+      // and run EP1 when the watermark closes their session gap (sentinel
+      // doc a day later closes every regular gap, its own group never
+      // emits). Oracled: per-doc span counts replay through the shared
+      // EP1 cascade SQL; docs whose cascade output is empty emit n_spans=0.
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
       val base = 1767225600L
-      val events = rd(s, d, "lineitem").filter(col("l_orderkey") <= 2000)
-        .select(col("l_orderkey").cast("string").as("doc_id"),
-          (lit(base) + pmod(col("l_orderkey"), lit(3600))).cast("timestamp").as("event_time"),
-          lit("text").as("kind"),
-          concat(lit("\n" + "=" * 80 + "\nPAGE "), col("l_linenumber").cast("string"),
-            lit("\n" + "=" * 80 + "\nmortgagee item "),
-            col("l_partkey").cast("string")).as("text"),
-          lit("").as("media_ref"), col("l_linenumber").cast("int").as("offset"))
+      val events = ep1OracleDocs(s, d, maxKey = 2000L).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .select(col("doc_id"),
+          (lit(base) + pmod(col("doc_id").cast("long"), lit(3600)))
+            .cast("timestamp").as("event_time"),
+          col("span.kind").as("kind"), col("span.text").as("text"),
+          coalesce(col("span.media_ref"), lit("")).as("media_ref"),
+          col("span.offset").cast("int").as("offset"))
       val sentinel = s.range(1).select(lit("sentinel").as("doc_id"),
         lit(base + 86400L).cast("timestamp").as("event_time"), lit("text").as("kind"),
         lit("flush").as("text"), lit("").as("media_ref"), lit(0).as("offset"))
@@ -2044,10 +2101,25 @@ object SparkEntry {
         }.toDF("k", "coverage", "content", "found_kw")
     }),
 
-    "qc_head_sections" -> ((s, _) => {
-      // EP3 sectioning over marker-format renders of the synthetic corpus
+    "qc_head_sections" -> ((s, d) => {
+      // EP3 through the QcJob wrapper (fromSpans marker-flat assembly →
+      // run) over a SPAN table derived from lineitem: per page a text span
+      // holding marker+body (flat text ≡ qcHeadDocs by construction) plus
+      // a media span fromSpans must drop — oracled by the same cascade
+      // replay as qc_head_meta
       import s.implicits._
-      val flat = graft.pipeline.QcJob.fromSpans(s, Synth.generate(s, 120, 8).toDF())
+      import graft.model.{Kind, Span}
+      val docs = qcHeadPages(s, d)
+        .groupByKey(_._1)
+        .mapGroups { (k: Long, it: Iterator[(Long, Int, String)]) =>
+          val spans = it.toSeq.sortBy(_._2).flatMap { case (_, pg, b) =>
+            Seq(Span(Kind.Text,
+              graft.segment.PageSegmenter.renderMarker(pg) + b, "", pg * 2),
+              Span(Kind.Media, "", s"fig-$k-$pg", pg * 2 + 1))
+          }
+          Doc(k.toString, spans, (k % 8).toInt)
+        }
+      val flat = graft.pipeline.QcJob.fromSpans(s, docs.toDF())
       graft.pipeline.QcJob.run(flat)
         .toDF().select(col("doc_id"), col("coverage"), col("start_page").cast("long"),
           col("end_page").cast("long"), col("page_count").cast("long"), col("valid"))
@@ -2059,6 +2131,129 @@ object SparkEntry {
     * contract the SQL reads bare table names over the same parquet dir.
     * Every regexp_replace uses the 'g' flag (DuckDB default replaces only
     * the first match; Spark replaces all). */
+  /** The EP3 cascade replay shared by qc_head_meta and qc_head_sections:
+    * P1 boundaries arithmetically, F1 hits from the body construction,
+    * R1 islands, R7 start-page existence + match indexing, R5
+    * available-page end selection + warnings, R8 banner/chunk length
+    * assembly and A5's length validation — everything up to the per-doc
+    * `sec` relation; callers append their own final SELECT. */
+  private val qcHeadCascadeSql: String =
+    """WITH li AS (SELECT l_orderkey AS k, l_linenumber::INT AS page, min(l_partkey) AS pk
+      |  FROM lineitem GROUP BY 1, 2),
+      |b0 AS (SELECT k, page, pk,
+      |  'item page '||page||' of order '||k||' limit $'||(pk%400)||
+      |  (CASE WHEN pk%7=0 THEN ' see EXAMPLE calculation' ELSE '' END) AS body FROM li),
+      |c AS (SELECT k, page, pk, 169 + length(page::VARCHAR) + length(body) AS clen FROM b0),
+      |pos AS (SELECT k, page, pk, clen,
+      |  coalesce(sum(clen) OVER (PARTITION BY k ORDER BY page
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS cum,
+      |  sum(clen) OVER (PARTITION BY k) AS total FROM c),
+      |bound AS (SELECT k, page, pk, cum+1 AS cstart,
+      |  coalesce(lead(cum+1) OVER (PARTITION BY k ORDER BY page), total) AS cend FROM pos),
+      |hits AS (SELECT k, page FROM bound WHERE pk%7 <> 0 AND pk%400 >= 200),
+      |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM bound GROUP BY 1),
+      |r0 AS (SELECT DISTINCT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
+      |  FROM hits h JOIN dom d ON h.k=d.k),
+      |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM r0),
+      |g AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
+      |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |  CURRENT ROW) AS grp FROM w),
+      |ranges AS (SELECT k, min(s) AS s, max(e) AS e FROM g GROUP BY k, grp),
+      |-- range validity via an INNER JOIN on bound's unique (k,page) key,
+      |-- NOT `WHERE EXISTS`: DuckDB's correlated-EXISTS decorrelation can
+      |-- nondeterministically DUPLICATE the outer row under parallel
+      |-- execution (observed ~30% of runs at sf0.1), which doubled a
+      |-- section downstream; the join is 1:1 by construction
+      |m0 AS (SELECT r.k, r.s, r.e, (r.e - r.s + 1) AS n_req FROM ranges r
+      |  JOIN bound b ON b.k = r.k AND b.page = r.s),
+      |m AS (SELECT k, s, e, n_req, row_number() OVER (PARTITION BY k ORDER BY s) AS idx FROM m0),
+      |avail AS (SELECT m.k, m.idx, m.s, m.n_req, b.page, b.cend,
+      |  row_number() OVER (PARTITION BY m.k, m.idx ORDER BY b.page) AS arn,
+      |  count(*) OVER (PARTITION BY m.k, m.idx) AS cnt
+      |  FROM m JOIN bound b ON b.k = m.k AND b.page >= m.s),
+      |ends AS (SELECT k, idx, s, n_req, cnt,
+      |  max(CASE WHEN arn = least(cnt, n_req) THEN page END) AS end_page,
+      |  max(CASE WHEN arn = least(cnt, n_req) THEN cend END) AS end_char
+      |  FROM avail GROUP BY 1, 2, 3, 4, 5),
+      |ml AS (SELECT e.k, e.idx, e.s AS start_page, e.end_page,
+      |  least(e.cnt, e.n_req) AS pcount,
+      |  CASE WHEN e.cnt < e.n_req THEN 1 ELSE 0 END AS warn,
+      |  bs.cstart AS start_char, e.end_char,
+      |  180 + length(e.idx::VARCHAR) + length(e.s::VARCHAR) AS banner_len
+      |  FROM ends e JOIN bound bs ON bs.k=e.k AND bs.page=e.s),
+      |sec AS (SELECT k, min(start_page) AS sp, max(end_page) AS ep,
+      |  sum(pcount) AS pc, sum(banner_len + (end_char - start_char)) AS cl,
+      |  sum(warn) AS nw
+      |  FROM ml WHERE end_char > start_char GROUP BY k)""".stripMargin
+
+  /** Full EP1 cascade replay shared by ep1_oracle (batch) and
+    * stream_extract (streamed, bounded corpus): body construction → A2 gate
+    * (gibberish count + total chars) → per-kind F1∨F2 hits → islands merge
+    * → R4 endpoint drop + slice → union → per-source placeholder interleave
+    * → offset renumber. Span text compared verbatim. `where` bounds the
+    * lineitem scan (empty for the full corpus). */
+  private def ep1CascadeSql(where: String): String =
+    s"""WITH li AS (SELECT l_orderkey AS k, l_linenumber::INT AS page,
+      |  min(l_partkey) AS pk, min(l_suppkey) AS sk FROM lineitem $where GROUP BY 1, 2),
+      |b AS (SELECT k, page, pk, sk,
+      |  CASE WHEN pk%17=0 THEN '###' ELSE
+      |    'ocr page '||page||' of '||k||' limit $$'||(pk%400)||
+      |    (CASE WHEN pk%11=0 THEN ' loss payee noted' ELSE '' END)||
+      |    (CASE WHEN pk%7=0 THEN ' see EXAMPLE calculation' ELSE '' END)||
+      |    (CASE WHEN k%2=0 THEN repeat(' pad', 75) ELSE '' END)
+      |  END AS obody,
+      |  'text page '||page||' of '||k||' amount $$'||(sk%400)||
+      |    (CASE WHEN sk%13=0 THEN ' mortgagee listed' ELSE '' END) AS tbody
+      |  FROM li),
+      |gate AS (SELECT k,
+      |  (count(CASE WHEN pk%17=0 THEN 1 END)::DOUBLE / count(*) > 0.5
+      |   OR sum(length(obody)) < 1000) AS drop_ocr FROM b GROUP BY 1),
+      |oh AS (SELECT b.k, b.page FROM b JOIN gate g ON b.k=g.k
+      |  WHERE NOT g.drop_ocr AND pk%17<>0 AND ((pk%7<>0 AND pk%400>=200) OR pk%11=0)),
+      |th AS (SELECT k, page FROM b WHERE (sk%400>=200) OR sk%13=0),
+      |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM b GROUP BY 1),
+      |or0 AS (SELECT DISTINCT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
+      |  FROM oh h JOIN dom d ON h.k=d.k),
+      |ow AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM or0),
+      |og AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
+      |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM ow),
+      |oranges AS (SELECT k, min(s) AS s, max(e) AS e FROM og GROUP BY k, grp),
+      |ovalid AS (SELECT r.* FROM oranges r
+      |  WHERE EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.s)
+      |    AND EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.e)),
+      |okept AS (SELECT DISTINCT b.k, b.page FROM b JOIN ovalid v ON b.k=v.k
+      |  AND b.page BETWEEN v.s AND v.e),
+      |tr0 AS (SELECT DISTINCT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
+      |  FROM th h JOIN dom d ON h.k=d.k),
+      |tw AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM tr0),
+      |tg AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
+      |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM tw),
+      |tranges AS (SELECT k, min(s) AS s, max(e) AS e FROM tg GROUP BY k, grp),
+      |tvalid AS (SELECT r.* FROM tranges r
+      |  WHERE EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.s)
+      |    AND EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.e)),
+      |tkept AS (SELECT DISTINCT b.k, b.page FROM b JOIN tvalid v ON b.k=v.k
+      |  AND b.page BETWEEN v.s AND v.e),
+      |union_ AS (SELECT k, page FROM okept UNION SELECT k, page FROM tkept),
+      |rows_ AS (
+      |  SELECT u.k, u.page, 0 AS rnk, 'ocr' AS kind,
+      |    CASE WHEN ok.page IS NOT NULL THEN b.obody
+      |      ELSE '[Page not found in ocr extraction]' END AS text
+      |  FROM union_ u JOIN b ON b.k=u.k AND b.page=u.page
+      |  LEFT JOIN okept ok ON ok.k=u.k AND ok.page=u.page
+      |  UNION ALL
+      |  SELECT u.k, u.page, 1, 'text',
+      |    CASE WHEN tk.page IS NOT NULL THEN b.tbody
+      |      ELSE '[Page not found in text extraction]' END
+      |  FROM union_ u JOIN b ON b.k=u.k AND b.page=u.page
+      |  LEFT JOIN tkept tk ON tk.k=u.k AND tk.page=u.page)
+      |SELECT k, (row_number() OVER (PARTITION BY k ORDER BY page, rnk) - 1)::BIGINT AS "offset",
+      |  kind, text
+      |FROM rows_""".stripMargin
+
   def oracleSql: Map[String, String] = {
     // shared fragments (kept in lockstep with the Spark derivations above)
     val docText =
@@ -3975,66 +4170,24 @@ object SparkEntry {
       // total chars) → per-kind F1∨F2 hits → islands merge → R4 endpoint
       // drop + slice → union → per-source placeholder interleave → offset
       // renumber. Span text compared verbatim.
-      "ep1_oracle" ->
-        """WITH li AS (SELECT l_orderkey AS k, l_linenumber::INT AS page,
-          |  min(l_partkey) AS pk, min(l_suppkey) AS sk FROM lineitem GROUP BY 1, 2),
-          |b AS (SELECT k, page, pk, sk,
-          |  CASE WHEN pk%17=0 THEN '###' ELSE
-          |    'ocr page '||page||' of '||k||' limit $'||(pk%400)||
-          |    (CASE WHEN pk%11=0 THEN ' loss payee noted' ELSE '' END)||
-          |    (CASE WHEN pk%7=0 THEN ' see EXAMPLE calculation' ELSE '' END)||
-          |    (CASE WHEN k%2=0 THEN repeat(' pad', 75) ELSE '' END)
-          |  END AS obody,
-          |  'text page '||page||' of '||k||' amount $'||(sk%400)||
-          |    (CASE WHEN sk%13=0 THEN ' mortgagee listed' ELSE '' END) AS tbody
-          |  FROM li),
-          |gate AS (SELECT k,
-          |  (count(CASE WHEN pk%17=0 THEN 1 END)::DOUBLE / count(*) > 0.5
-          |   OR sum(length(obody)) < 1000) AS drop_ocr FROM b GROUP BY 1),
-          |oh AS (SELECT b.k, b.page FROM b JOIN gate g ON b.k=g.k
-          |  WHERE NOT g.drop_ocr AND pk%17<>0 AND ((pk%7<>0 AND pk%400>=200) OR pk%11=0)),
-          |th AS (SELECT k, page FROM b WHERE (sk%400>=200) OR sk%13=0),
-          |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM b GROUP BY 1),
-          |or0 AS (SELECT DISTINCT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
-          |  FROM oh h JOIN dom d ON h.k=d.k),
-          |ow AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM or0),
-          |og AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
-          |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM ow),
-          |oranges AS (SELECT k, min(s) AS s, max(e) AS e FROM og GROUP BY k, grp),
-          |ovalid AS (SELECT r.* FROM oranges r
-          |  WHERE EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.s)
-          |    AND EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.e)),
-          |okept AS (SELECT DISTINCT b.k, b.page FROM b JOIN ovalid v ON b.k=v.k
-          |  AND b.page BETWEEN v.s AND v.e),
-          |tr0 AS (SELECT DISTINCT h.k, greatest(d.mn,h.page-1) AS s, least(d.mx,h.page+1) AS e
-          |  FROM th h JOIN dom d ON h.k=d.k),
-          |tw AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM tr0),
-          |tg AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
-          |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM tw),
-          |tranges AS (SELECT k, min(s) AS s, max(e) AS e FROM tg GROUP BY k, grp),
-          |tvalid AS (SELECT r.* FROM tranges r
-          |  WHERE EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.s)
-          |    AND EXISTS(SELECT 1 FROM b WHERE b.k=r.k AND b.page=r.e)),
-          |tkept AS (SELECT DISTINCT b.k, b.page FROM b JOIN tvalid v ON b.k=v.k
-          |  AND b.page BETWEEN v.s AND v.e),
-          |union_ AS (SELECT k, page FROM okept UNION SELECT k, page FROM tkept),
-          |rows_ AS (
-          |  SELECT u.k, u.page, 0 AS rnk, 'ocr' AS kind,
-          |    CASE WHEN ok.page IS NOT NULL THEN b.obody
-          |      ELSE '[Page not found in ocr extraction]' END AS text
-          |  FROM union_ u JOIN b ON b.k=u.k AND b.page=u.page
-          |  LEFT JOIN okept ok ON ok.k=u.k AND ok.page=u.page
-          |  UNION ALL
-          |  SELECT u.k, u.page, 1, 'text',
-          |    CASE WHEN tk.page IS NOT NULL THEN b.tbody
-          |      ELSE '[Page not found in text extraction]' END
-          |  FROM union_ u JOIN b ON b.k=u.k AND b.page=u.page
-          |  LEFT JOIN tkept tk ON tk.k=u.k AND tk.page=u.page)
-          |SELECT k, (row_number() OVER (PARTITION BY k ORDER BY page, rnk) - 1)::BIGINT AS "offset",
-          |  kind, text
-          |FROM rows_""".stripMargin,
+      "ep1_oracle" -> ep1CascadeSql(""),
+
+      // the streamed EP1 path over the bounded corpus: identical cascade
+      // replay, bounded WHERE
+      "stream_extract" -> ep1CascadeSql("WHERE l_orderkey <= 8000"),
+
+      // the custom-state assembly path: assembled docs ≡ batch docs (spans
+      // sorted by offset), so the per-doc span COUNT replays through the
+      // same cascade; docs whose cascade output is empty emit n_spans=0
+      // (left join), and the sentinel doc never emits at all
+      "stream_assemble" ->
+        (s"""WITH spansq AS (
+           |${ep1CascadeSql("WHERE l_orderkey <= 2000")}
+           |)
+           |SELECT d.k::VARCHAR AS doc_id, coalesce(c.n, 0)::BIGINT AS n_spans
+           |FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey <= 2000) d
+           |LEFT JOIN (SELECT k, count(*) AS n FROM spansq GROUP BY 1) c ON d.k = c.k""".stripMargin),
+
 
       // Real-decode replay: Spark runs synth pixels → PNG encode → ImageIO
       // decode → pixel scan; the oracle computes the identical channel sums
@@ -4115,6 +4268,57 @@ object SparkEntry {
           |  (CASE WHEN long_ <= 256 THEN height ELSE greatest(1, (height*256)//long_) END)::BIGINT AS rs_height
           |FROM m2""".stripMargin,
 
+      // doc-derived media corpus (mediaDocs): refs mm-<k>-<p> for every
+      // distinct (order, line) with p%5<>0 (the %5==0 media spans carry an
+      // empty ref and the metadata stage must drop them) — same md5 stub
+      // replay as media_stub_meta
+      "media_meta" ->
+        """WITH pg AS (SELECT DISTINCT l_orderkey AS k, l_linenumber::INT AS p
+          |  FROM lineitem WHERE l_linenumber%5 <> 0),
+          |r AS (SELECT 'mm-'||k||'-'||p AS media_ref, k::VARCHAR AS doc_id,
+          |  md5('mm-'||k||'-'||p) AS h FROM pg),
+          |d AS (SELECT media_ref, doc_id,
+          |  ('0x'||substr(h,1,2))::INT AS d0, ('0x'||substr(h,3,2))::INT AS d1,
+          |  ('0x'||substr(h,5,2))::INT AS d2, ('0x'||substr(h,7,2))::INT AS d3 FROM r),
+          |m AS (SELECT media_ref, doc_id,
+          |  (['jpeg','png','webp','mp4'])[(d0%4)+1] AS format,
+          |  (64 + d1*8)::BIGINT AS width, (64 + d2*8)::BIGINT AS height, d3 FROM d)
+          |SELECT media_ref, doc_id, format, width, height,
+          |  (CASE WHEN format='mp4' THEN 1 + (d3%32) ELSE 1 END)::BIGINT AS n_frames
+          |FROM m""".stripMargin,
+
+      "media_frames" ->
+        """WITH pg AS (SELECT DISTINCT l_orderkey AS k, l_linenumber::INT AS p
+          |  FROM lineitem WHERE l_linenumber%5 <> 0),
+          |r AS (SELECT 'mm-'||k||'-'||p AS media_ref, md5('mm-'||k||'-'||p) AS h FROM pg),
+          |d AS (SELECT media_ref,
+          |  ('0x'||substr(h,1,2))::INT AS d0, ('0x'||substr(h,7,2))::INT AS d3 FROM r),
+          |m AS (SELECT media_ref,
+          |  CASE WHEN (['jpeg','png','webp','mp4'])[(d0%4)+1]='mp4' THEN 1 + (d3%32) ELSE 1 END AS nf
+          |  FROM d),
+          |n AS (SELECT media_ref, nf, least(4, nf) AS n FROM m),
+          |f AS (SELECT media_ref, nf, n, unnest(range(n)) AS i FROM n),
+          |idx AS (SELECT media_ref,
+          |  (CASE WHEN n=1 THEN 0 ELSE (i*(nf-1))//(n-1) END)::BIGINT AS frame_index
+          |  FROM f)
+          |SELECT media_ref, frame_index,
+          |  upper(substr(md5(media_ref||'#'||frame_index),1,16)) AS feature_hex
+          |FROM idx""".stripMargin,
+
+      "media_resize" ->
+        """WITH pg AS (SELECT DISTINCT l_orderkey AS k, l_linenumber::INT AS p
+          |  FROM lineitem WHERE l_linenumber%5 <> 0),
+          |r AS (SELECT 'mm-'||k||'-'||p AS media_ref, md5('mm-'||k||'-'||p) AS h FROM pg),
+          |d AS (SELECT media_ref,
+          |  ('0x'||substr(h,3,2))::INT AS d1, ('0x'||substr(h,5,2))::INT AS d2 FROM r),
+          |m AS (SELECT media_ref, (64 + d1*8)::BIGINT AS width,
+          |  (64 + d2*8)::BIGINT AS height FROM d),
+          |m2 AS (SELECT media_ref, width, height, greatest(width, height) AS long_ FROM m)
+          |SELECT media_ref,
+          |  (CASE WHEN long_ <= 256 THEN width ELSE greatest(1, (width*256)//long_) END)::BIGINT AS width,
+          |  (CASE WHEN long_ <= 256 THEN height ELSE greatest(1, (height*256)//long_) END)::BIGINT AS height
+          |FROM m2""".stripMargin,
+
       // Frame sampling replay: n = min(4, n_frames); evenly spaced integer
       // indices; feature = first 8 bytes of md5(ref#idx), upper-hex.
       "media_stub_frames" ->
@@ -4163,59 +4367,21 @@ object SparkEntry {
       // R7 start-page existence + match indexing, R5 available-page end
       // selection + warnings, R8 banner/chunk length assembly and A5's
       // length validation.
-      "qc_head_meta" ->
-        """WITH li AS (SELECT l_orderkey AS k, l_linenumber::INT AS page, min(l_partkey) AS pk
-          |  FROM lineitem GROUP BY 1, 2),
-          |b0 AS (SELECT k, page, pk,
-          |  'item page '||page||' of order '||k||' limit $'||(pk%400)||
-          |  (CASE WHEN pk%7=0 THEN ' see EXAMPLE calculation' ELSE '' END) AS body FROM li),
-          |c AS (SELECT k, page, pk, 169 + length(page::VARCHAR) + length(body) AS clen FROM b0),
-          |pos AS (SELECT k, page, pk, clen,
-          |  coalesce(sum(clen) OVER (PARTITION BY k ORDER BY page
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS cum,
-          |  sum(clen) OVER (PARTITION BY k) AS total FROM c),
-          |bound AS (SELECT k, page, pk, cum+1 AS cstart,
-          |  coalesce(lead(cum+1) OVER (PARTITION BY k ORDER BY page), total) AS cend FROM pos),
-          |hits AS (SELECT k, page FROM bound WHERE pk%7 <> 0 AND pk%400 >= 200),
-          |dom AS (SELECT k, min(page) AS mn, max(page) AS mx FROM bound GROUP BY 1),
-          |r0 AS (SELECT DISTINCT h.k, greatest(d.mn, h.page-1) AS s, least(d.mx, h.page+1) AS e
-          |  FROM hits h JOIN dom d ON h.k=d.k),
-          |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM r0),
-          |g AS (SELECT k, s, e, sum(CASE WHEN pe IS NULL OR s > pe+1 THEN 1 ELSE 0 END)
-          |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
-          |  CURRENT ROW) AS grp FROM w),
-          |ranges AS (SELECT k, min(s) AS s, max(e) AS e FROM g GROUP BY k, grp),
-          |-- range validity via an INNER JOIN on bound's unique (k,page) key,
-          |-- NOT `WHERE EXISTS`: DuckDB's correlated-EXISTS decorrelation can
-          |-- nondeterministically DUPLICATE the outer row under parallel
-          |-- execution (observed ~30% of runs at sf0.1), which doubled a
-          |-- section downstream; the join is 1:1 by construction
-          |m0 AS (SELECT r.k, r.s, r.e, (r.e - r.s + 1) AS n_req FROM ranges r
-          |  JOIN bound b ON b.k = r.k AND b.page = r.s),
-          |m AS (SELECT k, s, e, n_req, row_number() OVER (PARTITION BY k ORDER BY s) AS idx FROM m0),
-          |avail AS (SELECT m.k, m.idx, m.s, m.n_req, b.page, b.cend,
-          |  row_number() OVER (PARTITION BY m.k, m.idx ORDER BY b.page) AS arn,
-          |  count(*) OVER (PARTITION BY m.k, m.idx) AS cnt
-          |  FROM m JOIN bound b ON b.k = m.k AND b.page >= m.s),
-          |ends AS (SELECT k, idx, s, n_req, cnt,
-          |  max(CASE WHEN arn = least(cnt, n_req) THEN page END) AS end_page,
-          |  max(CASE WHEN arn = least(cnt, n_req) THEN cend END) AS end_char
-          |  FROM avail GROUP BY 1, 2, 3, 4, 5),
-          |ml AS (SELECT e.k, e.idx, e.s AS start_page, e.end_page,
-          |  least(e.cnt, e.n_req) AS pcount,
-          |  CASE WHEN e.cnt < e.n_req THEN 1 ELSE 0 END AS warn,
-          |  bs.cstart AS start_char, e.end_char,
-          |  180 + length(e.idx::VARCHAR) + length(e.s::VARCHAR) AS banner_len
-          |  FROM ends e JOIN bound bs ON bs.k=e.k AND bs.page=e.s),
-          |sec AS (SELECT k, min(start_page) AS sp, max(end_page) AS ep,
-          |  sum(pcount) AS pc, sum(banner_len + (end_char - start_char)) AS cl,
-          |  sum(warn) AS nw
-          |  FROM ml WHERE end_char > start_char GROUP BY k)
+      "qc_head_meta" -> (qcHeadCascadeSql +
+        """
           |SELECT k, cov AS coverage, sp::BIGINT AS start_page, ep::BIGINT AS end_page,
           |  pc::BIGINT AS page_count, cl::BIGINT AS content_len,
           |  cl > 100 AS valid, nw::BIGINT AS n_warnings
-          |FROM sec, unnest(['GL','PROPERTY']) AS t(cov)""".stripMargin,
+          |FROM sec, unnest(['GL','PROPERTY']) AS t(cov)""".stripMargin),
+
+      // same cascade through the QcJob wrapper (fromSpans assembly → run):
+      // the span corpus renders to the identical flat text, so the replay
+      // differs only in the projected columns
+      "qc_head_sections" -> (qcHeadCascadeSql +
+        """
+          |SELECT k::VARCHAR AS doc_id, cov AS coverage, sp::BIGINT AS start_page,
+          |  ep::BIGINT AS end_page, pc::BIGINT AS page_count, cl > 100 AS valid
+          |FROM sec, unnest(['GL','PROPERTY']) AS t(cov)""".stripMargin),
 
       // verbatim R8 section text: same cascade as qc_head_meta, but instead
       // of arithmetic lengths the oracle REBUILDS the assembled string —
