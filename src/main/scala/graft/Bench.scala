@@ -112,8 +112,15 @@ object Bench {
         math.max(1L << 20, totalBytes / (cores * 2L)).toString)
       val sec = (1 to repeats).map { _ =>
         time {
-          val docs = spark.read.parquet(dir.toString).as[graft.model.Doc]
-          countSpans(ExtractJob.runTyped(docs, Ep1Config()))
+          // row-based read path (ExtractJob.runRows): parquet scan rows in,
+          // rows out — no Dataset[Doc] encoder round-trip; span counting
+          // stays row-based for the same reason
+          val out = ExtractJob.runRows(spark.read.parquet(dir.toString), Ep1Config())
+          val iSpans = out.schema.fieldIndex("spans")
+          out.mapPartitions(it => Iterator.single(
+            it.map(_.getSeq[org.apache.spark.sql.Row](iSpans).size.toLong).sum))(
+            org.apache.spark.sql.Encoders.scalaLong)
+            .reduce(_ + _)
         }
       }.min
       (sec, nDocs / sec)

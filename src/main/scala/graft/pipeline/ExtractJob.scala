@@ -34,6 +34,56 @@ object ExtractJob {
     docs.mapPartitions(_.map(d => Doc(d.doc_id, Ep1Core.process(d, cfg), d.partition_id)))
   }
 
+  /** Row-based twin of [[runTyped]] for the parquet read path: span structs
+    * decode straight off the scan rows and results emit through
+    * `Encoders.row` — no `Dataset[Doc]` encoder round-trip, whose
+    * object-graph materialization BASELINE.md measures at 3-20x the kernel
+    * cost at 32 threads. Column positions are resolved from the actual
+    * schema once, extra columns pass through untouched; output schema ==
+    * input schema. Equality with [[runTyped]] is asserted in
+    * Ep1PipelineSpec. */
+  def runRows(docs: DataFrame, cfg: Ep1Config = Ep1Config()): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val schema = docs.schema
+    val iDoc = schema.fieldIndex("doc_id")
+    val iSpans = schema.fieldIndex("spans")
+    val spanType = schema(iSpans).dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val iKind = spanType.fieldIndex("kind")
+    val iText = spanType.fieldIndex("text")
+    val iRef = spanType.fieldIndex("media_ref")
+    val iOff = spanType.fieldIndex("offset")
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val spanRows = r.getSeq[Row](iSpans)
+        val spans = new Array[graft.model.Span](spanRows.length)
+        var i = 0
+        val srIt = spanRows.iterator
+        while (srIt.hasNext) {
+          val sr = srIt.next()
+          spans(i) = graft.model.Span(sr.getString(iKind), sr.getString(iText),
+            sr.getString(iRef), sr.getInt(iOff))
+          i += 1
+        }
+        val out = Ep1Core.process(
+          Doc(r.getString(iDoc),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(spans), 0), cfg)
+        val outSpans = out.map { s =>
+          val vals = new Array[Any](spanType.length)
+          vals(iKind) = s.kind; vals(iText) = s.text
+          vals(iRef) = s.media_ref; vals(iOff) = s.offset
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+        val values = new Array[Any](r.length)
+        var j = 0
+        while (j < r.length) { values(j) = r.get(j); j += 1 }
+        values(iSpans) = outSpans
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Declarative Catalyst form of the same semantics. */
   def runExploded(docs: DataFrame, cfg: Ep1Config = Ep1Config()): DataFrame = {
     val spark = docs.sparkSession
@@ -168,9 +218,9 @@ object ExtractJob {
       val docs = graft.io.Skew.rebalanceBySize(
         input.filter(col("partition_id").isin(batch: _*)),
         size(col("spans")), col("doc_id"), shufflePartitions)
-        .as[Doc]
-      val out = runTyped(docs, cfg)
-      val outDf = out.toDF().cache()
+      // row-based path: the job reads parquet, so the Doc-encoder
+      // round-trip would be pure overhead here (see runRows scaladoc)
+      val outDf = runRows(docs, cfg).cache()
       TableIO.writePartitioned(outDf, outputPath)
       val stats = outDf.groupBy("partition_id")
         .agg(count(lit(1)).as("docs"), sum(size(col("spans"))).as("spans"))

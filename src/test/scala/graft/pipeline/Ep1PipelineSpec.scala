@@ -129,6 +129,30 @@ class Ep1PipelineSpec extends SparkTestBase {
       assert(d.spans == typed(d.doc_id), s"doc ${d.doc_id} diverged")
   }
 
+  test("row-based read path (runRows) equals the typed pipeline, incl. after parquet") {
+    import spark.implicits._
+    val docs = Synth.generate(spark, 120, nPartitions = 8)
+    val typed = ExtractJob.runTyped(docs).collect().map(d => d.doc_id -> d.spans).toMap
+    // direct DataFrame path
+    val direct = ExtractJob.runRows(docs.toDF()).as[Doc].collect()
+    assert(direct.length == 120)
+    for (d <- direct) assert(d.spans == typed(d.doc_id), s"doc ${d.doc_id} diverged (direct)")
+    // through a real parquet round-trip (the production read shape), with a
+    // carried extra column passing through untouched
+    val dir = Files.createTempDirectory("ep1-rows").toString
+    docs.toDF().withColumn("extra",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x-"),
+        org.apache.spark.sql.functions.col("doc_id")))
+      .write.mode("overwrite").parquet(dir)
+    val rt = ExtractJob.runRows(spark.read.parquet(dir))
+    val extras = rt.select("doc_id", "extra").as[(String, String)].collect()
+    assert(extras.forall { case (id, e) => e == s"x-$id" })
+    val rtDocs = rt.drop("extra").as[Doc].collect()
+    assert(rtDocs.length == 120)
+    for (d <- rtDocs) assert(d.spans == typed(d.doc_id), s"doc ${d.doc_id} diverged (parquet)")
+  }
+
   // --------------------------------------------- lineage + resume (J7) -----
   test("runJob commits lineage per partition and resumes idempotently") {
     import spark.implicits._
