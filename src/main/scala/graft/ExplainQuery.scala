@@ -25,8 +25,8 @@ object ExplainQuery {
     // so a bare plan sweep stays side-effect-free and fast
     val eagerConstructors =
       Set("stream_extract", "stream_window", "stream_assemble", "stream_dedup",
-        "stream_domstrip", "minhash_dups", "bpe_merges", "bpe_segment",
-        "cms_freq", "bloom_dedup", "ingest_e2e", "pq_topk")
+        "stream_domstrip", "minhash_dups", "bpe_merges", "bpe_segment", "bpe_batch",
+        "cms_freq", "bloom_dedup", "ingest_e2e", "pq_topk", "pagerank_dangling")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

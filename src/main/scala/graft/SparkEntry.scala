@@ -1585,6 +1585,20 @@ object SparkEntry {
         .toDF("round", "lhs", "rhs", "pair_count")
     }),
 
+    // Batched BPE trainer (Bpe.trainMergesBatched): same 3 rules, but the
+    // driver collects a candidate WINDOW per round and applies the longest
+    // safe prefix as one batch — the production path for 30k-merge vocabs
+    // (hundreds of driver rounds, not 30k). Oracle = the sequential replay:
+    // batching is only correct if it is rule-for-rule sequential.
+    "bpe_batch" -> ((s, d) => {
+      import s.implicits._
+      val (batches, vocabDf) =
+        graft.text.Bpe.trainMergesBatched(rd(s, d, "documents"), "text", k = 3)
+      vocabDf.unpersist()
+      batches.flatten.map(m => (m.round.toLong, m.lhs, m.rhs, m.pairCount))
+        .toDF("round", "lhs", "rhs", "pair_count")
+    }),
+
     // The segmented vocab after those 3 merges: top-50 words by frequency
     // with their symbol sequences — a wrong rule anywhere upstream changes
     // the segmentation and breaks parity.
@@ -1629,6 +1643,18 @@ object SparkEntry {
           pmod(col("l_orderkey"), lit(500)).as("src"),
           pmod(col("l_partkey"), lit(500)).as("dst")),
         "src", "dst", iters = 3)
+    }),
+
+    // standard dangling-mass treatment (redistributeDangling = true): the
+    // %700 dst space makes nodes 500-699 destination-only, so real dangling
+    // mass exists and each iteration's (Σ dangling rank) div N lands in
+    // every node's inflow — the oracle replays the three redistributions
+    "pagerank_dangling" -> ((s, d) => {
+      graft.graph.PageRank.ranks(
+        rd(s, d, "lineitem").select(
+          pmod(col("l_orderkey"), lit(500)).as("src"),
+          pmod(col("l_partkey"), lit(700)).as("dst")),
+        "src", "dst", iters = 3, redistributeDangling = true)
     }),
 
     "pq_topk" -> ((s, d) => {
@@ -2313,6 +2339,32 @@ object SparkEntry {
         |  OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
         |  CURRENT ROW) AS grp FROM w)
         |SELECT k, min(s) AS range_start, max(e) AS range_end FROM g GROUP BY k, grp""".stripMargin
+    // sequential BPE replay — shared by bpe_merges AND bpe_batch (the
+    // batched trainer is rule-for-rule identical by construction)
+    val bpeMergesSql =
+      s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS w FROM documents),
+         |v0 AS (SELECT w AS word, count(*) AS cnt,
+         |  list_filter(string_split(w, ''), x -> x <> '') AS syms FROM tok GROUP BY 1),
+         |p1 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
+         |  FROM v0, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+         |b1 AS (SELECT l, r, pc FROM p1 ORDER BY pc DESC, l, r LIMIT 1),
+         |v1 AS (SELECT word, cnt,
+         |  regexp_extract_all(replace('['||array_to_string(syms,'][')||']',
+         |    '['||b1.l||']['||b1.r||']', '['||b1.l||b1.r||']'), '\\[([^\\]]*)\\]', 1) AS syms
+         |  FROM v0, b1),
+         |p2 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
+         |  FROM v1, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+         |b2 AS (SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 1),
+         |v2 AS (SELECT word, cnt,
+         |  regexp_extract_all(replace('['||array_to_string(syms,'][')||']',
+         |    '['||b2.l||']['||b2.r||']', '['||b2.l||b2.r||']'), '\\[([^\\]]*)\\]', 1) AS syms
+         |  FROM v1, b2),
+         |p3 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
+         |  FROM v2, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+         |b3 AS (SELECT l, r, pc FROM p3 ORDER BY pc DESC, l, r LIMIT 1)
+         |SELECT 1::BIGINT AS round, l AS lhs, r AS rhs, pc::BIGINT AS pair_count FROM b1
+         |UNION ALL SELECT 2::BIGINT, l, r, pc::BIGINT FROM b2
+         |UNION ALL SELECT 3::BIGINT, l, r, pc::BIGINT FROM b3""".stripMargin
 
     Map(
       "q1_agg" ->
@@ -3809,30 +3861,13 @@ object SparkEntry {
       // BPE replay: vocab → 3 unrolled (pair-count → argmax → wrapped-
       // replace merge) rounds; replace over [sym][sym] encodings is exactly
       // the canonical greedy left-to-right merge
-      "bpe_merges" ->
-        s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS w FROM documents),
-           |v0 AS (SELECT w AS word, count(*) AS cnt,
-           |  list_filter(string_split(w, ''), x -> x <> '') AS syms FROM tok GROUP BY 1),
-           |p1 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
-           |  FROM v0, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
-           |b1 AS (SELECT l, r, pc FROM p1 ORDER BY pc DESC, l, r LIMIT 1),
-           |v1 AS (SELECT word, cnt,
-           |  regexp_extract_all(replace('['||array_to_string(syms,'][')||']',
-           |    '['||b1.l||']['||b1.r||']', '['||b1.l||b1.r||']'), '\\[([^\\]]*)\\]', 1) AS syms
-           |  FROM v0, b1),
-           |p2 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
-           |  FROM v1, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
-           |b2 AS (SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 1),
-           |v2 AS (SELECT word, cnt,
-           |  regexp_extract_all(replace('['||array_to_string(syms,'][')||']',
-           |    '['||b2.l||']['||b2.r||']', '['||b2.l||b2.r||']'), '\\[([^\\]]*)\\]', 1) AS syms
-           |  FROM v1, b2),
-           |p3 AS (SELECT syms[j+1] AS l, syms[j+2] AS r, sum(cnt) AS pc
-           |  FROM v2, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
-           |b3 AS (SELECT l, r, pc FROM p3 ORDER BY pc DESC, l, r LIMIT 1)
-           |SELECT 1::BIGINT AS round, l AS lhs, r AS rhs, pc::BIGINT AS pair_count FROM b1
-           |UNION ALL SELECT 2::BIGINT, l, r, pc::BIGINT FROM b2
-           |UNION ALL SELECT 3::BIGINT, l, r, pc::BIGINT FROM b3""".stripMargin,
+      "bpe_merges" -> bpeMergesSql,
+
+      // the batched trainer must be rule-for-rule identical to sequential
+      // training (Bpe.trainMergesBatched scaladoc proves why; BpeSpec
+      // asserts it corpus-by-corpus) — so the sequential unrolled replay IS
+      // the oracle for the batched path: any unsafe batch breaks parity
+      "bpe_batch" -> bpeMergesSql,
 
       "bpe_segment" ->
         s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS w FROM documents),
@@ -3914,6 +3949,35 @@ object SparkEntry {
           |c3 AS (SELECT e.dst AS node, sum(r2.r // d.deg) AS inflow
           |  FROM e JOIN deg d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
           |r3 AS (SELECT n.node, (150000 + (850000 * coalesce(c3.inflow, 0)) // 1000000)::BIGINT AS r
+          |  FROM nodes n LEFT JOIN c3 USING (node))
+          |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+
+      // dangling replay: per iteration ds = (Σ rank over out-degree-0
+      // nodes) // N, added to every node's inflow before damping
+      "pagerank_dangling" ->
+        """WITH e AS (SELECT DISTINCT l_orderkey%500 AS src, l_partkey%700 AS dst
+          |  FROM lineitem),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          |r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+          |d1 AS (SELECT coalesce(sum(r), 0) // (SELECT n FROM nn) AS ds FROM r0
+          |  WHERE node NOT IN (SELECT src FROM e)),
+          |c1 AS (SELECT e.dst AS node, sum(r0.r // d.deg) AS inflow
+          |  FROM e JOIN deg d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+          |r1 AS (SELECT n.node, (150000 + (850000 * (coalesce(c1.inflow, 0) + (SELECT ds FROM d1))) // 1000000)::BIGINT AS r
+          |  FROM nodes n LEFT JOIN c1 USING (node)),
+          |d2 AS (SELECT coalesce(sum(r), 0) // (SELECT n FROM nn) AS ds FROM r1
+          |  WHERE node NOT IN (SELECT src FROM e)),
+          |c2 AS (SELECT e.dst AS node, sum(r1.r // d.deg) AS inflow
+          |  FROM e JOIN deg d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+          |r2 AS (SELECT n.node, (150000 + (850000 * (coalesce(c2.inflow, 0) + (SELECT ds FROM d2))) // 1000000)::BIGINT AS r
+          |  FROM nodes n LEFT JOIN c2 USING (node)),
+          |d3 AS (SELECT coalesce(sum(r), 0) // (SELECT n FROM nn) AS ds FROM r2
+          |  WHERE node NOT IN (SELECT src FROM e)),
+          |c3 AS (SELECT e.dst AS node, sum(r2.r // d.deg) AS inflow
+          |  FROM e JOIN deg d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+          |r3 AS (SELECT n.node, (150000 + (850000 * (coalesce(c3.inflow, 0) + (SELECT ds FROM d3))) // 1000000)::BIGINT AS r
           |  FROM nodes n LEFT JOIN c3 USING (node))
           |SELECT node, r AS rank_micro FROM r3""".stripMargin,
 

@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * same micro-unit idiom as the DSIR/BM25/perplexity scores). The cost is a
   * ≤1-micro-per-term rounding loss versus float PR, irrelevant for ranking.
   *
-  * Simple variant: dangling-node mass is NOT redistributed (their rank
-  * drains toward the teleport floor), and unreferenced nodes hold
+  * Dangling-node mass is NOT redistributed by default (their rank drains
+  * toward the teleport floor), and unreferenced nodes hold
   * `10⁶ − damp + damp·0`. Both choices are documented because the oracle
-  * replays them literally.
+  * replays them literally. `redistributeDangling = true` switches to the
+  * standard PageRank treatment (Page et al. §2.7): each iteration the
+  * summed rank of out-degree-0 nodes is split evenly across ALL nodes —
+  * in int64, `dshare = (Σ dangling rank) div N` added to every node's
+  * inflow before damping — keeping total mass (≈) conserved.
   *
   * Plan per iteration: ranks⋈edges on src (one key shuffle) + groupBy dst
   * (partial-aggregated shuffle) — the canonical distributed PR shape; the
@@ -34,7 +38,7 @@ object PageRank {
     * 0.85). Self-loops count like any edge; duplicate edges are collapsed
     * first (crawl graphs arrive with massive duplication). */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      dampMicro: Long = 850000L): DataFrame = {
+      dampMicro: Long = 850000L, redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampMicro >= 0 && dampMicro <= Micro, s"dampMicro: $dampMicro")
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -49,6 +53,14 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = graft.io.Persisted.track(e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // dangling handling needs N (one count on the persisted node relation)
+    // and the distinct src set; both are node-scale, not corpus-scale
+    val srcNodes =
+      if (redistributeDangling)
+        graft.io.Persisted.track(ed.select(col("src").as("node")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else null
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
     val floor = lit(Micro - dampMicro)
     val init = nodes.withColumn("rank_micro", lit(Micro))
     (1 to iters).foldLeft(init) { (ranks, _) =>
@@ -56,26 +68,44 @@ object PageRank {
         .select(col("dst").as("node"),
           expr("rank_micro div deg").as("share"))
         .groupBy("node").agg(sum("share").as("inflow"))
-      nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (floor +
-          expr(s"($dampMicro * coalesce(inflow, 0L)) div ${Micro}L"))
-          .as("rank_micro"))
+      if (redistributeDangling) {
+        // dangling mass this iteration: one single-row aggregate, carried
+        // into the update as a broadcast cross join (stays one plan — no
+        // per-iteration driver round-trip)
+        val dshare = broadcast(
+          ranks.join(srcNodes, Seq("node"), "left_anti")
+            .agg(coalesce(sum("rank_micro"), lit(0L)).as("dmass"))
+            .select(expr(s"dmass div ${nNodes}L").as("dshare")))
+        nodes.join(contrib, Seq("node"), "left").crossJoin(dshare)
+          .select(col("node"), (floor +
+            expr(s"($dampMicro * (coalesce(inflow, 0L) + dshare)) div ${Micro}L"))
+            .as("rank_micro"))
+      } else
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"), (floor +
+            expr(s"($dampMicro * coalesce(inflow, 0L)) div ${Micro}L"))
+            .as("rank_micro"))
     }
   }
 
   /** Pure twin for tests: same floor-division arithmetic. */
   def ranksPure(edges: Seq[(Long, Long)], iters: Int,
-      dampMicro: Long = 850000L): Map[Long, Long] = {
+      dampMicro: Long = 850000L,
+      redistributeDangling: Boolean = false): Map[Long, Long] = {
     val e = edges.distinct
     val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct
     val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
     val in = e.groupBy(_._2)
     var r = nodes.map(_ -> Micro).toMap
     (1 to iters).foreach { _ =>
+      val dshare =
+        if (redistributeDangling)
+          nodes.filterNot(deg.contains).map(r(_)).sum / nodes.size
+        else 0L
       r = nodes.map { v =>
         val inflow = in.getOrElse(v, Nil)
           .map { case (u, _) => r(u) / deg(u) }.sum
-        v -> (Micro - dampMicro + dampMicro * inflow / Micro)
+        v -> (Micro - dampMicro + dampMicro * (inflow + dshare) / Micro)
       }.toMap
     }
     r

@@ -100,4 +100,113 @@ object Bpe {
     if (prev != null) prev.unpersist()
     (merges.result(), state)
   }
+
+  /** Batched trainer: per driver round, collect a WINDOW of top pairs and
+    * select the longest safe prefix to apply as one batch — so a 30k-merge
+    * vocab needs ~hundreds of driver rounds instead of 30k sequential jobs,
+    * while producing BIT-IDENTICAL rules (round numbers, order, pair counts)
+    * to [[trainMerges]]. BpeSpec proves the equivalence corpus-by-corpus.
+    *
+    * Why the prefix is safe (the batch ≡ sequential argument): walking the
+    * (count desc, lhs, rhs)-sorted pair list, a candidate joins the batch
+    * only while it is symbol-disjoint from every selected pair AND neither
+    * of its symbols equals a selected pair's merged token. Disjointness
+    * makes selected counts invariant under applying earlier selected rules
+    * (a merge never deletes a token, so it can neither create nor break
+    * another disjoint pair's adjacency — e.g. `c a b d` → `c ab d` leaves
+    * (c,d) non-adjacent). Pairs sharing a symbol with any selected rule
+    * sort at-or-after the first conflict, and every pair CREATED by a
+    * selected rule (x, a+b) is bounded by an old pair that shared a symbol
+    * with that rule (each `x a b` occurrence was an (x,a) occurrence), so
+    * after trimming the selection to counts STRICTLY above the conflict
+    * bound, no changed or created pair can overtake a selected rule at its
+    * sequential round — the sequential argmax sequence IS the batch. When
+    * the trim empties the batch (ties at the bound), fall back to the
+    * single argmax rule, which is trivially sequential.
+    *
+    * Returns the per-driver-round batches (flatten for the rule list) and
+    * the final segmented vocab. `window` caps the collected candidate list
+    * per round (driver memory bound: window rows of two short strings).
+    */
+  def trainMergesBatched(df: DataFrame, textCol: String, k: Int,
+      window: Int = 64): (Seq[Seq[Merge]], DataFrame) = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(window >= 2, s"window must be >= 2: $window")
+    val batches = Seq.newBuilder[Seq[Merge]]
+    var state = graft.io.Persisted.track(vocab(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var prev: DataFrame = null
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val top = state.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          j => struct(element_at(col("syms"), j + 1).as("lhs"),
+            element_at(col("syms"), j + 2).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("lhs"), col("rhs"))
+        .limit(window).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) done = true
+      else {
+        val remaining = k - round + 1
+        // longest safe prefix: pairwise symbol-disjoint, no symbol equal to
+        // an earlier selected rule's merged token
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val usedSyms = scala.collection.mutable.Set.empty[String]
+        val mergedToks = scala.collection.mutable.Set.empty[String]
+        var conflictPc: Option[Long] = None
+        var i = 0
+        while (i < top.length && conflictPc.isEmpty && selected.size < remaining) {
+          val (l, r, pc) = top(i)
+          if (usedSyms(l) || usedSyms(r) || mergedToks(l) || mergedToks(r))
+            conflictPc = Some(pc)
+          else {
+            selected += ((l, r, pc))
+            usedSyms += l; usedSyms += r; mergedToks += (l + r)
+          }
+          i += 1
+        }
+        // strict-count trim: anything at or below the bound could be tied
+        // or overtaken by a pair the batch itself changes/creates
+        val bound: Option[Long] = conflictPc.orElse(
+          if (top.length == window && selected.size >= remaining) None
+          else if (top.length == window) Some(top.last._3)
+          else None)
+        val safe = bound match {
+          case Some(b) =>
+            val t = selected.takeWhile(_._3 > b)
+            if (t.isEmpty) selected.take(1) else t // argmax fallback
+          case None => selected
+        }
+        val rules = safe.zipWithIndex.map { case ((l, r, pc), j) =>
+          Merge(round + j, l, r, pc)
+        }.toSeq
+        batches += rules
+        val ruleArr = rules.map(m => (m.lhs, m.rhs)).toArray
+        val next = graft.io.Persisted.track(state.mapPartitions { it =>
+          it.map { r =>
+            var syms = r.getSeq[String](2).toVector
+            var j = 0
+            // rank order: per-word sequential application of disjoint rules
+            // == the sequential rounds (see scaladoc)
+            while (j < ruleArr.length) {
+              syms = mergePair(syms, ruleArr(j)._1, ruleArr(j)._2); j += 1
+            }
+            Row(r.getString(0), r.getLong(1), syms)
+          }
+        }(Encoders.row(VocabSchema))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        next.count() // materialize before releasing the parent
+        if (prev != null) prev.unpersist()
+        prev = state
+        state = next
+        round += rules.size
+      }
+    }
+    if (prev != null) prev.unpersist()
+    (batches.result(), state)
+  }
 }

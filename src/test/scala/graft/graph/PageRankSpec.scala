@@ -40,6 +40,37 @@ class PageRankSpec extends SparkTestBase {
     assert(r(1L) == 150000L)
   }
 
+  test("dangling redistribution: DataFrame ≡ pure twin; mass stays near N·10⁶") {
+    // 4 and 6 are destination-only (dangling); 5 is unreferenced
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 4), (2, 3), (3, 6), (5, 1), (2, 6))
+    for (iters <- Seq(1, 3, 5)) {
+      val df = PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", iters,
+        redistributeDangling = true).as[(Long, Long)].collect().toMap
+      val pure = PageRank.ranksPure(edges, iters, redistributeDangling = true)
+      assert(df == pure, s"iters=$iters")
+      graft.io.Persisted.release(spark)
+    }
+    // conservation: with redistribution the total stays within integer
+    // floor-division slack of N·10⁶; without it the dangling mass drains
+    val n = 6L
+    val withD = PageRank.ranksPure(edges, 5, redistributeDangling = true)
+    val withoutD = PageRank.ranksPure(edges, 5)
+    assert(withD.values.sum > withoutD.values.sum)
+    assert(math.abs(withD.values.sum - n * PageRank.Micro) < n * 10L,
+      s"mass ${withD.values.sum} too far from ${n * PageRank.Micro}")
+  }
+
+  test("no dangling nodes: redistribution flag is a no-op") {
+    val cycle = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1))
+    assert(PageRank.ranksPure(cycle, 4, redistributeDangling = true) ==
+      PageRank.ranksPure(cycle, 4))
+    val r = PageRank.ranks(cycle.toDF("src", "dst"), "src", "dst", 4,
+      redistributeDangling = true).as[(Long, Long)].collect().toMap
+    assert(r == PageRank.ranksPure(cycle, 4))
+    graft.io.Persisted.release(spark)
+  }
+
   test("bad arguments refused") {
     intercept[IllegalArgumentException] {
       PageRank.ranks(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 0)

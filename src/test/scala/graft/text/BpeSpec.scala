@@ -44,4 +44,54 @@ class BpeSpec extends SparkTestBase {
     assert(vE.count() == 3)
     graft.io.Persisted.release(spark)
   }
+
+  private def assertBatchEqSequential(corpus: Seq[String], k: Int,
+      window: Int = 64): Seq[Seq[Bpe.Merge]] = {
+    val df = corpus.toDF("text")
+    val (seq, vSeq) = Bpe.trainMerges(df, "text", k)
+    val segSeq = vSeq.orderBy("word")
+      .select("word", "cnt", "syms").as[(String, Long, Seq[String])].collect()
+    graft.io.Persisted.release(spark)
+    val (batches, vB) = Bpe.trainMergesBatched(df, "text", k, window)
+    val segB = vB.orderBy("word")
+      .select("word", "cnt", "syms").as[(String, Long, Seq[String])].collect()
+    graft.io.Persisted.release(spark)
+    assert(batches.flatten == seq,
+      s"rules diverged: batched=${batches.flatten} sequential=$seq")
+    assert(segB.toSeq == segSeq.toSeq, "segmented vocab diverged")
+    batches
+  }
+
+  test("batched trainer ≡ sequential on the banana corpus") {
+    // every round conflicts with the previous rule's output, so the safe
+    // prefix degenerates to 1 rule/round — the equivalence must still hold
+    val b = assertBatchEqSequential(Seq(Seq.fill(10)("banana").mkString(" ")), 3)
+    assert(b.map(_.size) == Seq(1, 1, 1))
+  }
+
+  test("batched trainer groups disjoint rules into one driver round") {
+    // two independent hot pairs (x,y) 40 and (p,q) 30, then a cold tail:
+    // round 1 batches both; the conflict bound trims anything ambiguous
+    val corpus = Seq.fill(40)("xy") ++ Seq.fill(30)("pq") ++
+      Seq.fill(5)("xz") ++ Seq.fill(3)("pr")
+    val b = assertBatchEqSequential(Seq(corpus.mkString(" ")), 4)
+    assert(b.head.size >= 2, s"expected a real batch, got ${b.map(_.size)}")
+  }
+
+  test("batched trainer ≡ sequential on adversarial tie/merged-token corpora") {
+    // ties at the conflict bound + a pair whose symbols reappear inside a
+    // merged token ((a,b) then (c,ab)-shaped interactions)
+    assertBatchEqSequential(
+      Seq(Seq.fill(20)("cab") ++ Seq.fill(20)("ab") ++ Seq.fill(20)("de")).map(_.mkString(" ")), 5)
+    // equal counts everywhere: pure tie-break ordering
+    assertBatchEqSequential(
+      Seq((Seq.fill(10)("ab") ++ Seq.fill(10)("cd") ++ Seq.fill(10)("ef")).mkString(" ")), 3)
+    // small window forces the window-full bound path
+    assertBatchEqSequential(
+      Seq((0 until 200).map(i => s"w${i % 11}x${i % 5}").mkString(" ")), 6, window = 3)
+    // mixed natural-ish text
+    assertBatchEqSequential(
+      Seq.fill(8)("the quick brown fox jumps over the lazy dog the end") ++
+        Seq.fill(5)("pack my box with five dozen liquor jugs"), 8)
+  }
 }
