@@ -53,38 +53,49 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = graft.io.Persisted.track(e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // dangling handling needs N (one count on the persisted node relation)
-    // and the distinct src set; both are node-scale, not corpus-scale
-    val srcNodes =
-      if (redistributeDangling)
-        graft.io.Persisted.track(ed.select(col("src").as("node")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else null
-    val nNodes = if (redistributeDangling) nodes.count() else 0L
     val floor = lit(Micro - dampMicro)
-    val init = nodes.withColumn("rank_micro", lit(Micro))
-    (1 to iters).foldLeft(init) { (ranks, _) =>
-      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          expr("rank_micro div deg").as("share"))
-        .groupBy("node").agg(sum("share").as("inflow"))
-      if (redistributeDangling) {
-        // dangling mass this iteration: one single-row aggregate, carried
-        // into the update as a broadcast cross join (stays one plan — no
-        // per-iteration driver round-trip)
-        val dshare = broadcast(
-          ranks.join(srcNodes, Seq("node"), "left_anti")
-            .agg(coalesce(sum("rank_micro"), lit(0L)).as("dmass"))
-            .select(expr(s"dmass div ${nNodes}L").as("dshare")))
-        nodes.join(contrib, Seq("node"), "left").crossJoin(dshare)
-          .select(col("node"), (floor +
-            expr(s"($dampMicro * (coalesce(inflow, 0L) + dshare)) div ${Micro}L"))
-            .as("rank_micro"))
-      } else
+    if (!redistributeDangling) {
+      val init = nodes.withColumn("rank_micro", lit(Micro))
+      (1 to iters).foldLeft(init) { (ranks, _) =>
+        val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("rank_micro div deg").as("share"))
+          .groupBy("node").agg(sum("share").as("inflow"))
         nodes.join(contrib, Seq("node"), "left")
           .select(col("node"), (floor +
             expr(s"($dampMicro * coalesce(inflow, 0L)) div ${Micro}L"))
             .as("rank_micro"))
+      }
+    } else {
+      // dangling = no out-edges. Flag each node ONCE (one node-scale join)
+      // and carry the flag through the iterations — the per-iteration
+      // dangling mass is then a conditional single-row aggregate over the
+      // rank relation itself (no per-iteration anti-join), broadcast into
+      // the update as a cross join so the whole computation stays one plan
+      // with no driver round-trips. N comes from one count on the persisted
+      // node relation.
+      val flagged = graft.io.Persisted.track(
+        nodes.join(ed.select(col("src").as("node")).distinct()
+            .withColumn("has_out", lit(true)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nNodes = flagged.count()
+      val init = flagged.withColumn("rank_micro", lit(Micro))
+      val ranked = (1 to iters).foldLeft(init) { (ranks, _) =>
+        val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("rank_micro div deg").as("share"))
+          .groupBy("node").agg(sum("share").as("inflow"))
+        val dshare = broadcast(
+          ranks.agg(coalesce(sum(when(!col("has_out"), col("rank_micro"))),
+            lit(0L)).as("dmass"))
+            .select(expr(s"dmass div ${nNodes}L").as("dshare")))
+        flagged.join(contrib, Seq("node"), "left").crossJoin(dshare)
+          .select(col("node"), col("has_out"), (floor +
+            expr(s"($dampMicro * (coalesce(inflow, 0L) + dshare)) div ${Micro}L"))
+            .as("rank_micro"))
+      }
+      ranked.select("node", "rank_micro")
     }
   }
 
