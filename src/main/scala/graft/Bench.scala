@@ -237,7 +237,14 @@ object Bench {
     // stays single-pass while the 4-8s mid-band (ep2_page_relation,
     // media_decode, repetition_stats) — where a 3x spike once distorted a
     // sweep total by ~13s — gets a second chance.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset sweep (regression attribution without the full 200s
+    // run): SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the swept queries; the
+    // EP1 headline, controls, and JSON shape are unchanged
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val swept = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = swept.toSeq.sortBy(_._1).map { case (name, fn) =>
       def pass(): Double = {
         val t = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
         // operators that persist() internal relations (dedup LSH) would
