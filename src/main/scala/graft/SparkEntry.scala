@@ -1502,6 +1502,18 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    "dedup_clusters_alt" -> ((s, d) => {
+      // the SAME clustering through the alternating large-star/small-star
+      // algorithm (Kiveris et al. 2014) — the long-diameter scale path:
+      // O(log² n) rounds regardless of component shape, vs min-label's
+      // O(diameter). Labels are min-of-component in both, so the identical
+      // recursive-CTE oracle gates both implementations independently.
+      val pairs = Dedup.jaccardPairs(
+        rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
+        "doc_id", "t2", n = 3, minJ = 0.2)
+      Dedup.connectedComponentsAlternating(pairs, "id_a", "id_b")
+    }),
+
     "dedup_canonical" -> ((s, d) => {
       // full corpus view: every doc tagged with its cluster and whether it
       // is the canonical (min-id) representative; singletons self-canonical
@@ -1770,8 +1782,19 @@ object SparkEntry {
         }.toDF("k", "offset", "kind", "text")
     }),
 
-    // ------------------------------------ engine-native (rows-only) -------
-    "ep1_extract" -> ((s, _) => ep1Extract(s)),
+    "ep1_extract" -> ((s, d) => {
+      // the SAME cascade as ep1_oracle, but through the production job
+      // path: ExtractJob.runRows decodes span structs straight off scan
+      // rows (the parquet read-path idiom). runRows ≡ runTyped ≡ per-doc
+      // Ep1Core.process, so the identical replay SQL now gates the
+      // job-level plumbing (row decode, schema round-trip) too.
+      val out = graft.pipeline.ExtractJob.runRows(
+        ep1OracleDocs(s, d).toDF(), graft.pipeline.Ep1Config())
+      out.select(col("doc_id").cast("long").as("k"),
+          posexplode(col("spans")).as(Seq("pos", "span")))
+        .select(col("k"), col("span.offset").cast("long").as("offset"),
+          col("span.kind").as("kind"), col("span.text").as("text"))
+    }),
 
     "media_meta" -> ((s, d) => {
       // metadata stage over interleaved docs (media-kind + non-empty-ref
@@ -3712,6 +3735,16 @@ object SparkEntry {
            |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
            |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
+      "dedup_clusters_alt" ->
+        s"""WITH RECURSIVE $jacPairs,
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT s, s FROM edges
+           |  UNION
+           |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+           |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
       "dedup_canonical" ->
         s"""WITH RECURSIVE $jacPairs,
            |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
@@ -4235,6 +4268,7 @@ object SparkEntry {
       // drop + slice → union → per-source placeholder interleave → offset
       // renumber. Span text compared verbatim.
       "ep1_oracle" -> ep1CascadeSql(""),
+      "ep1_extract" -> ep1CascadeSql(""),
 
       // the streamed EP1 path over the bounded corpus: identical cascade
       // replay, bounded WHERE
