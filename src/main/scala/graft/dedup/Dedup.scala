@@ -392,7 +392,11 @@ object Dedup {
     while (!converged && it < maxIters) {
       val msgs = edges
         .join(labels.select(col("__id").as("__src"), col("__lbl")), Seq("__src"))
-        .select(col("__dst").as("__id"), col("__lbl"), lit(null).cast("long").as("__self"))
+        // the probe null must carry the ID'S OWN type: ANSI union coercion
+        // widens (string, bigint) to BIGINT, so a long-typed null would
+        // cast string ids to numbers and throw on the first real doc id
+        .select(col("__dst").as("__id"), col("__lbl"),
+          lit(null).cast(edges.schema("__src").dataType).as("__self"))
       // each id appears exactly once in `labels`, so min(__self) recovers
       // the previous label inside the same aggregation — the convergence
       // probe costs a filter on the already-shuffled result instead of a
@@ -419,6 +423,104 @@ object Dedup {
     // blanket clearCache, after materializing); already tracked at persist
     // time inside the loop
     labels.select(col("__id").as("id"), col("__lbl").as("cluster_id"))
+  }
+
+  /** Alternating-algorithm connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the LONG-DIAMETER
+    * scale twin of [[connectedComponents]]. Min-label propagation needs
+    * O(component diameter) rounds: right for near-dup clusters (near-
+    * cliques), wrong for chain-shaped graphs — a 10⁶-hop dup chain (e.g.
+    * overlapping-shingle chains from crawl snapshots) would need 10⁶
+    * shuffles. Alternating large-star/small-star rounds contract every
+    * component onto its minimum node in O(log² n) rounds REGARDLESS of
+    * diameter:
+    *
+    *  - large-star: every node links its strictly-larger neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node links its smaller-or-equal neighbors (and
+    *    itself) to that minimum.
+    *
+    * Both are one groupBy(min) + one self-join on the node key — partial
+    * aggregation map-side, nothing collected or broadcast — and the edge
+    * set only ever shrinks toward the star forest whose centers are the
+    * component minima. The convergence probe is one full-outer join on the
+    * (deduped) edge set with a `limit(1)` early exit. Each round persists
+    * its edge set and releases the previous one ([[graft.io.Persisted]]
+    * contract), keeping lineage and cache bounded.
+    *
+    * Output contract identical to [[connectedComponents]]: (id, cluster_id
+    * = component min) for every distinct id appearing in `pairs` —
+    * self-paired ids label themselves. Throws if not converged within
+    * `maxIters` (a partial contraction is not a clustering). */
+  def connectedComponentsAlternating(pairs: DataFrame, idACol: String,
+      idBCol: String, maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // large-star: sym-neighborhood min; emit (v, min(N⁺(u))) for v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(
+        e.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      val mn = sym.groupBy("__src").agg(min("__dst").as("__mn"))
+      sym.join(mn, "__src")
+        .filter(col("__dst") > col("__src"))
+        .select(col("__dst").as("__src"),
+          least(col("__mn"), col("__src")).as("__dst"))
+        .distinct()
+    }
+
+    // small-star: orient toward the larger endpoint; every node of the
+    // closed ≤-neighborhood except the min links to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("__src"), col("__dst")).as("__src"),
+        least(col("__src"), col("__dst")).as("__dst"))
+      val mn = or.groupBy("__src").agg(min("__dst").as("__mn"))
+      or.join(mn, "__src")
+        .select(col("__dst").as("__v"), col("__mn"))
+        .union(mn.select(col("__src").as("__v"), col("__mn")))
+        .filter(col("__v") =!= col("__mn"))
+        .select(col("__v").as("__src"), col("__mn").as("__dst"))
+        .distinct()
+    }
+
+    val raw = pairs.select(col(idACol).as("__src"), col(idBCol).as("__dst"))
+    val nodes = graft.io.Persisted.track(
+      raw.select(col("__src").as("__id"))
+        .union(raw.select(col("__dst").as("__id"))).distinct().persist(lvl))
+    // each star round references the previous edge set ~4 times (sym view +
+    // its min join), so bare persist leaves an exponentially self-similar
+    // logical plan — localCheckpoint TRUNCATES the lineage per round
+    // (persist alone only caches data; the analyzer still re-walks the full
+    // tree). Eager, so the round materializes here and the probe below is
+    // a cheap scan of two cached sets. Blocks are dropped by unpersist()
+    // each round; min-label [[connectedComponents]] doesn't need this
+    // because it references `labels` only twice per round (linear growth).
+    var edges = raw.filter(col("__src") =!= col("__dst"))
+      .select(greatest(col("__src"), col("__dst")).as("__src"),
+        least(col("__src"), col("__dst")).as("__dst"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixpoint probe: both sides are distinct edge sets, so one
+      // unmatched row in either direction means the round changed something
+      converged = edges.withColumn("__a", lit(1))
+        .join(next.withColumn("__b", lit(1)), Seq("__src", "__dst"), "full_outer")
+        .filter(col("__a").isNull || col("__b").isNull)
+        .limit(1).count() == 0
+      edges.unpersist()
+      edges = next
+      it += 1
+    }
+    require(converged,
+      s"connectedComponentsAlternating: not converged after $maxIters rounds")
+    // converged edge set is a star forest (src > dst, dst = component min):
+    // leaves label via their edge, centers + edge-free ids label themselves
+    val leaf = edges.select(col("__src").as("__id"), col("__dst").as("__lbl"))
+    nodes.join(leaf, Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("__lbl"), col("__id")).as("cluster_id"))
   }
 
   // ---------------------------------------------------- line dedup ---------

@@ -203,6 +203,60 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("alternating CC: same labels as min-label, O(log) rounds on chains") {
+    // the min-label battery verbatim: chain, clique, pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 30L)).toDF("id_a", "id_b")
+    val alt = connectedComponentsAlternating(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(alt == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L)) // self-pair-only node labels itself
+    spark.catalog.clearCache()
+
+    // diameter-59 chain: min-label needs 59 rounds, alternating must
+    // contract it onto node 1 within 12 star rounds (the whole point)
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = connectedComponentsAlternating(chain, "id_a", "id_b", maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == 60 && got.forall(_._2 == 1L), got.take(5).toSeq.toString)
+    spark.catalog.clearCache()
+
+    val e = intercept[IllegalArgumentException] {
+      connectedComponentsAlternating(chain, "id_a", "id_b", maxIters = 1)
+    }
+    assert(e.getMessage.contains("not converged"))
+    spark.catalog.clearCache()
+  }
+
+  test("alternating CC ≡ min-label propagation on randomized graphs") {
+    // deterministic pseudo-random edge sets (md5-derived — no RNG): across
+    // densities the two independent algorithms must produce identical
+    // labelings, including isolated self-pairs and string-typed ids
+    def h(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString, 16)
+    for (density <- Seq(20, 60, 140)) {
+      val edges = (1 to density).map { i =>
+        (h(s"a$density-$i") % 50, h(s"b$density-$i") % 50)
+      }.toDF("id_a", "id_b")
+      val viaMinLabel = connectedComponents(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val viaStars = connectedComponentsAlternating(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaMinLabel, s"density=$density")
+      spark.catalog.clearCache()
+    }
+    // string ids order lexicographically in both implementations
+    val sp = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "x"))
+      .toDF("id_a", "id_b")
+    val s1 = connectedComponents(sp, "id_a", "id_b").as[(String, String)].collect().toMap
+    val s2 = connectedComponentsAlternating(sp, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    assert(s2 == s1 && s2("doc-c") == "doc-a" && s2("x") == "x")
+    spark.catalog.clearCache()
+  }
+
   test("line dedup: strips corpus-hot lines, keeps unique bodies in order") {
     // chrome on every doc (hot at maxOcc=2), body unique, one shared-by-2
     // line that must survive the cap exactly
