@@ -10,7 +10,7 @@ import graft.pipeline.{Ep1Config, ExtractJob}
 import graft.qc.Qc
 import graft.ranges.Islands
 import graft.sim.Similarity
-import graft.text.{Importance, Packing, Sampling, TextAnalysis => TA}
+import graft.text.{Importance, Packing, Sampling, Web, TextAnalysis => TA}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1162,6 +1162,35 @@ object SparkEntry {
     "lang_id" -> ((s, d) => {
       rd(s, d, "documents").select(col("doc_id"),
         TA.langIdCol(col("text")).as("lang_pred"))
+    }),
+
+    "url_normalize" -> ((s, d) => {
+      // URL hygiene over synthesized crawl URLs: every variant axis (scheme
+      // case, userinfo, default vs explicit port, empty path, tracking
+      // params, fragments, two-label public suffixes) is a pure function of
+      // doc_id, so the oracle re-renders the EXPECTED canonical form
+      // directly — a defect anywhere in normalizeUrl / host /
+      // registrableDomain breaks parity. Zero-shuffle narrow projection.
+      val id = col("doc_id")
+      val str = id.cast("string")
+      val url = concat(
+        when(pmod(id, lit(2)) === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+        when(pmod(id, lit(17)) === 0, lit("u:p@")).otherwise(lit("")),
+        lit("WWW.Site"), pmod(id, lit(7)).cast("string"),
+        when(pmod(id, lit(5)) === 0, lit(".News.CO.UK")).otherwise(lit(".Example.COM")),
+        when(pmod(id, lit(3)) === 0,
+          when(pmod(id, lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+          .when(pmod(id, lit(3)) === 1, lit(":8080")).otherwise(lit("")),
+        when(pmod(id, lit(11)) === 0, lit("")).otherwise(concat(lit("/P/"), str)),
+        when(pmod(id, lit(4)) === 0, lit("?b=2&utm_source=nl&a=1"))
+          .when(pmod(id, lit(4)) === 1, lit("?gclid=z"))
+          .when(pmod(id, lit(4)) === 2, lit("?z=9&y=8&fbclid=k")).otherwise(lit("")),
+        when(pmod(id, lit(6)) === 0, concat(lit("#sec"), str)).otherwise(lit("")))
+      rd(s, d, "documents").select(id, url.as("url"))
+        .select(col("doc_id"), col("url"),
+          Web.normalizeUrl(col("url")).as("url_norm"),
+          Web.host(col("url")).as("host"),
+          Web.registrableDomain(Web.host(col("url"))).as("domain"))
     }),
 
     "quality_score" -> ((s, d) => {
@@ -3236,6 +3265,31 @@ object SparkEntry {
            |    WHEN es >= de AND es >= fr THEN 'es'
            |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
            |FROM c""".stripMargin,
+
+      "url_normalize" ->
+        s"""WITH u AS (SELECT doc_id,
+           |  (CASE WHEN doc_id%2=0 THEN 'HTTPS' ELSE 'http' END)||'://'||
+           |  (CASE WHEN doc_id%17=0 THEN 'u:p@' ELSE '' END)||
+           |  'WWW.Site'||(doc_id%7)::VARCHAR||
+           |  (CASE WHEN doc_id%5=0 THEN '.News.CO.UK' ELSE '.Example.COM' END)||
+           |  (CASE WHEN doc_id%3=0 THEN (CASE WHEN doc_id%2=0 THEN ':443' ELSE ':80' END)
+           |        WHEN doc_id%3=1 THEN ':8080' ELSE '' END)||
+           |  (CASE WHEN doc_id%11=0 THEN '' ELSE '/P/'||doc_id::VARCHAR END)||
+           |  (CASE doc_id%4 WHEN 0 THEN '?b=2&utm_source=nl&a=1' WHEN 1 THEN '?gclid=z'
+           |        WHEN 2 THEN '?z=9&y=8&fbclid=k' ELSE '' END)||
+           |  (CASE WHEN doc_id%6=0 THEN '#sec'||doc_id::VARCHAR ELSE '' END) AS url,
+           |  'www.site'||(doc_id%7)::VARCHAR||
+           |  (CASE WHEN doc_id%5=0 THEN '.news.co.uk' ELSE '.example.com' END) AS h
+           |  FROM documents)
+           |SELECT doc_id, url,
+           |  (CASE WHEN doc_id%2=0 THEN 'https' ELSE 'http' END)||'://'||h||
+           |  (CASE WHEN doc_id%3=1 THEN ':8080' ELSE '' END)||
+           |  (CASE WHEN doc_id%11=0 THEN '/' ELSE '/P/'||doc_id::VARCHAR END)||
+           |  (CASE WHEN doc_id%4=0 THEN '?a=1&b=2' WHEN doc_id%4=2 THEN '?y=8&z=9'
+           |        ELSE '' END) AS url_norm,
+           |  h AS host,
+           |  (CASE WHEN doc_id%5=0 THEN 'news.co.uk' ELSE 'example.com' END) AS domain
+           |FROM u""".stripMargin,
 
       // NOTE the rounding idiom: quality values are small-denominator
       // rationals that often land EXACTLY on the .00005 decimal boundary,

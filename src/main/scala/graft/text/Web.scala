@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-scale corpora: canonicalization + host/registrable-
+  * domain extraction — the front of every per-domain pipeline stage
+  * (domain caps, domain mixture weights, host-graph PageRank, crawl
+  * frontier dedup). The reference pipeline keys several stages on a
+  * pre-extracted source field; at corpus scale the keys have to be derived
+  * from raw URLs, deterministically, inside the plan.
+  *
+  * Everything here is a pure Column projection — zero shuffles at any
+  * corpus size, fully inside whole-stage codegen, and every regex stays in
+  * the Java∩RE2 subset so an independent engine (the DuckDB oracle)
+  * replays it byte-for-byte.
+  */
+object Web {
+
+  /** Scheme of `url`, lowercased ("" when the value has no scheme). */
+  def scheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Hostname of `url`: authority minus userinfo and port, lowercased,
+    * trailing root-dot dropped. "" when the value is not a URL. */
+  def host(url: Column): Column = {
+    val h = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+    regexp_replace(h, "\\.$", "")
+  }
+
+  /** Suffixes that occupy TWO host labels, so the registrable domain is
+    * three labels long (a deliberately small, embedded public-suffix-list
+    * subset — the full PSL is a data file swap, not a code change). */
+  val TwoLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    "github.io", "blogspot.com")
+
+  /** Registrable domain (eTLD+1) of a lowercase hostname: the last two
+    * labels, or the last three when the two-label tail is a listed
+    * two-label public suffix. Hosts with one label (localhost, IPs are out
+    * of scope) pass through unchanged. */
+  def registrableDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    val isTwoLabelSuffix = TwoLabelSuffixes
+      .map(s => last2 === lit(s)).reduce(_ || _)
+    when(n <= 1, hostCol)
+      .when(n >= 3 && isTwoLabelSuffix, last3)
+      .otherwise(last2)
+  }
+
+  /** Query parameters dropped by [[normalizeUrl]]: click/campaign trackers
+    * that make byte-identical pages look distinct to exact dedup. */
+  val TrackingParams: Seq[String] = Seq("gclid", "fbclid", "msclkid", "mc_eid")
+
+  /** Canonical form of `url` for crawl-frontier and URL-level dedup:
+    *
+    *  - scheme and host lowercased, userinfo dropped;
+    *  - default ports stripped (http:80, https:443), other ports kept;
+    *  - fragment dropped (never reaches the server);
+    *  - `utm_*` and [[TrackingParams]] query parameters dropped, the
+    *    surviving parameters SORTED (param order is transport noise);
+    *  - empty path becomes "/".
+    *
+    * Non-URL values (no `scheme://`) pass through trimmed — garbage in the
+    * url column must stay visible, not become empty strings. */
+  def normalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val sch = scheme(u)
+    val h = host(u)
+    val port = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !(sch === "http" && port === "80") && !(sch === "https" && port === "443")
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !startswith(lower(p), lit("utm_")) &&
+        TrackingParams.map(t => substring_index(p, "=", 1) =!= lit(t))
+          .reduce(_ && _)))
+    val qs = when(size(kept) > 0, concat(lit("?"), concat_ws("&", kept)))
+      .otherwise(lit(""))
+    when(sch === "", u).otherwise(concat(
+      sch, lit("://"), h,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      qs))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WebSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(Web.normalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("normalizeUrl: scheme/host case, default ports, fragment, tracking params") {
+    assert(norm(
+      "HTTPS://WWW.Example.COM:443/Path/X?b=2&utm_source=nl&a=1#frag",
+      "http://example.com:80",
+      "http://example.com:8080/x",
+      "https://user:pw@Example.org/a/b?gclid=zzz",
+      "  http://example.com/x?fbclid=1&z=9&y=8  ",
+      "http://example.com/?",
+      "not a url") == Seq(
+      "https://www.example.com/Path/X?a=1&b=2", // host folded, params sorted, utm_+frag gone, path case KEPT
+      "http://example.com/",                    // default port stripped, empty path → /
+      "http://example.com:8080/x",              // non-default port kept
+      "https://example.org/a/b",                // userinfo dropped, tracker-only query gone
+      "http://example.com/x?y=8&z=9",           // trimmed, fbclid dropped, rest sorted
+      "http://example.com/",                    // bare ? → no query
+      "not a url"))                             // non-URL passes through
+  }
+
+  test("normalizeUrl is idempotent and dedups transport-noise variants") {
+    val variants = Seq(
+      "http://News.Site.com/article?id=7&utm_medium=rss",
+      "http://news.site.com:80/article?utm_campaign=x&id=7#top",
+      "HTTP://news.site.com/article?id=7")
+    val once = norm(variants: _*)
+    assert(once.toSet == Set("http://news.site.com/article?id=7"))
+    assert(norm(once: _*) == once) // fixpoint
+  }
+
+  test("host + registrableDomain: PSL two-label suffixes, subdomains, edge shapes") {
+    val rows = Seq(
+      "https://a.b.news.co.uk/x", "http://deep.sub.example.com/",
+      "https://example.com", "http://Example.COM.", "ftp://one",
+      "https://u:p@api.shop.com.au:8443/v1", "https://alice.github.io/repo")
+    val got = rows.toDF("u").select(
+      Web.host(col("u")).as("h"),
+      Web.registrableDomain(Web.host(col("u"))).as("d"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      ("a.b.news.co.uk", "news.co.uk"),
+      ("deep.sub.example.com", "example.com"),
+      ("example.com", "example.com"),
+      ("example.com", "example.com"), // root dot + case folded
+      ("one", "one"),                 // single label passes through
+      ("api.shop.com.au", "shop.com.au"),
+      ("alice.github.io", "alice.github.io")))
+  }
+
+  test("column pipeline is narrow: no Exchange in the plan") {
+    val df = (1L to 100L).toDF("id")
+      .withColumn("u", concat(lit("http://h"), col("id"), lit(".example.com/p?utm_a=1&k=v")))
+      .select(Web.normalizeUrl(col("u")), Web.registrableDomain(Web.host(col("u"))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
