@@ -26,7 +26,8 @@ object ExplainQuery {
     val eagerConstructors =
       Set("stream_extract", "stream_window", "stream_assemble", "stream_dedup",
         "stream_domstrip", "minhash_dups", "bpe_merges", "bpe_segment", "bpe_batch",
-        "cms_freq", "bloom_dedup", "ingest_e2e", "pq_topk", "pagerank_dangling")
+        "cms_freq", "bloom_dedup", "ingest_e2e", "pq_topk", "pagerank_dangling",
+        "dedup_clusters_alt")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

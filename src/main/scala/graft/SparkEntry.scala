@@ -1193,6 +1193,29 @@ object SparkEntry {
           Web.registrableDomain(Web.host(col("url"))).as("domain"))
     }),
 
+    "link_graph" -> ((s, d) => {
+      // host-graph construction: synthesized pages whose own URL and anchor
+      // targets are pure functions of doc_id — the oracle re-renders the
+      // expected (src_domain, dst_domain) edge weights directly, so a
+      // defect in href extraction, host folding, PSL logic, self-edge
+      // filtering, or the count aggregation breaks parity
+      val id = col("doc_id")
+      val src = concat(lit("https://www.S"), pmod(id, lit(7)).cast("string"),
+        when(pmod(id, lit(5)) === 0, lit(".News.CO.UK")).otherwise(lit(".org")),
+        lit("/p/"), id.cast("string"))
+      val html = concat(
+        lit("<p>See <a href=\"https://D"), pmod(id, lit(9)).cast("string"),
+        lit(".Site"), pmod(id, lit(4)).cast("string"),
+        lit(".COM/a\">one</a> <a href=\"/rel\">rel</a>"),
+        when(pmod(id, lit(3)) === 0,
+          lit(" <a href=\"http://News.CO.UK/b?x=1\">two</a>" +
+            " <a href=\"#f\">frag</a>")).otherwise(lit("")),
+        lit("</p>"))
+      Web.linkEdges(
+        rd(s, d, "documents").select(src.as("url"), html.as("html")),
+        "url", "html")
+    }),
+
     "quality_score" -> ((s, d) => {
       rd(s, d, "documents").select(col("doc_id"),
         TA.qualityScoreCol(col("text")).as("quality"))
@@ -3265,6 +3288,17 @@ object SparkEntry {
            |    WHEN es >= de AND es >= fr THEN 'es'
            |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
            |FROM c""".stripMargin,
+
+      "link_graph" ->
+        s"""WITH e AS (
+           |  SELECT CASE WHEN doc_id%5=0 THEN 'news.co.uk'
+           |    ELSE 's'||(doc_id%7)::VARCHAR||'.org' END AS src_domain,
+           |  'site'||(doc_id%4)::VARCHAR||'.com' AS dst_domain FROM documents
+           |  UNION ALL
+           |  SELECT 's'||(doc_id%7)::VARCHAR||'.org', 'news.co.uk'
+           |  FROM documents WHERE doc_id%3=0 AND doc_id%5<>0)
+           |SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links
+           |FROM e GROUP BY 1, 2""".stripMargin,
 
       "url_normalize" ->
         s"""WITH u AS (SELECT doc_id,

@@ -93,4 +93,31 @@ object Web {
       when(path === "", lit("/")).otherwise(path),
       qs))
   }
+
+  /** Absolute http(s) anchor targets of an HTML string, in document order.
+    * Double-quoted `href` attributes only (the corpus normal form);
+    * relative links and fragments are crawl-internal, not graph edges. */
+  def hrefs(html: Column): Column =
+    regexp_extract_all(html, lit("<a[^>]*\\shref=\"(https?://[^\"]*)\""), lit(1))
+
+  /** The host-graph construction step: documents (own URL + HTML) → deduped
+    * weighted edges (src_domain, dst_domain, n_links) over registrable
+    * domains — the input relation for domain centrality (PageRank) and
+    * link-spam features. Self-edges (intra-domain navigation) and
+    * non-absolute targets are dropped.
+    *
+    * Plan: narrow regex explode per doc, then ONE partial-agg groupBy on
+    * the (src, dst) pair — link multiplicity combines map-side, so hub
+    * pages with 10⁴ anchors never shuffle raw anchor rows. */
+  def linkEdges(docs: org.apache.spark.sql.DataFrame, urlCol: String,
+      htmlCol: String): org.apache.spark.sql.DataFrame = {
+    docs
+      .select(registrableDomain(host(col(urlCol))).as("src_domain"),
+        explode(hrefs(col(htmlCol))).as("href"))
+      .select(col("src_domain"),
+        registrableDomain(host(col("href"))).as("dst_domain"))
+      .filter(col("dst_domain") =!= "" && col("src_domain") =!= col("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+  }
 }

@@ -56,6 +56,22 @@ class WebSpec extends SparkTestBase {
       ("alice.github.io", "alice.github.io")))
   }
 
+  test("linkEdges: absolute hrefs only, self-edges dropped, multiplicity counted") {
+    val docs = Seq(
+      ("http://a.com/1",
+       """<p><a href="https://B.com/x">b</a> <a class="z" href="https://b.com/y#f">b2</a>
+         |<a href="/rel">rel</a> <a href="#frag">frag</a> <a href="https://a.com/self">self</a>
+         |<a href="http://c.co.uk/p?q=1">c</a></p>""".stripMargin),
+      ("https://sub.b.com/2", """<a href="https://a.com/back">a</a>""")
+    ).toDF("url", "html")
+    val got = Web.linkEdges(docs, "url", "html")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("a.com", "b.com", 2L),     // multiplicity, host case folded, fragment irrelevant
+      ("a.com", "c.co.uk", 1L),   // two-label suffix domain
+      ("b.com", "a.com", 1L)))    // src from own URL's registrable domain
+  }
+
   test("column pipeline is narrow: no Exchange in the plan") {
     val df = (1L to 100L).toDF("id")
       .withColumn("u", concat(lit("http://h"), col("id"), lit(".example.com/p?utm_a=1&k=v")))
