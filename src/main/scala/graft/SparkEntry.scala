@@ -1120,6 +1120,20 @@ object SparkEntry {
         rd(s, d, "documents").withColumn("t2", text2), "doc_id", "t2")
     }),
 
+    "gopher_stats" -> ((s, d) => {
+      // the full Gopher repetition battery over a paragraph/line-structured
+      // variant (corpus text has no newlines of its own): paragraph A
+      // repeated, a two-line paragraph, and an every-3rd-doc spam tail that
+      // moves the top-n-gram signals
+      val a = substring(col("text"), 1, 60)
+      val b = substring(col("text"), 61, 60)
+      val text2 = concat(a, lit("\n\n"), b, lit("\n"), a, lit("\n\n"), a,
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\n\nword word word word")).otherwise(lit("")))
+      TA.gopherStatsDf(
+        rd(s, d, "documents").withColumn("t2", text2), "doc_id", "t2")
+    }),
+
     "pipeline_e2e" -> ((s, d) => {
       // the full training-data pipeline over one corpus, composed from the
       // individually-oracled stages: chrome-wrapped pages → boilerplate
@@ -3211,6 +3225,49 @@ object SparkEntry {
            |  round(CAST((n_lines-nd)::DOUBLE/n_lines AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS dup_line_ratio,
            |  coalesce(round(CAST(top::DOUBLE/total AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE, 0.0) AS top_bigram_ratio
            |FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id""".stripMargin,
+
+      "gopher_stats" ->
+        s"""WITH t AS (SELECT doc_id, substr(text,1,60) AS a, substr(text,61,60) AS b FROM documents),
+           |d2 AS (SELECT doc_id, a||chr(10)||chr(10)||b||chr(10)||a||chr(10)||chr(10)||a||
+           |  (CASE WHEN doc_id%3=0 THEN chr(10)||chr(10)||'word word word word' ELSE '' END) AS t2 FROM t),
+           |pv AS (SELECT doc_id, regexp_replace(x, '^\\s+|\\s+$$', '', 'g') AS v
+           |  FROM d2, unnest(string_split_regex(t2, '\\n\\s*\\n')) AS u(x)),
+           |pc AS (SELECT doc_id, v, count(*) AS c FROM pv WHERE v <> '' GROUP BY 1,2),
+           |ps AS (SELECT doc_id, sum(c) AS pn, count(*) AS pnd, sum(c*length(v)) AS pchars,
+           |  sum(CASE WHEN c>1 THEN c*length(v) ELSE 0 END) AS pdchars FROM pc GROUP BY 1),
+           |lv AS (SELECT doc_id, regexp_replace(x, '^\\s+|\\s+$$', '', 'g') AS v
+           |  FROM d2, unnest(string_split(t2, chr(10))) AS u(x)),
+           |lc AS (SELECT doc_id, v, count(*) AS c FROM lv WHERE v <> '' GROUP BY 1,2),
+           |ls AS (SELECT doc_id, sum(c*length(v)) AS lchars,
+           |  sum(CASE WHEN c>1 THEN c*length(v) ELSE 0 END) AS ldchars FROM lc GROUP BY 1),
+           |tk AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM d2),
+           |tkl AS (SELECT doc_id, toks, length(array_to_string(toks, ' ')) AS doclen FROM tk),
+           |g2 AS (SELECT doc_id, doclen, array_to_string(toks[i+1:i+2], ' ') AS g
+           |  FROM tkl, unnest(range(greatest(len(toks)-1,0))) AS u(i)),
+           |c2 AS (SELECT doc_id, doclen, g, count(*) AS c FROM g2 GROUP BY 1,2,3),
+           |t2g AS (SELECT doc_id, round(CAST(CAST(c*length(g) AS DOUBLE)/doclen AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS r
+           |  FROM c2 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
+           |g3 AS (SELECT doc_id, doclen, array_to_string(toks[i+1:i+3], ' ') AS g
+           |  FROM tkl, unnest(range(greatest(len(toks)-2,0))) AS u(i)),
+           |c3 AS (SELECT doc_id, doclen, g, count(*) AS c FROM g3 GROUP BY 1,2,3),
+           |t3g AS (SELECT doc_id, round(CAST(CAST(c*length(g) AS DOUBLE)/doclen AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS r
+           |  FROM c3 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
+           |g4 AS (SELECT doc_id, doclen, array_to_string(toks[i+1:i+4], ' ') AS g
+           |  FROM tkl, unnest(range(greatest(len(toks)-3,0))) AS u(i)),
+           |c4 AS (SELECT doc_id, doclen, g, count(*) AS c FROM g4 GROUP BY 1,2,3),
+           |t4g AS (SELECT doc_id, round(CAST(CAST(c*length(g) AS DOUBLE)/doclen AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS r
+           |  FROM c4 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1)
+           |SELECT ps.doc_id, pn::BIGINT AS n_paras,
+           |  round(CAST((pn-pnd)::DOUBLE/pn AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS dup_para_ratio,
+           |  round(CAST(pdchars::DOUBLE/pchars AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS dup_para_char_ratio,
+           |  round(CAST(ldchars::DOUBLE/lchars AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS dup_line_char_ratio,
+           |  coalesce(t2g.r, 0.0) AS top2_char_ratio,
+           |  coalesce(t3g.r, 0.0) AS top3_char_ratio,
+           |  coalesce(t4g.r, 0.0) AS top4_char_ratio
+           |FROM ps JOIN ls ON ps.doc_id = ls.doc_id
+           |LEFT JOIN t2g ON ps.doc_id = t2g.doc_id
+           |LEFT JOIN t3g ON ps.doc_id = t3g.doc_id
+           |LEFT JOIN t4g ON ps.doc_id = t4g.doc_id""".stripMargin,
 
       "pipeline_e2e" ->
         s"""WITH pg AS (SELECT doc_id,

@@ -213,6 +213,117 @@ object TextAnalysis {
     Some((lines.size.toLong, dup, bgRatio))
   }
 
+  /** The full Gopher repetition battery (Rae et al. 2021, App. A1) beyond
+    * [[repetitionStatsDf]]'s two headline signals: paragraph-level
+    * duplication, CHARACTER-weighted duplication (a doc whose one huge
+    * paragraph repeats is worse than one whose "Thanks!" line does), and
+    * top n-gram character fractions for n = 2, 3, 4.
+    *
+    * Exact definitions (each engine-replayable, ratios 6dp):
+    *  - paragraphs split on blank lines, lines on newlines; both trimmed,
+    *    empties dropped; docs with no non-empty paragraph are dropped.
+    *  - dup_para_ratio = (n_paras − n_distinct) / n_paras.
+    *  - dup_para_char_ratio / dup_line_char_ratio = Σ c·len over values
+    *    with count > 1, divided by Σ c·len over all values.
+    *  - topN_char_ratio = c(top)·len(top) / len(ws-joined tokens), top =
+    *    most frequent n-gram, ties to the lexicographically smallest;
+    *    0 when the doc has < n tokens.
+    *
+    * Plan: per-(id, value) partial-agg groupBys (hot values combine
+    * map-side) + per-doc windows for the three argmaxes — every key is
+    * doc-bounded, so the shape holds at corpus scale. */
+  def gopherStatsDf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    def valueStats(sep: String, prefix: String) = {
+      val vals = df
+        .select(col(idCol), explode(split(col(textCol), sep)).as("__v"))
+        .select(col(idCol),
+          regexp_replace(col("__v"), "^\\s+|\\s+$", "").as("__v"))
+        .filter(col("__v") =!= "")
+        .groupBy(col(idCol), col("__v")).agg(count(lit(1)).as("__c"))
+      vals.groupBy(idCol).agg(
+        sum("__c").as(s"${prefix}n"),
+        count(lit(1)).as(s"${prefix}nd"),
+        sum(col("__c") * length(col("__v"))).as(s"${prefix}chars"),
+        sum(when(col("__c") > 1, col("__c") * length(col("__v")))
+          .otherwise(lit(0L))).as(s"${prefix}dchars"))
+    }
+    val ps = valueStats("\n\\s*\n", "__p_")
+    val ls = valueStats("\n", "__l_")
+
+    val toksC = tokensCol(col(textCol))
+    val base = df.select(col(idCol), toksC.as("__toks"))
+      .withColumn("__doclen", length(concat_ws(" ", col("__toks"))))
+    def topN(n: Int) = {
+      val grams = base.select(col(idCol), col("__doclen"),
+        explode(when(size(col("__toks")) < n, array()).otherwise(
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))).as("__g"))
+      val counted = grams
+        .groupBy(col(idCol), col("__doclen"), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__c").desc, col("__g").asc)
+      counted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(idCol),
+          round(col("__c") * length(col("__g")) /
+            col("__doclen").cast("double"), 6).as(s"top${n}_char_ratio"))
+    }
+
+    ps.join(ls, Seq(idCol))
+      .join(topN(2), Seq(idCol), "left")
+      .join(topN(3), Seq(idCol), "left")
+      .join(topN(4), Seq(idCol), "left")
+      .select(col(idCol),
+        col("__p_n").as("n_paras"),
+        round((col("__p_n") - col("__p_nd")).cast("double") /
+          col("__p_n").cast("double"), 6).as("dup_para_ratio"),
+        round(col("__p_dchars").cast("double") /
+          col("__p_chars").cast("double"), 6).as("dup_para_char_ratio"),
+        round(col("__l_dchars").cast("double") /
+          col("__l_chars").cast("double"), 6).as("dup_line_char_ratio"),
+        coalesce(col("top2_char_ratio"), lit(0.0)).as("top2_char_ratio"),
+        coalesce(col("top3_char_ratio"), lit(0.0)).as("top3_char_ratio"),
+        coalesce(col("top4_char_ratio"), lit(0.0)).as("top4_char_ratio"))
+  }
+
+  /** Pure twin of [[gopherStatsDf]] for one document:
+    * (n_paras, dup_para_ratio, dup_para_char_ratio, dup_line_char_ratio,
+    * top2, top3, top4 char ratios). None when no non-empty paragraph. */
+  def gopherStats(text: String)
+      : Option[(Long, Double, Double, Double, Double, Double, Double)] = {
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def vals(parts: Seq[String]) = parts.map(_.trim).filter(_.nonEmpty)
+    val paras = vals(text.split("\n\\s*\n", -1).toSeq)
+    if (paras.isEmpty) return None
+    def charStats(vs: Seq[String]): (Double, Double) = {
+      val groups = vs.groupBy(identity).values.map(g => (g.head, g.size)).toSeq
+      val all = groups.map { case (v, c) => c.toLong * v.length }.sum
+      val dup = groups.filter(_._2 > 1).map { case (v, c) => c.toLong * v.length }.sum
+      (all.toDouble, dup.toDouble)
+    }
+    val (pAll, pDup) = charStats(paras)
+    val lines = vals(text.split("\n", -1).toSeq)
+    val (lAll, lDup) = charStats(lines)
+    val toks = tokens(text)
+    val docLen = toks.mkString(" ").length
+    def top(n: Int): Double =
+      if (toks.size < n) 0.0
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val (g, c) = grams.groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (g, c) => (-c, g) }
+        r6(c.toDouble * g.length / docLen)
+      }
+    Some((paras.size.toLong,
+      r6((paras.size - paras.distinct.size).toDouble / paras.size),
+      r6(pDup / pAll), r6(lDup / lAll), top(2), top(3), top(4)))
+  }
+
   // ----------------------------------------------------------- PII ---------
   /** PII patterns for training-corpus scrubbing. Kept in the common subset
     * of Java regex and RE2 (no lookaround, no backreferences) so DuckDB

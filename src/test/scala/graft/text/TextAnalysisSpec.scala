@@ -74,6 +74,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(qualityScore(good) > qualityScore(bad))
   }
 
+  test("gopher battery: pure and DataFrame forms agree; hand-checked ratios") {
+    import spark.implicits._
+    val battery = Seq(
+      // para A repeats (A longer than B → char ratio > count ratio)
+      1L -> "alpha beta gamma delta\n\nshort\n\nalpha beta gamma delta",
+      // multi-line paragraph, duplicate lines inside one paragraph
+      2L -> "one two\nthree four\none two\n\ntail para",
+      // heavy n-gram repetition, single paragraph
+      3L -> "spam ham spam ham spam ham spam",
+      // whitespace-only paragraph boundaries, trailing blank lines
+      4L -> "solo para\n   \n\n\n",
+      5L -> "x") // 1 token: all top-n ratios 0
+    val got = TextAnalysis.gopherStatsDf(battery.toDF("id", "t"), "id", "t")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    for ((id, text) <- battery) {
+      val Some((n, dp, dpc, dlc, t2, t3, t4)) = TextAnalysis.gopherStats(text)
+      assert(got(id) == ((id, n, dp, dpc, dlc, t2, t3, t4)), s"doc $id")
+    }
+    assert(got(1L)._3 == 0.333333)            // 1 dup para of 3
+    assert(got(1L)._4 == 0.897959)            // 44 of 49 para chars in the dup group
+    assert(got(2L)._5 == 0.424242)            // "one two" ×2 = 14 of 33 line chars
+    assert(got(3L)._6 == 0.774194)            // tie → "ham spam" ×3, 24 of 31 chars
+    assert(got(5L)._6 == 0.0 && got(5L)._7 == 0.0 && got(5L)._8 == 0.0)
+    // whitespace-only docs carry no signal at all
+    assert(TextAnalysis.gopherStats("  \n \n\n  ").isEmpty)
+    assert(TextAnalysis.gopherStatsDf(Seq(9L -> "\n \n").toDF("id", "t"), "id", "t")
+      .count() == 0)
+  }
+
   test("repetition stats: pure and DataFrame forms agree") {
     import spark.implicits._
     val docs = Seq(
