@@ -10,7 +10,7 @@ import graft.pipeline.{Ep1Config, ExtractJob}
 import graft.qc.Qc
 import graft.ranges.Islands
 import graft.sim.Similarity
-import graft.text.{Importance, Packing, Sampling, Web, TextAnalysis => TA}
+import graft.text.{C4, Importance, Packing, Sampling, Web, TextAnalysis => TA}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1228,6 +1228,103 @@ object SparkEntry {
       Web.linkEdges(
         rd(s, d, "documents").select(src.as("url"), html.as("html")),
         "url", "html")
+    }),
+
+    "html_meta" -> ((s, d) => {
+      // head-metadata battery over synthesized page HTML: every field axis
+      // (presence, attribute order, tag case, canonical-URL transport noise)
+      // is a pure function of doc_id, so the oracle re-renders the EXPECTED
+      // five fields directly — a defect in any extraction regex or the
+      // canonical normalization breaks parity. Zero-shuffle projection.
+      val id = col("doc_id")
+      val str = id.cast("string")
+      val title = when(pmod(id, lit(7)) === 0, lit(""))
+        .when(pmod(id, lit(7)) === 1,
+          concat(lit("<TITLE> Doc "), str, lit(" overview </TITLE>")))
+        .otherwise(concat(lit("<title> Doc "), str, lit(" overview </title>")))
+      val desc = when(pmod(id, lit(11)) === 0, lit(""))
+        .when(pmod(id, lit(2)) === 0,
+          concat(lit("<meta name=\"description\" content=\"Desc "),
+            pmod(id, lit(5)).cast("string"), lit("\">")))
+        .otherwise(concat(lit("<meta content=\"Desc "),
+          pmod(id, lit(5)).cast("string"), lit("\" name=\"description\">")))
+      val og = when(pmod(id, lit(3)) === 0,
+          concat(lit("<meta property=\"og:title\" content=\"OG "), str, lit("\">")))
+        .when(pmod(id, lit(3)) === 1,
+          concat(lit("<meta content=\"OG "), str, lit("\" property=\"og:title\">")))
+        .otherwise(lit(""))
+      val canon = when(pmod(id, lit(4)) === 0,
+          concat(lit("<link rel=\"canonical\" href=\"HTTP://Ex.com:80/p/"),
+            str, lit("?utm_c=1\">")))
+        .when(pmod(id, lit(4)) === 1,
+          concat(lit("<link href=\"https://ex.org/"), str,
+            lit("#frag\" rel=\"canonical\">")))
+        .otherwise(lit(""))
+      val langAttr = when(pmod(id, lit(5)) === 0, lit(" lang=\"EN\""))
+        .when(pmod(id, lit(5)) === 1, lit(" lang=\"fr-FR\"")).otherwise(lit(""))
+      val html = concat(lit("<html"), langAttr, lit("><head>"), title, desc,
+        og, canon, lit("</head><body><p>body</p></body></html>"))
+      Web.htmlMetaDf(
+        rd(s, d, "documents").select(id, html.as("html")), "doc_id", "html")
+    }),
+
+    "anchor_texts" -> ((s, d) => {
+      // anchor-text aggregation over synthesized pages: targets and texts
+      // are pure functions of doc_id, with URL-variant noise (tracking
+      // params, scheme/host case, default port) that MUST pool after
+      // normalization, an empty-text anchor that MUST drop, and a top-k cut
+      // at k=2 with count-then-text ordering; the oracle re-renders the
+      // (dst, anchor) relation directly and replays the aggregation
+      val id = col("doc_id")
+      val dstK = pmod(id, lit(5)).cast("string")
+      val html = concat(
+        lit("<p><a href=\"http://T"), dstK, lit(".com/page?utm_x=1\">Alpha</a> "),
+        lit("<a class=\"x\" href=\"http://t"), dstK, lit(".com/page\">Beta "),
+        pmod(id, lit(3)).cast("string"), lit("</a>"),
+        lit("<a href=\"http://t"), dstK, lit(".com/page\"> </a>"),
+        when(pmod(id, lit(4)) === 0,
+          concat(lit(" <a href=\"HTTPS://Hub.example.org:443/\">Gamma "),
+            pmod(id, lit(3)).cast("string"), lit("</a>"))).otherwise(lit("")),
+        lit("</p>"))
+      Web.anchorTextsDf(
+        rd(s, d, "documents").select(html.as("html")), "html", k = 2)
+    }),
+
+    "c4_clean" -> ((s, d) => {
+      // the C4 line-cleaning battery over a line-structured variant of the
+      // corpus (corpus text has no newlines of its own): kept/dropped
+      // lines, the javascript line veto, the lorem-ipsum / curly-bracket
+      // page vetoes, and the 5-sentence floor all vary by doc_id; the
+      // oracle replays the full rule set over the identical lines
+      val id = col("doc_id")
+      val a = substring(col("text"), 1, 30)
+      val t2 = concat_ws("\n",
+        concat(lit("Intro line with words "), a, lit(".")),
+        lit("no terminal punctuation line"),
+        lit("Short."),
+        when(pmod(id, lit(4)) === 0, lit("Please enable JavaScript now."))
+          .otherwise(lit("Second real line stays here!")),
+        when(pmod(id, lit(6)) === 0, lit("This mentions lorem ipsum dolor."))
+          .otherwise(lit("Third line asks a question? Yes. It does. Clearly.")),
+        when(pmod(id, lit(9)) === 0, lit("code block { return one; }"))
+          .otherwise(lit("Final line of the page.")))
+      C4.cleanDf(rd(s, d, "documents").withColumn("t2", t2), "doc_id", "t2")
+    }),
+
+    "mojibake_fix" -> ((s, d) => {
+      // mojibake repair over corpus text with a cp1252-corrupted suffix on
+      // two thirds of the docs (the rest stay clean): the oracle re-renders
+      // the EXPECTED repaired text directly — including the deliberately
+      // unhealable sequence (A-tilde + macron, i.e. corrupted 'i
+      // diaeresis', not in the table) — so a defect in any table entry,
+      // the chain order, or literal-vs-regex semantics breaks parity
+      val id = col("doc_id")
+      val corrupt = lit("\u0063\u0061\u0066\u00c3\u00a9\u0020\u00e2\u20ac\u201d\u0020\u00e2\u20ac\u0153\u006e\u0061\u00c3\u00af\u0076\u0065\u00e2\u20ac\u00a6\u0020\u0039\u0030\u00c2\u00b0")
+      val raw = when(pmod(id, lit(3)) === 0, col("text"))
+        .otherwise(concat(substring(col("text"), 1, 40), lit(" "), corrupt))
+      rd(s, d, "documents").select(id, raw.as("__raw"))
+        .select(id, TA.fixMojibakeCol(col("__raw")).as("fixed"),
+          (TA.fixMojibakeCol(col("__raw")) =!= col("__raw")).as("changed"))
     }),
 
     "quality_score" -> ((s, d) => {
@@ -3381,6 +3478,60 @@ object SparkEntry {
            |  h AS host,
            |  (CASE WHEN doc_id%5=0 THEN 'news.co.uk' ELSE 'example.com' END) AS domain
            |FROM u""".stripMargin,
+
+      "html_meta" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN doc_id%7=0 THEN '' ELSE 'Doc '||doc_id::VARCHAR||' overview' END AS title,
+           |  CASE WHEN doc_id%11=0 THEN '' ELSE 'Desc '||(doc_id%5)::VARCHAR END AS description,
+           |  CASE WHEN doc_id%3=2 THEN '' ELSE 'OG '||doc_id::VARCHAR END AS og_title,
+           |  CASE doc_id%4 WHEN 0 THEN 'http://ex.com/p/'||doc_id::VARCHAR
+           |       WHEN 1 THEN 'https://ex.org/'||doc_id::VARCHAR ELSE '' END AS canonical_url,
+           |  CASE doc_id%5 WHEN 0 THEN 'en' WHEN 1 THEN 'fr-fr' ELSE '' END AS lang_attr
+           |FROM documents""".stripMargin,
+
+      "anchor_texts" ->
+        s"""WITH p AS (
+           |  SELECT 'http://t'||(doc_id%5)::VARCHAR||'.com/page' AS dst, 'Alpha' AS anchor FROM documents
+           |  UNION ALL
+           |  SELECT 'http://t'||(doc_id%5)::VARCHAR||'.com/page', 'Beta '||(doc_id%3)::VARCHAR FROM documents
+           |  UNION ALL
+           |  SELECT 'https://hub.example.org/', 'Gamma '||(doc_id%3)::VARCHAR FROM documents WHERE doc_id%4=0),
+           |c AS (SELECT dst, anchor, count(*) AS n FROM p GROUP BY 1,2),
+           |r AS (SELECT dst, anchor, n,
+           |  row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor ASC) AS rn FROM c)
+           |SELECT dst, sum(n)::BIGINT AS n_anchors, count(*)::BIGINT AS n_distinct_texts,
+           |  string_agg(anchor, '|' ORDER BY rn) FILTER (WHERE rn <= 2) AS top_anchors
+           |FROM r GROUP BY dst""".stripMargin,
+
+      "c4_clean" ->
+        s"""WITH d2 AS (SELECT doc_id,
+           |  'Intro line with words '||substr(text,1,30)||'.'||chr(10)||
+           |  'no terminal punctuation line'||chr(10)||
+           |  'Short.'||chr(10)||
+           |  (CASE WHEN doc_id%4=0 THEN 'Please enable JavaScript now.' ELSE 'Second real line stays here!' END)||chr(10)||
+           |  (CASE WHEN doc_id%6=0 THEN 'This mentions lorem ipsum dolor.' ELSE 'Third line asks a question? Yes. It does. Clearly.' END)||chr(10)||
+           |  (CASE WHEN doc_id%9=0 THEN 'code block { return one; }' ELSE 'Final line of the page.' END) AS t2
+           |  FROM documents),
+           |k AS (SELECT doc_id, t2,
+           |  list_filter(list_transform(string_split(t2, chr(10)), x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g')),
+           |    x -> regexp_matches(x, '[.!?"'']$$') AND len(string_split_regex(x, '\\s+')) >= 3
+           |      AND NOT contains(lower(x), 'javascript')) AS kl
+           |  FROM d2),
+           |c AS (SELECT doc_id, t2, kl, array_to_string(kl, chr(10)) AS clean_text FROM k)
+           |SELECT doc_id, clean_text,
+           |  len(kl)::BIGINT AS n_lines_kept,
+           |  len(regexp_extract_all(clean_text, '[.!?]'))::BIGINT AS n_sentences,
+           |  (len(kl) >= 1 AND len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+           |    AND NOT contains(lower(t2), 'lorem ipsum')
+           |    AND NOT contains(t2, '{') AND NOT contains(t2, '}')) AS kept
+           |FROM c""".stripMargin,
+
+      "mojibake_fix" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN doc_id%3=0 THEN text
+           |       ELSE substr(text,1,40)||' café — “naÃ¯ve… 90°' END AS fixed,
+           |  doc_id%3<>0 AS changed
+           |FROM documents""".stripMargin,
 
       // NOTE the rounding idiom: quality values are small-denominator
       // rationals that often land EXACTLY on the .00005 decimal boundary,

@@ -362,6 +362,54 @@ object TextAnalysis {
     (n(EmailRe), n(PhoneRe), n(SsnRe))
   }
 
+  // -------------------------------------------------------- mojibake -------
+  /** UTF-8 bytes mis-decoded as Windows-1252 — the dominant encoding defect
+    * in web corpora ("Ã©" where "é" was meant). Each entry maps the
+    * mis-decoded character sequence back to the intended character; the
+    * table covers the Latin-1 accents and Win-1252 punctuation that
+    * dominate real crawls. The repair is the FIXED-ORDER composition of one
+    * literal replacement pass per entry (no entry is a prefix of another,
+    * and entries are generated mechanically: bad = utf8(good) decoded as
+    * cp1252) — both engines replay the identical chain, so parity holds
+    * even on adversarial inputs where one repair splices a later pattern. */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "\u00e2\u20ac\u2122" -> "\u2019", // right single quote
+    "\u00e2\u20ac\u02dc" -> "\u2018", // left single quote
+    "\u00e2\u20ac\u0153" -> "\u201c", // left double quote
+    "\u00e2\u20ac\u201c" -> "\u2013", // en dash
+    "\u00e2\u20ac\u201d" -> "\u2014", // em dash
+    "\u00e2\u20ac\u00a6" -> "\u2026", // ellipsis
+    // Latin-1 accents and symbols: C3/C2 xx read cp1252
+    "\u00c3\u00a9" -> "\u00e9", // e acute
+    "\u00c3\u00a8" -> "\u00e8", // e grave
+    "\u00c3\u00aa" -> "\u00ea", // e circumflex
+    "\u00c3\u00a1" -> "\u00e1", // a acute
+    "\u00c3\u00a4" -> "\u00e4", // a umlaut
+    "\u00c3\u00b6" -> "\u00f6", // o umlaut
+    "\u00c3\u00bc" -> "\u00fc", // u umlaut
+    "\u00c3\u00b3" -> "\u00f3", // o acute
+    "\u00c3\u00ba" -> "\u00fa", // u acute
+    "\u00c3\u00b1" -> "\u00f1", // n tilde
+    "\u00c3\u00a7" -> "\u00e7", // c cedilla
+    "\u00c2\u00ab" -> "\u00ab", // left guillemet
+    "\u00c2\u00bb" -> "\u00bb", // right guillemet
+    "\u00c2\u00b0" -> "\u00b0", // degree
+    "\u00c2\u00a9" -> "\u00a9", // copyright
+    "\u00c2\u00ae" -> "\u00ae") // registered
+
+  /** Repaired text: every [[MojibakeTable]] sequence replaced. Literal
+    * `replace`, not regex \u2014 zero-shuffle narrow projection. */
+  def fixMojibakeCol(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** Pure twin of [[fixMojibakeCol]]. */
+  def fixMojibake(text: String): String =
+    MojibakeTable.foldLeft(text) { case (t, (bad, good)) =>
+      t.replace(bad, good)
+    }
+
   // ------------------------------------------------------- vocabulary ------
   /** Corpus-wide top-k token vocabulary with frequencies, ties broken by
     * token text so the cut is deterministic. The plan is the one you want

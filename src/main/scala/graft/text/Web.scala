@@ -98,7 +98,113 @@ object Web {
     * Double-quoted `href` attributes only (the corpus normal form);
     * relative links and fragments are crawl-internal, not graph edges. */
   def hrefs(html: Column): Column =
-    regexp_extract_all(html, lit("<a[^>]*\\shref=\"(https?://[^\"]*)\""), lit(1))
+    regexp_extract_all(html,
+      lit("(?i)<a[^>]*\\shref=\"(https?://[^\"]*)\""), lit(1))
+
+  // ------------------------------------------------- head metadata ---------
+
+  /** `<title>` text of an HTML string, trimmed ("" when absent). Regexes
+    * here and below stay in the Java∩RE2 subset (no lookaround) and assume
+    * the corpus normal form: double-quoted attributes, text content with no
+    * nested markup — the same contract [[hrefs]] documents. */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_extract(html, "(?i)<title[^>]*>([^<]*)</title>", 1))
+
+  /** `content` of `<meta name="..." content="...">`, tolerating either
+    * attribute order ("" when absent). */
+  def metaContent(html: Column, name: String): Column = {
+    val fwd = regexp_extract(html,
+      s"""(?i)<meta\\s[^>]*name="$name"[^>]*\\scontent="([^"]*)"""", 1)
+    val rev = regexp_extract(html,
+      s"""(?i)<meta\\s[^>]*content="([^"]*)"[^>]*\\sname="$name"""", 1)
+    when(fwd =!= "", fwd).otherwise(rev)
+  }
+
+  /** `content` of an OpenGraph `<meta property="og:...">` tag, either
+    * attribute order ("" when absent). */
+  def ogContent(html: Column, property: String): Column = {
+    val fwd = regexp_extract(html,
+      s"""(?i)<meta\\s[^>]*property="$property"[^>]*\\scontent="([^"]*)"""", 1)
+    val rev = regexp_extract(html,
+      s"""(?i)<meta\\s[^>]*content="([^"]*)"[^>]*\\sproperty="$property"""", 1)
+    when(fwd =!= "", fwd).otherwise(rev)
+  }
+
+  /** `href` of `<link rel="canonical">`, either attribute order. */
+  def canonicalHref(html: Column): Column = {
+    val fwd = regexp_extract(html,
+      """(?i)<link\s[^>]*rel="canonical"[^>]*\shref="([^"]*)"""", 1)
+    val rev = regexp_extract(html,
+      """(?i)<link\s[^>]*href="([^"]*)"[^>]*\srel="canonical"""", 1)
+    when(fwd =!= "", fwd).otherwise(rev)
+  }
+
+  /** `lang` attribute of the `<html>` tag, lowercased ("" when absent). */
+  def htmlLang(html: Column): Column =
+    lower(regexp_extract(html, """(?i)<html\s[^>]*lang="([^"]*)"""", 1))
+
+  /** One-projection head-metadata battery: the five fields a crawl index
+    * keeps per page (title, description, og:title, canonical URL — already
+    * normalized — and declared language). Pure Column battery: zero
+    * shuffles, whole-stage codegen, at any corpus size. */
+  def htmlMetaDf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val h = col(htmlCol)
+    docs.select(col(idCol),
+      htmlTitle(h).as("title"),
+      metaContent(h, "description").as("description"),
+      ogContent(h, "og:title").as("og_title"),
+      normalizeUrl(canonicalHref(h)).as("canonical_url"),
+      htmlLang(h).as("lang_attr"))
+  }
+
+  // ---------------------------------------------------- anchor text --------
+
+  /** Absolute-target anchors of an HTML string as (href, anchor-text)
+    * structs, document order, text trimmed. Same normal-form contract as
+    * [[hrefs]]; anchors with nested markup inside the text are skipped (the
+    * `[^<]*` body), empty-text anchors kept (callers filter). */
+  def anchors(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("(?i)<a[^>]*\\shref=\"https?://[^\"]*\"[^>]*>[^<]*</a>"), lit(0)),
+      t => struct(
+        regexp_extract(t, "(?i)href=\"(https?://[^\"]*)\"", 1).as("href"),
+        trim(regexp_extract(t, "(?i)>([^<]*)</a>$", 1)).as("anchor")))
+
+  /** Anchor-text aggregation — the classic web-graph signal: what OTHER
+    * pages call a URL. Targets are canonicalized with [[normalizeUrl]] so
+    * transport-noise variants pool their evidence; empty anchor texts
+    * ("[img]"-style link bodies) are dropped.
+    *
+    * Output per target: `n_anchors` (total inbound anchors),
+    * `n_distinct_texts`, and `top_anchors` — the `k` most frequent texts
+    * (ties lexicographic), pipe-joined in rank order.
+    *
+    * Plan: narrow explode → ONE partial-agg groupBy on (dst, text) — hub
+    * texts combine map-side — then a per-dst window over the already-
+    * aggregated counts (rows per dst = distinct texts, bounded in practice;
+    * never raw anchors) and a final per-dst agg. No collect, no all-pairs;
+    * every stage keys on dst, so skew follows link popularity and is
+    * AQE-splittable. */
+  def anchorTextsDf(docs: org.apache.spark.sql.DataFrame, htmlCol: String,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(explode(anchors(col(htmlCol))).as("a"))
+      .select(normalizeUrl(col("a.href")).as("dst"), col("a.anchor").as("anchor"))
+      .filter(col("anchor") =!= "")
+    val counted = pairs.groupBy("dst", "anchor").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("dst").orderBy(col("n").desc, col("anchor").asc)
+    counted.withColumn("__rn", row_number().over(w))
+      .groupBy("dst").agg(
+        sum("n").as("n_anchors"),
+        count(lit(1)).cast("long").as("n_distinct_texts"),
+        concat_ws("|", transform(
+          array_sort(collect_list(when(col("__rn") <= k,
+            struct(col("__rn"), col("anchor"))))),
+          s => s.getField("anchor"))).as("top_anchors"))
+  }
 
   /** The host-graph construction step: documents (own URL + HTML) → deduped
     * weighted edges (src_domain, dst_domain, n_links) over registrable

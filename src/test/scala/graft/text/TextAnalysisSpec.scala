@@ -104,6 +104,25 @@ class TextAnalysisSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("mojibake repair: cp1252 round-trip, idempotence, Column/pure parity") {
+    import spark.implicits._
+    val clean = "café — the “naïve” résumé… 90° ©"
+    // mechanical corruption: utf8 bytes of the clean string decoded cp1252;
+    // chars outside the table (ï here) stay corrupted, everything else heals
+    val bad = new String(clean.getBytes("UTF-8"), "windows-1252")
+    val fixed = TextAnalysis.fixMojibake(bad)
+    assert(fixed.contains("café") && fixed.contains("—") &&
+      fixed.contains("“") && fixed.contains("résumé…") &&
+      fixed.contains("90°") && fixed.contains("©"))
+    // already-clean text is a fixpoint
+    assert(TextAnalysis.fixMojibake(clean) == clean)
+    assert(TextAnalysis.fixMojibake(fixed) == fixed)
+    // Column form replays the pure chain exactly
+    val got = Seq(bad, clean, "plain ascii.").toDF("t")
+      .select(TextAnalysis.fixMojibakeCol(col("t"))).as[String].collect().toSeq
+    assert(got == Seq(fixed, clean, "plain ascii."))
+  }
+
   test("repetition stats: pure and DataFrame forms agree") {
     import spark.implicits._
     val docs = Seq(

@@ -72,6 +72,37 @@ class WebSpec extends SparkTestBase {
       ("b.com", "a.com", 1L)))    // src from own URL's registrable domain
   }
 
+  test("htmlMetaDf: title/description/og/canonical/lang, both attribute orders") {
+    val page =
+      """<html lang="EN-us"><head><title> My Page </title>
+        |<meta name="description" content="first desc">
+        |<meta content="og title here" property="og:title">
+        |<link href="HTTP://Example.com:80/a?utm_x=1" rel="canonical">
+        |</head><body><title>not this one? no: first wins</title></body></html>""".stripMargin
+    val bare = "<html><body>plain</body></html>"
+    val got = Web.htmlMetaDf(Seq((1L, page), (2L, bare)).toDF("id", "html"), "id", "html")
+      .as[(Long, String, String, String, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "My Page", "first desc", "og title here", "http://example.com/a", "en-us"),
+      (2L, "", "", "", "", "")))
+  }
+
+  test("anchors + anchorTextsDf: normalization pools variants, top-k by count then text") {
+    val docs = Seq(
+      """<a href="http://T.com/x?utm_s=1">Widget</a> <a href="http://t.com/x">Widget</a>
+        |<a class="b" href="http://t.com/x#f">Gadget</a> <a href="http://t.com/x"> </a>
+        |<a href="http://t.com/x">Apparatus</a> <a href="http://t.com/x">Gadget</a>
+        |<a href="http://other.com/">Solo</a> <a href="/rel">rel</a>""".stripMargin)
+      .toDF("html")
+    val got = Web.anchorTextsDf(docs, "html", k = 2)
+      .as[(String, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      // 5 non-empty anchors pooled across URL variants; top-2 = Gadget(2), Widget(2)
+      // beats Apparatus(1); Gadget before Widget only on count tie → lexicographic
+      ("http://other.com/", 1L, 1L, "Solo"),
+      ("http://t.com/x", 5L, 3L, "Gadget|Widget")))
+  }
+
   test("column pipeline is narrow: no Exchange in the plan") {
     val df = (1L to 100L).toDF("id")
       .withColumn("u", concat(lit("http://h"), col("id"), lit(".example.com/p?utm_a=1&k=v")))
