@@ -1832,6 +1832,34 @@ object SparkEntry {
         "src", "dst", iters = 3, redistributeDangling = true)
     }),
 
+    // HITS hub/authority over the same %500→%700 graph as pagerank_dangling
+    // (destination-only nodes are pure authorities, source-heavy nodes pure
+    // hubs): 2 full (auth, hub) rounds with L1 micro normalization, all
+    // int64 floor division — the oracle's unrolled replay is bit-identical
+    "hits_scores" -> ((s, d) => {
+      graft.graph.Hits.scores(
+        rd(s, d, "lineitem").select(
+          pmod(col("l_orderkey"), lit(500)).as("src"),
+          pmod(col("l_partkey"), lit(700)).as("dst")),
+        "src", "dst", iters = 2)
+    }),
+
+    "para_dedup" -> ((s, d) => {
+      // within-doc paragraph de-templating over a paragraph-structured
+      // corpus variant (text has no newlines of its own): paragraph A and B
+      // each repeat, a whitespace-only fragment sits inside a separator
+      // run, and every 3rd doc appends a unique tail — the oracle replays
+      // the split/trim/first-occurrence logic over the identical text
+      val id = col("doc_id")
+      val a = substring(col("text"), 1, 50)
+      val b = substring(col("text"), 51, 50)
+      val t2 = concat(a, lit("\n\n"), b, lit("\n\n"), a, lit("\n\n  \n\n"), b,
+        when(pmod(id, lit(3)) === 0,
+          concat(lit("\n\ntail "), id.cast("string"))).otherwise(lit("")))
+      TA.dedupParagraphsDf(
+        rd(s, d, "documents").withColumn("t2", t2), "doc_id", "t2")
+    }),
+
     "pq_topk" -> ((s, d) => {
       // Product-quantized ANN (Pq.adcTopK): 4 codebooks of 8 centroids over
       // 16-dim subspaces, trained RNG-free (md5 seeds + 1 Lloyd step) so
@@ -4309,6 +4337,48 @@ object SparkEntry {
           |r3 AS (SELECT n.node, (150000 + (850000 * (coalesce(c3.inflow, 0) + (SELECT ds FROM d3))) // 1000000)::BIGINT AS r
           |  FROM nodes n LEFT JOIN c3 USING (node))
           |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+
+      // HITS replay: 2 unrolled (auth, hub) rounds, L1 micro normalization
+      // via scalar-subquery totals, all integer floor division
+      "hits_scores" ->
+        """WITH e AS (SELECT DISTINCT l_orderkey%500 AS src, l_partkey%700 AS dst
+          |  FROM lineitem),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |h0 AS (SELECT node, 1::BIGINT AS hub FROM nodes),
+          |a1r AS (SELECT e.dst AS node, sum(h0.hub) AS raw FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+          |a1t AS (SELECT greatest(coalesce(sum(raw), 1), 1) AS total FROM a1r),
+          |a1 AS (SELECT n.node, (coalesce(raw, 0) * 1000000) // (SELECT total FROM a1t) AS auth
+          |  FROM nodes n LEFT JOIN a1r USING (node)),
+          |h1r AS (SELECT e.src AS node, sum(a1.auth) AS raw FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+          |h1t AS (SELECT greatest(coalesce(sum(raw), 1), 1) AS total FROM h1r),
+          |h1 AS (SELECT n.node, (coalesce(raw, 0) * 1000000) // (SELECT total FROM h1t) AS hub
+          |  FROM nodes n LEFT JOIN h1r USING (node)),
+          |a2r AS (SELECT e.dst AS node, sum(h1.hub) AS raw FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+          |a2t AS (SELECT greatest(coalesce(sum(raw), 1), 1) AS total FROM a2r),
+          |a2 AS (SELECT n.node, (coalesce(raw, 0) * 1000000) // (SELECT total FROM a2t) AS auth
+          |  FROM nodes n LEFT JOIN a2r USING (node)),
+          |h2r AS (SELECT e.src AS node, sum(a2.auth) AS raw FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+          |h2t AS (SELECT greatest(coalesce(sum(raw), 1), 1) AS total FROM h2r),
+          |h2 AS (SELECT n.node, (coalesce(raw, 0) * 1000000) // (SELECT total FROM h2t) AS hub
+          |  FROM nodes n LEFT JOIN h2r USING (node))
+          |SELECT h2.node, h2.hub::BIGINT AS hub_micro, a2.auth::BIGINT AS auth_micro
+          |FROM h2 JOIN a2 USING (node)""".stripMargin,
+
+      "para_dedup" ->
+        s"""WITH t AS (SELECT doc_id, substr(text,1,50) AS a, substr(text,51,50) AS b FROM documents),
+           |d2 AS (SELECT doc_id,
+           |  a||chr(10)||chr(10)||b||chr(10)||chr(10)||a||chr(10)||chr(10)||'  '||chr(10)||chr(10)||b||
+           |  (CASE WHEN doc_id%3=0 THEN chr(10)||chr(10)||'tail '||doc_id::VARCHAR ELSE '' END) AS t2
+           |  FROM t),
+           |p AS (SELECT doc_id, list_filter(list_transform(
+           |    string_split_regex(t2, '\\n\\s*\\n'),
+           |    x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g')), x -> x <> '') AS paras FROM d2),
+           |k AS (SELECT doc_id, paras,
+           |  list_filter(paras, (x, i) -> list_position(paras, x) = i) AS kept FROM p)
+           |SELECT doc_id, array_to_string(kept, chr(10)||chr(10)) AS clean_text,
+           |  len(paras)::BIGINT AS n_paras,
+           |  (len(paras) - len(kept))::BIGINT AS n_removed
+           |FROM k""".stripMargin,
 
       // PQ replay: md5-seeded subspace codebooks → micro-unit argmin
       // assignment → 6dp means → encode → per-query distance tables →

@@ -324,6 +324,45 @@ object TextAnalysis {
       r6(pDup / pAll), r6(lDup / lAll), top(2), top(3), top(4)))
   }
 
+  // ------------------------------------------------ paragraph dedup --------
+  /** Within-document paragraph de-templating: keep the FIRST occurrence of
+    * each exact trimmed paragraph, drop repeats — the removal counterpart
+    * to [[gopherStatsDf]]'s duplicate-paragraph measurement (headers,
+    * nav blocks, and legal footers pasted repeatedly into one page).
+    * Paragraphs split on blank lines, whitespace-trimmed, empties dropped;
+    * output preserves original order with a canonical blank-line joiner.
+    *
+    * Plan: zero-shuffle narrow projection. The paragraph array is bound to
+    * a named column BEFORE the index-filter references it twice (the
+    * interpreted-HOF inlining trap: an inlined expression re-evaluates per
+    * element), and first-occurrence is `array_position(paras, p) == i+1` —
+    * O(p²) character compares per doc, bounded by paragraph count, never
+    * leaving the row. */
+  def dedupParagraphsDf(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val paras = filter(transform(split(col(textCol), "\n\\s*\n"),
+      p => regexp_replace(p, "^\\s+|\\s+$", "")), p => p =!= "")
+    df.select(col(idCol), paras.as("__paras"))
+      .select(col(idCol), col("__paras"),
+        filter(col("__paras"), (p, i) =>
+          array_position(col("__paras"), p) === (i + 1).cast("long"))
+          .as("__kept"))
+      .select(col(idCol),
+        concat_ws("\n\n", col("__kept")).as("clean_text"),
+        size(col("__paras")).cast("long").as("n_paras"),
+        (size(col("__paras")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Pure twin of [[dedupParagraphsDf]]:
+    * (clean_text, n_paras, n_removed). */
+  def dedupParagraphs(text: String): (String, Long, Long) = {
+    val paras = text.split("\n\\s*\n", -1).toSeq
+      .map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
+    val kept = paras.zipWithIndex
+      .filter { case (p, i) => paras.indexOf(p) == i }.map(_._1)
+    (kept.mkString("\n\n"), paras.size.toLong, (paras.size - kept.size).toLong)
+  }
+
   // ----------------------------------------------------------- PII ---------
   /** PII patterns for training-corpus scrubbing. Kept in the common subset
     * of Java regex and RE2 (no lookaround, no backreferences) so DuckDB

@@ -104,6 +104,29 @@ class TextAnalysisSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("paragraph de-templating: first occurrence kept, order preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "header nav\n\nbody one\n\nheader nav\n\nbody two\n\nheader nav",
+      2L -> "only para",
+      3L -> "a\n \n\nb\n\n\na", // messy separators still split
+      4L -> "  \n\n   ")        // nothing survives
+    val got = TextAnalysis.dedupParagraphsDf(docs.toDF("id", "t"), "id", "t")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for ((id, text) <- docs) {
+      val (c, n, rm) = TextAnalysis.dedupParagraphs(text)
+      assert(got(id) == ((id, c, n, rm)), s"doc $id")
+    }
+    assert(got(1L)._2 == "header nav\n\nbody one\n\nbody two")
+    assert(got(1L)._3 == 5 && got(1L)._4 == 2)
+    assert(got(3L)._2 == "a\n\nb" && got(3L)._4 == 1)
+    assert(got(4L)._2 == "" && got(4L)._3 == 0)
+    // narrow plan: no Exchange
+    val plan = TextAnalysis.dedupParagraphsDf(docs.toDF("id", "t"), "id", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("mojibake repair: cp1252 round-trip, idempotence, Column/pure parity") {
     import spark.implicits._
     val clean = "café — the “naïve” résumé… 90° ©"
