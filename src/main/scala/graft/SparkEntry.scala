@@ -1860,6 +1860,43 @@ object SparkEntry {
         rd(s, d, "documents").withColumn("t2", t2), "doc_id", "t2")
     }),
 
+    "robots_eval" -> ((s, d) => {
+      // robots.txt verdicts over four synthesized hosts: a star group with
+      // comments and an empty-path no-op, an exact-agent group that
+      // REPLACES star on host 1, a multi-user-agent run disallowing
+      // everything on host 3, and five path shapes per doc (incl. the
+      // empty path → "/"); the oracle re-renders the expected
+      // (allowed, rule) verdicts directly from the doc_id axes
+      val id = col("doc_id")
+      val hk = pmod(id, lit(4))
+      val urls = rd(s, d, "documents").select(id,
+        concat(lit("http://h"), hk.cast("string"), lit(".com"),
+          when(pmod(id, lit(5)) === 0, lit("/p/doc"))
+            .when(pmod(id, lit(5)) === 1, lit("/p/ok/x"))
+            .when(pmod(id, lit(5)) === 2, lit("/q/z"))
+            .when(pmod(id, lit(5)) === 3, lit("/open"))
+            .otherwise(lit(""))).as("url"))
+      val hosts = rd(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(4)).as("hk")).distinct()
+      val txt = concat(
+        lit("# crawl policy\n\nUser-agent: *\nDisallow: /p\n" +
+          "Allow: /p/ok # the public subtree\nDisallow:\n"),
+        when(pmod(col("hk"), lit(2)) === 0, lit("Disallow: /q\n"))
+          .otherwise(lit("")),
+        when(col("hk") === 1,
+          lit("\nUser-agent: GraftBot\nAllow: /p\nDisallow: /p/ok\n"))
+          .otherwise(lit("")),
+        when(col("hk") === 3,
+          lit("\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /\n"))
+          .otherwise(lit("")))
+      val robots = hosts.select(
+        concat(lit("h"), col("hk").cast("string"), lit(".com")).as("host"),
+        txt.as("robots_txt"))
+      val rules = graft.text.Robots.parseRules(robots, "host", "robots_txt")
+      graft.text.Robots.evaluate(urls, "url", rules, "GraftBot")
+        .select(col("doc_id"), col("url"), col("allowed"), col("rule"))
+    }),
+
     "pq_topk" -> ((s, d) => {
       // Product-quantized ANN (Pq.adcTopK): 4 codebooks of 8 centroids over
       // 16-dim subspaces, trained RNG-free (md5 seeds + 1 Lloyd step) so
@@ -4379,6 +4416,25 @@ object SparkEntry {
            |  len(paras)::BIGINT AS n_paras,
            |  (len(paras) - len(kept))::BIGINT AS n_removed
            |FROM k""".stripMargin,
+
+      // robots verdicts re-rendered from the (host, path) axes: host 3 =
+      // all-disallow via the multi-agent run, host 1 = exact-agent group
+      // replaces star, even hosts carry the extra /q disallow
+      "robots_eval" ->
+        s"""SELECT doc_id,
+           |  'http://h'||(doc_id%4)::VARCHAR||'.com'||
+           |  (CASE doc_id%5 WHEN 0 THEN '/p/doc' WHEN 1 THEN '/p/ok/x'
+           |    WHEN 2 THEN '/q/z' WHEN 3 THEN '/open' ELSE '' END) AS url,
+           |  CASE WHEN doc_id%4=3 THEN false
+           |       WHEN doc_id%4=1 THEN doc_id%5 <> 1
+           |       ELSE doc_id%5 NOT IN (0, 2) END AS allowed,
+           |  CASE WHEN doc_id%4=3 THEN 'disallow:/'
+           |       WHEN doc_id%4=1 THEN (CASE doc_id%5 WHEN 0 THEN 'allow:/p'
+           |         WHEN 1 THEN 'disallow:/p/ok' ELSE '' END)
+           |       ELSE (CASE doc_id%5 WHEN 0 THEN 'disallow:/p'
+           |         WHEN 1 THEN 'allow:/p/ok' WHEN 2 THEN 'disallow:/q'
+           |         ELSE '' END) END AS rule
+           |FROM documents""".stripMargin,
 
       // PQ replay: md5-seeded subspace codebooks → micro-unit argmin
       // assignment → 6dp means → encode → per-query distance tables →
