@@ -1897,6 +1897,42 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("allowed"), col("rule"))
     }),
 
+    "web_curation_e2e" -> ((s, d) => {
+      // the composed web-curation pass over one corpus variant: mojibake
+      // repair → within-doc paragraph de-templating → C4 line cleaning,
+      // chained as ONE zero-shuffle narrow projection (every stage is a
+      // pure text function — this is the shape the 100 TB pass wants: one
+      // scan, no intermediate materialization). Corpus text is pure ASCII
+      // (asserted by the oracle's own re-render), so the heal touches only
+      // the injected cp1252 suffix and the oracle can re-render every
+      // output column, with the corpus-dependent sentence count replayed
+      // from the same substring
+      val id = col("doc_id")
+      val a = substring(col("text"), 1, 40)
+      val corrupt = lit("\u0063\u0061\u0066\u00c3\u00a9\u0020\u00e2\u20ac\u201d\u0020\u00e2\u20ac\u0153\u006e\u0061\u00c3\u00af\u0076\u0065\u00e2\u20ac\u00a6\u0020\u0039\u0030\u00c2\u00b0")
+      val p1 = concat(lit("Intro words "), a, lit(" "), corrupt, lit("."))
+      val t2 = concat_ws("\n\n", p1,
+        lit("no punct line"), p1,
+        lit("Second real line stays here! And more. Yes. Sure. Fine."),
+        when(pmod(id, lit(3)) === 0, lit("A lorem ipsum veto here."))
+          .otherwise(lit("Closing line ends well.")))
+      val healed = rd(s, d, "documents")
+        .withColumn("t2", TA.fixMojibakeCol(t2))
+      val deduped = TA.dedupParagraphsDf(healed, "doc_id", "t2")
+      val lines = C4.keptLinesCol(col("clean_text"))
+      deduped
+        .select(col("doc_id"), col("n_removed"), lines.as("__lines"),
+          col("clean_text").as("__t"))
+        .select(col("doc_id"), col("n_removed"),
+          concat_ws("\n", col("__lines")).as("c4_text"),
+          size(col("__lines")).cast("long").as("n_lines_kept"),
+          C4.sentenceCountCol(concat_ws("\n", col("__lines")))
+            .as("n_sentences"),
+          (size(col("__lines")) >= 1 &&
+            C4.sentenceCountCol(concat_ws("\n", col("__lines"))) >= C4.MinSentences &&
+            !C4.pageVetoCol(col("__t"))).as("kept"))
+    }),
+
     "pq_topk" -> ((s, d) => {
       // Product-quantized ANN (Pq.adcTopK): 4 codebooks of 8 centroids over
       // 16-dim subspaces, trained RNG-free (md5 seeds + 1 Lloyd step) so
@@ -4435,6 +4471,25 @@ object SparkEntry {
            |         WHEN 1 THEN 'allow:/p/ok' WHEN 2 THEN 'disallow:/q'
            |         ELSE '' END) END AS rule
            |FROM documents""".stripMargin,
+
+      // composed re-render: heal = constant suffix (corpus is ASCII), para
+      // dedup removes the one injected duplicate, C4 keeps 3 lines; only
+      // the sentence count depends on corpus bytes and is replayed from
+      // the same substring
+      "web_curation_e2e" ->
+        s"""WITH b AS (SELECT doc_id, substr(text,1,40) AS a FROM documents),
+           |r AS (SELECT doc_id,
+           |  'Intro words '||a||' café — “naÃ¯ve… 90°.' AS p1,
+           |  len(regexp_extract_all(a, '[.!?]')) AS am FROM b)
+           |SELECT doc_id,
+           |  1::BIGINT AS n_removed,
+           |  p1||chr(10)||'Second real line stays here! And more. Yes. Sure. Fine.'||chr(10)||
+           |    (CASE WHEN doc_id%3=0 THEN 'A lorem ipsum veto here.'
+           |          ELSE 'Closing line ends well.' END) AS c4_text,
+           |  3::BIGINT AS n_lines_kept,
+           |  (7 + am)::BIGINT AS n_sentences,
+           |  doc_id%3<>0 AS kept
+           |FROM r""".stripMargin,
 
       // PQ replay: md5-seeded subspace codebooks → micro-unit argmin
       // assignment → 6dp means → encode → per-query distance tables →
