@@ -1933,6 +1933,79 @@ object SparkEntry {
             !C4.pageVetoCol(col("__t"))).as("kept"))
     }),
 
+    "script_mix" -> ((s, d) => {
+      // per-script character counts + dominant script over a mixed-script
+      // corpus variant (short latin prefix + per-doc cyrillic / cjk /
+      // greek / empty suffix); the oracle replays every range count and
+      // the first-listed tie-break over the identical text
+      val id = col("doc_id")
+      val t2 = concat(substring(col("text"), 1, 6),
+        when(pmod(id, lit(4)) === 0, lit(" Привет мир"))
+          .when(pmod(id, lit(4)) === 1, lit(" 中文字词语句子"))
+          .when(pmod(id, lit(4)) === 2, lit(" καλημέρα σας"))
+          .otherwise(lit("")))
+      rd(s, d, "documents").select(id, t2.as("t2"))
+        .select(col("doc_id") +: TA.scriptMixCols(col("t2")): _*)
+    }),
+
+    "soft404_flags" -> ((s, d) => {
+      // soft-404 verdicts: title-phrase hits on two fifths of the docs,
+      // a 2-phrase body hit on every 3rd, a 1-phrase body near-miss on
+      // every 3rd+1, corpus-derived clean bodies otherwise; the oracle
+      // replays the title regex and the body phrase threshold
+      val id = col("doc_id")
+      val title = when(pmod(id, lit(5)) === 0, lit("404 Not Found"))
+        .when(pmod(id, lit(5)) === 1, lit("Oops - page NOT FOUND"))
+        .otherwise(lit("Doc overview page"))
+      val body = when(pmod(id, lit(3)) === 0,
+          lit("The page does not exist. Please try again."))
+        .when(pmod(id, lit(3)) === 1, lit("This item has been removed."))
+        .otherwise(concat(substring(col("text"), 1, 60), lit(".")))
+      rd(s, d, "documents").select(id, title.as("title"), body.as("body"))
+        .select(col("doc_id"), col("title"),
+          Web.isSoft404(col("title"), col("body")).as("soft404"))
+    }),
+
+    "sitemap_urls" -> ((s, d) => {
+      // sitemap flattening: two entries per doc plus a reversed-field
+      // third on even docs, transport noise on the first loc; the oracle
+      // re-renders the expected (url, lastmod) relation directly
+      val id = col("doc_id")
+      val str = id.cast("string")
+      val k = pmod(id, lit(7)).cast("string")
+      val m = (pmod(id, lit(9)) + 1).cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> HTTP://S"), k,
+        lit(".com:80/p/"), str, lit("?utm_a=1 </loc><lastmod>2026-0"), m,
+        lit("-01</lastmod></url><url><loc>https://s"), k, lit(".com/q/"),
+        str, lit("</loc></url>"),
+        when(pmod(id, lit(2)) === 0,
+          concat(lit("<url><lastmod>2026-12-31</lastmod><loc>https://other.org/"),
+            str, lit("#f</loc></url>"))).otherwise(lit("")),
+        lit("</urlset>"))
+      Web.sitemapUrlsDf(rd(s, d, "documents").select(id, xml.as("xml")),
+        "xml", extraCols = Seq("doc_id"))
+    }),
+
+    "crawl_diff" -> ((s, d) => {
+      // two crawl snapshots derived from one corpus: every 11th URL
+      // vanishes, every 7th changes content, every 13th gains a fresh URL;
+      // fingerprints are the exact-dedup md5 key, so the oracle replays
+      // the full-outer reconciliation bit-exactly
+      val docs = rd(s, d, "documents")
+      val key = concat(lit("u"), col("doc_id").cast("string"))
+      val oldSnap = docs.select(key.as("url"),
+        TA.fingerprintCol(col("text")).as("fp"))
+      val newText = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" updated"))).otherwise(col("text"))
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(key.as("url"), TA.fingerprintCol(newText).as("fp"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select(concat(lit("new"), col("doc_id").cast("string")).as("url"),
+            TA.fingerprintCol(concat(col("text"), lit(" fresh"))).as("fp")))
+      graft.io.Snapshot.diff(oldSnap, newSnap, "url", "fp")
+    }),
+
     "pq_topk" -> ((s, d) => {
       // Product-quantized ANN (Pq.adcTopK): 4 codebooks of 8 centroids over
       // 16-dim subspaces, trained RNG-free (md5 seeds + 1 Lloyd step) so
@@ -4490,6 +4563,79 @@ object SparkEntry {
            |  (7 + am)::BIGINT AS n_sentences,
            |  doc_id%3<>0 AS kept
            |FROM r""".stripMargin,
+
+      "script_mix" ->
+        s"""WITH t AS (SELECT doc_id, substr(text,1,6)||
+           |  (CASE doc_id%4 WHEN 0 THEN ' Привет мир'
+           |    WHEN 1 THEN ' 中文字词语句子'
+           |    WHEN 2 THEN ' καλημέρα σας' ELSE '' END) AS t2 FROM documents),
+           |c AS (SELECT doc_id,
+           |  (length(t2) - length(regexp_replace(t2, '[A-Za-z]', '', 'g')))::BIGINT AS n_latin,
+           |  (length(t2) - length(regexp_replace(t2, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+           |  (length(t2) - length(regexp_replace(t2, '[\\x{0400}-\\x{04FF}]', '', 'g')))::BIGINT AS n_cyrillic,
+           |  (length(t2) - length(regexp_replace(t2, '[\\x{0370}-\\x{03FF}]', '', 'g')))::BIGINT AS n_greek,
+           |  (length(t2) - length(regexp_replace(t2, '[\\x{0600}-\\x{06FF}]', '', 'g')))::BIGINT AS n_arabic,
+           |  (length(t2) - length(regexp_replace(t2, '[\\x{4E00}-\\x{9FFF}]', '', 'g')))::BIGINT AS n_cjk,
+           |  (length(t2) - length(regexp_replace(t2, '[\\x{AC00}-\\x{D7AF}]', '', 'g')))::BIGINT AS n_hangul,
+           |  (length(t2) - length(regexp_replace(t2, '[\\x{3040}-\\x{30FF}]', '', 'g')))::BIGINT AS n_kana
+           |  FROM t),
+           |m AS (SELECT *, greatest(n_latin, n_digit, n_cyrillic, n_greek,
+           |  n_arabic, n_cjk, n_hangul, n_kana) AS mx FROM c)
+           |SELECT doc_id, n_latin, n_digit, n_cyrillic, n_greek, n_arabic,
+           |  n_cjk, n_hangul, n_kana,
+           |  CASE WHEN mx = 0 THEN 'none'
+           |    WHEN n_latin = mx THEN 'latin' WHEN n_digit = mx THEN 'digit'
+           |    WHEN n_cyrillic = mx THEN 'cyrillic' WHEN n_greek = mx THEN 'greek'
+           |    WHEN n_arabic = mx THEN 'arabic' WHEN n_cjk = mx THEN 'cjk'
+           |    WHEN n_hangul = mx THEN 'hangul' ELSE 'kana' END AS dominant
+           |FROM m""".stripMargin,
+
+      "soft404_flags" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  CASE WHEN doc_id%5=0 THEN '404 Not Found'
+           |       WHEN doc_id%5=1 THEN 'Oops - page NOT FOUND'
+           |       ELSE 'Doc overview page' END AS title,
+           |  CASE WHEN doc_id%3=0 THEN 'The page does not exist. Please try again.'
+           |       WHEN doc_id%3=1 THEN 'This item has been removed.'
+           |       ELSE substr(text,1,60)||'.' END AS body FROM documents)
+           |SELECT doc_id, title,
+           |  (regexp_matches(title, '(?i)404|page not found|not available|access denied|server error')
+           |   OR ((CASE WHEN contains(lower(body), 'page not found') THEN 1 ELSE 0 END)
+           |     + (CASE WHEN contains(lower(body), 'does not exist') THEN 1 ELSE 0 END)
+           |     + (CASE WHEN contains(lower(body), 'has been removed') THEN 1 ELSE 0 END)
+           |     + (CASE WHEN contains(lower(body), 'try again') THEN 1 ELSE 0 END)
+           |     + (CASE WHEN contains(lower(body), 'go back to the homepage') THEN 1 ELSE 0 END)
+           |     + (CASE WHEN contains(lower(body), 'error occurred') THEN 1 ELSE 0 END)) >= 2) AS soft404
+           |FROM t""".stripMargin,
+
+      "sitemap_urls" ->
+        s"""SELECT doc_id,
+           |  'http://s'||(doc_id%7)::VARCHAR||'.com/p/'||doc_id::VARCHAR AS url,
+           |  '2026-0'||(doc_id%9+1)::VARCHAR||'-01' AS lastmod FROM documents
+           |UNION ALL
+           |SELECT doc_id, 'https://s'||(doc_id%7)::VARCHAR||'.com/q/'||doc_id::VARCHAR, ''
+           |FROM documents
+           |UNION ALL
+           |SELECT doc_id, 'https://other.org/'||doc_id::VARCHAR, '2026-12-31'
+           |FROM documents WHERE doc_id%2=0""".stripMargin,
+
+      "crawl_diff" ->
+        s"""WITH o AS (SELECT 'u'||doc_id::VARCHAR AS url,
+           |  ('0x'||substr(md5(regexp_replace(trim(lower(text)),'\\s+',' ','g')),1,15))::BIGINT AS fp
+           |  FROM documents),
+           |n AS (SELECT 'u'||doc_id::VARCHAR AS url,
+           |  ('0x'||substr(md5(regexp_replace(trim(lower(
+           |    CASE WHEN doc_id%7=0 THEN text||' updated' ELSE text END)),'\\s+',' ','g')),1,15))::BIGINT AS fp
+           |  FROM documents WHERE doc_id%11<>0
+           |  UNION ALL
+           |  SELECT 'new'||doc_id::VARCHAR,
+           |  ('0x'||substr(md5(regexp_replace(trim(lower(text||' fresh')),'\\s+',' ','g')),1,15))::BIGINT
+           |  FROM documents WHERE doc_id%13=0)
+           |SELECT coalesce(o.url, n.url) AS url,
+           |  CASE WHEN o.url IS NULL THEN 'added' WHEN n.url IS NULL THEN 'removed'
+           |       WHEN o.fp = n.fp THEN 'unchanged' ELSE 'changed' END AS status,
+           |  o.fp AS old_fp, n.fp AS new_fp
+           |FROM o FULL OUTER JOIN n ON o.url = n.url""".stripMargin,
 
       // PQ replay: md5-seeded subspace codebooks → micro-unit argmin
       // assignment → 6dp means → encode → per-query distance tables →

@@ -324,6 +324,64 @@ object TextAnalysis {
       r6(pDup / pAll), r6(lDup / lAll), top(2), top(3), top(4)))
   }
 
+  // ---------------------------------------------------- script mix ---------
+  /** Unicode script ranges for mixed-script detection — the cheap signal
+    * for encoding damage, spam keyword stuffing, and wrong-language
+    * routing before the heavier language-ID stage. Ranges are the BMP
+    * blocks that dominate web text; everything is a plain character-class
+    * count, so any engine replays it exactly. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "digit" -> "0-9",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}",
+    "kana" -> "\\x{3040}-\\x{30FF}")
+
+  /** Per-script character counts plus the dominant script (max count, ties
+    * to [[ScriptRanges]] order; "none" when all counts are zero). Returns
+    * the columns in table order followed by `dominant`. */
+  def scriptMixCols(text: Column): Seq[Column] = {
+    val counts = ScriptRanges.map { case (name, range) =>
+      (length(text) - length(regexp_replace(text, s"[$range]", "")))
+        .cast("long").as(s"n_$name")
+    }
+    val raw = ScriptRanges.map { case (name, range) =>
+      name -> (length(text) - length(regexp_replace(text, s"[$range]", "")))
+    }
+    val mx = greatest(raw.map(_._2): _*)
+    // first-listed script achieving the max wins ties (chained when in
+    // table order); all-zero → "none"
+    val dominant = when(mx === 0, lit("none")).otherwise(
+      raw.reverse.foldLeft(lit("none")) { case (acc, (name, c)) =>
+        when(c === mx, lit(name)).otherwise(acc)
+      })
+    counts :+ dominant.as("dominant")
+  }
+
+  /** Pure twin of [[scriptMixCols]]: counts in table order + dominant. */
+  def scriptMix(text: String): (Seq[Long], String) = {
+    val t = if (text == null) "" else text
+    def inRange(c: Char, range: String): Boolean = range match {
+      case "A-Za-z" => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+      case "0-9" => c >= '0' && c <= '9'
+      case r =>
+        val m = "\\\\x\\{([0-9A-Fa-f]+)\\}-\\\\x\\{([0-9A-Fa-f]+)\\}".r
+          .findFirstMatchIn(r).get
+        c >= Integer.parseInt(m.group(1), 16) &&
+          c <= Integer.parseInt(m.group(2), 16)
+    }
+    val counts = ScriptRanges.map { case (_, r) =>
+      t.count(inRange(_, r)).toLong
+    }
+    val dominant =
+      if (counts.forall(_ == 0)) "none"
+      else ScriptRanges(counts.indexOf(counts.max))._1
+    (counts, dominant)
+  }
+
   // ------------------------------------------------ paragraph dedup --------
   /** Within-document paragraph de-templating: keep the FIRST occurrence of
     * each exact trimmed paragraph, drop repeats — the removal counterpart

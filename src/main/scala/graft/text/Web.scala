@@ -158,6 +158,58 @@ object Web {
       htmlLang(h).as("lang_attr"))
   }
 
+  // ------------------------------------------------------ soft 404 ---------
+
+  /** Error phrases whose presence in a TITLE marks a soft 404 outright. */
+  val Soft404TitleRe =
+    "(?i)404|page not found|not available|access denied|server error"
+
+  /** Body phrases counted toward the soft-404 body threshold. */
+  val Soft404BodyPhrases: Seq[String] = Seq(
+    "page not found", "does not exist", "has been removed", "try again",
+    "go back to the homepage", "error occurred")
+
+  /** Soft-404 verdict: pages that return 200 but carry error content — the
+    * classic crawl-corpus pollutant. True when the title matches
+    * [[Soft404TitleRe]], or when ≥2 distinct [[Soft404BodyPhrases]] appear
+    * in the body (case-insensitive). Pure Column predicate, zero shuffles. */
+  def isSoft404(title: Column, body: Column): Column = {
+    val titleHit = title.rlike(Soft404TitleRe)
+    val bodyHits = Soft404BodyPhrases
+      .map(p => when(contains(lower(body), lit(p)), 1).otherwise(0))
+      .reduce(_ + _)
+    titleHit || bodyHits >= 2
+  }
+
+  // ------------------------------------------------------- sitemaps --------
+
+  /** Sitemap `<url>` entries as (loc, lastmod) structs in document order
+    * (lastmod "" when absent). Same normal-form contract as [[anchors]]:
+    * whole `<url>` blocks extracted first, fields pulled per block, so a
+    * lastmod can never pair with a neighboring entry's loc. */
+  def sitemapEntries(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?is)<url>.*?</url>"), lit(0)),
+      b => struct(
+        trim(regexp_extract(b, "(?is)<loc>([^<]*)</loc>", 1)).as("loc"),
+        trim(regexp_extract(b, "(?is)<lastmod>([^<]*)</lastmod>", 1))
+          .as("lastmod")))
+
+  /** Flattened sitemap relation: one row per entry with the loc
+    * canonicalized by [[normalizeUrl]] — the crawl-frontier feed. Narrow
+    * explode; zero shuffles. */
+  def sitemapUrlsDf(sitemaps: org.apache.spark.sql.DataFrame,
+      xmlCol: String, extraCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    sitemaps
+      .select(extraCols.map(col) :+
+        explode(sitemapEntries(col(xmlCol))).as("__e"): _*)
+      .select(extraCols.map(col) :+
+        normalizeUrl(col("__e.loc")).as("url") :+
+        col("__e.lastmod").as("lastmod"): _*)
+      .filter(col("url") =!= "")
+  }
+
   // ---------------------------------------------------- anchor text --------
 
   /** Absolute-target anchors of an HTML string as (href, anchor-text)

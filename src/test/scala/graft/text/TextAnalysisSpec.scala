@@ -104,6 +104,26 @@ class TextAnalysisSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("script mix: per-range counts, dominant with first-listed tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "hello world 123",
+      2L -> "Привет hi",      // 6 cyrillic > 2 latin
+      3L -> "ab中文",                                // 2 latin ties 2 cjk → latin (first listed)
+      4L -> "!!! ---",                                       // nothing → none
+      5L -> "あア한")                            // 2 kana > 1 hangul
+    val cols = TextAnalysis.scriptMixCols(col("t"))
+    val got = docs.toDF("id", "t").select(col("id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (Seq.tabulate(TextAnalysis.ScriptRanges.size)(i => r.getLong(i + 1)),
+          r.getString(TextAnalysis.ScriptRanges.size + 1))).toMap
+    for ((id, text) <- docs) {
+      assert(got(id) == TextAnalysis.scriptMix(text), s"doc $id")
+    }
+    assert(got(2L)._2 == "cyrillic" && got(3L)._2 == "latin" &&
+      got(4L)._2 == "none" && got(5L)._2 == "kana")
+  }
+
   test("paragraph de-templating: first occurrence kept, order preserved") {
     import spark.implicits._
     val docs = Seq(

@@ -103,6 +103,34 @@ class WebSpec extends SparkTestBase {
       ("http://t.com/x", 5L, 3L, "Gadget|Widget")))
   }
 
+  test("soft 404: title phrases, body phrase threshold, clean page passes") {
+    val rows = Seq(
+      ("404 Not Found", "whatever body", true),             // title: 404
+      ("Oops — Page Not Found", "short", true),             // title phrase, case folded
+      ("Welcome", "The page does not exist. Please try again later.", true), // 2 body phrases
+      ("Welcome", "This page does not exist here.", false), // only 1 body phrase
+      ("Product catalog", "Buy our fine products today.", false))
+    val got = rows.map(r => (r._1, r._2)).toDF("title", "body")
+      .select(Web.isSoft404(col("title"), col("body"))).as[Boolean].collect().toSeq
+    assert(got == rows.map(_._3))
+  }
+
+  test("sitemap entries: loc/lastmod pairing, missing lastmod, canonicalized flatten") {
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc> HTTP://Ex.com:80/a?utm_x=1 </loc><lastmod>2026-01-02</lastmod></url>
+        |<url><loc>https://ex.org/b</loc></url>
+        |<url><lastmod>2026-03-04</lastmod><loc>https://ex.org/c</loc></url>
+        |</urlset>""".stripMargin
+    val got = Web.sitemapUrlsDf(Seq((7L, xml)).toDF("site_id", "xml"),
+      "xml", extraCols = Seq("site_id"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (7L, "http://ex.com/a", "2026-01-02"),
+      (7L, "https://ex.org/b", ""),
+      (7L, "https://ex.org/c", "2026-03-04"))) // reversed field order still pairs
+  }
+
   test("column pipeline is narrow: no Exchange in the plan") {
     val df = (1L to 100L).toDF("id")
       .withColumn("u", concat(lit("http://h"), col("id"), lit(".example.com/p?utm_a=1&k=v")))
