@@ -2006,6 +2006,14 @@ object SparkEntry {
       graft.io.Snapshot.diff(oldSnap, newSnap, "url", "fp")
     }),
 
+    "winnow_fps" -> ((s, d) => {
+      // winnowing fingerprints (k=3, w=4) straight over the corpus text;
+      // the oracle replays positional k-gram hashing and every
+      // rolling-window min, so the sampling guarantee is byte-verified
+      Dedup.winnowFingerprints(rd(s, d, "documents"), "doc_id", "text",
+        n = 3, w = 4)
+    }),
+
     "pq_topk" -> ((s, d) => {
       // Product-quantized ANN (Pq.adcTopK): 4 codebooks of 8 centroids over
       // 16-dim subspaces, trained RNG-free (md5 seeds + 1 Lloyd step) so
@@ -4618,6 +4626,15 @@ object SparkEntry {
            |UNION ALL
            |SELECT doc_id, 'https://other.org/'||doc_id::VARCHAR, '2026-12-31'
            |FROM documents WHERE doc_id%2=0""".stripMargin,
+
+      "winnow_fps" ->
+        s"""WITH t AS (SELECT doc_id, ${toks.format("text")} AS toks FROM documents),
+           |g AS (SELECT doc_id, list_transform(range(len(toks)-2),
+           |  i -> ('0x'||substr(md5(toks[i+1]||' '||toks[i+2]||' '||toks[i+3]),1,15))::BIGINT) AS hs
+           |  FROM t WHERE len(toks) >= 3)
+           |SELECT DISTINCT doc_id, list_min(hs[i+1:i+4]) AS fp
+           |FROM g, unnest(range(len(hs)-3)) AS u(i)
+           |WHERE len(hs) >= 4""".stripMargin,
 
       "crawl_diff" ->
         s"""WITH o AS (SELECT 'u'||doc_id::VARCHAR AS url,

@@ -50,6 +50,49 @@ object Dedup {
     if (t.length < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).toSeq.distinct
   }
 
+  // -------------------------------------------------------- winnowing ------
+  /** Winnowing fingerprints (Schleimer et al. 2003, SIGMOD): the
+    * guarantee-bearing local sampling of k-gram hashes — every shared
+    * substring of at least w+k-1 tokens between two documents shares at
+    * least one fingerprint, while only ~2/(w+1) of the hashes survive.
+    * This is the standard plagiarism / overlap detector between exact
+    * substring dedup (which needs equality) and MinHash (which estimates
+    * whole-doc similarity).
+    *
+    * Variant note: classic winnowing keeps (hash, position) with a
+    * rightmost-tie rule; this keeps the DISTINCT window-min hash VALUES
+    * per document — the same detection guarantee for overlap joins (the
+    * fingerprint sets still intersect), one fewer column to carry.
+    *
+    * Plan: the whole kernel is per-document local (positional hashes,
+    * rolling minima, per-doc dedup all happen inside one row), so this is
+    * a ZERO-SHUFFLE typed mapPartitions — the same `Encoders.row` idiom as
+    * [[shingleRows]] (~10x the interpreted explode+window pipeline, and no
+    * per-doc window shuffle at all). Output: (idCol, fp), distinct per
+    * document. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame = {
+    require(n >= 1 && w >= 1, s"n and w must be >= 1: $n, $w")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(df.schema(idCol),
+      StructField("fp", LongType, nullable = false)))
+    df.select(col(idCol), col(textCol))
+      .mapPartitions(_.flatMap { r =>
+        val fps = winnow(if (r.isNullAt(1)) "" else r.getString(1), n, w)
+        fps.iterator.map(fp => Row(r.get(0), fp))
+      })(Encoders.row(schema))
+  }
+
+  /** Pure twin of [[winnowFingerprints]]. */
+  def winnow(text: String, n: Int, w: Int): Set[Long] = {
+    val t = tokens(text)
+    if (t.length < n) return Set.empty
+    val hs = t.sliding(n).map(g => hash60(g.mkString(" "))).toIndexedSeq
+    if (hs.length < w) return Set.empty
+    (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+  }
+
   /** One row per (id, shingle-hash): the exploded shingle relation that
     * candidate generation joins on. `maxDf` drops shingles appearing in more
     * than that many docs (hot-key/skew cap; pass <=0 to keep all). */

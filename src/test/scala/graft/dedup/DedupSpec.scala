@@ -27,6 +27,27 @@ class DedupSpec extends SparkTestBase {
       (4L, 4L, 1L, false), (5L, 1L, 3L, true)))
   }
 
+  test("winnowing: DF ≡ pure, guarantee on shared spans, short docs empty") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val a = "intro words here " + shared + " closing remarks"
+    val b = "totally different opener " + shared + " other ending text"
+    val c = "no overlap with anything else at all whatsoever truly"
+    val rows = Seq(1L -> a, 2L -> b, 3L -> c, 4L -> "too short")
+    val got = winnowFingerprints(rows.toDF("id", "text"), "id", "text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    for ((id, text) <- rows) {
+      assert(got.getOrElse(id, Set.empty[Long]) == winnow(text, 3, 4), s"doc $id")
+    }
+    // winnowing guarantee: a shared 12-token span (≥ w+n-1 = 6) must
+    // surface at least one common fingerprint; unrelated docs share none
+    assert(got(1L).intersect(got(2L)).nonEmpty)
+    assert(got(1L).intersect(got(3L)).isEmpty)
+    assert(!got.contains(4L)) // 2 tokens < n
+    // sampling actually compresses: fewer fps than k-gram positions
+    assert(got(1L).size < graft.text.TextAnalysis.tokens(a).size - 2)
+  }
+
   test("shingles: distinct word n-grams") {
     assert(shingles("a b c d", 3) == Seq("a b c", "b c d"))
     assert(shingles("a b", 3).isEmpty)
