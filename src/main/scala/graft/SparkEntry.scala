@@ -2014,6 +2014,25 @@ object SparkEntry {
         n = 3, w = 4)
     }),
 
+    "winnow_overlap" -> ((s, d) => {
+      // overlap pairs via winnowing over a grouped-span corpus variant:
+      // docs in the same %50 group share a 13-token prefix span with the
+      // group token INTERLEAVED (every 3-gram carries it, so no span gram
+      // crosses groups — a global span would pair every doc with every
+      // other); span length is far past the w+n-1 guarantee bound, so
+      // every same-group pair MUST surface. maxDf=120 exercises the
+      // hot-fingerprint cap on incidental corpus-phrase collisions. The
+      // oracle replays fingerprinting, the cap, and the bucketed pair join
+      val id = col("doc_id")
+      val g = concat(lit("g"), pmod(id, lit(50)).cast("string"))
+      val t2 = concat(
+        g, lit(" alpha "), g, lit(" beta "), g, lit(" gamma "),
+        g, lit(" delta "), g, lit(" epsilon "), g, lit(" zeta "),
+        substring(col("text"), 1, 100))
+      Dedup.winnowOverlapPairs(rd(s, d, "documents").withColumn("t2", t2),
+        "doc_id", "t2", n = 3, w = 4, minShared = 1, maxDf = 120)
+    }),
+
     "pq_topk" -> ((s, d) => {
       // Product-quantized ANN (Pq.adcTopK): 4 codebooks of 8 centroids over
       // 16-dim subspaces, trained RNG-free (md5 seeds + 1 Lloyd step) so
@@ -4635,6 +4654,24 @@ object SparkEntry {
            |SELECT DISTINCT doc_id, list_min(hs[i+1:i+4]) AS fp
            |FROM g, unnest(range(len(hs)-3)) AS u(i)
            |WHERE len(hs) >= 4""".stripMargin,
+
+      "winnow_overlap" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  'g'||(doc_id%50)::VARCHAR||' alpha g'||(doc_id%50)::VARCHAR||
+           |  ' beta g'||(doc_id%50)::VARCHAR||' gamma g'||(doc_id%50)::VARCHAR||
+           |  ' delta g'||(doc_id%50)::VARCHAR||' epsilon g'||(doc_id%50)::VARCHAR||
+           |  ' zeta '||substr(text,1,100) AS t2 FROM documents),
+           |tk AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM t),
+           |g AS (SELECT doc_id, list_transform(range(len(toks)-2),
+           |  i -> ('0x'||substr(md5(toks[i+1]||' '||toks[i+2]||' '||toks[i+3]),1,15))::BIGINT) AS hs
+           |  FROM tk WHERE len(toks) >= 3),
+           |f AS (SELECT DISTINCT doc_id, list_min(hs[i+1:i+4]) AS fp
+           |  FROM g, unnest(range(len(hs)-3)) AS u(i) WHERE len(hs) >= 4),
+           |hot AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 120),
+           |f2 AS (SELECT * FROM f WHERE fp NOT IN (SELECT fp FROM hot))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+           |FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2""".stripMargin,
 
       "crawl_diff" ->
         s"""WITH o AS (SELECT 'u'||doc_id::VARCHAR AS url,

@@ -84,6 +84,30 @@ object Dedup {
       })(Encoders.row(schema))
   }
 
+  /** Document pairs sharing at least `minShared` winnowing fingerprints,
+    * with the shared count — the overlap/plagiarism join the fingerprints
+    * exist for. Pair enumeration happens only inside same-fingerprint
+    * buckets (never all-pairs); `maxDf` drops degenerate hot fingerprints
+    * (boilerplate spans shared by thousands of docs) exactly like the
+    * shingle-join skew cap. One fp-key join + one pair groupBy. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, minShared: Int = 1, maxDf: Int = 0): DataFrame = {
+    val fps = graft.io.Persisted.track(
+      winnowFingerprints(df, idCol, textCol, n, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val capped =
+      if (maxDf <= 0) fps
+      else fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("fp"),
+        Seq("fp"), "left_anti")
+    val a = capped.select(col("fp"), col(idCol).as("id_a"))
+    val b = capped.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, "fp").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Pure twin of [[winnowFingerprints]]. */
   def winnow(text: String, n: Int, w: Int): Set[Long] = {
     val t = tokens(text)

@@ -48,6 +48,32 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L).size < graft.text.TextAnalysis.tokens(a).size - 2)
   }
 
+  test("winnow overlap pairs: shared spans pair up, maxDf kills boilerplate fps") {
+    val span = "one two three four five six seven eight nine ten"
+    val rows = Seq(
+      1L -> s"alpha opener $span alpha closer",
+      2L -> s"beta start $span beta finish",
+      3L -> "nothing in common with the others truly at all here",
+      4L -> s"gamma lead $span gamma tail")
+    val got = winnowOverlapPairs(rows.toDF("id", "text"), "id", "text", 3, 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L))) // 3 pairs among the span-sharers
+    // shared counts replay from the pure fingerprint sets
+    val fps = rows.toMap.view.mapValues(winnow(_, 3, 4)).toMap
+    val df2 = winnowOverlapPairs(rows.toDF("id", "text"), "id", "text", 3, 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (((a, b), nShared) <- df2)
+      assert(nShared == fps(a).intersect(fps(b)).size.toLong, s"pair ($a,$b)")
+    // a maxDf of 2 drops fingerprints shared by all three span docs
+    val capped = winnowOverlapPairs(rows.toDF("id", "text"), "id", "text",
+      3, 4, minShared = 1, maxDf = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped.keySet.subsetOf(got))
+    // every capped count is <= the uncapped count for the same pair
+    for ((pair, nShared) <- capped) assert(nShared <= df2(pair), s"$pair")
+  }
+
   test("shingles: distinct word n-grams") {
     assert(shingles("a b c d", 3) == Seq("a b c", "b c d"))
     assert(shingles("a b", 3).isEmpty)
