@@ -1933,6 +1933,17 @@ object SparkEntry {
             !C4.pageVetoCol(col("__t"))).as("kept"))
     }),
 
+    "dehyphenate" -> ((s, d) => {
+      // line-break hyphen repair over corpus text with injected PDF-style
+      // breaks (lowercase join, indent absorption, capital continuation
+      // and digit-hyphen kept); corpus text has no newlines or hyphens
+      // adjacent to breaks, so the oracle re-renders the expected repair
+      val t2 = concat(substring(col("text"), 1, 40),
+        lit(" exam-\nple docu-\n  ment frag-\nMent 5-\nyear end"))
+      rd(s, d, "documents").select(col("doc_id"),
+        TA.dehyphenateCol(t2).as("fixed"))
+    }),
+
     "script_mix" -> ((s, d) => {
       // per-script character counts + dominant script over a mixed-script
       // corpus variant (short latin prefix + per-doc cyrillic / cjk /
@@ -4590,6 +4601,11 @@ object SparkEntry {
            |  (7 + am)::BIGINT AS n_sentences,
            |  doc_id%3<>0 AS kept
            |FROM r""".stripMargin,
+
+      "dehyphenate" ->
+        s"""SELECT doc_id, substr(text,1,40)||' example document frag-'||chr(10)||
+           |  'Ment 5-'||chr(10)||'year end' AS fixed
+           |FROM documents""".stripMargin,
 
       "script_mix" ->
         s"""WITH t AS (SELECT doc_id, substr(text,1,6)||

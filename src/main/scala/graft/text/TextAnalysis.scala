@@ -324,6 +324,22 @@ object TextAnalysis {
       r6(pDup / pAll), r6(lDup / lAll), top(2), top(3), top(4)))
   }
 
+  // -------------------------------------------------- dehyphenation --------
+  /** PDF/column line-break de-hyphenation: `exam-\nple` → `example`. The
+    * classic text-layer extraction artifact repair. Conservative rule:
+    * join only letter + `-` + line break (+ indent) + LOWERCASE letter —
+    * a capitalized continuation is likelier a real compound or a new
+    * sentence and is left alone, as are intra-line hyphens
+    * (`state-of-the-art`). Zero-shuffle narrow projection. */
+  val DehyphenRe = "([A-Za-z])-\\s*\\n\\s*([a-z])"
+
+  def dehyphenateCol(text: Column): Column =
+    regexp_replace(text, DehyphenRe, "$1$2")
+
+  /** Pure twin of [[dehyphenateCol]]. */
+  def dehyphenate(text: String): String =
+    if (text == null) null else text.replaceAll(DehyphenRe, "$1$2")
+
   // ---------------------------------------------------- script mix ---------
   /** Unicode script ranges for mixed-script detection — the cheap signal
     * for encoding damage, spam keyword stuffing, and wrong-language

@@ -104,6 +104,22 @@ class TextAnalysisSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("dehyphenation: line-break joins, capitals and intra-line hyphens kept") {
+    import spark.implicits._
+    val cases = Seq(
+      "exam-\nple" -> "example",
+      "docu-\n   ment" -> "document",          // indent absorbed
+      "frag-\nMent" -> "frag-\nMent",          // capital continuation kept
+      "state-of-the-art" -> "state-of-the-art", // intra-line untouched
+      "two-\nline bro-\nken" -> "twoline broken",
+      "5-\nyear" -> "5-\nyear")                // digit before hyphen kept
+    for ((in, out) <- cases)
+      assert(TextAnalysis.dehyphenate(in) == out, in)
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.dehyphenateCol(col("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("script mix: per-range counts, dominant with first-listed tie-break") {
     import spark.implicits._
     val docs = Seq(
