@@ -43,6 +43,11 @@ class PersistedSpec extends SparkTestBase {
 
   test("unpersistAfter scopes a materialization; all five operators track") {
     Persisted.release(spark)
+    // suites share one SparkContext: a prior suite's localCheckpoint RDDs
+    // (e.g. Hits iterations, freed by the ContextCleaner on GC, not by
+    // catalog.clearCache) may still be registered — the leak assertion at
+    // the bottom is about THIS test's scopes, so snapshot the baseline
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val n = Persisted.unpersistAfter(spark) {
       val mh = graft.dedup.Dedup.minhashDuplicates(
         docs, "doc_id", "text", n = 3, k = 16, bands = 4, minJ = 0.3)
@@ -72,6 +77,6 @@ class PersistedSpec extends SparkTestBase {
     }
     assert(Persisted.trackedCount(spark) == 0)
     // nothing cached leaks out of the scopes
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(preexisting))
   }
 }
