@@ -1959,6 +1959,36 @@ object SparkEntry {
         .select(col("doc_id") +: TA.scriptMixCols(col("t2")): _*)
     }),
 
+    "publish_date" -> ((s, d) => {
+      // publish-date precedence over synthesized pages: meta (either
+      // attribute order) beats <time> beats the /yyyy/mm(/dd)/ URL path,
+      // day defaults to 01, a fifth of the docs are undatable; the oracle
+      // re-renders the expected date from the doc_id axes
+      val id = col("doc_id")
+      val mm = lpad((pmod(id, lit(12)) + 1).cast("string"), 2, "0")
+      val dd = lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0")
+      val html = when(pmod(id, lit(5)) === 0,
+          concat(lit("<meta property=\"article:published_time\" content=\"2026-"),
+            mm, lit("-"), dd, lit("T09:00:00Z\">")))
+        .when(pmod(id, lit(5)) === 1,
+          concat(lit("<meta content=\"2025-"), mm, lit("-"), dd,
+            lit("\" property=\"article:published_time\">")))
+        .when(pmod(id, lit(5)) === 2,
+          concat(lit("<time datetime=\"2024-"), mm, lit("-"), dd,
+            lit("T00:00\">x</time>")))
+        .otherwise(lit("<p>plain body</p>"))
+      val url = when(pmod(id, lit(5)) === 3,
+          concat(lit("http://s.com/2023/"), mm, lit("/"), dd, lit("/slug")))
+        .when(pmod(id, lit(5)) === 4,
+          when(pmod(id, lit(2)) === 0,
+            concat(lit("http://s.com/blog/2022/"), mm, lit("/slug")))
+            .otherwise(lit("http://s.com/undated/page")))
+        .otherwise(concat(lit("http://s.com/p/"), id.cast("string")))
+      rd(s, d, "documents").select(id, html.as("html"), url.as("url"))
+        .select(col("doc_id"),
+          Web.publishDate(col("html"), col("url")).as("pub_date"))
+    }),
+
     "soft404_flags" -> ((s, d) => {
       // soft-404 verdicts: title-phrase hits on two fifths of the docs,
       // a 2-phrase body hit on every 3rd, a 1-phrase body near-miss on
@@ -4631,6 +4661,20 @@ object SparkEntry {
            |    WHEN n_cyrillic = mx THEN 'cyrillic' WHEN n_greek = mx THEN 'greek'
            |    WHEN n_arabic = mx THEN 'arabic' WHEN n_cjk = mx THEN 'cjk'
            |    WHEN n_hangul = mx THEN 'hangul' ELSE 'kana' END AS dominant
+           |FROM m""".stripMargin,
+
+      "publish_date" ->
+        s"""WITH m AS (SELECT doc_id,
+           |  lpad((doc_id%12+1)::VARCHAR, 2, '0') AS mm,
+           |  lpad((doc_id%28+1)::VARCHAR, 2, '0') AS dd FROM documents)
+           |SELECT doc_id,
+           |  CASE doc_id%5
+           |    WHEN 0 THEN '2026-'||mm||'-'||dd
+           |    WHEN 1 THEN '2025-'||mm||'-'||dd
+           |    WHEN 2 THEN '2024-'||mm||'-'||dd
+           |    WHEN 3 THEN '2023-'||mm||'-'||dd
+           |    ELSE (CASE WHEN doc_id%2=0 THEN '2022-'||mm||'-01' ELSE '' END)
+           |  END AS pub_date
            |FROM m""".stripMargin,
 
       "soft404_flags" ->

@@ -158,6 +158,33 @@ object Web {
       htmlLang(h).as("lang_attr"))
   }
 
+  // --------------------------------------------------- publish date --------
+
+  /** Publish date of a page as "yyyy-mm-dd" ("" when undatable), by the
+    * standard precedence: `article:published_time` meta (either attribute
+    * order), then `<time datetime=...>`, then a /yyyy/mm(/dd)?/ URL path
+    * segment (day defaults to 01). Only the date prefix of a timestamp is
+    * kept; pure Column battery, zero shuffles. */
+  def publishDate(html: Column, url: Column): Column = {
+    val d = "[0-9]{4}-[0-9]{2}-[0-9]{2}"
+    val meta = regexp_extract(
+      ogContent(html, "article:published_time"), s"^($d)", 1)
+    val time = regexp_extract(html,
+      s"""(?i)<time\\s[^>]*datetime="($d)""", 1)
+    // ONE pattern, three group extracts — separate patterns could bind
+    // year and day to different /yyyy/mm(/dd)/ occurrences in the path
+    val urlDate = "^https?://[^?#]*/([12][0-9]{3})/([01][0-9])/(?:([0-3][0-9])/)?"
+    val y = regexp_extract(url, urlDate, 1)
+    val m = regexp_extract(url, urlDate, 2)
+    val day = regexp_extract(url, urlDate, 3)
+    when(meta =!= "", meta)
+      .when(time =!= "", time)
+      .when(y =!= "" && m =!= "",
+        concat(y, lit("-"), m, lit("-"),
+          when(day =!= "", day).otherwise(lit("01"))))
+      .otherwise(lit(""))
+  }
+
   // ------------------------------------------------------ soft 404 ---------
 
   /** Error phrases whose presence in a TITLE marks a soft 404 outright. */

@@ -115,6 +115,22 @@ class WebSpec extends SparkTestBase {
     assert(got == rows.map(_._3))
   }
 
+  test("publish date: meta beats time beats URL path; day defaults; undatable empty") {
+    val rows = Seq(
+      // meta wins even when a time tag disagrees; timestamp truncated
+      ("""<meta content="2026-03-04T10:00:00Z" property="article:published_time">
+         |<time datetime="2020-01-01">x</time>""".stripMargin,
+        "http://a.com/2019/05/p", "2026-03-04"),
+      ("""<time class="c" datetime="2025-12-31T08:00">x</time>""",
+        "http://a.com/p", "2025-12-31"),
+      ("<p>no metadata</p>", "http://a.com/2024/07/15/slug", "2024-07-15"),
+      ("<p>no metadata</p>", "http://a.com/blog/2023/11/slug", "2023-11-01"),
+      ("<p>no metadata</p>", "http://a.com/plain/path", ""))
+    val got = rows.map(r => (r._1, r._2)).toDF("html", "url")
+      .select(Web.publishDate(col("html"), col("url"))).as[String].collect().toSeq
+    assert(got == rows.map(_._3))
+  }
+
   test("sitemap entries: loc/lastmod pairing, missing lastmod, canonicalized flatten") {
     val xml =
       """<?xml version="1.0"?><urlset>
