@@ -1959,6 +1959,20 @@ object SparkEntry {
         .select(col("doc_id") +: TA.scriptMixCols(col("t2")): _*)
     }),
 
+    "sentence_span_dedup" -> ((s, d) => {
+      // C4's cross-document three-sentence-span dedup over the corpus with
+      // an injected shared opener on every 4th doc: the first (doc, idx)
+      // occurrence survives, every other one is reported removed —
+      // including any NATURAL duplicate spans in the corpus prose, which
+      // the oracle replays identically
+      val id = col("doc_id")
+      val t2 = concat(when(pmod(id, lit(4)) === 0,
+        lit("Shared alpha one. Shared beta two. Shared gamma three. "))
+        .otherwise(lit("")), col("text"))
+      C4.dupSentenceSpans(
+        rd(s, d, "documents").withColumn("t2", t2), "doc_id", "t2")
+    }),
+
     "publish_date" -> ((s, d) => {
       // publish-date precedence over synthesized pages: meta (either
       // attribute order) beats <time> beats the /yyyy/mm(/dd)/ URL path,
@@ -4662,6 +4676,20 @@ object SparkEntry {
            |    WHEN n_arabic = mx THEN 'arabic' WHEN n_cjk = mx THEN 'cjk'
            |    WHEN n_hangul = mx THEN 'hangul' ELSE 'kana' END AS dominant
            |FROM m""".stripMargin,
+
+      "sentence_span_dedup" ->
+        s"""WITH d2 AS (SELECT doc_id,
+           |  (CASE WHEN doc_id%4=0 THEN 'Shared alpha one. Shared beta two. Shared gamma three. ' ELSE '' END)||text AS t2
+           |  FROM documents),
+           |sen AS (SELECT doc_id, list_filter(list_transform(
+           |  regexp_extract_all(t2, '[^.!?]+[.!?]+|[^.!?]+$$'),
+           |  x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g')), x -> x <> '') AS s FROM d2),
+           |sp AS (SELECT doc_id, i AS span_idx,
+           |  ('0x'||substr(md5(lower(s[i+1]||' '||s[i+2]||' '||s[i+3])),1,15))::BIGINT AS span_key
+           |  FROM sen, unnest(range(len(s)-2)) AS u(i) WHERE len(s) >= 3)
+           |SELECT doc_id, span_idx, span_key FROM sp
+           |QUALIFY count(*) OVER (PARTITION BY span_key) > 1
+           |  AND row_number() OVER (PARTITION BY span_key ORDER BY doc_id, span_idx) > 1""".stripMargin,
 
       "publish_date" ->
         s"""WITH m AS (SELECT doc_id,

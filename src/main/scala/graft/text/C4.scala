@@ -63,6 +63,56 @@ object C4 {
           !pageVetoCol(col("__t"))).as("kept"))
   }
 
+  /** Sentences of `text`: maximal runs ending in sentence-final
+    * punctuation, plus the unterminated tail; trimmed, empties dropped.
+    * No lookbehind (Java∩RE2), so the DuckDB oracle replays the split. */
+  def sentencesCol(text: Column): Column =
+    filter(transform(
+      regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0)),
+      s => regexp_replace(s, "^\\s+|\\s+$", "")), s => s =!= "")
+
+  /** Pure twin of [[sentencesCol]]. */
+  def sentences(text: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile("[^.!?]+[.!?]+|[^.!?]+$").matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) {
+      val s = m.group.replaceAll("^\\s+|\\s+$", "")
+      if (s.nonEmpty) out += s
+    }
+    out.result()
+  }
+
+  /** The OTHER C4 dedup rule (Raffel et al. §2.2): occurrences of any
+    * `k`-sentence span that appears more than once ACROSS the corpus are
+    * removed, keeping exactly one — the first by (doc id, span index).
+    * Returns the REMOVED occurrences: (idCol, span_idx, span_key), where
+    * span_key is the 60-bit hash of the lowercased space-joined span.
+    *
+    * Plan: narrow positional span-hash explode, then ONE partial-agg
+    * groupBy on span_key (arg-min survivor — hot boilerplate spans combine
+    * map-side, the same skew discipline as substring dedup) and an
+    * equi-join back to tag non-survivors. Never all-pairs. */
+  def dupSentenceSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val sents = docs.select(col(idCol), sentencesCol(col(textCol)).as("__s"))
+    val spans = sents.select(col(idCol), posexplode(
+      when(size(col("__s")) < k, array()).otherwise(
+        transform(sequence(lit(0), size(col("__s")) - k), i =>
+          graft.text.TextAnalysis.hash60(
+            lower(concat_ws(" ", slice(col("__s"), i + 1, lit(k))))))))
+      .as(Seq("span_idx", "span_key")))
+    val first = spans.groupBy("span_key").agg(
+      min(struct(col(idCol), col("span_idx"))).as("__first"),
+      count(lit(1)).as("__n"))
+    spans.join(first, Seq("span_key"))
+      .filter(col("__n") > 1 &&
+        !(col(idCol) === col(s"__first.$idCol") &&
+          col("span_idx") === col("__first.span_idx")))
+      .select(col(idCol), col("span_idx"), col("span_key"))
+  }
+
   /** Pure twin of [[cleanDf]] for one document:
     * (clean_text, n_lines_kept, n_sentences, kept). */
   def clean(text: String): (String, Long, Long, Boolean) = {

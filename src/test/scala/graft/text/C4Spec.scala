@@ -57,6 +57,24 @@ class C4Spec extends SparkTestBase {
     assert(!got(5L)._5 && got(5L)._3 == 0)
   }
 
+  test("three-sentence-span dedup: first occurrence survives, later ones removed") {
+    val docs = Seq(
+      1L -> "Alpha one. Beta two. Gamma three. Tail unique A.",
+      2L -> "Prefix sentence here. Alpha one. Beta two. Gamma three.",
+      3L -> "Alpha one. Beta two. Gamma three.",
+      4L -> "Too. Short.")
+    val got = C4.dupSentenceSpans(docs.toDF("id", "t"), "id", "t")
+      .as[(Long, Int, Long)].collect().toSet
+    val key = TextAnalysis.hash60("alpha one. beta two. gamma three.")
+    // doc 1 span 0 is the global first; docs 2 (offset by its prefix) and 3
+    // lose their occurrences; doc 4 has < 3 sentences
+    assert(got == Set((2L, 1, key), (3L, 0, key)))
+    // sentence splitting: punctuation kept, tail fragment kept, trims
+    assert(C4.sentences("One. Two!  Three? tail frag") ==
+      Seq("One.", "Two!", "Three?", "tail frag"))
+    assert(C4.sentences("") == Seq.empty)
+  }
+
   test("battery is a narrow plan: no Exchange") {
     val df = C4.cleanDf(Seq(1L -> "a.\nb.").toDF("id", "t"), "id", "t")
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
