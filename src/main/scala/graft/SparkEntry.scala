@@ -1120,6 +1120,25 @@ object SparkEntry {
         rd(s, d, "documents").withColumn("t2", text2), "doc_id", "t2")
     }),
 
+    "gopher_quality" -> ((s, d) => {
+      // the Gopher quality-rule battery over a line-structured corpus
+      // variant: every 11th doc is too short, bullet / hash-symbol /
+      // ellipsis lines rotate in on small moduli; integer metrics + exact
+      // rational thresholds, so the oracle replays every rule bit-exactly
+      val id = col("doc_id")
+      val t2 = when(pmod(id, lit(11)) === 0, substring(col("text"), 1, 30))
+        .otherwise(concat_ws("\n",
+          substring(col("text"), 1, 400),
+          when(pmod(id, lit(5)) === 0, lit("- bullet item"))
+            .otherwise(lit("Normal and solid line with the words.")),
+          when(pmod(id, lit(7)) === 0, lit("# # # # # # # # # # # #"))
+            .otherwise(lit("that have with more easy text.")),
+          when(pmod(id, lit(3)) === 0, lit("trailing thought..."))
+            .otherwise(lit("Closing line of the page."))))
+      TA.gopherQualityDf(
+        rd(s, d, "documents").withColumn("t2", t2), "doc_id", "t2")
+    }),
+
     "gopher_stats" -> ((s, d) => {
       // the full Gopher repetition battery over a paragraph/line-structured
       // variant (corpus text has no newlines of its own): paragraph A
@@ -3578,6 +3597,56 @@ object SparkEntry {
            |  round(CAST((n_lines-nd)::DOUBLE/n_lines AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE AS dup_line_ratio,
            |  coalesce(round(CAST(top::DOUBLE/total AS VARCHAR)::DECIMAL(25,20),6)::DOUBLE, 0.0) AS top_bigram_ratio
            |FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id""".stripMargin,
+
+      "gopher_quality" ->
+        s"""WITH d2 AS (SELECT doc_id,
+           |  CASE WHEN doc_id%11=0 THEN substr(text,1,30)
+           |  ELSE substr(text,1,400)||chr(10)||
+           |    (CASE WHEN doc_id%5=0 THEN '- bullet item' ELSE 'Normal and solid line with the words.' END)||chr(10)||
+           |    (CASE WHEN doc_id%7=0 THEN '# # # # # # # # # # # #' ELSE 'that have with more easy text.' END)||chr(10)||
+           |    (CASE WHEN doc_id%3=0 THEN 'trailing thought...' ELSE 'Closing line of the page.' END)
+           |  END AS t2 FROM documents),
+           |b AS (SELECT doc_id, t2, regexp_replace(t2, '^\\s+|\\s+$$', '', 'g') AS t,
+           |  ${toks.format("t2")} AS ks FROM d2),
+           |w AS (SELECT doc_id, t2, t, ks,
+           |  CASE WHEN length(t)=0 THEN [] ELSE string_split_regex(t, '\\s+') END AS ws,
+           |  list_filter(list_transform(string_split(t2, chr(10)),
+           |    x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g')), x -> x <> '') AS ls FROM b),
+           |m AS (SELECT doc_id,
+           |  len(ws)::BIGINT AS n_words,
+           |  length(regexp_replace(t, '\\s+', '', 'g'))::BIGINT AS word_chars,
+           |  ((length(t) - length(replace(t, '#', ''))) +
+           |   len(regexp_extract_all(t, '\\.\\.\\.')) +
+           |   (length(t) - length(replace(t, '…', ''))))::BIGINT AS n_symbols,
+           |  len(ls)::BIGINT AS n_lines,
+           |  len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')
+           |    OR starts_with(x, '•')))::BIGINT AS n_bullet_lines,
+           |  len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))::BIGINT AS n_ellipsis_lines,
+           |  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+           |  ((CASE WHEN list_contains(ks, 'the') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'be') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'to') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'of') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'and') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'that') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'have') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'with') THEN 1 ELSE 0 END))::BIGINT AS n_stop
+           |  FROM w)
+           |SELECT doc_id, n_words, word_chars, n_symbols, n_lines,
+           |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop,
+           |  (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+           |  (word_chars >= 3*n_words AND word_chars <= 10*n_words) AS f_mean_len,
+           |  (10*n_symbols <= n_words) AS f_symbols,
+           |  (10*n_bullet_lines <= 9*n_lines) AS f_bullets,
+           |  (10*n_ellipsis_lines <= 3*n_lines) AS f_ellipsis,
+           |  (5*n_alpha_words >= 4*n_words) AS f_alpha,
+           |  (n_stop >= 2) AS f_stop,
+           |  ((n_words >= 50 AND n_words <= 100000) AND
+           |   (word_chars >= 3*n_words AND word_chars <= 10*n_words) AND
+           |   (10*n_symbols <= n_words) AND (10*n_bullet_lines <= 9*n_lines) AND
+           |   (10*n_ellipsis_lines <= 3*n_lines) AND
+           |   (5*n_alpha_words >= 4*n_words) AND (n_stop >= 2)) AS kept
+           |FROM m""".stripMargin,
 
       "gopher_stats" ->
         s"""WITH t AS (SELECT doc_id, substr(text,1,60) AS a, substr(text,61,60) AS b FROM documents),

@@ -324,6 +324,103 @@ object TextAnalysis {
       r6(pDup / pAll), r6(lDup / lAll), top(2), top(3), top(4)))
   }
 
+  // ------------------------------------------------- gopher quality --------
+  /** The Gopher quality-rule battery (Rae et al. 2021, A1.1) — the
+    * deterministic subset, as INTEGER metrics with exact rational
+    * thresholds (`10·symbols ≤ words` instead of `ratio ≤ 0.1`), so flags
+    * are bit-identical in any engine with zero float rounding:
+    *
+    *  - word count in [50, 100000] (whitespace words);
+    *  - mean word length in [3, 10] (non-whitespace chars / words);
+    *  - (hash + ellipsis) symbols ≤ 0.1 per word;
+    *  - ≤90% of lines bullet-started, ≤30% ellipsis-ended;
+    *  - ≥80% of words contain an alphabetic character;
+    *  - ≥2 distinct stop words from the 8-word list present.
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Integer metrics + per-rule flags + overall `kept`. */
+  def gopherQualityDf(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
+    val bound = df.select(col(idCol), t.as("__t"),
+      when(length(t) === 0, array()).otherwise(split(t, "\\s+")).as("__w"),
+      filter(transform(split(col(textCol), "\n"),
+        l => regexp_replace(l, "^\\s+|\\s+$", "")), l => l =!= "").as("__l"),
+      tokensCol(col(textCol)).as("__k"))
+    val m = bound.select(col(idCol),
+      size(col("__w")).cast("long").as("n_words"),
+      length(regexp_replace(col("__t"), "\\s+", "")).cast("long")
+        .as("word_chars"),
+      ((length(col("__t")) - length(replace(col("__t"), lit("#"), lit("")))) +
+        size(regexp_extract_all(col("__t"), lit("\\.\\.\\."), lit(0))) +
+        (length(col("__t")) -
+          length(replace(col("__t"), lit("…"), lit(""))))).cast("long")
+        .as("n_symbols"),
+      size(col("__l")).cast("long").as("n_lines"),
+      size(filter(col("__l"), l => startswith(l, lit("-")) ||
+        startswith(l, lit("*")) || startswith(l, lit("•"))))
+        .cast("long").as("n_bullet_lines"),
+      size(filter(col("__l"), l => endswith(l, lit("...")) ||
+        endswith(l, lit("…")))).cast("long").as("n_ellipsis_lines"),
+      size(filter(col("__w"), w => w.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_words"),
+      GopherStopWords.map(w =>
+        when(array_contains(col("__k"), w), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stop"))
+    m.select(col(idCol), col("n_words"), col("word_chars"), col("n_symbols"),
+      col("n_lines"), col("n_bullet_lines"), col("n_ellipsis_lines"),
+      col("n_alpha_words"), col("n_stop"),
+      (col("n_words") >= 50 && col("n_words") <= 100000).as("f_word_count"),
+      (col("word_chars") >= lit(3) * col("n_words") &&
+        col("word_chars") <= lit(10) * col("n_words")).as("f_mean_len"),
+      (lit(10) * col("n_symbols") <= col("n_words")).as("f_symbols"),
+      (lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines"))
+        .as("f_bullets"),
+      (lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines"))
+        .as("f_ellipsis"),
+      (lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+        .as("f_alpha"),
+      (col("n_stop") >= 2).as("f_stop"))
+      .withColumn("kept",
+        col("f_word_count") && col("f_mean_len") && col("f_symbols") &&
+          col("f_bullets") && col("f_ellipsis") && col("f_alpha") &&
+          col("f_stop"))
+  }
+
+  /** Pure twin of [[gopherQualityDf]]: the 8 integer metrics in column
+    * order, then the 7 flags + kept. */
+  def gopherQuality(text: String)
+      : (Seq[Long], Seq[Boolean]) = {
+    val t = (if (text == null) "" else text).replaceAll("^\\s+|\\s+$", "")
+    val words = if (t.isEmpty) Seq.empty[String] else t.split("\\s+").toSeq
+    val lines = (if (text == null) "" else text).split("\n", -1).toSeq
+      .map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
+    val toks = tokens(text)
+    val nWords = words.size.toLong
+    val wordChars = t.replaceAll("\\s+", "").length.toLong
+    val nSymbols = t.count(_ == '#').toLong +
+      "\\.\\.\\.".r.findAllMatchIn(t).size + t.count(_ == '…').toLong
+    val nLines = lines.size.toLong
+    val nBullet = lines.count(l => l.startsWith("-") || l.startsWith("*") ||
+      l.startsWith("•")).toLong
+    val nEllipsis = lines.count(l => l.endsWith("...") || l.endsWith("…")).toLong
+    val nAlpha = words.count(_.exists(c =>
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toLong
+    val nStop = GopherStopWords.count(toks.contains).toLong
+    val flags = Seq(
+      nWords >= 50 && nWords <= 100000,
+      wordChars >= 3 * nWords && wordChars <= 10 * nWords,
+      10 * nSymbols <= nWords,
+      10 * nBullet <= 9 * nLines,
+      10 * nEllipsis <= 3 * nLines,
+      5 * nAlpha >= 4 * nWords,
+      nStop >= 2)
+    (Seq(nWords, wordChars, nSymbols, nLines, nBullet, nEllipsis, nAlpha,
+      nStop), flags :+ flags.forall(identity))
+  }
+
   // -------------------------------------------------- dehyphenation --------
   /** PDF/column line-break de-hyphenation: `exam-\nple` → `example`. The
     * classic text-layer extraction artifact repair. Conservative rule:

@@ -104,6 +104,36 @@ class TextAnalysisSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("gopher quality battery: integer metrics, per-rule flags, parity") {
+    import spark.implicits._
+    val goodDoc = (("the quick brown fox and that have with " * 8) +
+      "be to of lazy dog end").trim // 85 words, stopword-rich, alphabetic
+    val docs = Seq(
+      1L -> goodDoc,
+      2L -> "short doc only five words.",                  // word-count fail
+      3L -> (goodDoc + " " + Seq.fill(12)("#").mkString(" ")), // symbol fail
+      4L -> (goodDoc + "\n- one\n- two\nplain line"),      // bullets ok (2 of 4)
+      5L -> ("- a\n- b\n- c"),                             // 100% bullets fail
+      6L -> (goodDoc.split(" ").map(w => w + "…").mkString("\n")), // ellipsis-end fail
+      7L -> ("12 34 " * 40 + "the of"),                    // alpha-ratio fail
+      8L -> ("zz yy xx ww vv uu " * 15))                   // stopword fail
+    val got = TextAnalysis.gopherQualityDf(docs.toDF("id", "t"), "id", "t")
+      .collect().map { r =>
+        r.getLong(0) -> ((1 to 8).map(r.getLong).toSeq,
+          (9 to 16).map(r.getBoolean).toSeq)
+      }.toMap
+    for ((id, text) <- docs)
+      assert(got(id) == TextAnalysis.gopherQuality(text), s"doc $id")
+    def kept(id: Long) = got(id)._2.last
+    assert(kept(1L) && kept(4L))
+    assert(!kept(2L) && !got(2L)._2.head)       // word-count flag down
+    assert(!kept(3L) && !got(3L)._2(2))         // symbol flag down
+    assert(!kept(5L) && !got(5L)._2(3))         // bullet flag down
+    assert(!kept(6L) && !got(6L)._2(4))         // ellipsis-line flag down
+    assert(!kept(7L) && !got(7L)._2(5))         // alpha flag down
+    assert(!kept(8L) && !got(8L)._2(6))         // stopword flag down
+  }
+
   test("dehyphenation: line-break joins, capitals and intra-line hyphens kept") {
     import spark.implicits._
     val cases = Seq(
