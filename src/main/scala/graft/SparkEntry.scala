@@ -1192,6 +1192,23 @@ object SparkEntry {
           col("bpe_tokens"), col("n_blocks"), col("canonical_id"), col("is_duplicate"))
     }),
 
+    "lang_mix" -> ((s, d) => {
+      // per-paragraph language mix over a multilingual corpus variant: a
+      // prose paragraph plus rotating es / zh / de / fr / absent
+      // paragraphs; the oracle replays the per-paragraph classifier, the
+      // majority vote, and the zh<en<es<de<fr tie-break
+      val id = col("doc_id")
+      val p2 = when(pmod(id, lit(3)) === 0, lit("el que los de la una es aqui"))
+        .otherwise(lit("the and of to in is that more"))
+      val p3 = when(pmod(id, lit(4)) === 0, lit("中文内容测试"))
+        .when(pmod(id, lit(4)) === 1, lit("der die und das ist nicht ein zu"))
+        .when(pmod(id, lit(4)) === 2, lit("le la les des et est une dans"))
+        .otherwise(lit(""))
+      val t2 = concat_ws("\n\n", substring(col("text"), 1, 80), p2, p3)
+      TA.langMixDf(rd(s, d, "documents").withColumn("t2", t2),
+        "doc_id", "t2")
+    }),
+
     "lang_id" -> ((s, d) => {
       rd(s, d, "documents").select(col("doc_id"),
         TA.langIdCol(col("text")).as("lang_pred"))
@@ -3752,6 +3769,38 @@ object SparkEntry {
            |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
            |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
            |FROM f""".stripMargin,
+
+      "lang_mix" ->
+        s"""WITH d2 AS (SELECT doc_id,
+           |  substr(text,1,80)||chr(10)||chr(10)||
+           |  (CASE WHEN doc_id%3=0 THEN 'el que los de la una es aqui'
+           |        ELSE 'the and of to in is that more' END)||
+           |  (CASE doc_id%4 WHEN 0 THEN chr(10)||chr(10)||'中文内容测试'
+           |        WHEN 1 THEN chr(10)||chr(10)||'der die und das ist nicht ein zu'
+           |        WHEN 2 THEN chr(10)||chr(10)||'le la les des et est une dans'
+           |        ELSE '' END) AS t2 FROM documents),
+           |pv AS (SELECT doc_id, regexp_replace(x, '^\\s+|\\s+$$', '', 'g') AS p
+           |  FROM d2, unnest(string_split_regex(t2, '\\n\\s*\\n')) AS u(x)),
+           |pp AS (SELECT doc_id, p, ${toks.format("p")} AS toks FROM pv WHERE p <> ''),
+           |cnt AS (SELECT doc_id, p,
+           |  len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a','that'], t))) AS en,
+           |  len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las','una','es'], t))) AS es,
+           |  len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t))) AS de,
+           |  len(list_filter(toks, t -> list_contains(['le','la','les','des','et','est','une','dans'], t))) AS fr
+           |  FROM pp),
+           |lg AS (SELECT doc_id,
+           |  CASE WHEN length(regexp_replace(p,'[^\\x{4E00}-\\x{9FFF}]','','g')) > 0 THEN 'zh'
+           |    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+           |    WHEN es >= de AND es >= fr THEN 'es'
+           |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang FROM cnt),
+           |c AS (SELECT doc_id, lang, count(*) AS c FROM lg GROUP BY 1, 2),
+           |r AS (SELECT doc_id, lang, c, row_number() OVER (PARTITION BY doc_id
+           |  ORDER BY c DESC, CASE lang WHEN 'zh' THEN 0 WHEN 'en' THEN 1
+           |    WHEN 'es' THEN 2 WHEN 'de' THEN 3 ELSE 4 END) AS rn FROM c)
+           |SELECT doc_id, sum(c)::BIGINT AS n_paras, count(*)::BIGINT AS n_langs,
+           |  max(CASE WHEN rn = 1 THEN lang END) AS primary_lang,
+           |  count(*) >= 2 AS mixed
+           |FROM r GROUP BY doc_id""".stripMargin,
 
       "lang_id" ->
         s"""WITH t AS (SELECT doc_id, text, ${toks.format("text")} AS toks FROM documents),

@@ -123,6 +123,49 @@ object TextAnalysis {
     counts.find(_._2 == mx).map(_._1).getOrElse("en")
   }
 
+  /** Per-paragraph language mix: paragraphs classified with [[langIdCol]],
+    * then per-document `n_paras`, `n_langs` (distinct predictions),
+    * `primary_lang` (most frequent, ties to zh < en < es < de < fr — the
+    * CJK override first, then profile order), and a `mixed` flag — the
+    * cheap wrong-language-routing / machine-translation-spam signal.
+    *
+    * Plan: narrow paragraph explode → partial-agg (id, lang) groupBy
+    * (≤5 rows per doc reach the shuffle) → per-doc window over those ≤5
+    * rows + final agg. Two id-key shuffles, state bounded by the language
+    * inventory. */
+  def langMixDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = filter(transform(split(col(textCol), "\n\\s*\n"),
+      p => regexp_replace(p, "^\\s+|\\s+$", "")), p => p =!= "")
+    val pl = df.select(col(idCol), explode(paras).as("__p"))
+      .select(col(idCol), langIdCol(col("__p")).as("lang"))
+    val counts = pl.groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("__c"))
+    val rank = when(col("lang") === "zh", 0).when(col("lang") === "en", 1)
+      .when(col("lang") === "es", 2).when(col("lang") === "de", 3)
+      .otherwise(4)
+    val w = Window.partitionBy(idCol).orderBy(col("__c").desc, rank.asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .groupBy(idCol).agg(
+        sum("__c").cast("long").as("n_paras"),
+        count(lit(1)).cast("long").as("n_langs"),
+        max(when(col("__rn") === 1, col("lang"))).as("primary_lang"))
+      .withColumn("mixed", col("n_langs") >= 2)
+  }
+
+  /** Pure twin of [[langMixDf]]: (n_paras, n_langs, primary, mixed);
+    * None for documents with no non-empty paragraph. */
+  def langMix(text: String): Option[(Long, Long, String, Boolean)] = {
+    val paras = (if (text == null) "" else text).split("\n\\s*\n", -1).toSeq
+      .map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
+    if (paras.isEmpty) return None
+    val rank = Map("zh" -> 0, "en" -> 1, "es" -> 2, "de" -> 3, "fr" -> 4)
+    val counts = paras.map(langId).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val primary = counts.toSeq.minBy { case (l, c) => (-c, rank(l)) }._1
+    Some((paras.size.toLong, counts.size.toLong, primary, counts.size >= 2))
+  }
+
   // --------------------------------------------------- quality scoring -----
   /** Deterministic [0,1] quality composite from length, alpha ratio,
     * punctuation density, and stopword ratio — the classic cheap pre-filter

@@ -104,6 +104,26 @@ class TextAnalysisSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("language mix: per-paragraph id, majority primary, deterministic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the cat and the dog in that house\n\nel que los de la una es",
+      2L -> "the and of that is\n\nthe cat and dog\n\nder und das ist nicht",
+      3L -> "solo uno",           // one paragraph, not mixed
+      4L -> "the and of\n\n中文内容")  // CJK override wins its paragraph
+    val got = TextAnalysis.langMixDf(docs.toDF("id", "t"), "id", "t")
+      .as[(Long, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    for ((id, text) <- docs) {
+      val Some(exp) = TextAnalysis.langMix(text)
+      assert(got(id) == exp, s"doc $id")
+    }
+    assert(got(1L) == ((2L, 2L, "en", true)))  // 1 en + 1 es → tie → en first
+    assert(got(2L) == ((3L, 2L, "en", true)))  // 2 en beat 1 de
+    assert(!got(3L)._4)
+    assert(got(4L)._4 && got(4L)._2 == 2)
+  }
+
   test("gopher quality battery: integer metrics, per-rule flags, parity") {
     import spark.implicits._
     val goodDoc = (("the quick brown fox and that have with " * 8) +
