@@ -1214,6 +1214,31 @@ object SparkEntry {
         TA.langIdCol(col("text")).as("lang_pred"))
     }),
 
+    "domain_stats" -> ((s, d) => {
+      // the per-domain curation table every mixture/cap decision reads:
+      // docs keyed by synthesized URLs over a 10-site space (with co.uk
+      // PSL tails folding subdomains), aggregated to (domain, n_docs,
+      // total ws tokens, total chars, max doc tokens). ONE partial-agg
+      // groupBy on the registrable domain — token sums combine map-side,
+      // so a mega-domain never ships raw docs. Integer-only metrics; the
+      // oracle re-renders the domain key and replays the aggregation
+      val id = col("doc_id")
+      val url = concat(lit("https://www.sub"), pmod(id, lit(3)).cast("string"),
+        lit(".site"), pmod(id, lit(10)).cast("string"),
+        when(pmod(id, lit(4)) === 0, lit(".News.CO.UK")).otherwise(lit(".org")),
+        lit("/p/"), id.cast("string"))
+      rd(s, d, "documents").select(id, url.as("url"), col("text"))
+        .select(
+          Web.registrableDomain(Web.host(col("url"))).as("domain"),
+          TA.wsTokenCountCol(col("text")).cast("long").as("__tok"),
+          length(col("text")).cast("long").as("__chars"))
+        .groupBy("domain").agg(
+          count(lit(1)).as("n_docs"),
+          sum("__tok").as("total_ws_tokens"),
+          sum("__chars").as("total_chars"),
+          max("__tok").as("max_doc_tokens"))
+    }),
+
     "url_normalize" -> ((s, d) => {
       // URL hygiene over synthesized crawl URLs: every variant axis (scheme
       // case, userinfo, default vs explicit port, empty path, tracking
@@ -3827,6 +3852,18 @@ object SparkEntry {
            |  FROM documents WHERE doc_id%3=0 AND doc_id%5<>0)
            |SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links
            |FROM e GROUP BY 1, 2""".stripMargin,
+
+      "domain_stats" ->
+        s"""WITH t AS (SELECT
+           |  CASE WHEN doc_id%4=0 THEN 'news.co.uk'
+           |       ELSE 'site'||(doc_id%10)::VARCHAR||'.org' END AS domain,
+           |  (CASE WHEN length(regexp_replace(text,'^\\s+|\\s+$$','','g'))=0 THEN 0
+           |    ELSE len(string_split_regex(regexp_replace(text,'^\\s+|\\s+$$','','g'),'\\s+')) END)::BIGINT AS tok,
+           |  length(text)::BIGINT AS chars
+           |  FROM documents)
+           |SELECT domain, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS total_ws_tokens,
+           |  sum(chars)::BIGINT AS total_chars, max(tok)::BIGINT AS max_doc_tokens
+           |FROM t GROUP BY domain""".stripMargin,
 
       "url_normalize" ->
         s"""WITH u AS (SELECT doc_id,
