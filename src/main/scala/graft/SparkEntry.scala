@@ -1393,6 +1393,17 @@ object SparkEntry {
         TA.qualityScoreCol(col("text")).as("quality"))
     }),
 
+    // fastText-style hashed linear classifier inference
+    // (Classifier.scoreLinear): unigram+bigram features hashed into 4096
+    // buckets, integer milli-weights summed per doc, broadcast model — the
+    // wiki-vs-crawl quality-classifier scoring pass of CCNet/GPT-3-style
+    // curation. The synthetic weight table is itself md5-derived, so the
+    // oracle rebuilds model AND inference from scratch.
+    "quality_classifier" -> ((s, d) => {
+      graft.text.Classifier.scoreLinear(rd(s, d, "documents"), "doc_id",
+        "text", graft.text.Classifier.syntheticWeights(s, 4096), 4096)
+    }),
+
     "token_counts" -> ((s, d) => {
       rd(s, d, "documents").select(col("doc_id"),
         TA.wsTokenCountCol(col("text")).cast("long").as("ws_tokens"),
@@ -1436,6 +1447,26 @@ object SparkEntry {
         .join(li.groupBy("l_returnflag")
           .agg(count_distinct(col("l_partkey")).as("distinct_exact")),
           Seq("l_returnflag"))
+    }),
+
+    // HyperLogLog distinct sketch (Sketches.hllDistinct): the production
+    // 256-byte-register sketch with every step pinned to engine-neutral
+    // integer/string math — hex-string rho (no float log2), exact-rational
+    // α_256 through one 128-bit division, and a JVM-precomputed
+    // linear-counting table embedded verbatim in the oracle. Two groups
+    // exercise BOTH estimator branches: per-returnflag part keys take the
+    // raw harmonic path (~2000 distinct over 256 registers), the 7-value
+    // line numbers the small-range linear-counting branch. Exact counts
+    // alongside for error visibility, as with kmv_distinct.
+    "hll_distinct" -> ((s, d) => {
+      val li = rd(s, d, "lineitem")
+      val pairs = li.select(concat(lit("pk:"), col("l_returnflag")).as("grp"),
+          col("l_partkey").cast("string").as("v"))
+        .unionAll(li.select(lit("ln:all").as("grp"),
+          col("l_linenumber").cast("string").as("v")))
+      graft.sketch.Sketches.hllDistinct(pairs, "grp", "v")
+        .join(pairs.groupBy("grp")
+          .agg(count_distinct(col("v")).as("distinct_exact")), Seq("grp"))
     }),
 
     // Z-order curve values (Layout.zValue) over a 2-D key grid — the
@@ -2797,6 +2828,10 @@ object SparkEntry {
     val disclaimerCase =
       s"CASE WHEN doc_id%5=0 THEN text || '$disclaimerSentence' ELSE text END"
     def hash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+    // HLL linear-counting table, precomputed once on the JVM and embedded
+    // as literals so the oracle never calls engine-side ln
+    val hllLcValues = (1 to graft.sketch.Sketches.HllM)
+      .map(v => s"($v,${graft.sketch.Sketches.hllLinearCounting(v)})").mkString(",")
     // temporal-join fixture: clicks + (user, ts)-unique purchase rollup,
     // kept in lockstep with SparkEntry.asofFixture
     val asofCte =
@@ -3963,6 +3998,24 @@ object SparkEntry {
            |SELECT doc_id, round(CAST(q AS VARCHAR)::DECIMAL(25,20), 4)::DOUBLE AS quality
            |FROM raw""".stripMargin,
 
+      // classifier replay: same tokens, same unigram+bigram feature set,
+      // md5-derived buckets AND weights, exact integer milli sums
+      "quality_classifier" ->
+        s"""WITH tk AS (SELECT doc_id, ${toks.format("text")} AS l FROM documents),
+           |feats AS (
+           |  SELECT doc_id, unnest(l) AS f FROM tk
+           |  UNION ALL
+           |  SELECT doc_id, unnest(list_transform(range(len(l)-1),
+           |    i -> l[i+1]||' '||l[i+2])) AS f FROM tk WHERE len(l) >= 2),
+           |fb AS (SELECT doc_id, ${hash60("'f:'||f")} % 4096 AS bucket FROM feats),
+           |sc AS (SELECT doc_id, count(*) AS n,
+           |        sum((${hash60("'w:'||bucket")} % 2001) - 1000) AS s
+           |       FROM fb GROUP BY 1)
+           |SELECT d.doc_id, coalesce(n,0)::BIGINT AS n_features,
+           |  coalesce(s,0)::BIGINT AS score_milli,
+           |  coalesce(s,0) > 0 AS is_positive
+           |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
       "token_counts" ->
         """SELECT doc_id,
           |  (CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g'))=0 THEN 0
@@ -4008,6 +4061,40 @@ object SparkEntry {
           |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
           |  END AS distinct_est, x.distinct_exact
           |FROM a JOIN x USING (l_returnflag)""".stripMargin,
+
+      // HLL replay: hex-string rho (13 tail chars = 52 bits), register max
+      // per bucket, int64 harmonic sum scaled by 2^53, exact-rational
+      // α_256 = 1846528/2570790 through HUGEINT floor division, and the
+      // JVM-precomputed linear-counting VALUES table (round(256·ln(256/v)))
+      // so no engine-side libm call can move the small-range branch
+      "hll_distinct" ->
+        s"""WITH pairs AS (
+           |  SELECT 'pk:'||l_returnflag AS grp, l_partkey::VARCHAR AS v FROM lineitem
+           |  UNION ALL
+           |  SELECT 'ln:all' AS grp, l_linenumber::VARCHAR AS v FROM lineitem),
+           |h AS (SELECT DISTINCT grp, md5(v) AS hx FROM pairs),
+           |r AS (SELECT grp, ('0x'||substr(hx,1,2))::INT AS bucket,
+           |        length(regexp_extract(substr(hx,3,13), '^0*')) AS z,
+           |        substr(hx,3,13) AS tail FROM h),
+           |rho AS (SELECT grp, bucket, CASE WHEN z = 13 THEN 53 ELSE 4*z + 5 -
+           |          (CASE WHEN d >= 8 THEN 4 WHEN d >= 4 THEN 3
+           |                WHEN d >= 2 THEN 2 ELSE 1 END) END AS rho
+           |        FROM (SELECT grp, bucket, z, CASE WHEN z < 13
+           |                THEN ('0x'||substr(tail, z+1, 1))::INT ELSE 0 END AS d FROM r)),
+           |reg AS (SELECT grp, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+           |ag AS (SELECT grp,
+           |        sum((1::BIGINT << (53 - reg))::BIGINT)::BIGINT
+           |          + (256 - count(*)) * 9007199254740992::BIGINT AS s_sum,
+           |        256 - count(*) AS v FROM reg GROUP BY 1),
+           |lc(lv, lc_est) AS (VALUES $hllLcValues),
+           |est AS (SELECT grp, v,
+           |        ((1846528::HUGEINT * 65536::HUGEINT * 9007199254740992::HUGEINT)
+           |          // (2570790::HUGEINT * s_sum::HUGEINT))::BIGINT AS raw FROM ag),
+           |ex AS (SELECT grp, count(DISTINCT v) AS distinct_exact FROM pairs GROUP BY 1)
+           |SELECT e.grp,
+           |  CASE WHEN e.v > 0 AND raw <= 640 THEN lcj.lc_est ELSE raw END AS hll_est,
+           |  e.v::BIGINT AS zero_regs, ex.distinct_exact
+           |FROM est e LEFT JOIN lc lcj ON lcj.lv = e.v JOIN ex USING (grp)""".stripMargin,
 
       // Morton interleave replayed with DuckDB bit ops
       "zorder_layout" ->

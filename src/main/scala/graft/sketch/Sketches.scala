@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * survive the count is exact, otherwise estimate (k-1)·M / kth_min with
   * M = 2⁶⁰ the hash range.
   *
-  * Why KMV and not HyperLogLog here: Spark's `approx_count_distinct`
-  * (HLL++) is a fine production sketch but its result depends on internal
-  * register encodings no other engine reproduces — it can never pass an
-  * exact cross-engine gate. KMV's state is just "the k smallest distinct
-  * hashes", a pure function of the input SET: merge order, partitioning,
-  * and engine cannot move it, so DuckDB replays the estimate bit-for-bit
-  * (hashes are the md5-derived [[TextAnalysis.hash60]]; the final division
-  * is exact 128-bit integer math on both sides).
+  * Why KMV and not Spark's builtin `approx_count_distinct` (HLL++): the
+  * builtin's result depends on internal register encodings no other engine
+  * reproduces — it can never pass an exact cross-engine gate. KMV's state
+  * is just "the k smallest distinct hashes", a pure function of the input
+  * SET: merge order, partitioning, and engine cannot move it, so DuckDB
+  * replays the estimate bit-for-bit (hashes are the md5-derived
+  * [[TextAnalysis.hash60]]; the final division is exact 128-bit integer
+  * math on both sides). The same pinning applied to the HLL algorithm
+  * itself lives below ([[hllDistinct]]) — 256 bytes of state per group
+  * where KMV carries k·8.
   *
   * Scale shape: the [[KmvAggregator]] is a typed Aggregator with a bounded
   * sorted-array buffer (≤ k longs), so Spark runs it as a real partial
@@ -239,5 +241,163 @@ object Sketches {
       val rank = math.max(1L, math.ceil(q * m).toLong)
       (q, sample((rank - 1).toInt), m)
     }
+  }
+
+  // ------------------------------------------------------ HyperLogLog -----
+  // Distinct counting with HyperLogLog (Flajolet et al. 2007), made
+  // cross-engine replayable. Spark's builtin approx_count_distinct (HLL++)
+  // can never pass an exact gate because its answer depends on private
+  // register encodings — but the ALGORITHM is a pure set function once the
+  // hash and the arithmetic are pinned:
+  //   - hash  = md5 hex of the value's canonical string form;
+  //   - bucket = first 2 hex chars (m = 256 registers, p = 8);
+  //   - rho    = 1 + leading-zero count of the next 13 hex chars (52 bits),
+  //              computed on the HEX STRING (4 bits per '0' char plus the
+  //              intra-digit zeros of the first nonzero char) so no engine
+  //              ever touches floating log2;
+  //   - register_j = max rho over values hashing to bucket j (a set max);
+  //   - harmonic sum scaled to exact int64: S = Σ 2^(53-register_j), with
+  //     absent registers contributing 2^53. Max S = 256·2^53 = 2^61 < 2^63.
+  //   - raw estimate = floor(α·m²·2^53 / S) with α_256 = 0.7213/(1+1.079/256)
+  //     carried as the EXACT rational 1846528/2570790 — one 128-bit integer
+  //     division (BigInt here, HUGEINT `//` in DuckDB);
+  //   - small-range correction (raw ≤ 5m/2 with empty registers): linear
+  //     counting round(m·ln(m/V)) via [[hllLinearCounting]], a 256-entry
+  //     table precomputed ONCE on the JVM and embedded verbatim in the
+  //     oracle SQL, so no cross-engine libm call can move the answer.
+  // Every step is engine-neutral integer/string math, so DuckDB replays the
+  // estimate bit-for-bit — same discipline as KMV, with HLL's production
+  // profile: 256 BYTES of state per group (vs KMV's k·8), merged by
+  // elementwise max in a real partial aggregation.
+
+  /** m = 256 registers (p = 8); rho ranges over [1, 53]. */
+  val HllM = 256
+  private val HllShift = 53 // 52 hashed bits + 1
+  /** α_256·m² as an exact rational: 1846528/2570790 · 65536. */
+  private val HllAlphaNum = BigInt(1846528) * 65536 * (BigInt(1) << HllShift)
+  private val HllAlphaDen = BigInt(2570790)
+
+  /** Linear-counting table: lc(v) = round(m·ln(m/v)) for v in [1, m].
+    * Index 0 unused. Computed once on the JVM; the oracle SQL embeds these
+    * exact values as a VALUES list (see SparkEntry), so both engines use
+    * the identical table. */
+  val hllLinearCounting: IndexedSeq[Long] =
+    0L +: (1 to HllM).map(v => math.round(HllM * math.log(HllM.toDouble / v)))
+
+  /** (bucket, rho) of one md5 hex string (32 lowercase hex chars). */
+  private[sketch] def hllBucketRho(hx: String): (Int, Int) = {
+    val bucket = Integer.parseInt(hx.substring(0, 2), 16)
+    var z = 0
+    while (z < 13 && hx.charAt(2 + z) == '0') z += 1
+    val rho =
+      if (z == 13) HllShift
+      else {
+        val d = Integer.parseInt(hx.substring(2 + z, 3 + z), 16)
+        val bitlen = if (d >= 8) 4 else if (d >= 4) 3 else if (d >= 2) 2 else 1
+        4 * z + 5 - bitlen
+      }
+    (bucket, rho)
+  }
+
+  /** Estimate from a full register array: raw 128-bit-exact division, then
+    * the standard small-range linear-counting branch. Returns
+    * (estimate, zero_register_count). */
+  private[sketch] def hllFinish(regs: Array[Byte]): (Long, Long) = {
+    var sl = 0L // Σ 2^(53-reg): max 256·2^53 = 2^61, exact in int64
+    var v = 0
+    var j = 0
+    while (j < HllM) {
+      sl += 1L << (HllShift - regs(j)) // regs(j)=0 (absent) contributes 2^53
+      if (regs(j) == 0) v += 1
+      j += 1
+    }
+    val raw = (HllAlphaNum / (HllAlphaDen * BigInt(sl))).toLong
+    val est = if (v > 0 && raw <= 5L * HllM / 2) hllLinearCounting(v) else raw
+    (est, v.toLong)
+  }
+
+  /** Typed HLL aggregator over md5 hex strings: 256-byte register buffer,
+    * merged by elementwise max — map-side combine, ONE shuffle of 256-byte
+    * states per group. Output: (hll_est, zero_regs). */
+  class HllAggregator extends Aggregator[String, Array[Byte], (Long, Long)] {
+    override def zero: Array[Byte] = new Array[Byte](HllM)
+    override def reduce(buf: Array[Byte], hx: String): Array[Byte] = {
+      val (b, r) = hllBucketRho(hx)
+      if (r > buf(b)) buf(b) = r.toByte
+      buf
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var j = 0
+      while (j < HllM) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+      a
+    }
+    override def finish(buf: Array[Byte]): (Long, Long) = hllFinish(buf)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[(Long, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]()
+  }
+
+  /** `groupBy(groupCol).agg(HLL)` over `valueCol`: the production distinct
+    * sketch — constant 256 B of state per group in flight, one shuffle of
+    * states (never of rows). Output: groupCol, `hll_est`, `zero_regs`. */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val agg = udaf(new HllAggregator)
+    df.groupBy(col(groupCol))
+      .agg(agg(md5(col(valueCol).cast("string"))).as("__h"))
+      .select(col(groupCol), col("__h._1").as("hll_est"),
+        col("__h._2").as("zero_regs"))
+  }
+
+  /** Relational twin of [[hllDistinct]] — the same answer from Column-only
+    * ops (hex-string rho, two groupBys, a 128-bit decimal division). Used
+    * by the spec to pin the aggregator and by readers as the oracle's
+    * mirror; the aggregator is the production path. */
+  def hllDistinctRelational(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val hx = md5(col(valueCol).cast("string"))
+    val tail = substring(hx, 3, 13)
+    val z = length(regexp_extract(tail, "^0*", 0))
+    val d = when(z < 13, conv(substring(tail, z + 1, lit(1)), 16, 10).cast("int"))
+      .otherwise(0)
+    val bitlen = when(d >= 8, 4).when(d >= 4, 3).when(d >= 2, 2).otherwise(1)
+    val rho = when(z === 13, HllShift).otherwise(lit(4) * z + 5 - bitlen)
+    val regs = df
+      .select(col(groupCol),
+        conv(substring(hx, 1, 2), 16, 10).cast("int").as("__bucket"),
+        rho.as("__rho"))
+      .groupBy(col(groupCol), col("__bucket"))
+      .agg(max(col("__rho")).as("__reg"))
+    val lcMap = typedLit(hllLinearCounting)
+    regs.groupBy(col(groupCol))
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllShift - __reg)")) +
+        (lit(HllM) - count(lit(1))) * lit(1L << HllShift)).as("__s"),
+        (lit(HllM) - count(lit(1))).as("zero_regs"))
+      // α·m²·2^53 / S in DECIMAL(38,0): numerator ~1.1e26, S ≤ 2^61 — both
+      // exact; floor of the positive quotient matches BigInt and HUGEINT //
+      .withColumn("__raw", floor(lit(BigDecimal(HllAlphaNum)).cast("decimal(38,0)") /
+        (col("__s").cast("decimal(38,0)") * lit(BigDecimal(HllAlphaDen)).cast("decimal(38,0)")))
+        .cast("long"))
+      .withColumn("hll_est",
+        when(col("zero_regs") > 0 && col("__raw") <= 5L * HllM / 2,
+          element_at(lcMap, (col("zero_regs") + 1).cast("int")))
+          .otherwise(col("__raw")))
+      .select(col(groupCol), col("hll_est"), col("zero_regs"))
+  }
+
+  /** Pure twin over an in-memory value set. */
+  def hllDistinctPure(values: Seq[String]): (Long, Long) = {
+    val regs = new Array[Byte](HllM)
+    values.foreach { s =>
+      val hex = md5Hex(s)
+      val (b, r) = hllBucketRho(hex)
+      if (r > regs(b)) regs(b) = r.toByte
+    }
+    hllFinish(regs)
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
   }
 }

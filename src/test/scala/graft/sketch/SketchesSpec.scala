@@ -40,6 +40,53 @@ class SketchesSpec extends SparkTestBase {
     assert(rep == agg)
   }
 
+  test("HLL: aggregator ≡ relational twin ≡ pure twin; partitioning-invariant") {
+    val rows = (1 to 6000).map { i =>
+      val g = if (i % 2 == 0) "big" else "small"
+      val v = if (g == "big") s"val${i}" else s"s${i % 9}" // 3000 vs 9 distinct
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val agg = Sketches.hllDistinct(df, "g", "v")
+      .as[(String, Long, Long)].collect().map { case (g, e, z) => g -> (e, z) }.toMap
+    val rel = Sketches.hllDistinctRelational(df, "g", "v")
+      .as[(String, Long, Long)].collect().map { case (g, e, z) => g -> (e, z) }.toMap
+    assert(agg == rel)
+    val byG = rows.groupBy(_._1)
+    for ((g, grp) <- byG)
+      assert(agg(g) == Sketches.hllDistinctPure(grp.map(_._2).distinct), s"group $g")
+    // small group takes the linear-counting branch: estimate = lc(zero_regs)
+    // (9 distinct values occupy ≤ 9 buckets; lc lands on 9 ± a collision)
+    assert(agg("small")._1 == Sketches.hllLinearCounting(agg("small")._2.toInt))
+    assert(agg("small")._2 >= Sketches.HllM - 9 && math.abs(agg("small")._1 - 9) <= 2)
+    // big group: raw estimator within the 3-sigma band (1.04/sqrt(256) ≈ 6.5%)
+    assert(math.abs(agg("big")._1 - 3000.0) / 3000.0 < 0.2, agg("big").toString)
+    // a set function cannot move under repartitioning
+    val rep = Sketches.hllDistinct(df.repartition(17), "g", "v")
+      .as[(String, Long, Long)].collect().map { case (g, e, z) => g -> (e, z) }.toMap
+    assert(rep == agg)
+    // duplicates cannot move a register max
+    val dup = Sketches.hllDistinct(df.unionAll(df), "g", "v")
+      .as[(String, Long, Long)].collect().map { case (g, e, z) => g -> (e, z) }.toMap
+    assert(dup == agg)
+  }
+
+  test("HLL internals: rho from hex; linear-counting table; register merge") {
+    // rho = 1 + leading zero bits of the 52-bit tail
+    assert(Sketches.hllBucketRho("ff" + "8" + "0" * 12 + "0" * 17)._2 == 1)
+    assert(Sketches.hllBucketRho("00" + "1" + "0" * 12 + "0" * 17)._2 == 4)
+    assert(Sketches.hllBucketRho("ab" + "08" + "0" * 11 + "0" * 17)._2 == 5)
+    assert(Sketches.hllBucketRho("ab" + "0" * 13 + "0" * 17)._2 == 53)
+    assert(Sketches.hllBucketRho("ff" + "0" * 30)._1 == 255)
+    // lc table: v = m → 0; v = 1 → round(256·ln 256)
+    assert(Sketches.hllLinearCounting(256) == 0L)
+    assert(Sketches.hllLinearCounting(1) == math.round(256.0 * math.log(256.0)))
+    val a = new Sketches.HllAggregator
+    val m1 = a.reduce(a.zero, "ff" + "8" + "0" * 29)
+    val m2 = a.reduce(a.zero, "ff" + "0" + "8" * 29) // same bucket, deeper rho
+    assert(a.merge(m1.clone(), m2.clone())(255) == math.max(m1(255), m2(255)))
+  }
+
   test("aggregator buffer is bounded and merge keeps sorted distinct") {
     val a = new Sketches.KmvAggregator(4)
     var buf = a.zero
