@@ -1393,6 +1393,15 @@ object SparkEntry {
         TA.qualityScoreCol(col("text")).as("quality"))
     }),
 
+    // UT1-style blocklist filter (Blocklist.flags): blocked-DOMAIN verdict
+    // plus bad-word DENSITY in exact integer milli (RefinedWeb keeps a
+    // long doc with one incidental token; kills pure spam). The miniature
+    // lists pin the contract; production swaps in the real UT1 snapshot.
+    "blocklist_filter" -> ((s, d) =>
+      graft.text.Blocklist.flags(rd(s, d, "documents"), "doc_id", "text",
+        "source", words = Seq("slow", "gibberish"),
+        domains = Seq("src3", "src7", "src13"), ratioMilliThreshold = 40L)),
+
     // fastText-style hashed linear classifier inference
     // (Classifier.scoreLinear): unigram+bigram features hashed into 4096
     // buckets, integer milli-weights summed per doc, broadcast model — the
@@ -2220,6 +2229,55 @@ object SparkEntry {
         "doc_id", "t2",
         docs.filter(col("lang") === "en").select("text"), "text",
         ctxBuckets = 1024, bigramBuckets = 8192)
+    }),
+
+    // CCNet head/middle/tail terciles (Perplexity.pplBuckets): the split
+    // CCNet applies after perplexity scoring — per language, rank by mean
+    // per-bigram NLL (exact integer division) and ntile(3); "head" is the
+    // keep-outright third. Same trained model as lm_perplexity, so the
+    // oracle extends that replay with the window.
+    "ccnet_buckets" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      graft.text.Perplexity.pplBuckets(
+        docs.withColumn("t2", docText), "doc_id", "t2", "lang",
+        docs.filter(col("lang") === "en").select("text"), "text",
+        ctxBuckets = 1024, bigramBuckets = 8192)
+    }),
+
+    // Interpolated Kneser-Ney bigram LM head (KneserNey.knBigramLm): the
+    // KenLM-style smoothed-count training step — bigram/context/type
+    // counts plus P_KN with D carried as the exact rational 3/4, one
+    // integer division per bigram. Top-100 by (count, w1, w2) keeps the
+    // gate bounded; the count tables are the full model.
+    "kn_bigram_lm" -> ((s, d) =>
+      graft.text.KneserNey.knBigramLm(rd(s, d, "documents"), "text", k = 100)),
+
+    // WARC ingest (Warc.parseDf): each document rendered as a two-record
+    // WARC blob (request + response; every 7th doc a 404 body) and parsed
+    // back by the real Content-Length-bounded parser. The blob is a pure
+    // function of (doc_id, source, text), so the oracle re-renders the
+    // expected records WITHOUT parsing (the domHtml idiom) — a boundary
+    // or CRLF off-by-one in the parser shifts every field and breaks
+    // parity. Zero-shuffle typed kernel.
+    "warc_parse" -> ((s, d) => {
+      val id = col("doc_id")
+      val uri = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), id.cast("string"))
+      val reqC = concat(lit("GET /doc/"), id.cast("string"), lit(" HTTP/1.1"))
+      val body = when(pmod(id, lit(7)) === 0, lit("not found"))
+        .otherwise(substring(col("text"), 1, 120))
+      val statusLine = when(pmod(id, lit(7)) === 0, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+      val respC = concat(lit("HTTP/1.1 "), statusLine,
+        lit("\r\nContent-Type: text/html\r\n\r\n"), body)
+      def rec(t: String, c: Column) = concat(
+        lit("WARC/1.0\r\nWARC-Type: "), lit(t),
+        lit("\r\nWARC-Target-URI: "), uri,
+        lit("\r\nContent-Length: "), length(c).cast("string"),
+        lit("\r\n\r\n"), c, lit("\r\n\r\n"))
+      val blob = concat(rec("request", reqC), rec("response", respC))
+      graft.io.Warc.parseDf(
+        rd(s, d, "documents").select(id, blob.as("blob")), "doc_id", "blob")
     }),
 
     "dsir_score" -> ((s, d) => {
@@ -3998,6 +4056,20 @@ object SparkEntry {
            |SELECT doc_id, round(CAST(q AS VARCHAR)::DECIMAL(25,20), 4)::DOUBLE AS quality
            |FROM raw""".stripMargin,
 
+      // blocklist replay: same tokens, same literal lists, integer density
+      "blocklist_filter" ->
+        s"""WITH tk AS (SELECT doc_id, source AS domain,
+           |  ${toks.format("text")} AS l FROM documents),
+           |f AS (SELECT doc_id, domain, len(l)::BIGINT AS n_tokens,
+           |  len(list_filter(l, x -> list_contains(['slow','gibberish'], x)))::BIGINT AS n_blocked
+           |  FROM tk)
+           |SELECT doc_id, domain, n_tokens, n_blocked,
+           |  (n_blocked * 1000 // greatest(n_tokens, 1))::BIGINT AS blocked_ratio_milli,
+           |  list_contains(['src3','src7','src13'], domain) AS domain_blocked,
+           |  list_contains(['src3','src7','src13'], domain)
+           |    OR (n_blocked * 1000 // greatest(n_tokens, 1)) >= 40 AS is_blocked
+           |FROM f""".stripMargin,
+
       // classifier replay: same tokens, same unigram+bigram feature set,
       // md5-derived buckets AND weights, exact integer milli sums
       "quality_classifier" ->
@@ -5124,6 +5196,73 @@ object SparkEntry {
            |SELECT d.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
            |  coalesce(sm, 0)::BIGINT AS nll_micro
            |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+      // CCNet tercile replay: the lm_perplexity chain + integer mean +
+      // per-language ntile(3) with doc_id tie-break
+      "ccnet_buckets" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |ctk AS (SELECT doc_id, ${toks.format("t2")} AS l FROM t),
+           |cbg AS (SELECT doc_id, ${hash60("l[i+1]")} % 1024 AS b1,
+           |    ${hash60("l[i+1]||' '||l[i+2]")} % 8192 AS b12
+           |  FROM (SELECT doc_id, l, unnest(range(len(l)-1)) AS i FROM ctk WHERE len(l) >= 2)),
+           |rtk AS (SELECT ${toks.format("text")} AS l FROM documents WHERE lang = 'en'),
+           |rbg AS (SELECT ${hash60("l[i+1]")} % 1024 AS b1,
+           |    ${hash60("l[i+1]||' '||l[i+2]")} % 8192 AS b12
+           |  FROM (SELECT l, unnest(range(len(l)-1)) AS i FROM rtk WHERE len(l) >= 2)),
+           |c12 AS (SELECT b1, b12, count(*) AS c FROM rbg GROUP BY 1, 2),
+           |c1 AS (SELECT b1, count(*) AS c FROM rbg GROUP BY 1),
+           |ev AS (SELECT cbg.doc_id,
+           |  CASE WHEN c12.c IS NOT NULL
+           |         THEN round((ln((c1.c+8192)::DOUBLE) - ln((c12.c+1)::DOUBLE))*1e6)::BIGINT
+           |       WHEN c1.c IS NOT NULL THEN round(ln((c1.c+8192)::DOUBLE)*1e6)::BIGINT
+           |       ELSE round(ln(8192::DOUBLE)*1e6)::BIGINT END AS nll
+           |  FROM cbg LEFT JOIN c12 USING (b1, b12) LEFT JOIN c1 USING (b1)),
+           |per AS (SELECT doc_id, count(*) AS nb, sum(nll) AS sm FROM ev GROUP BY 1),
+           |sc AS (SELECT d.doc_id, d.lang, coalesce(nb, 0)::BIGINT AS n_bigrams,
+           |  coalesce(sm // nullif(nb, 0), 0)::BIGINT AS avg_nll_micro
+           |  FROM documents d LEFT JOIN per USING (doc_id))
+           |SELECT doc_id, lang, n_bigrams, avg_nll_micro,
+           |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll_micro, doc_id)
+           |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+           |FROM sc""".stripMargin,
+
+      // WARC replay: re-render the expected record rows from the same doc
+      // fields — request payload verbatim, response split at the HTTP
+      // blank line, Content-Length measured on the full block
+      "warc_parse" ->
+        """WITH d AS (SELECT doc_id, source, text,
+          |  chr(13)||chr(10) AS rn,
+          |  'https://'||source||'.example.com/doc/'||doc_id AS uri,
+          |  'GET /doc/'||doc_id||' HTTP/1.1' AS req,
+          |  CASE WHEN doc_id%7=0 THEN 'not found' ELSE substr(text,1,120) END AS body,
+          |  CASE WHEN doc_id%7=0 THEN '404 Not Found' ELSE '200 OK' END AS st
+          |  FROM documents)
+          |SELECT doc_id, 0 AS rec_idx, 'request' AS warc_type, uri AS target_uri,
+          |  length(req)::BIGINT AS content_length, 0 AS http_status, req AS payload
+          |FROM d
+          |UNION ALL
+          |SELECT doc_id, 1, 'response', uri,
+          |  length('HTTP/1.1 '||st||rn||'Content-Type: text/html'||rn||rn||body)::BIGINT,
+          |  CASE WHEN doc_id%7=0 THEN 404 ELSE 200 END, body
+          |FROM d""".stripMargin,
+
+      // Kneser-Ney replay: the four count tables and the exact-rational
+      // discount formula, all integer
+      "kn_bigram_lm" ->
+        s"""WITH tk AS (SELECT ${toks.format("text")} AS l FROM documents),
+           |bg AS (SELECT l[i+1] AS w1, l[i+2] AS w2
+           |  FROM (SELECT l, unnest(range(len(l)-1)) AS i FROM tk WHERE len(l) >= 2)),
+           |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           |ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM bc GROUP BY 1),
+           |cont AS (SELECT w2, count(*) AS n1b FROM bc GROUP BY 1),
+           |tt AS (SELECT count(*) AS t_types FROM bc)
+           |SELECT bc.w1, bc.w2, bc.c12::BIGINT AS c12, ctx.c1::BIGINT AS c1,
+           |  ctx.n1f::BIGINT AS n1f, cont.n1b::BIGINT AS n1b,
+           |  tt.t_types::BIGINT AS t_types,
+           |  ((greatest(4*bc.c12 - 3, 0) * tt.t_types + 3 * ctx.n1f * cont.n1b)
+           |    * 1000000 // (4 * ctx.c1 * tt.t_types))::BIGINT AS pkn_micro
+           |FROM bc JOIN ctx USING (w1) JOIN cont USING (w2), tt
+           |ORDER BY bc.c12 DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin,
 
       "dsir_score" ->
         s"""WITH tk AS (SELECT doc_id, ${toks.format("text")} AS l FROM documents),

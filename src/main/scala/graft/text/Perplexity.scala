@@ -88,6 +88,39 @@ object Perplexity {
       .withColumn("nll_micro", coalesce(col("nll_micro"), lit(0L)))
   }
 
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    * language, rank documents by mean per-bigram NLL under the reference
+    * LM and cut into perplexity TERCILES — "head" is the cleanest third
+    * that pipelines keep outright, "tail" the third they drop or reserve.
+    *
+    * Mean cost = `nll_micro div n_bigrams` (exact integer division; both
+    * engines truncate non-negative quotients identically), ties broken by
+    * the id so the cut is total-ordered. The split is `ntile(3)` over a
+    * per-language window — the same per-language sort CCNet itself runs;
+    * Spark executes it as a hash-exchange on lang + in-partition sort,
+    * which scales like any sort (a mega-language partition is the skew to
+    * watch; production can swap in sampled thresholds, the exact tercile
+    * is what the gate replays).
+    *
+    * Output: (idCol, langCol, n_bigrams, avg_nll_micro, ppl_bucket). */
+  def pplBuckets(corpus: DataFrame, idCol: String, textCol: String,
+      langCol: String, reference: DataFrame, refTextCol: String,
+      ctxBuckets: Int = 1024, bigramBuckets: Int = 8192): DataFrame = {
+    val scored = lmScores(corpus.select(col(idCol), col(textCol)),
+      idCol, textCol, reference, refTextCol, ctxBuckets, bigramBuckets)
+    val avg = coalesce(expr("nll_micro div nullif(n_bigrams, 0)"), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("avg_nll_micro"), col(idCol))
+    corpus.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("avg_nll_micro", avg)
+      .withColumn("__nt", ntile(3).over(w))
+      .withColumn("ppl_bucket",
+        when(col("__nt") === 1, "head")
+          .when(col("__nt") === 2, "middle").otherwise("tail"))
+      .drop("__nt", "nll_micro")
+  }
+
   /** Pure twin: same hashing, smoothing, backoff, and micro-nat rounding. */
   def lmScoresPure(corpus: Seq[(Long, String)], reference: Seq[String],
       ctxBuckets: Int, bigramBuckets: Int): Seq[(Long, Long, Long)] = {

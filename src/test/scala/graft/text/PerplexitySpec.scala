@@ -78,4 +78,39 @@ class PerplexitySpec extends SparkTestBase {
     }
     assert(base == Perplexity.lmScoresPure(corpus, reference, B1, B2).toSet)
   }
+
+  test("pplBuckets: per-language terciles, deterministic ties, avg is floor-div") {
+    // 9 docs in lang a (3 per bucket), 4 in lang b (2/1/1 by ntile)
+    val docs = (1L to 9L).map { i =>
+      val t = if (i <= 3) "the insurance policy covers general liability"
+      else if (i <= 6) "the policy includes general liability coverage"
+      else "zebra quantum discotheque marmalade xylophone"
+      (i, "a", t)
+    } ++ Seq((10L, "b", "the policy includes an aggregate limit"),
+      (11L, "b", "zebra quantum marmalade"),
+      (12L, "b", "one"), (13L, "b", "the insurance policy"))
+    val got = graft.io.Persisted.unpersistAfter(spark) {
+      Perplexity.pplBuckets(docs.toDF("doc_id", "lang", "text"),
+          "doc_id", "text", "lang", reference.toDF("rt"), "rt", B1, B2)
+        .as[(Long, String, Long, Long, String)].collect()
+    }
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(got.length == 13)
+    // avg = floor(nll/n); replay from the pure scorer
+    val pure = Perplexity.lmScoresPure(
+      docs.map(d => d._1 -> d._3), reference, B1, B2)
+      .map(r => r._1 -> (if (r._2 == 0) 0L else r._3 / r._2)).toMap
+    for ((id, _, n, avg, _) <- got)
+      assert(avg == pure(id), s"doc $id: $avg vs ${pure(id)} (n=$n)")
+    // lang a: the three identical-score groups land head/middle/tail in
+    // id order (ties broken by doc_id)
+    assert((1L to 3L).forall(byId(_)._5 == "head"))
+    assert((4L to 6L).forall(byId(_)._5 == "middle"))
+    assert((7L to 9L).forall(byId(_)._5 == "tail"))
+    // lang b: ntile(3) of 4 rows = sizes 2/1/1 in score order; the
+    // bigram-less doc scores 0 and sorts first
+    val bBuckets = got.filter(_._2 == "b").sortBy(r => (r._4, r._1)).map(_._5)
+    assert(bBuckets.toSeq == Seq("head", "head", "middle", "tail"))
+    assert(byId(12L)._5 == "head") // avg 0 sorts first
+  }
 }
