@@ -2244,6 +2244,21 @@ object SparkEntry {
         ctxBuckets = 1024, bigramBuckets = 8192)
     }),
 
+    // DoReMi-flavored mixture diagnostic (Importance.domainKl): KL of each
+    // source's hashed-unigram distribution from the whole corpus, add-one
+    // smoothed, micro-nat-rounded lns, int64 weighted sum, ONE truncated
+    // division — the per-snapshot "which mixture slice drifted" number.
+    "domain_kl" -> ((s, d) =>
+      graft.text.Importance.domainKl(rd(s, d, "documents"), "source",
+        "text", buckets = 256)),
+
+    // Per-doc TF-IDF keyword extraction (SparseSim.tfidfKeywords): top-3
+    // terms by exact tf·idf_micro with (score desc, term) total order —
+    // the doc-tagging pass after curation.
+    "tfidf_keywords" -> ((s, d) =>
+      graft.sim.SparseSim.tfidfKeywords(rd(s, d, "documents"), "doc_id",
+        "text", k = 3)),
+
     // Interpolated Kneser-Ney bigram LM head (KneserNey.knBigramLm): the
     // KenLM-style smoothed-count training step — bigram/context/type
     // counts plus P_KN with D carried as the exact rational 3/4, one
@@ -5245,6 +5260,47 @@ object SparkEntry {
           |  length('HTTP/1.1 '||st||rn||'Content-Type: text/html'||rn||rn||body)::BIGINT,
           |  CASE WHEN doc_id%7=0 THEN 404 ELSE 200 END, body
           |FROM d""".stripMargin,
+
+      // domain-KL replay: same hashed buckets, per-value micro-nat lns,
+      // int64 weighted sum, one truncated division per domain
+      "domain_kl" ->
+        s"""WITH tk AS (SELECT source AS domain,
+           |  unnest(${toks.format("text")}) AS w FROM documents),
+           |tb AS (SELECT domain, ${hash60("w")} % 256 AS bucket FROM tk),
+           |dc AS (SELECT domain, bucket, count(*) AS cs FROM tb GROUP BY 1, 2),
+           |dn AS (SELECT domain, sum(cs) AS ns FROM dc GROUP BY 1),
+           |cc AS (SELECT bucket, sum(cs) AS c FROM dc GROUP BY 1),
+           |cn AS (SELECT sum(c) AS n FROM cc),
+           |grid AS (SELECT dn.domain, dn.ns, g.range AS bucket FROM dn, range(256) g),
+           |tv AS (SELECT grid.domain, grid.ns,
+           |    (coalesce(dc.cs, 0) + 1) *
+           |    ((round(ln((coalesce(dc.cs, 0) + 1)::DOUBLE)*1e6)::BIGINT
+           |      - round(ln((grid.ns + 256)::DOUBLE)*1e6)::BIGINT)
+           |   - (round(ln((coalesce(cc.c, 0) + 1)::DOUBLE)*1e6)::BIGINT
+           |      - round(ln((cn.n + 256)::DOUBLE)*1e6)::BIGINT)) AS term
+           |  FROM grid
+           |  LEFT JOIN dc ON dc.domain = grid.domain AND dc.bucket = grid.bucket
+           |  LEFT JOIN cc ON cc.bucket = grid.bucket, cn)
+           |SELECT domain, max(ns)::BIGINT AS n_tokens,
+           |  (sum(term) // (max(ns) + 256))::BIGINT AS kl_micro
+           |FROM tv GROUP BY 1""".stripMargin,
+
+      // keyword replay: tf/df aggs, smoothed micro-nat idf, windowed top-3
+      "tfidf_keywords" ->
+        s"""WITH tk AS (SELECT doc_id, unnest(${toks.format("text")}) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+           |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |sc AS (SELECT doc_id, term, tf, df_t,
+           |    round(ln((n + 1)::DOUBLE / (df_t + 1)::DOUBLE)*1e6)::BIGINT AS idf_micro
+           |  FROM tf JOIN dft USING (term), nn)
+           |SELECT doc_id,
+           |  row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY tf*idf_micro DESC, term) AS rnk,
+           |  term, tf::BIGINT AS tf, df_t::BIGINT AS df_t,
+           |  (tf*idf_micro)::BIGINT AS score_micro
+           |FROM sc QUALIFY rnk <= 3""".stripMargin,
 
       // Kneser-Ney replay: the four count tables and the exact-rational
       // discount formula, all integer

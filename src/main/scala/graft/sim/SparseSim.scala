@@ -92,6 +92,63 @@ object SparseSim {
     * reshuffles per query; ranking is one row_number window per query
     * (deterministic tie-break on doc id). Output: (qid, id, rank,
     * score_milli). */
+  /** Top-k TF-IDF keywords per document — the cheap doc-tagging /
+    * topic-hinting pass (cluster labels, index facets) run after curation.
+    * idf_micro = round(ln((N+1)/(df_t+1))·10⁶) — add-one smoothed so
+    * corpus-universal terms keep a finite (near-zero) weight; score =
+    * tf·idf_micro is exact int64; rank = row_number by (score desc, term)
+    * per doc, a total order because terms are unique within a doc.
+    *
+    * Plan: one (id, term) count shuffle; the vocab-sized df agg and the
+    * one-row N both broadcast; one per-doc window caps the output at k
+    * rows/doc. Token-less documents emit no rows (nothing to rank).
+    * Output: (idCol, rnk, term, tf, df_t, score_micro). */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.io.Persisted.track(
+      df.select(col(idCol),
+          explode(TextAnalysis.tokensCol(col(textCol))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = df.agg(count(lit(1)).as("__n")) // one row per document by contract
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("term"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_micro",
+        round(log((col("__n") + 1).cast("double") /
+          (col("df_t") + 1).cast("double")) * 1e6).cast("long"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"),
+        col("df_t"), col("score_micro"))
+  }
+
+  /** Pure twin of [[tfidfKeywords]]. */
+  def tfidfKeywordsPure(docs: Seq[(Long, String)], k: Int)
+      : Seq[(Long, Int, String, Long, Long, Long)] = {
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val tf = docs.flatMap { case (id, t) =>
+      TextAnalysis.tokens(t).groupBy(identity)
+        .map { case (w, v) => (id, w, v.size.toLong) }
+    }
+    val dfT = tf.groupBy(_._2).map { case (w, v) => w -> v.size.toLong }
+    val n = docs.size.toLong
+    tf.groupBy(_._1).toSeq.flatMap { case (id, ts) =>
+      ts.map { case (_, w, c) =>
+          val idf = micro(math.log((n + 1).toDouble / (dfT(w) + 1)))
+          (w, c, dfT(w), c * idf)
+        }
+        .sortBy { case (w, _, _, s) => (-s, w) }.take(k).zipWithIndex
+        .map { case ((w, c, d, s), i) => (id, i + 1, w, c, d, s) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qTextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

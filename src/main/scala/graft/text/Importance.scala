@@ -109,6 +109,84 @@ object Importance {
       .withColumn("score_micro", coalesce(col("score_micro"), lit(0L)))
   }
 
+  /** DoReMi-flavored mixture diagnostic: per-domain KL divergence from the
+    * whole-corpus unigram distribution, KL(P_domain ‖ P_corpus), over
+    * hashed unigram buckets with add-one smoothing — the "which slices of
+    * my mixture drifted" number a 100 TB curation run recomputes per
+    * snapshot (Xie et al. 2023 reweigh domains by exactly this kind of
+    * divergence signal).
+    *
+    * Exactness: with d = n_domain + B and a_b = c_domain(b) + 1 (so
+    * Σ_b a_b = d), KL = Σ_b (a_b/d)·(ln P − ln Q). Each ln is micro-nat
+    * rounded per VALUE (the [[bucketWeights]] discipline), the weighted
+    * sum runs in int64, and ONE truncated division by d lands the result:
+    *   kl_micro = Σ_b a_b·((Lm(a_b) − Lm(d)) − (Lm(c_b) − Lm(q))) div d
+    * with c_b/q the corpus-side counterparts. Both engines truncate
+    * toward zero, so the replay is exact.
+    *
+    * Plan shape: one (domain, bucket) count shuffle; everything after is
+    * ≤ |domains|·B rows — the zero-count grid comes from a crossJoin of
+    * the per-domain totals with a B-row range, corpus tables broadcast.
+    * Output: (domain, n_tokens, kl_micro), one row per domain. */
+  def domainKl(df: DataFrame, domainCol: String, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    def lm(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    val tok = df.select(col(domainCol).as("domain"),
+        explode(TextAnalysis.tokensCol(col(textCol))).as("__w"))
+      .select(col("domain"),
+        (TextAnalysis.hash60(col("__w")) % buckets).as("bucket"))
+    val dc = graft.io.Persisted.track(
+      tok.groupBy("domain", "bucket").agg(count(lit(1)).as("__cs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dn = dc.groupBy("domain").agg(sum("__cs").as("__ns"))
+    val cc = dc.groupBy("bucket").agg(sum("__cs").as("__c"))
+    val cn = cc.agg(sum("__c").as("__n"))
+    val grid = dn.crossJoin(
+      spark.range(0, buckets, 1, 1).select(col("id").as("bucket")))
+    grid.join(dc, Seq("domain", "bucket"), "left")
+      .join(broadcast(cc), Seq("bucket"), "left")
+      .crossJoin(broadcast(cn))
+      .select(col("domain"), col("__ns"),
+        (coalesce(col("__cs"), lit(0L)) + 1).as("__a"),
+        (coalesce(col("__c"), lit(0L)) + 1).as("__cb"),
+        (col("__n") + buckets).as("__q"))
+      .withColumn("__term", col("__a") *
+        ((lm(col("__a")) - lm(col("__ns") + buckets)) -
+         (lm(col("__cb")) - lm(col("__q")))))
+      .groupBy("domain")
+      .agg(max(col("__ns")).as("n_tokens"),
+        expr(s"sum(__term) div (max(__ns) + $buckets)").as("kl_micro"))
+  }
+
+  /** Pure twin of [[domainKl]]. */
+  def domainKlPure(rows: Seq[(String, String)], buckets: Int)
+      : Seq[(String, Long, Long)] = {
+    def lm(x: Long): Long =
+      BigDecimal(math.log(x.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val toks = rows.flatMap { case (dom, text) =>
+      TextAnalysis.tokens(text)
+        .map(w => dom -> math.floorMod(TextAnalysis.hash60(w), buckets.toLong))
+    }
+    val cc = toks.groupBy(_._2).map { case (b, v) => b -> v.size.toLong }
+    val n = toks.size.toLong
+    val q = n + buckets
+    toks.groupBy(_._1).toSeq.map { case (dom, ts) =>
+      val cs = ts.groupBy(_._2).map { case (b, v) => b -> v.size.toLong }
+      val ns = ts.size.toLong
+      val d = ns + buckets
+      val s = (0L until buckets).map { b =>
+        val a = cs.getOrElse(b, 0L) + 1
+        val cb = cc.getOrElse(b, 0L) + 1
+        a * ((lm(a) - lm(d)) - (lm(cb) - lm(q)))
+      }.sum
+      (dom, ns, s / d)
+    }.sortBy(_._1)
+  }
+
   /** Pure twin for spec cross-checking: (id, nBigrams, scoreMicro) rows
     * from in-memory corpora, same hashing/smoothing/rounding. */
   def dsirScoresPure(corpus: Seq[(Long, String)], target: Seq[String],

@@ -97,4 +97,24 @@ class SparseSimSpec extends SparkTestBase {
     graft.io.Persisted.release(spark)
     assert(graft.io.Persisted.trackedCount(spark) == 0)
   }
+
+  test("tfidfKeywords ≡ pure twin; rare terms outrank common; k caps per doc") {
+    val docs = Seq(
+      1L -> "alpha alpha alpha common common",
+      2L -> "beta common unique",
+      3L -> "common common gamma gamma delta",
+      4L -> "") // token-less: no rows
+    val got = graft.io.Persisted.unpersistAfter(spark) {
+      SparseSim.tfidfKeywords(docs.toDF("doc_id", "text"), "doc_id", "text", 2)
+        .as[(Long, Int, String, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    }
+    assert(got == SparseSim.tfidfKeywordsPure(docs, 2))
+    assert(got.count(_._1 == 4L) == 0)
+    assert(got.count(_._1 == 3L) == 2) // k caps a 3-term doc at 2
+    // "common" appears in 3 of 4 docs → low idf; doc 2's top term is a
+    // unique one, not "common"
+    val doc2Top = got.find(r => r._1 == 2L && r._2 == 1).get._3
+    assert(doc2Top != "common", got.toString)
+  }
 }

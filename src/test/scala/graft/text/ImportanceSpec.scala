@@ -46,4 +46,34 @@ class ImportanceSpec extends SparkTestBase {
     graft.io.Persisted.release(spark)
     assert(a == b)
   }
+
+  test("domainKl ≡ pure twin; self-identical domain scores ~0; drift scores higher") {
+    val rows = Seq.tabulate(60) { i =>
+      // domains a and b share the corpus-dominant vocabulary; c is drifted
+      val dom = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val text = dom match {
+        case "c" => "zebra quantum marmalade xylophone discotheque"
+        case _   => "the table scan row filter value batch column"
+      }
+      (dom, text)
+    }
+    val B = 64
+    val got = graft.io.Persisted.unpersistAfter(spark) {
+      Importance.domainKl(rows.toDF("source", "text"), "source", "text", B)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(got == Importance.domainKlPure(rows, B))
+    val byDom = got.map(r => r._1 -> r._3).toMap
+    // a and b are two thirds of the corpus each matching it → small KL;
+    // c's vocabulary is disjoint from the majority → visibly larger
+    assert(byDom("c") > byDom("a") && byDom("c") > byDom("b"),
+      byDom.toString)
+    // partitioning cannot move the integer sums
+    val rep = graft.io.Persisted.unpersistAfter(spark) {
+      Importance.domainKl(rows.toDF("source", "text").repartition(7),
+          "source", "text", B)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(rep == got)
+  }
 }
