@@ -2244,6 +2244,36 @@ object SparkEntry {
         ctxBuckets = 1024, bigramBuckets = 8192)
     }),
 
+    // ASCII folding (TA.foldAsciiCol): accents/ligatures/fullwidth to
+    // ASCII before fingerprinting — the table is generated ONCE on the
+    // JVM (NFD bases + pinned non-decomposables) and the oracle embeds
+    // the same literals, so query-time needs no Unicode library. Docs are
+    // seasoned with deterministic accent/ligature/fullwidth prefixes plus
+    // an in-body accent substitution so every table arm fires.
+    "unicode_fold" -> ((s, d) => {
+      val id = col("doc_id")
+      val t2 = concat(
+        when(pmod(id, lit(4)) === 0, lit("Æther Øre łódź "))
+          .when(pmod(id, lit(4)) === 1, lit("ＦＵＬＬｗｉｄｔｈ！ "))
+          .when(pmod(id, lit(4)) === 2, lit("Café naïve ß "))
+          .otherwise(lit("")),
+        replace(col("text"), lit("a"), lit("á")))
+      rd(s, d, "documents").select(id, t2.as("t2"))
+        .select(id, TA.foldAsciiCol(col("t2")).as("folded"),
+          length(col("t2")).cast("long").as("n_in"),
+          length(TA.foldAsciiCol(col("t2"))).cast("long").as("n_out"))
+    }),
+
+    // Aho-Corasick multi-phrase matching (PhraseMatch.matchDf): one
+    // broadcast automaton, one zero-shuffle pass, ALL occurrences counted
+    // — the FlashText-style dictionary-tagging pass. The contract phrases
+    // cannot self-overlap, so the oracle's non-overlapping replace-scan
+    // count equals the automaton's all-match count exactly (the spec pins
+    // the overlap semantics on a self-overlapping phrase separately).
+    "phrase_match" -> ((s, d) =>
+      graft.text.PhraseMatch.matchDf(rd(s, d, "documents"), "doc_id", "text",
+        Seq("table scan", "row filter", "value table", "spark"))),
+
     // DoReMi-flavored mixture diagnostic (Importance.domainKl): KL of each
     // source's hashed-unigram distribution from the whole corpus, add-one
     // smoothed, micro-nat-rounded lns, int64 weighted sum, ONE truncated
@@ -5260,6 +5290,36 @@ object SparkEntry {
           |  length('HTTP/1.1 '||st||rn||'Content-Type: text/html'||rn||rn||body)::BIGINT,
           |  CASE WHEN doc_id%7=0 THEN 404 ELSE 200 END, body
           |FROM d""".stripMargin,
+
+      // unicode-fold replay: the SAME JVM-generated ligature chain +
+      // translate table as literals — no engine-side Unicode call
+      "unicode_fold" -> {
+        def sq(s: String) = s.replace("'", "''")
+        val folded = graft.text.TextAnalysis.FoldMulti.foldLeft("t2") {
+          case (e, (bad, good)) => s"replace($e, '${sq(bad)}', '${sq(good)}')"
+        }
+        val fold = s"translate($folded, '${sq(graft.text.TextAnalysis.foldFrom)}'," +
+          s" '${sq(graft.text.TextAnalysis.foldTo)}')"
+        s"""WITH t AS (SELECT doc_id,
+           |  (CASE doc_id%4 WHEN 0 THEN 'Æther Øre łódź '
+           |    WHEN 1 THEN 'ＦＵＬＬｗｉｄｔｈ！ '
+           |    WHEN 2 THEN 'Café naïve ß ' ELSE '' END)
+           |  || replace(text, 'a', 'á') AS t2 FROM documents)
+           |SELECT doc_id, $fold AS folded,
+           |  length(t2)::BIGINT AS n_in, length($fold)::BIGINT AS n_out
+           |FROM t""".stripMargin
+      },
+
+      // phrase-match replay: per-phrase non-overlapping replace-scan — for
+      // phrases that cannot self-overlap this equals the automaton's
+      // all-occurrence count
+      "phrase_match" ->
+        """WITH p(phrase) AS (VALUES ('table scan'), ('row filter'),
+          |  ('value table'), ('spark')),
+          |c AS (SELECT doc_id, phrase,
+          |  ((length(text) - length(replace(text, phrase, ''))) // length(phrase))::BIGINT AS n_matches
+          |  FROM documents, p)
+          |SELECT doc_id, phrase, n_matches FROM c WHERE n_matches > 0""".stripMargin,
 
       // domain-KL replay: same hashed buckets, per-value micro-nat lns,
       // int64 weighted sum, one truncated division per domain

@@ -663,6 +663,64 @@ object TextAnalysis {
       t.replace(bad, good)
     }
 
+  // ----------------------------------------------------- unicode fold ------
+  /** ASCII folding for match/dedup keys — "Café" ≡ "Cafe", fullwidth
+    * "ＡＢＣ" ≡ "ABC": the normalization pass applied before fingerprinting
+    * multilingual crawls so transport-level variants of the same string
+    * dedup together.
+    *
+    * The fold is DATA, not a per-row library call: the 1:1 table is
+    * generated ONCE at class load (Latin-1 Supplement + Latin Extended-A
+    * letters to their NFD base via java.text.Normalizer, fullwidth ASCII
+    * shifted down by 0xFEE0, plus the non-decomposing letters Ø/Đ/Ł/ı
+    * pinned explicitly) and applied with one `translate`; the multi-char
+    * ligatures (Æ, Œ, ß, Þ, Ð) take a fixed literal replace chain first.
+    * The oracle embeds the SAME generated literals, so no engine-side
+    * Unicode library is ever consulted at query time. */
+  val FoldMulti: Seq[(String, String)] = Seq(
+    "Æ" -> "AE", "æ" -> "ae", // Æ æ
+    "Œ" -> "OE", "œ" -> "oe", // Œ œ
+    "ß" -> "ss",                   // ß
+    "Þ" -> "TH", "þ" -> "th", // Þ þ
+    "Ð" -> "D", "ð" -> "d")   // Ð ð
+
+  /** (from, to) strings for the 1:1 `translate` pass. */
+  val (foldFrom: String, foldTo: String) = {
+    val f = new StringBuilder
+    val t = new StringBuilder
+    for (c <- 0xFF01 to 0xFF5E) { f.append(c.toChar); t.append((c - 0xFEE0).toChar) }
+    f.append('　'); t.append(' ') // ideographic space
+    val multi = FoldMulti.map(_._1.charAt(0)).toSet
+    for (ci <- 0xC0 to 0x17F; ch = ci.toChar if ch.isLetter && !multi(ch)) {
+      val d = java.text.Normalizer.normalize(ch.toString, java.text.Normalizer.Form.NFD)
+      val base = d.charAt(0)
+      if (base < 128 && base.isLetter && d.replaceAll("\\p{M}", "").length == 1) {
+        f.append(ch); t.append(base)
+      }
+    }
+    // non-decomposing Latin letters NFD cannot reach
+    for ((a, b) <- Seq('Ø' -> 'O', 'ø' -> 'o', 'Đ' -> 'D',
+        'đ' -> 'd', 'Ł' -> 'L', 'ł' -> 'l', 'ı' -> 'i')) {
+      f.append(a); t.append(b)
+    }
+    (f.toString, t.toString)
+  }
+
+  /** Folded text: ligature replace chain, then one translate. */
+  def foldAsciiCol(text: Column): Column =
+    translate(FoldMulti.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }, foldFrom, foldTo)
+
+  /** Pure twin of [[foldAsciiCol]]. */
+  def foldAscii(text: String): String = {
+    val multi = FoldMulti.foldLeft(text) { case (s, (bad, good)) =>
+      s.replace(bad, good)
+    }
+    val map = foldFrom.zip(foldTo).toMap
+    multi.map(c => map.getOrElse(c, c))
+  }
+
   // ------------------------------------------------------- vocabulary ------
   /** Corpus-wide top-k token vocabulary with frequencies, ties broken by
     * token text so the cut is deterministic. The plan is the one you want

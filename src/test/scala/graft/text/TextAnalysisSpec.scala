@@ -306,4 +306,24 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(((ge, gp, gn)) == piiCounts(t), s"doc $id counts")
     }
   }
+
+  test("foldAscii: accents, ligatures, fullwidth; Column ≡ pure; idempotent") {
+    val cases = Seq(
+      "Café naïve émigré" -> "Cafe naive emigre",
+      "ÆØŁ straße Þing" -> "AEOL strasse THing",
+      "ＦＵＬＬｗｉｄｔｈ　ＡＢＣ！" -> "FULLwidth ABC!",
+      "Łódź đavola ığdır" -> "Lodz davola igdir",
+      "plain ascii stays" -> "plain ascii stays",
+      "中文 stays 中文" -> "中文 stays 中文") // non-Latin passes through
+    for ((in, want) <- cases)
+      assert(foldAscii(in) == want, in)
+    val got = cases.map(_._1).toDF("t")
+      .select(foldAsciiCol(col("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+    // idempotent: folding folded text is a no-op
+    for ((_, want) <- cases) assert(foldAscii(want) == want)
+    // table sanity: 1:1 arms align, no duplicate sources
+    assert(foldFrom.length == foldTo.length)
+    assert(foldFrom.distinct.length == foldFrom.length)
+  }
 }
