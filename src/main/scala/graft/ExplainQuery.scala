@@ -25,7 +25,8 @@ object ExplainQuery {
     // so a bare plan sweep stays side-effect-free and fast
     val eagerConstructors =
       Set("stream_extract", "stream_window", "stream_assemble", "stream_dedup",
-        "stream_domstrip", "minhash_dups", "bpe_merges", "bpe_segment", "bpe_batch",
+        "stream_domstrip", "stream_hll",
+        "minhash_dups", "bpe_merges", "bpe_segment", "bpe_batch",
         "cms_freq", "bloom_dedup", "ingest_e2e", "pq_topk", "pagerank_dangling",
         "dedup_clusters_alt", "hits_scores")
     val names =

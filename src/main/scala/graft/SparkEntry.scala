@@ -2335,6 +2335,12 @@ object SparkEntry {
         buckets = 256)
     }),
 
+    // int8 scalar quantization (Pq.quantizeInt8): the faiss-SQ8 storage
+    // format — per-vector scale, integer half-away rounding, md5 digest
+    // over the codes so one drifted code breaks the gate. Zero-shuffle.
+    "int8_quant" -> ((s, d) =>
+      graft.sim.Pq.quantizeInt8(rd(s, d, "embeddings"), "vec_id", "embedding")),
+
     "semantic_dedup" -> ((s, d) =>
       // SemDeDup: IVF-clustered embedding cells, in-cell duplicate drop
       // with the keep-low-centroid-similarity precedence (one-pass rule);
@@ -2599,6 +2605,34 @@ object SparkEntry {
       }
       val in = s.readStream.schema(regular.schema).parquet(inDir)
       graft.streaming.StreamJob.windowedMetrics(in, "10 seconds", "5 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.read.parquet(out)
+    }),
+
+    // streaming HLL (StreamJob.windowedDistinct): distinct part keys per
+    // tumbling window as a REAL checkpointed stream — 256 B of sketch
+    // state per window in the state store where exact distinct would hold
+    // the full value set. Sentinel-flush finalization like stream_window;
+    // the oracle replays every finalized window with the same
+    // cross-engine-exact estimator as hll_distinct.
+    "stream_hll" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = 1767225600L // 2026-01-01 00:00:00 UTC
+      val regular = rd(s, d, "lineitem").filter(col("l_orderkey") <= 20000)
+        .select((lit(base) + pmod(col("l_orderkey"), lit(3600)))
+          .cast("timestamp").as("event_time"),
+          col("l_partkey").cast("string").as("v"))
+      val sentinel = s.range(1).select(
+        lit(base + 86400L).cast("timestamp").as("event_time"),
+        lit("sentinel").as("v"))
+      val (inDir, out, ck) = streamDirs("stream-hll", d) { p =>
+        regular.unionByName(sentinel).coalesce(1).write.parquet(p)
+      }
+      val in = s.readStream.schema(regular.schema).parquet(inDir)
+      graft.streaming.StreamJob.windowedDistinct(in, "v", "10 seconds", "5 minutes")
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -5399,6 +5433,28 @@ object SparkEntry {
            |  coalesce(sm,0)::BIGINT AS score_micro
            |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
+      // int8 replay: micro-unit entry, integer max/rounding/dequant, md5
+      // code digest
+      "int8_quant" ->
+        """WITH e AS (SELECT vec_id,
+          |  list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS xm
+          |  FROM embeddings),
+          |a AS (SELECT vec_id, xm,
+          |  coalesce(list_max(list_transform(xm, v -> abs(v))), 0) AS amax FROM e),
+          |q AS (SELECT vec_id, xm, amax,
+          |  list_transform(xm, v -> CASE WHEN amax = 0 THEN 0
+          |    ELSE (v*254 + (CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END) * amax)
+          |         // (2*amax) END) AS qq
+          |  FROM a)
+          |SELECT vec_id, len(xm)::BIGINT AS dim, amax::BIGINT AS amax_micro,
+          |  md5(array_to_string(qq, ',')) AS q_digest,
+          |  qq[1]::BIGINT AS q0, qq[2]::BIGINT AS q1,
+          |  qq[3]::BIGINT AS q2, qq[4]::BIGINT AS q3,
+          |  (CASE WHEN len(xm) = 0 THEN 0 ELSE
+          |    list_sum(list_transform(range(len(xm)),
+          |      i -> abs(xm[i+1] - (qq[i+1]*amax) // 127))) // len(xm) END)::BIGINT AS mae_micro
+          |FROM q""".stripMargin,
+
       "semantic_dedup" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings),
           |seeds AS (
@@ -5581,6 +5637,37 @@ object SparkEntry {
            |  'Body Variant  ' || (doc_id % 100) AS text,
            |  ${hash60("regexp_replace(trim(lower('Body Variant  ' || (doc_id % 100))),'\\s+',' ','g')")} AS fp
            |FROM documents""".stripMargin,
+
+      // streaming-HLL replay: the hll_distinct register chain with the
+      // 5-minute window start as the group key; the sentinel's own window
+      // never finalizes, so only the 12 regular windows appear
+      "stream_hll" ->
+        s"""WITH ev AS (SELECT (1767225600 + l_orderkey%3600) AS ts,
+           |    l_partkey::VARCHAR AS v FROM lineitem WHERE l_orderkey <= 20000),
+           |wv AS (SELECT (ts//300)*300 AS grp, v FROM ev),
+           |nr AS (SELECT grp, count(*) AS n_rows FROM wv GROUP BY 1),
+           |h AS (SELECT DISTINCT grp, md5(v) AS hx FROM wv),
+           |r AS (SELECT grp, ('0x'||substr(hx,1,2))::INT AS bucket,
+           |        length(regexp_extract(substr(hx,3,13), '^0*')) AS z,
+           |        substr(hx,3,13) AS tail FROM h),
+           |rho AS (SELECT grp, bucket, CASE WHEN z = 13 THEN 53 ELSE 4*z + 5 -
+           |          (CASE WHEN d >= 8 THEN 4 WHEN d >= 4 THEN 3
+           |                WHEN d >= 2 THEN 2 ELSE 1 END) END AS rho
+           |        FROM (SELECT grp, bucket, z, CASE WHEN z < 13
+           |                THEN ('0x'||substr(tail, z+1, 1))::INT ELSE 0 END AS d FROM r)),
+           |reg AS (SELECT grp, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+           |ag AS (SELECT grp,
+           |        sum((1::BIGINT << (53 - reg))::BIGINT)::BIGINT
+           |          + (256 - count(*)) * 9007199254740992::BIGINT AS s_sum,
+           |        256 - count(*) AS vz FROM reg GROUP BY 1),
+           |lc(lv, lc_est) AS (VALUES $hllLcValues),
+           |est AS (SELECT grp, vz,
+           |        ((1846528::HUGEINT * 65536::HUGEINT * 9007199254740992::HUGEINT)
+           |          // (2570790::HUGEINT * s_sum::HUGEINT))::BIGINT AS raw FROM ag)
+           |SELECT e.grp AS window_start,
+           |  CASE WHEN e.vz > 0 AND raw <= 640 THEN lcj.lc_est ELSE raw END AS hll_distinct,
+           |  nr.n_rows
+           |FROM est e LEFT JOIN lc lcj ON lcj.lv = e.vz JOIN nr USING (grp)""".stripMargin,
 
       "stream_window" ->
         """WITH sp AS (SELECT l_orderkey AS k,

@@ -247,4 +247,55 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("adist"),
         col("rank").cast("long").as("rank"))
   }
+
+  // ------------------------------------------------ int8 scalar quant -----
+  /** Scalar int8 quantization — PQ's simpler sibling and the storage
+    * format of choice when 4× compression with near-exact recall beats
+    * PQ's 32× with rescoring: q_i = round(x_i·127/amax) with one per-vector
+    * scale, the layout faiss calls SQ8 and every vector database ships.
+    *
+    * Integer-exact: x enters as micro units (round(x·10⁶), the one float
+    * op, 6dp absorbing ulps), amax is an integer max, and the half-away
+    * rounding is pure integer arithmetic — (v·254 ± amax) div (2·amax) —
+    * so codes, dequantized values, and the mean-abs-error diagnostic all
+    * replay bit-for-bit. Zero-shuffle narrow projection; the q digest is
+    * md5 over the joined codes (any single-code drift breaks it).
+    *
+    * Output: (idCol, dim, amax_micro, q_digest, q0..q3, mae_micro). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xm = expr(s"transform($vecCol, x -> cast(round(x * 1000000) as bigint))")
+    df.select(col(idCol), xm.as("__xm"))
+      .withColumn("amax_micro", expr("coalesce(array_max(transform(__xm, v -> abs(v))), 0L)"))
+      .withColumn("__q", expr(
+        """transform(__xm, v -> CASE WHEN amax_micro = 0 THEN 0L
+          |  ELSE (v*254 + (CASE WHEN v < 0 THEN -1L WHEN v > 0 THEN 1L ELSE 0L END) * amax_micro)
+          |       div (2 * amax_micro) END)""".stripMargin))
+      .withColumn("mae_micro", expr(
+        """CASE WHEN size(__xm) = 0 THEN 0L
+          |  ELSE aggregate(zip_with(__xm, __q, (a, b) -> abs(a - (b * amax_micro) div 127)),
+          |                 0L, (acc, x) -> acc + x) div size(__xm) END""".stripMargin))
+      .select(col(idCol), expr("size(__xm)").cast("long").as("dim"),
+        col("amax_micro"),
+        md5(expr("concat_ws(',', transform(__q, v -> cast(v as string)))")).as("q_digest"),
+        expr("__q[0]").as("q0"), expr("__q[1]").as("q1"),
+        expr("__q[2]").as("q2"), expr("__q[3]").as("q3"),
+        col("mae_micro"))
+  }
+
+  /** Pure twin of [[quantizeInt8]] over one vector: (amaxMicro, codes,
+    * maeMicro). */
+  def quantizeInt8Pure(vec: Seq[Float]): (Long, Seq[Long], Long) = {
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val xm = vec.map(x => micro(x.toDouble))
+    val amax = if (xm.isEmpty) 0L else xm.map(math.abs).max
+    val q = xm.map { v =>
+      if (amax == 0) 0L
+      else (v * 254 + math.signum(v) * amax) / (2 * amax)
+    }
+    val mae =
+      if (xm.isEmpty) 0L
+      else xm.zip(q).map { case (a, b) => math.abs(a - (b * amax) / 127) }.sum / xm.size
+    (amax, q, mae)
+  }
 }

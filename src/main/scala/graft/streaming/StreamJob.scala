@@ -91,6 +91,29 @@ object StreamJob {
         col("n_spans"), col("n_chars"))
   }
 
+  /** Streaming distinct-count per tumbling window via the HyperLogLog
+    * sketch ([[graft.sketch.Sketches.HllAggregator]]): exact streaming
+    * distinct needs an unbounded per-window value set in the state store;
+    * the sketch caps state at 256 BYTES per window regardless of
+    * cardinality — the only distinct-count that survives a
+    * billion-events-per-window stream. Same watermark + append
+    * finalization contract as [[windowedMetrics]], and the same
+    * cross-engine-exact estimator as the batch path, so the oracle replays
+    * finalized windows bit-for-bit. Output:
+    * (window_start, hll_distinct, n_rows). */
+  def windowedDistinct(docs: org.apache.spark.sql.DataFrame, valueCol: String,
+      watermarkDelay: String = "10 seconds",
+      windowDuration: String = "5 minutes"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = udaf(new graft.sketch.Sketches.HllAggregator)
+    docs.withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDuration))
+      .agg(agg(md5(col(valueCol).cast("string"))).as("__h"),
+        count(lit(1)).as("n_rows"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("__h._1").as("hll_distinct"), col("n_rows"))
+  }
+
   /** Streaming exact dedup: drop rows whose normalized-text fingerprint
     * (same trim/case-fold/whitespace-squash + hash60 as
     * [[graft.dedup.Dedup.exactDuplicates]]) has already been seen, using

@@ -77,4 +77,33 @@ class PqSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("not divisible"))
   }
+
+  test("quantizeInt8 ≡ pure twin; codes bounded; extremes hit ±127; zero vector safe") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      1L -> Seq(1.0f, -1.0f, 0.5f, -0.25f, 0.0f),
+      2L -> Seq(0.003f, 0.001f, -0.002f, 0.004f, -0.004f),
+      3L -> Seq(0.0f, 0.0f, 0.0f, 0.0f, 0.0f), // amax 0 → all-zero codes
+      4L -> Seq(42.5f, -13.25f, 7.125f, 0.875f, -42.5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Pq.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Long, Long, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    for ((id, v) <- vecs) {
+      val (amax, q, mae) = Pq.quantizeInt8Pure(v)
+      val r = got(id)
+      assert(r._2 == v.size.toLong && r._3 == amax && r._9 == mae, s"vec $id")
+      assert((r._5, r._6, r._7, r._8) == ((q(0), q(1), q(2), q(3))), s"vec $id")
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id range")
+    }
+    // the per-vector max lands exactly on ±127
+    val (_, q1, _) = Pq.quantizeInt8Pure(vecs.head._2)
+    assert(q1(0) == 127L && q1(1) == -127L)
+    assert(got(3L)._3 == 0L && got(3L)._5 == 0L) // zero vector
+    // reconstruction error is bounded by half a quantization step
+    for ((id, v) <- vecs if id != 3L) {
+      val (amax, _, mae) = Pq.quantizeInt8Pure(v)
+      assert(mae <= amax / 254 + 1, s"vec $id mae $mae vs step ${amax / 254}")
+    }
+  }
 }

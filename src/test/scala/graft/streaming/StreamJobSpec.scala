@@ -94,6 +94,37 @@ class StreamJobSpec extends SparkTestBase {
     assert(got == Set((0L, "text", 2L, 5L), (600L, "text", 1L, 1L)))
   }
 
+  test("windowedDistinct: HLL per finalized window equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF()
+      .select(col("_1").cast("timestamp").as("event_time"), col("_2").as("v"))
+    val q = StreamJob.windowedDistinct(docs, "v", "10 seconds", "5 minutes")
+      .writeStream.format("memory").queryName("wd").outputMode("append").start()
+    // window [0,300): 9 distinct values arriving across two batches, dups
+    val w0 = (1 to 9).map(i => (10L + i, s"u${i}")) ++ Seq((200L, "u1"), (250L, "u2"))
+    input.addData(w0: _*)
+    q.processAllAvailable()
+    input.addData((700L, "x1")) // watermark 690 → [0,300) finalizes
+    q.processAllAvailable()
+    input.addData((2000L, "flush")) // [600,900) finalizes
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wd").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // the streamed estimate must equal the batch sketch over the same set
+    val (batch0, _) = graft.sketch.Sketches.hllDistinctPure(w0.map(_._2).distinct)
+    assert(got(0L) == ((batch0, 11L)))
+    val (batch600, _) = graft.sketch.Sketches.hllDistinctPure(Seq("x1"))
+    assert(got(600L) == ((batch600, 1L)))
+    assert(batch600 == 1L) // linear counting lands exactly at tiny n
+    assert(!got.contains(1800L)) // the flush window never finalized
+  }
+
   test("custom state: flatMapGroupsWithState assembles docs on event-time session gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.model.{Doc, Span}
