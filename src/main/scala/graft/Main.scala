@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Main run <inputPath> <outputPath> <lineagePath> [commitBatch]
   *   graft.Main strip <inputPath> <outputPath> <lineagePath> [commitBatch]
   *   graft.Main domstrip <inputPath> <outputPath> <lineagePath> [commitBatch]
+  *   graft.Main curate <inputPath> <outputPath> <lineagePath> [commitBatch]
   *   graft.Main dedup <inputPath> <outputPath> [minJ] [maxDf] [maxBucket]
   *
   * `run` is resumable: partitions already present in the lineage table are
@@ -70,6 +71,17 @@ object Main {
           println(s"[graft] dom strip: processed ${rows.length} partitions this run " +
             s"(docs=${rows.map(_.docs_in).sum}, spans=${rows.map(_.spans_out).sum}); " +
             s"lineage now has $committed committed partitions")
+        case "curate" :: in :: out :: lineage :: rest =>
+          // the full per-doc quality battery (repairs → blocklist → Gopher
+          // rules → classifier) as one zero-shuffle resumable stage
+          val batch = rest.headOption.map(_.toInt).getOrElse(8)
+          val rows = graft.pipeline.CurateJob.runJob(spark, in, out, lineage,
+            commitBatch = batch)
+          val committed = TableIO.readLineage(spark, lineage).count()
+          println(s"[graft] curate: processed ${rows.length} partitions this run " +
+            s"(docs=${rows.map(_.docs_in).sum}, kept=${rows.map(_.docs_out).sum}, " +
+            s"kept tokens=${rows.map(_.spans_out).sum}); " +
+            s"lineage now has $committed committed partitions")
         case "dedup" :: in :: out :: rest =>
           // corpus near-dup pairs over a (doc_id, text) table with the skew
           // caps ON (DedupJob defaults) and the drops logged — the
@@ -92,6 +104,7 @@ object Main {
         case _ =>
           System.err.println("usage: graft.Main gen <nDocs> <nPartitions> <path> | " +
             "run <in> <out> <lineage> [commitBatch] | strip <in> <out> <lineage> [commitBatch] | " +
+            "curate <in> <out> <lineage> [commitBatch] | " +
             "dedup <in> <out> [minJ] [maxDf] [maxBucket]")
           sys.exit(2)
       }

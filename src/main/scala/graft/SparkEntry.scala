@@ -1393,6 +1393,25 @@ object SparkEntry {
         TA.qualityScoreCol(col("text")).as("quality"))
     }),
 
+    // the CurateJob kernel as a gated query: repairs → blocklist → Gopher
+    // rules → classifier, composed per doc in one zero-shuffle typed map.
+    // On this ASCII corpus the repair stages must be no-ops — if the
+    // kernel's mojibake/de-hyphenation passes ever mangled clean text, the
+    // raw-text oracle breaks, which is exactly the regression to catch.
+    "curate_battery" -> ((s, d) => {
+      import s.implicits._
+      val cfg = graft.pipeline.CurateJob.Config()
+      rd(s, d, "documents")
+        .select(col("doc_id").cast("string"), col("source"), col("text"))
+        .as[(String, String, String)]
+        .map { case (id, dom, text) =>
+          val (nt, blocked, gq, score, kept, _) =
+            graft.pipeline.CurateJob.curateDoc(text, dom, cfg)
+          (id, nt, blocked, gq, score, kept)
+        }.toDF("doc_id", "n_tokens", "blocked", "gopher_kept",
+          "clf_score_milli", "kept")
+    }),
+
     // UT1-style blocklist filter (Blocklist.flags): blocked-DOMAIN verdict
     // plus bad-word DENSITY in exact integer milli (RefinedWeb keeps a
     // long doc with one incidental token; kills pure spam). The miniature
@@ -1476,6 +1495,32 @@ object SparkEntry {
       graft.sketch.Sketches.hllDistinct(pairs, "grp", "v")
         .join(pairs.groupBy("grp")
           .agg(count_distinct(col("v")).as("distinct_exact")), Seq("grp"))
+    }),
+
+    // HLL register mergeability (Sketches.hllRegisters +
+    // hllEstimateFromRegisters): per-snapshot registers union+max into the
+    // union's registers WITHOUT rescanning rows — the property that lets a
+    // 100 TB pipeline keep per-day sketches and answer any date range by
+    // register merge. The query runs BOTH paths (per-half registers merged
+    // vs one direct sketch); the oracle asserts the set identity, so a
+    // broken merge shows up as est_merged ≠ est_direct.
+    "hll_merge" -> ((s, d) => {
+      val li = rd(s, d, "lineitem")
+      def half(m: Int) = li.filter(pmod(col("l_orderkey"), lit(2)) === m)
+        .select(lit("pk").as("grp"), col("l_partkey").cast("string").as("v"))
+      val Sk = graft.sketch.Sketches
+      val merged = Sk.hllRegisters(half(0), "grp", "v")
+        .unionAll(Sk.hllRegisters(half(1), "grp", "v"))
+        .groupBy("grp", "bucket").agg(max("reg").as("reg"))
+      val estM = Sk.hllEstimateFromRegisters(merged, "grp")
+        .withColumnRenamed("hll_est", "est_merged")
+        .withColumnRenamed("zero_regs", "zero_merged")
+      val estD = Sk.hllDistinct(
+          li.select(lit("pk").as("grp"), col("l_partkey").cast("string").as("v")),
+          "grp", "v")
+        .withColumnRenamed("hll_est", "est_direct").drop("zero_regs")
+      estM.join(estD, Seq("grp"))
+        .withColumn("merge_exact", col("est_merged") === col("est_direct"))
     }),
 
     // Z-order curve values (Layout.zValue) over a 2-D key grid — the
@@ -4135,6 +4180,62 @@ object SparkEntry {
            |SELECT doc_id, round(CAST(q AS VARCHAR)::DECIMAL(25,20), 4)::DOUBLE AS quality
            |FROM raw""".stripMargin,
 
+      // curate-battery replay: blocklist + Gopher rules + classifier
+      // fragments composed over RAW text (repairs are no-ops on this
+      // corpus by construction — a kernel that mangles clean text fails)
+      "curate_battery" ->
+        s"""WITH b AS (SELECT doc_id, source, text,
+           |  regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS t,
+           |  ${toks.format("text")} AS ks FROM documents),
+           |w AS (SELECT doc_id, source, ks, t,
+           |  CASE WHEN length(t)=0 THEN [] ELSE string_split_regex(t, '\\s+') END AS ws,
+           |  list_filter(list_transform(string_split(text, chr(10)),
+           |    x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g')), x -> x <> '') AS ls FROM b),
+           |m AS (SELECT doc_id, source,
+           |  len(ks)::BIGINT AS n_tokens,
+           |  len(list_filter(ks, x -> list_contains(['slow','gibberish'], x)))::BIGINT AS n_blocked,
+           |  len(ws)::BIGINT AS n_words,
+           |  length(regexp_replace(t, '\\s+', '', 'g'))::BIGINT AS word_chars,
+           |  ((length(t) - length(replace(t, '#', ''))) +
+           |   len(regexp_extract_all(t, '\\.\\.\\.')) +
+           |   (length(t) - length(replace(t, '…', ''))))::BIGINT AS n_symbols,
+           |  len(ls)::BIGINT AS n_lines,
+           |  len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')
+           |    OR starts_with(x, '•')))::BIGINT AS n_bullet_lines,
+           |  len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))::BIGINT AS n_ellipsis_lines,
+           |  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+           |  ((CASE WHEN list_contains(ks, 'the') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'be') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'to') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'of') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'and') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'that') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'have') THEN 1 ELSE 0 END) +
+           |   (CASE WHEN list_contains(ks, 'with') THEN 1 ELSE 0 END))::BIGINT AS n_stop
+           |  FROM w),
+           |g AS (SELECT doc_id, n_tokens,
+           |  (list_contains(['src3','src7','src13'], source)
+           |    OR (n_blocked * 1000 // greatest(n_tokens, 1)) >= 40) AS blocked,
+           |  ((n_words >= 50 AND n_words <= 100000) AND
+           |   (word_chars >= 3*n_words AND word_chars <= 10*n_words) AND
+           |   (10*n_symbols <= n_words) AND (10*n_bullet_lines <= 9*n_lines) AND
+           |   (10*n_ellipsis_lines <= 3*n_lines) AND
+           |   (5*n_alpha_words >= 4*n_words) AND (n_stop >= 2)) AS gopher_kept
+           |  FROM m),
+           |tk AS (SELECT doc_id, ${toks.format("text")} AS l FROM documents),
+           |feats AS (
+           |  SELECT doc_id, unnest(l) AS f FROM tk
+           |  UNION ALL
+           |  SELECT doc_id, unnest(list_transform(range(len(l)-1),
+           |    i -> l[i+1]||' '||l[i+2])) AS f FROM tk WHERE len(l) >= 2),
+           |fb AS (SELECT doc_id, ${hash60("'f:'||f")} % 4096 AS bucket FROM feats),
+           |sc AS (SELECT doc_id, sum((${hash60("'w:'||bucket")} % 2001) - 1000) AS s
+           |  FROM fb GROUP BY 1)
+           |SELECT g.doc_id::VARCHAR AS doc_id, g.n_tokens, g.blocked, g.gopher_kept,
+           |  coalesce(s, 0)::BIGINT AS clf_score_milli,
+           |  (NOT g.blocked AND g.gopher_kept AND coalesce(s, 0) > 0) AS kept
+           |FROM g LEFT JOIN sc USING (doc_id)""".stripMargin,
+
       // blocklist replay: same tokens, same literal lists, integer density
       "blocklist_filter" ->
         s"""WITH tk AS (SELECT doc_id, source AS domain,
@@ -4246,6 +4347,36 @@ object SparkEntry {
            |  CASE WHEN e.v > 0 AND raw <= 640 THEN lcj.lc_est ELSE raw END AS hll_est,
            |  e.v::BIGINT AS zero_regs, ex.distinct_exact
            |FROM est e LEFT JOIN lc lcj ON lcj.lv = e.v JOIN ex USING (grp)""".stripMargin,
+
+      // hll-merge replay: register-max over a union of per-half registers
+      // IS the union's registers (a set identity), so one direct chain
+      // supplies both columns — Spark executes both paths for real and a
+      // broken merge breaks parity
+      "hll_merge" ->
+        s"""WITH pairs AS (SELECT 'pk' AS grp, l_partkey::VARCHAR AS v FROM lineitem),
+           |h AS (SELECT DISTINCT grp, md5(v) AS hx FROM pairs),
+           |r AS (SELECT grp, ('0x'||substr(hx,1,2))::INT AS bucket,
+           |        length(regexp_extract(substr(hx,3,13), '^0*')) AS z,
+           |        substr(hx,3,13) AS tail FROM h),
+           |rho AS (SELECT grp, bucket, CASE WHEN z = 13 THEN 53 ELSE 4*z + 5 -
+           |          (CASE WHEN d >= 8 THEN 4 WHEN d >= 4 THEN 3
+           |                WHEN d >= 2 THEN 2 ELSE 1 END) END AS rho
+           |        FROM (SELECT grp, bucket, z, CASE WHEN z < 13
+           |                THEN ('0x'||substr(tail, z+1, 1))::INT ELSE 0 END AS d FROM r)),
+           |reg AS (SELECT grp, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+           |ag AS (SELECT grp,
+           |        sum((1::BIGINT << (53 - reg))::BIGINT)::BIGINT
+           |          + (256 - count(*)) * 9007199254740992::BIGINT AS s_sum,
+           |        256 - count(*) AS vz FROM reg GROUP BY 1),
+           |lc(lv, lc_est) AS (VALUES $hllLcValues),
+           |est AS (SELECT grp, vz,
+           |        ((1846528::HUGEINT * 65536::HUGEINT * 9007199254740992::HUGEINT)
+           |          // (2570790::HUGEINT * s_sum::HUGEINT))::BIGINT AS raw FROM ag),
+           |fin AS (SELECT grp,
+           |  CASE WHEN vz > 0 AND raw <= 640 THEN lcj.lc_est ELSE raw END AS e,
+           |  vz FROM est LEFT JOIN lc lcj ON lcj.lv = est.vz)
+           |SELECT grp, e AS est_merged, vz::BIGINT AS zero_merged,
+           |  e AS est_direct, true AS merge_exact FROM fin""".stripMargin,
 
       // Morton interleave replayed with DuckDB bit ops
       "zorder_layout" ->

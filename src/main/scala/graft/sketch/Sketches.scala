@@ -348,12 +348,12 @@ object Sketches {
         col("__h._2").as("zero_regs"))
   }
 
-  /** Relational twin of [[hllDistinct]] — the same answer from Column-only
-    * ops (hex-string rho, two groupBys, a 128-bit decimal division). Used
-    * by the spec to pin the aggregator and by readers as the oracle's
-    * mirror; the aggregator is the production path. */
-  def hllDistinctRelational(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
+  /** Materialized registers: one (groupCol, bucket, reg) row per OCCUPIED
+    * register — the mergeable state itself. Registers from disjoint
+    * snapshots union + max into the union's registers without touching the
+    * raw rows again (the property that makes sketches the 100 TB tool:
+    * per-day registers persist, any date range is a register merge). */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val hx = md5(col(valueCol).cast("string"))
     val tail = substring(hx, 3, 13)
     val z = length(regexp_extract(tail, "^0*", 0))
@@ -361,14 +361,20 @@ object Sketches {
       .otherwise(0)
     val bitlen = when(d >= 8, 4).when(d >= 4, 3).when(d >= 2, 2).otherwise(1)
     val rho = when(z === 13, HllShift).otherwise(lit(4) * z + 5 - bitlen)
-    val regs = df
-      .select(col(groupCol),
-        conv(substring(hx, 1, 2), 16, 10).cast("int").as("__bucket"),
+    df.select(col(groupCol),
+        conv(substring(hx, 1, 2), 16, 10).cast("int").as("bucket"),
         rho.as("__rho"))
-      .groupBy(col(groupCol), col("__bucket"))
-      .agg(max(col("__rho")).as("__reg"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("__rho")).as("reg"))
+  }
+
+  /** Estimate from a (groupCol, bucket, reg) register relation (occupied
+    * registers only): the harmonic sum, the 128-bit-exact raw estimator,
+    * and the linear-counting branch — Column-only. */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCol: String): DataFrame = {
     val lcMap = typedLit(hllLinearCounting)
-    regs.groupBy(col(groupCol))
+    regs.select(col(groupCol), col("bucket").as("__bucket"), col("reg").as("__reg"))
+      .groupBy(col(groupCol))
       .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllShift - __reg)")) +
         (lit(HllM) - count(lit(1))) * lit(1L << HllShift)).as("__s"),
         (lit(HllM) - count(lit(1))).as("zero_regs"))
@@ -383,6 +389,14 @@ object Sketches {
           .otherwise(col("__raw")))
       .select(col(groupCol), col("hll_est"), col("zero_regs"))
   }
+
+  /** Relational twin of [[hllDistinct]] — the same answer from Column-only
+    * ops (hex-string rho, two groupBys, a 128-bit decimal division). Used
+    * by the spec to pin the aggregator and by readers as the oracle's
+    * mirror; the aggregator is the production path. */
+  def hllDistinctRelational(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCol, valueCol), groupCol)
 
   /** Pure twin over an in-memory value set. */
   def hllDistinctPure(values: Seq[String]): (Long, Long) = {

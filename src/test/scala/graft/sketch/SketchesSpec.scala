@@ -71,6 +71,19 @@ class SketchesSpec extends SparkTestBase {
     assert(dup == agg)
   }
 
+  test("HLL registers: per-snapshot merge ≡ direct sketch over the union") {
+    val rows = (1 to 2000).map(i => ("g", s"v${i % 700}", i % 2))
+    val df = rows.toDF("g", "v", "half")
+    val r0 = Sketches.hllRegisters(df.filter($"half" === 0).select("g", "v"), "g", "v")
+    val r1 = Sketches.hllRegisters(df.filter($"half" === 1).select("g", "v"), "g", "v")
+    val merged = Sketches.hllEstimateFromRegisters(
+      r0.unionAll(r1).groupBy("g", "bucket").agg(max("reg").as("reg")), "g")
+      .as[(String, Long, Long)].collect().head
+    val direct = Sketches.hllDistinct(df.select("g", "v"), "g", "v")
+      .as[(String, Long, Long)].collect().head
+    assert(merged == direct)
+  }
+
   test("HLL internals: rho from hex; linear-counting table; register merge") {
     // rho = 1 + leading zero bits of the 52-bit tail
     assert(Sketches.hllBucketRho("ff" + "8" + "0" * 12 + "0" * 17)._2 == 1)
