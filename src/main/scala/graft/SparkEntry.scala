@@ -1523,6 +1523,53 @@ object SparkEntry {
         .withColumn("merge_exact", col("est_merged") === col("est_direct"))
     }),
 
+    // KMV synopsis mergeability (Sketches.kmvSynopsis/kmvMergeSynopses/
+    // kmvEstimateFromSynopsis): per-snapshot k-smallest-hash synopses
+    // union + re-take-k into the union's synopsis without rescanning rows
+    // (each half's k smallest contain every candidate for the union's).
+    // Both paths run for real; the oracle's set identity makes a broken
+    // merge show up as est_merged ≠ est_direct.
+    "kmv_merge" -> ((s, d) => {
+      val li = rd(s, d, "lineitem")
+      def half(m: Int) = li.filter(pmod(col("l_orderkey"), lit(2)) === m)
+        .select(lit("pk").as("grp"), col("l_partkey").cast("string").as("v"))
+      val Sk = graft.sketch.Sketches
+      val merged = Sk.kmvMergeSynopses(64, Seq("grp"),
+        Sk.kmvSynopsis(half(0), Seq("grp"), "v", 64),
+        Sk.kmvSynopsis(half(1), Seq("grp"), "v", 64))
+      val estM = Sk.kmvEstimateFromSynopsis(merged, Seq("grp"), 64)
+        .withColumnRenamed("distinct_est", "est_merged")
+      val estD = Sk.kmvDistinct(
+          li.select(lit("pk").as("grp"), col("l_partkey").cast("string").as("v")),
+          Seq("grp"), "v", 64)
+        .withColumnRenamed("distinct_est", "est_direct")
+      estM.join(estD, Seq("grp"))
+        .withColumn("merge_exact", col("est_merged") === col("est_direct"))
+    }),
+
+    // CMS mergeability (Sketches.cmsMerge): every counter is a sum over
+    // input rows, so per-half sketches elementwise-add into EXACTLY the
+    // union's sketch — collisions included. Both sketches are built for
+    // real; the probe battery must agree cell-for-cell with one direct
+    // build (and the collision-exact freq_exact ride-along).
+    "cms_merge" -> ((s, d) => {
+      val t = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2"))
+      val Sk = graft.sketch.Sketches
+      def half(m: Int) = t.filter(pmod(col("doc_id"), lit(2)) === m)
+      val merged = Sk.cmsMerge(Seq(
+        Sk.cmsBuild(half(0), "t2", width = 512, depth = 3),
+        Sk.cmsBuild(half(1), "t2", width = 512, depth = 3)))
+      val direct = Sk.cmsBuild(t, "t2", width = 512, depth = 3)
+      val probes = t.groupBy("t2")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("freq_exact"))
+      Sk.cmsEstimate(
+          Sk.cmsEstimate(probes, "t2", merged, 512, 3, estCol = "freq_merged"),
+          "t2", direct, 512, 3, estCol = "freq_direct")
+        .withColumn("merge_exact", col("freq_merged") === col("freq_direct"))
+        .select("doc_id", "freq_merged", "freq_direct", "freq_exact", "merge_exact")
+    }),
+
     // Z-order curve values (Layout.zValue) over a 2-D key grid — the
     // layout step that makes BOTH filter dimensions row-group-skippable
     // (LayoutSpec asserts the bounding-box property of the full zOrdered
@@ -2749,6 +2796,22 @@ object SparkEntry {
       Dedup.minhashDuplicates(
         rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
         "doc_id", "t2", n = 3, k = 32, bands = 8, minJ = 0.5)
+    }),
+
+    // incremental LSH dedup (Dedup.minhashIncrementalDuplicates): the odd
+    // half ("today's crawl") dedups against the even half's persisted band
+    // table without re-pairing the old corpus; verification shingles are
+    // semi-join-pruned to candidates only. The oracle replays the BATCH
+    // cascade restricted to pairs touching a new doc — the invariant that
+    // makes incremental dedup safe to run day over day.
+    "minhash_incremental" -> ((s, d) => {
+      val docs = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2"))
+      val old = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val nw = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val oldBands = Dedup.minhashBandRows(old, "doc_id", "t2", n = 3, k = 32, bands = 8)
+      Dedup.minhashIncrementalDuplicates(oldBands, old, nw, "doc_id", "t2",
+        n = 3, k = 32, bands = 8, minJ = 0.5)
     }),
 
     "simhash_dups" -> ((s, d) => {
@@ -4378,6 +4441,41 @@ object SparkEntry {
            |SELECT grp, e AS est_merged, vz::BIGINT AS zero_merged,
            |  e AS est_direct, true AS merge_exact FROM fin""".stripMargin,
 
+      // kmv-merge replay: the k smallest of a union of per-half synopses
+      // ARE the union's k smallest (each half's synopsis contains every
+      // candidate), so one direct chain supplies both columns — Spark runs
+      // both paths for real and a broken merge breaks parity
+      "kmv_merge" ->
+        """WITH h AS (SELECT DISTINCT 'pk' AS grp,
+          |  ('0x'||substr(md5(l_partkey::VARCHAR),1,15))::BIGINT AS hv FROM lineitem),
+          |r AS (SELECT grp, hv,
+          |  row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h),
+          |a AS (SELECT grp, count(*) AS cnt,
+          |  max(CASE WHEN rn = 64 THEN hv END) AS kth FROM r WHERE rn <= 64 GROUP BY 1),
+          |e AS (SELECT grp, CASE WHEN cnt < 64 THEN cnt
+          |  ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
+          |  END AS est FROM a)
+          |SELECT grp, est AS est_merged, est AS est_direct, true AS merge_exact
+          |FROM e""".stripMargin,
+
+      // cms-merge replay: counters are sums over input rows, so the
+      // per-half elementwise add IS the direct build — one cell relation
+      // supplies both probe columns
+      "cms_merge" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |h AS (SELECT doc_id, t2, ('0x'||substr(md5(t2),1,15))::BIGINT AS h1,
+           |  (('0x'||substr(md5(t2),17,10))::BIGINT | 1) AS h2 FROM t),
+           |cell AS (SELECT i, (h1 + i*h2) % 512 AS pos, count(*) AS c
+           |  FROM h, (SELECT unnest(range(3)) AS i) GROUP BY 1, 2),
+           |probe AS (SELECT min(doc_id) AS doc_id, h1, h2, count(*) AS freq_exact
+           |  FROM h GROUP BY t2, h1, h2),
+           |px AS (SELECT p.doc_id, p.freq_exact, i, (p.h1 + i*p.h2) % 512 AS pos
+           |  FROM probe p, (SELECT unnest(range(3)) AS i))
+           |SELECT px.doc_id, min(coalesce(c, 0)) AS freq_merged,
+           |  min(coalesce(c, 0)) AS freq_direct, px.freq_exact,
+           |  true AS merge_exact
+           |FROM px LEFT JOIN cell USING (i, pos) GROUP BY 1, 4""".stripMargin,
+
       // Morton interleave replayed with DuckDB bit ops
       "zorder_layout" ->
         """SELECT DISTINCT l_orderkey % 256 AS ka, l_partkey % 256 AS kb,
@@ -5685,6 +5783,31 @@ object SparkEntry {
            |    ${hash60("b||'|'||sg[4*b+1]||','||sg[4*b+2]||','||sg[4*b+3]||','||sg[4*b+4]")})) AS band FROM sig),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bands a JOIN bands b ON a.band=b.band AND a.doc_id < b.doc_id),
+           |rows_ AS (SELECT doc_id, ${hash60("s")} AS sh2
+           |  FROM (SELECT doc_id, unnest(shl) AS s FROM sh)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+           |common AS (SELECT c.id_a, c.id_b, count(*) AS cnt FROM cand c
+           |  JOIN rows_ a ON a.doc_id=c.id_a JOIN rows_ b ON b.doc_id=c.id_b AND a.sh2=b.sh2 GROUP BY 1,2)
+           |SELECT id_a, id_b, round(cnt::DOUBLE/(sa.sz+sb.sz-cnt)::DOUBLE,6) AS jaccard
+           |FROM common JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
+           |WHERE round(cnt::DOUBLE/(sa.sz+sb.sz-cnt)::DOUBLE,6) >= 0.5""".stripMargin,
+
+      // incremental replay: the BATCH cascade (identical to minhash_dups)
+      // restricted to pairs touching an odd ("new") doc — the incremental
+      // path must produce exactly the batch answer for those pairs
+      "minhash_incremental" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |tok AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM t),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+           |    i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS shl
+           |  FROM tok WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, list_transform(range(32), i ->
+           |    list_min(list_transform(shl, x -> ${hash60("i||':'||x")}))) AS sg FROM sh),
+           |bands AS (SELECT doc_id, unnest(list_transform(range(8), b ->
+           |    ${hash60("b||'|'||sg[4*b+1]||','||sg[4*b+2]||','||sg[4*b+3]||','||sg[4*b+4]")})) AS band FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band=b.band AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1),
            |rows_ AS (SELECT doc_id, ${hash60("s")} AS sh2
            |  FROM (SELECT doc_id, unnest(shl) AS s FROM sh)),
            |sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),

@@ -340,6 +340,83 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental MinHash/LSH near-dup: dedup a NEW snapshot against an
+    * already-banded OLD corpus without re-pairing the old corpus — the
+    * production shape for a crawl pipeline where yesterday's (id, band)
+    * table persists and today's increment is a fraction of the corpus.
+    *
+    * Work done: band rows for the NEW docs only; candidates are
+    * old×new (one join against the persisted band table) plus new×new
+    * (self-join within the increment) — the old corpus is NEVER
+    * self-joined. Verification shingles are re-derived ONLY for candidate
+    * docs (semi-join prune), so old-corpus text is touched proportionally
+    * to the increment's collision rate, not the corpus size.
+    *
+    * Invariant (spec + `minhash_incremental` oracle): with `maxBucket`
+    * counted over old∪new bands, the result set EQUALS the batch
+    * [[minhashDuplicates]] over old∪new restricted to pairs touching a new
+    * doc. `maxDf` is omitted deliberately: its df counts are a whole-corpus
+    * statistic; an incremental caller should thread a persisted df table
+    * instead of recomputing it from the pruned relation.
+    *
+    * @param oldBands persisted (idCol, band) relation — [[minhashBandRows]]
+    *                 output from the previous snapshot
+    * @param oldDocs  the previous snapshot's (idCol, textCol) relation,
+    *                 read only for candidate verification (pruned)
+    */
+  def minhashIncrementalDuplicates(oldBands: DataFrame, oldDocs: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, minJ: Double = 0.5,
+      maxBucket: Int = 0): DataFrame = {
+    val newBandsAll = minhashBandRows(newDocs, idCol, textCol, n, k, bands)
+    val (ob, nb) = if (maxBucket <= 0) (oldBands, newBandsAll) else {
+      // hot buckets counted over the UNION (same verdicts as a batch run)
+      val hot = oldBands.select("band").unionAll(newBandsAll.select("band"))
+        .groupBy("band").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > maxBucket).select("band")
+      (oldBands.join(hot, Seq("band"), "left_anti")
+          .select(oldBands.columns.map(col): _*),
+        newBandsAll.join(hot, Seq("band"), "left_anti")
+          .select(newBandsAll.columns.map(col): _*))
+    }
+    val nbP = graft.io.Persisted.track(
+      nb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // old×new (band join against the persisted table) + new×new (increment
+    // self-join); canonical (id_a < id_b) order regardless of snapshot
+    val candON = ob.toDF("id_o", "band").join(nbP.toDF("id_n", "band"), Seq("band"))
+      .select(least(col("id_o"), col("id_n")).as("id_a"),
+        greatest(col("id_o"), col("id_n")).as("id_b"))
+    val candNN = nbP.toDF("id_a", "band")
+      .join(nbP.toDF("id_b", "band"), Seq("band"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    val cand = graft.io.Persisted.track(candON.unionAll(candNN).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cand.count() // materialize, then release the increment's band relation
+    nbP.unpersist(blocking = false)
+    // verify ONLY candidate docs: semi-join prune before shingling
+    val neededIds = cand.select(col("id_a").as(idCol))
+      .unionAll(cand.select(col("id_b").as(idCol))).distinct()
+    val docs = oldDocs.select(col(idCol), col(textCol))
+      .unionAll(newDocs.select(col(idCol), col(textCol)))
+      .join(neededIds, Seq(idCol), "left_semi")
+    val rows = graft.io.Persisted.track(
+      shingleRows(docs, idCol, textCol, n, maxDf = 0).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(rows.toDF("id_a", "sh"), Seq("id_a"))
+      .join(rows.toDF("id_b", "sh"), Seq("sh", "id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("id_a", "id_b"), "left")
+      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("common"), lit(0L))).cast("double"), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---------------------------------------------------------- SimHash ------
   /** 32-bit SimHash over word tokens: each token votes ±1 per bit of its
     * 32-bit hash; fingerprint bit b is 1 iff the vote sum is positive.

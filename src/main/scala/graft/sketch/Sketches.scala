@@ -96,22 +96,44 @@ object Sketches {
       .agg(agg(kmvHash(col(valueCol))).as("distinct_est"))
   }
 
-  /** Relational twin of [[kmvDistinct]] for cross-checks and oracles: the
-    * same answer from distinct → per-group rank window → closed-form
-    * estimate. Costs a full distinct + sort per group, which is exactly
-    * what the sketch avoids — baseline only. */
-  def kmvDistinctRelational(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val M = 1L << 60
-    val h = df.select(groupCols.map(col) :+ kmvHash(col(valueCol)).as("__h"): _*)
+  /** Materialized KMV synopsis: the k smallest distinct hashes per group as
+    * (groupCols…, h) rows — the mergeable state itself. Synopses from
+    * disjoint snapshots union + re-take-k into the union's synopsis without
+    * touching the raw rows again (each half's k smallest contain every
+    * candidate for the union's k smallest), so per-day synopses persist and
+    * any date range is a k·8-byte-per-group merge. */
+  def kmvSynopsis(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    val h = df.select(groupCols.map(col) :+ kmvHash(col(valueCol)).as("h"): _*)
       .distinct()
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
     h.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Merge synopsis relations (same groupCols + `h` column): union,
+    * re-distinct, keep the k smallest per group. Associative and
+    * idempotent — the identity the spec and the `kmv_merge` oracle pin. */
+  def kmvMergeSynopses(k: Int, groupCols: Seq[String], synopses: DataFrame*)
+      : DataFrame = {
+    require(synopses.nonEmpty, "need at least one synopsis")
+    val u = synopses.reduce(_ unionAll _).distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    u.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Closed-form estimate from a synopsis relation: exact count below k,
+    * otherwise (k-1)·2⁶⁰ / kth_min through a 128-bit decimal division. */
+  def kmvEstimateFromSynopsis(synopsis: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val M = 1L << 60
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    synopsis.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
-        max(when(col("__rn") === k, col("__h"))).as("__kth"))
+        max(when(col("__rn") === k, col("h"))).as("__kth"))
       .withColumn("distinct_est",
         when(col("__cnt") < k, col("__cnt"))
           // (k-1)·2⁶⁰ needs 128-bit: DECIMAL(38,0) division, floored like
@@ -121,6 +143,15 @@ object Sketches {
             .cast("long")))
       .drop("__cnt", "__kth")
   }
+
+  /** Relational twin of [[kmvDistinct]] for cross-checks and oracles: the
+    * same answer from distinct → per-group rank window → closed-form
+    * estimate. Costs a full distinct + sort per group, which is exactly
+    * what the sketch avoids — baseline only. */
+  def kmvDistinctRelational(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int): DataFrame =
+    kmvEstimateFromSynopsis(kmvSynopsis(df, groupCols, valueCol, k),
+      groupCols, k)
 
   /** Pure twin: exact replay of the KMV estimate over an in-memory set. */
   def kmvDistinctPure(values: Seq[String], k: Int): Long = {
@@ -166,6 +197,23 @@ object Sketches {
       while (i < cells) { out(i) = a(i) + b(i); i += 1 }
       out
     })
+  }
+
+  /** Merge CMS sketches of identical dimensions: elementwise add. The
+    * counter of every (row, cell) is a sum over input rows, so sketches of
+    * disjoint snapshots merge into EXACTLY the sketch of the union —
+    * collisions included — which is what lets per-day d·w·8-byte sketches
+    * persist and answer any date range without rescanning rows. */
+  def cmsMerge(sketches: Seq[Array[Long]]): Array[Long] = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    val cells = sketches.head.length
+    require(sketches.forall(_.length == cells), "sketch dims differ")
+    val out = new Array[Long](cells)
+    for (s <- sketches) {
+      var i = 0
+      while (i < cells) { out(i) += s(i); i += 1 }
+    }
+    out
   }
 
   /** Pure point estimate: min over rows of the item's cell. */

@@ -123,6 +123,38 @@ class DedupSpec extends SparkTestBase {
       assert(j == jaccard(docs.toMap.apply(a), docs.toMap.apply(b), 3), s"pair $a-$b")
   }
 
+  test("incremental minhash ≡ batch restricted to new-touching pairs") {
+    // richer randomized corpus: duplicates and near-dups scattered across
+    // both parity halves, so old×new AND new×new candidates both occur
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(seed: Int): String =
+      (0 until 12).map(i => words(((seed * 7 + i * 3) ^ (i * seed)) % 10)).mkString(" ")
+    val corpus = (1L to 40L).map(i => (i, doc((i % 11).toInt))) // forced collisions
+    val df = corpus.toDF("id", "text")
+    val old = df.filter($"id" % 2 === 0)
+    val nw = df.filter($"id" % 2 === 1)
+    val oldBands = minhashBandRows(old, "id", "text", 3, 32, 8)
+    val inc = minhashIncrementalDuplicates(oldBands, old, nw, "id", "text",
+      n = 3, k = 32, bands = 8, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = minhashDuplicates(df, "id", "text", n = 3, k = 32, bands = 8,
+      minJ = 0.5).as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(inc == batch)
+    assert(inc.exists(p => p._1 % 2 == 0 || p._2 % 2 == 0), "no old×new pair hit")
+    assert(inc.exists(p => p._1 % 2 == 1 && p._2 % 2 == 1), "no new×new pair hit")
+    // the invariant also holds under a live maxBucket cap (union counts)
+    val incCap = minhashIncrementalDuplicates(oldBands, old, nw, "id", "text",
+      n = 3, k = 32, bands = 8, minJ = 0.5, maxBucket = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val batchCap = minhashDuplicates(df, "id", "text", n = 3, k = 32, bands = 8,
+      minJ = 0.5, maxBucket = 3).as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(incCap == batchCap)
+    assert(incCap != inc, "cap did not fire — corpus too tame to test it")
+  }
+
   test("simhash: pure and Column forms agree; near-dups are close in Hamming") {
     val df = docs.toDF("id", "text")
     val got = df.select(col("id"),

@@ -84,6 +84,38 @@ class SketchesSpec extends SparkTestBase {
     assert(merged == direct)
   }
 
+  test("KMV synopsis: per-snapshot merge ≡ direct estimate over the union") {
+    val rows = (1 to 3000).map(i => ("g", s"v${i % 900}", i % 3))
+    val df = rows.toDF("g", "v", "third")
+    val syns = (0 to 2).map(t =>
+      Sketches.kmvSynopsis(df.filter($"third" === t).select("g", "v"), Seq("g"), "v", 64))
+    val merged = Sketches.kmvEstimateFromSynopsis(
+      Sketches.kmvMergeSynopses(64, Seq("g"), syns: _*), Seq("g"), 64)
+      .as[(String, Long)].collect().head
+    val direct = Sketches.kmvDistinct(df.select("g", "v"), Seq("g"), "v", 64)
+      .as[(String, Long)].collect().head
+    assert(merged == direct)
+    // merging a synopsis with itself is a no-op (idempotence)
+    val self = Sketches.kmvEstimateFromSynopsis(
+      Sketches.kmvMergeSynopses(64, Seq("g"), syns(0), syns(0)), Seq("g"), 64)
+      .as[(String, Long)].collect().head
+    val one = Sketches.kmvEstimateFromSynopsis(syns(0), Seq("g"), 64)
+      .as[(String, Long)].collect().head
+    assert(self == one)
+  }
+
+  test("CMS merge: per-half elementwise add ≡ direct build; dims enforced") {
+    val df = (1 to 400).map(i => (i.toLong, s"w${i % 37}")).toDF("id", "t")
+    val halves = Seq(0, 1).map(m =>
+      Sketches.cmsBuild(df.filter($"id" % 2 === m), "t", width = 64, depth = 3))
+    val merged = Sketches.cmsMerge(halves)
+    val direct = Sketches.cmsBuild(df, "t", width = 64, depth = 3)
+    assert(merged.toSeq == direct.toSeq)
+    assertThrows[IllegalArgumentException] {
+      Sketches.cmsMerge(Seq(new Array[Long](6), new Array[Long](8)))
+    }
+  }
+
   test("HLL internals: rho from hex; linear-counting table; register merge") {
     // rho = 1 + leading zero bits of the 52-bit tail
     assert(Sketches.hllBucketRho("ff" + "8" + "0" * 12 + "0" * 17)._2 == 1)
