@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Main domstrip <inputPath> <outputPath> <lineagePath> [commitBatch]
   *   graft.Main curate <inputPath> <outputPath> <lineagePath> [commitBatch]
   *   graft.Main dedup <inputPath> <outputPath> [minJ] [maxDf] [maxBucket]
+  *   graft.Main incdedup <corpusPath> <statePath> <outputPath> <snapshotId> [minJ] [maxBucket]
   *
   * `run` is resumable: partitions already present in the lineage table are
   * skipped (left-anti join), so re-submitting a killed job completes exactly
@@ -82,6 +83,16 @@ object Main {
             s"(docs=${rows.map(_.docs_in).sum}, kept=${rows.map(_.docs_out).sum}, " +
             s"kept tokens=${rows.map(_.spans_out).sum}); " +
             s"lineage now has $committed committed partitions")
+        case "incdedup" :: corpus :: state :: out :: snap :: rest =>
+          // day-over-day incremental near-dup: corpus parquet carries a
+          // `snapshot` column; each invocation processes one snapshot
+          // against the persisted band-table state (rerun = no-op)
+          val minJ = rest.headOption.map(_.toDouble).getOrElse(0.5)
+          val maxBucket = rest.drop(1).headOption.map(_.toInt).getOrElse(10000)
+          val emitted = graft.pipeline.DedupJob.runIncremental(
+            spark.read.parquet(corpus), "doc_id", "text", "snapshot", snap,
+            state, out, minJ = minJ, maxBucket = maxBucket)
+          println(s"[graft] incdedup: snapshot $snap emitted $emitted pairs")
         case "dedup" :: in :: out :: rest =>
           // corpus near-dup pairs over a (doc_id, text) table with the skew
           // caps ON (DedupJob defaults) and the drops logged — the
@@ -105,7 +116,8 @@ object Main {
           System.err.println("usage: graft.Main gen <nDocs> <nPartitions> <path> | " +
             "run <in> <out> <lineage> [commitBatch] | strip <in> <out> <lineage> [commitBatch] | " +
             "curate <in> <out> <lineage> [commitBatch] | " +
-            "dedup <in> <out> [minJ] [maxDf] [maxBucket]")
+            "dedup <in> <out> [minJ] [maxDf] [maxBucket] | " +
+            "incdedup <corpus> <state> <out> <snapshotId> [minJ] [maxBucket]")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -83,4 +83,70 @@ object DedupJob {
     }
     (Dedup.jaccardPairs(df, idCol, textCol, n, minJ, maxDf = caps.maxDf), drops)
   }
+
+  /** Day-over-day incremental near-dup with PERSISTED band-table state —
+    * the job shape a rolling crawl actually runs. The corpus table carries a
+    * `snapshot` column; each invocation processes ONE snapshot:
+    *
+    *  1. already committed (its bands partition exists) → no-op, return 0;
+    *  2. otherwise band the new snapshot only, pair it against the
+    *     accumulated band table ([[Dedup.minhashIncrementalDuplicates]] —
+    *     the old corpus is never re-paired, verification text is semi-join
+    *     pruned to candidates);
+    *  3. write the pairs to `outDir/snapshot=<id>` (dynamic overwrite →
+    *     rerun-safe), THEN commit the snapshot's bands into
+    *     `stateDir/snapshot=<id>` — bands-last ordering makes the bands
+    *     partition the commit marker, so a kill between the writes replays
+    *     the pairs write idempotently on rerun.
+    *
+    * Invariant (DedupJobSpec): after snapshots s1..sn run in order, the
+    * UNION of all pair partitions equals the batch [[Dedup.minhashDuplicates]]
+    * over the whole corpus — each pair is emitted exactly once, by the
+    * snapshot that completed it.
+    *
+    * `maxBucket` verdicts are per-run (counted over state ∪ increment), so
+    * a bucket that goes hot in snapshot 7 is capped from snapshot 7 onward —
+    * earlier snapshots' emitted pairs are immutable, as they must be. */
+  def runIncremental(corpus: DataFrame, idCol: String, textCol: String,
+      snapshotCol: String, snapshotId: String, stateDir: String,
+      outDir: String, n: Int = 3, k: Int = 32, bands: Int = 8,
+      minJ: Double = 0.5, maxBucket: Int = 10000): Long = {
+    val spark = corpus.sparkSession
+    val newDocs = corpus.filter(col(snapshotCol) === snapshotId)
+      .select(col(idCol), col(textCol))
+    val (oldBands, committed) =
+      if (!graft.io.TableIO.exists(spark, stateDir)) {
+        (Dedup.minhashBandRows(newDocs.limit(0), idCol, textCol, n, k, bands),
+          Set.empty[String])
+      } else {
+        val st = spark.read.parquet(stateDir)
+        val snaps = st.select(col("snapshot").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet
+        (st.select(col(idCol), col("band")), snaps)
+      }
+    if (committed.contains(snapshotId)) {
+      info(s"incremental dedup: snapshot $snapshotId already committed — no-op")
+      return 0L
+    }
+    val oldDocs = corpus
+      .filter(col(snapshotCol).cast("string").isin(committed.toSeq: _*))
+      .select(col(idCol), col(textCol))
+    val pairs = Dedup.minhashIncrementalDuplicates(oldBands, oldDocs, newDocs,
+      idCol, textCol, n, k, bands, minJ, maxBucket)
+      .withColumn("snapshot", lit(snapshotId))
+    pairs.write.partitionBy("snapshot")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+    val emitted = spark.read.parquet(outDir)
+      .filter(col("snapshot") === snapshotId).count()
+    // commit marker: the snapshot's bands join the state LAST
+    Dedup.minhashBandRows(newDocs, idCol, textCol, n, k, bands)
+      .withColumn("snapshot", lit(snapshotId))
+      .write.partitionBy("snapshot")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stateDir)
+    info(s"incremental dedup: snapshot $snapshotId committed — " +
+      s"$emitted pairs, state now has ${committed.size + 1} snapshots")
+    emitted
+  }
 }

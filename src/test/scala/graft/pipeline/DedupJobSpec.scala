@@ -50,4 +50,41 @@ class DedupJobSpec extends SparkTestBase {
       Set((1L, 2L)))
     spark.catalog.clearCache()
   }
+
+  test("incremental job: snapshots accumulate state; union of runs ≡ batch; rerun no-op") {
+    import org.apache.spark.sql.functions.col
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(seed: Int): String =
+      (0 until 12).map(i => words(((seed * 7 + i * 3) ^ (i * seed)) % 10)).mkString(" ")
+    // 3 snapshots of 15 docs each; duplicates scattered across snapshots
+    val corpus = (1L to 45L)
+      .map(i => (i, doc((i % 11).toInt), s"s${(i - 1) / 15 + 1}"))
+      .toDF("doc_id", "text", "snapshot")
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup").toString
+    val (state, out) = (s"$tmp/state", s"$tmp/pairs")
+    for (s <- Seq("s1", "s2", "s3"))
+      DedupJob.runIncremental(corpus, "doc_id", "text", "snapshot", s,
+        state, out, minJ = 0.5, maxBucket = 0)
+    val union = spark.read.parquet(out)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Dedup.minhashDuplicates(
+      corpus.select(col("doc_id"), col("text")), "doc_id", "text",
+      n = 3, k = 32, bands = 8, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(union == batch)
+    // each pair emitted exactly once (no partition overlap)
+    assert(spark.read.parquet(out).count() == union.size)
+    // a pair's emitting snapshot is its LATER doc's snapshot
+    val bySnap = spark.read.parquet(out)
+      .select(col("id_b"), col("snapshot").cast("string"))
+      .as[(Long, String)].collect()
+    for ((idB, snap) <- bySnap) assert(snap == s"s${(idB - 1) / 15 + 1}")
+    // rerun of a committed snapshot is a no-op
+    assert(DedupJob.runIncremental(corpus, "doc_id", "text", "snapshot", "s2",
+      state, out, minJ = 0.5, maxBucket = 0) == 0L)
+    assert(spark.read.parquet(out).count() == union.size)
+    spark.catalog.clearCache()
+  }
 }
