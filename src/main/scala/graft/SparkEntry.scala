@@ -1707,6 +1707,29 @@ object SparkEntry {
         .select(col("doc_id"), col("flagged"))
     }),
 
+    // Bloom filter mergeability (Bloom.merge): each bit is an OR over
+    // input rows, so per-snapshot filters OR into EXACTLY the union's
+    // filter. Thirds 0/1 build separately and merge; third 2 probes the
+    // merged filter AND a direct build over thirds 0∪1 — the oracle's
+    // single replay supplies both columns, so a broken merge (any flag
+    // moved, false positives included) breaks parity.
+    "bloom_merge" -> ((s, d) => {
+      val t = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2"))
+      val B = graft.dedup.Bloom
+      def third(m: Int) = t.filter(pmod(col("doc_id"), lit(3)) === m)
+      val merged = B.merge(Seq(
+        B.build(third(0), "t2", m = 16384, k = 4),
+        B.build(third(1), "t2", m = 16384, k = 4)))
+      val direct = B.build(
+        t.filter(pmod(col("doc_id"), lit(3)) < 2), "t2", m = 16384, k = 4)
+      B.probe(
+          B.probe(third(2), "t2", merged, m = 16384, k = 4, flagCol = "flag_merged"),
+          "t2", direct, m = 16384, k = 4, flagCol = "flag_direct")
+        .withColumn("merge_exact", col("flag_merged") === col("flag_direct"))
+        .select("doc_id", "flag_merged", "flag_direct", "merge_exact")
+    }),
+
     "minhash_sig" -> ((s, d) => {
       Dedup.minhashSignaturesTyped(rd(s, d, "documents"), "doc_id", "text", n = 3, k = 4)
         .select(col("doc_id"),
@@ -4669,6 +4692,22 @@ object SparkEntry {
            |pp AS (SELECT doc_id, (h1 + i*h2) % 16384 AS pos
            |  FROM h, (SELECT unnest(range(4)) AS i) WHERE doc_id % 2 = 1)
            |SELECT doc_id, bool_and(pos IN (SELECT pos FROM bp)) AS flagged
+           |FROM pp GROUP BY 1""".stripMargin,
+
+      // bloom-merge replay: bits are ORs over rows, so the per-third OR IS
+      // the direct build over thirds 0∪1 — one position-subset replay
+      // supplies both probe columns
+      "bloom_merge" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |h AS (SELECT doc_id, ('0x'||substr(md5(t2),1,15))::BIGINT AS h1,
+           |  (('0x'||substr(md5(t2),17,10))::BIGINT | 1) AS h2 FROM t),
+           |bp AS (SELECT DISTINCT (h1 + i*h2) % 16384 AS pos
+           |  FROM h, (SELECT unnest(range(4)) AS i) WHERE doc_id % 3 < 2),
+           |pp AS (SELECT doc_id, (h1 + i*h2) % 16384 AS pos
+           |  FROM h, (SELECT unnest(range(4)) AS i) WHERE doc_id % 3 = 2)
+           |SELECT doc_id, bool_and(pos IN (SELECT pos FROM bp)) AS flag_merged,
+           |  bool_and(pos IN (SELECT pos FROM bp)) AS flag_direct,
+           |  true AS merge_exact
            |FROM pp GROUP BY 1""".stripMargin,
 
       "minhash_sig" ->

@@ -103,6 +103,24 @@ object Bloom {
     })
   }
 
+  /** Merge filters of identical geometry: bitwise OR. The filter over a
+    * union of corpora IS the OR of the per-corpus filters (each bit is an
+    * OR over input rows), so per-snapshot m/8-byte filters persist and any
+    * snapshot range merges without rescanning rows — the membership member
+    * of the mergeable-state family (HLL registers, KMV synopses, CMS
+    * counters). */
+  def merge(filters: Seq[Array[Byte]]): Array[Byte] = {
+    require(filters.nonEmpty, "need at least one filter")
+    val bytes = filters.head.length
+    require(filters.forall(_.length == bytes), "filter geometries differ")
+    val out = new Array[Byte](bytes)
+    for (f <- filters) {
+      var i = 0
+      while (i < bytes) { out(i) = (out(i) | f(i)).toByte; i += 1 }
+    }
+    out
+  }
+
   /** Pure membership probe against filter bytes. */
   def containsPure(filter: Array[Byte], text: String, m: Int, k: Int): Boolean =
     positionsPure(text, m, k).forall { p =>

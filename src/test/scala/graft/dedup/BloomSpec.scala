@@ -51,6 +51,20 @@ class BloomSpec extends SparkTestBase {
     assert(got == Seq(true, false))
   }
 
+  test("merge: per-snapshot OR ≡ direct build over the union; dims enforced") {
+    val docs = (1 to 300).map(i => (i.toLong, s"text $i")).toDF("id", "t")
+    val halves = Seq(0, 1).map(m =>
+      Bloom.build(docs.filter($"id" % 2 === m), "t", M, K))
+    val merged = Bloom.merge(halves)
+    val direct = Bloom.build(docs, "t", M, K)
+    assert(merged.toSeq == direct.toSeq)
+    // idempotent: merging a filter with itself changes nothing
+    assert(Bloom.merge(Seq(halves(0), halves(0))).toSeq == halves(0).toSeq)
+    assertThrows[IllegalArgumentException] {
+      Bloom.merge(Seq(new Array[Byte](4), new Array[Byte](8)))
+    }
+  }
+
   test("bitsFor matches the standard sizing bound") {
     val m = Bloom.bitsFor(1000000, 0.01)
     assert(m % 8 == 0)
