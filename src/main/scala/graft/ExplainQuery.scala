@@ -26,7 +26,7 @@ object ExplainQuery {
     val eagerConstructors =
       Set("stream_extract", "stream_window", "stream_assemble", "stream_dedup",
         "stream_domstrip", "stream_hll",
-        "minhash_dups", "bpe_merges", "bpe_segment", "bpe_batch",
+        "minhash_dups", "minhash_incremental", "bpe_merges", "bpe_segment", "bpe_batch",
         "cms_freq", "cms_merge", "bloom_dedup", "bloom_merge", "ingest_e2e",
         "pq_topk", "pagerank_dangling",
         "dedup_clusters_alt", "hits_scores")

@@ -115,6 +115,7 @@ object Main {
         case _ =>
           System.err.println("usage: graft.Main gen <nDocs> <nPartitions> <path> | " +
             "run <in> <out> <lineage> [commitBatch] | strip <in> <out> <lineage> [commitBatch] | " +
+            "domstrip <in> <out> <lineage> [commitBatch] | " +
             "curate <in> <out> <lineage> [commitBatch] | " +
             "dedup <in> <out> [minJ] [maxDf] [maxBucket] | " +
             "incdedup <corpus> <state> <out> <snapshotId> [minJ] [maxBucket]")

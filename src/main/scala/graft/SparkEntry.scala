@@ -1559,7 +1559,7 @@ object SparkEntry {
       def half(m: Int) = t.filter(pmod(col("doc_id"), lit(2)) === m)
       val merged = Sk.cmsMerge(Seq(
         Sk.cmsBuild(half(0), "t2", width = 512, depth = 3),
-        Sk.cmsBuild(half(1), "t2", width = 512, depth = 3)))
+        Sk.cmsBuild(half(1), "t2", width = 512, depth = 3)), width = 512, depth = 3)
       val direct = Sk.cmsBuild(t, "t2", width = 512, depth = 3)
       val probes = t.groupBy("t2")
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("freq_exact"))

@@ -108,7 +108,9 @@ object Bloom {
     * OR over input rows), so per-snapshot m/8-byte filters persist and any
     * snapshot range merges without rescanning rows — the membership member
     * of the mergeable-state family (HLL registers, KMV synopses, CMS
-    * counters). */
+    * counters). The byte length pins m; k is NOT encoded in the array, so
+    * merging filters built with different k is undetectable here and wrong —
+    * the caller owns that invariant (same k at build, merge, and probe). */
   def merge(filters: Seq[Array[Byte]]): Array[Byte] = {
     require(filters.nonEmpty, "need at least one filter")
     val bytes = filters.head.length

@@ -359,16 +359,27 @@ object Dedup {
     * statistic; an incremental caller should thread a persisted df table
     * instead of recomputing it from the pruned relation.
     *
+    * A doc id present in BOTH snapshots (a re-crawl) never self-pairs, and
+    * its verification text is the NEW snapshot's (latest wins); the
+    * batch-equality invariant above assumes ids are disjoint across
+    * snapshots, which the re-crawl case necessarily breaks for pairs
+    * touching the re-crawled id.
+    *
     * @param oldBands persisted (idCol, band) relation — [[minhashBandRows]]
     *                 output from the previous snapshot
     * @param oldDocs  the previous snapshot's (idCol, textCol) relation,
     *                 read only for candidate verification (pruned)
+    * @param newBands the increment's band relation if the caller already
+    *                 computed it (a job that persists bands as state should
+    *                 band once and share) — must be [[minhashBandRows]]
+    *                 output over `newDocs` with the same (n, k, bands)
     */
   def minhashIncrementalDuplicates(oldBands: DataFrame, oldDocs: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, minJ: Double = 0.5,
-      maxBucket: Int = 0): DataFrame = {
-    val newBandsAll = minhashBandRows(newDocs, idCol, textCol, n, k, bands)
+      maxBucket: Int = 0, newBands: Option[DataFrame] = None): DataFrame = {
+    val newBandsAll = newBands.getOrElse(
+      minhashBandRows(newDocs, idCol, textCol, n, k, bands))
     val (ob, nb) = if (maxBucket <= 0) (oldBands, newBandsAll) else {
       // hot buckets counted over the UNION (same verdicts as a batch run)
       val hot = oldBands.select("band").unionAll(newBandsAll.select("band"))
@@ -384,6 +395,7 @@ object Dedup {
     // old×new (band join against the persisted table) + new×new (increment
     // self-join); canonical (id_a < id_b) order regardless of snapshot
     val candON = ob.toDF("id_o", "band").join(nbP.toDF("id_n", "band"), Seq("band"))
+      .filter(col("id_o") =!= col("id_n")) // a re-crawled id must not self-pair
       .select(least(col("id_o"), col("id_n")).as("id_a"),
         greatest(col("id_o"), col("id_n")).as("id_b"))
     val candNN = nbP.toDF("id_a", "band")
@@ -396,8 +408,12 @@ object Dedup {
     // verify ONLY candidate docs: semi-join prune before shingling
     val neededIds = cand.select(col("id_a").as(idCol))
       .unionAll(cand.select(col("id_b").as(idCol))).distinct()
-    val docs = oldDocs.select(col(idCol), col(textCol))
-      .unionAll(newDocs.select(col(idCol), col(textCol)))
+    // latest-wins on a re-crawled id: old text is dropped where the new
+    // snapshot carries the same id (otherwise one id would verify with the
+    // union of both texts' shingles)
+    val docs = newDocs.select(col(idCol), col(textCol))
+      .unionAll(oldDocs.select(col(idCol), col(textCol))
+        .join(newDocs.select(col(idCol)), Seq(idCol), "left_anti"))
       .join(neededIds, Seq(idCol), "left_semi")
     val rows = graft.io.Persisted.track(
       shingleRows(docs, idCol, textCol, n, maxDf = 0).distinct()

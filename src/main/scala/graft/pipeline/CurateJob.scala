@@ -66,10 +66,16 @@ object CurateJob {
       commitBatch: Int = 8): Seq[LineageRow] = {
     val raw = spark.read.parquet(inputPath)
     val src = if (raw.columns.contains("source")) col("source") else lit("")
-    val input = withPartitions(
-      raw.select(col("doc_id").cast("string").as("doc_id"),
-        src.cast("string").as("source"), col("text").cast("string").as("text")),
-      nPartitions)
+    // an explicit partition_id column is honored (the shared contract with
+    // BoilerplateJob) — carry it through the projection or withPartitions
+    // would silently re-derive it
+    val base = Seq(col("doc_id").cast("string").as("doc_id"),
+      src.cast("string").as("source"), col("text").cast("string").as("text"))
+    val projected =
+      if (raw.columns.contains("partition_id"))
+        raw.select(base :+ col("partition_id").cast("int").as("partition_id"): _*)
+      else raw.select(base: _*)
+    val input = withPartitions(projected, nPartitions)
     val pending = TableIO.pendingPartitions(input, lineagePath)
     val all = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
     import spark.implicits._

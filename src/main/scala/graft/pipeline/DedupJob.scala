@@ -114,15 +114,21 @@ object DedupJob {
     val spark = corpus.sparkSession
     val newDocs = corpus.filter(col(snapshotCol) === snapshotId)
       .select(col(idCol), col(textCol))
+    val emptyBands =
+      Dedup.minhashBandRows(newDocs.limit(0), idCol, textCol, n, k, bands)
+    // a kill inside the very first state write leaves the directory present
+    // but with no committed data files — path existence alone is NOT the
+    // marker; an unreadable/empty state means "nothing committed yet"
     val (oldBands, committed) =
-      if (!graft.io.TableIO.exists(spark, stateDir)) {
-        (Dedup.minhashBandRows(newDocs.limit(0), idCol, textCol, n, k, bands),
-          Set.empty[String])
-      } else {
+      if (!graft.io.TableIO.exists(spark, stateDir)) (emptyBands, Set.empty[String])
+      else try {
         val st = spark.read.parquet(stateDir)
         val snaps = st.select(col("snapshot").cast("string")).distinct()
           .collect().map(_.getString(0)).toSet
         (st.select(col(idCol), col("band")), snaps)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          (emptyBands, Set.empty[String])
       }
     if (committed.contains(snapshotId)) {
       info(s"incremental dedup: snapshot $snapshotId already committed — no-op")
@@ -131,22 +137,33 @@ object DedupJob {
     val oldDocs = corpus
       .filter(col(snapshotCol).cast("string").isin(committed.toSeq: _*))
       .select(col(idCol), col(textCol))
-    val pairs = Dedup.minhashIncrementalDuplicates(oldBands, oldDocs, newDocs,
-      idCol, textCol, n, k, bands, minJ, maxBucket)
-      .withColumn("snapshot", lit(snapshotId))
-    pairs.write.partitionBy("snapshot")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
-    val emitted = spark.read.parquet(outDir)
-      .filter(col("snapshot") === snapshotId).count()
-    // commit marker: the snapshot's bands join the state LAST
-    Dedup.minhashBandRows(newDocs, idCol, textCol, n, k, bands)
-      .withColumn("snapshot", lit(snapshotId))
-      .write.partitionBy("snapshot")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stateDir)
-    info(s"incremental dedup: snapshot $snapshotId committed — " +
-      s"$emitted pairs, state now has ${committed.size + 1} snapshots")
-    emitted
+    // band the increment ONCE: the same relation feeds candidate
+    // generation and the state commit
+    val newBands = Dedup.minhashBandRows(newDocs, idCol, textCol, n, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.io.Persisted.track(newBands)
+    try {
+      val pairs = Dedup.minhashIncrementalDuplicates(oldBands, oldDocs, newDocs,
+        idCol, textCol, n, k, bands, minJ, maxBucket, newBands = Some(newBands))
+        .withColumn("snapshot", lit(snapshotId))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.io.Persisted.track(pairs)
+      val emitted = pairs.count()
+      // an empty write would commit no data files (nothing to overwrite and
+      // nothing stale to replace — a killed attempt leaves only _temporary)
+      if (emitted > 0)
+        pairs.write.partitionBy("snapshot")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+      pairs.unpersist(blocking = false)
+      // commit marker: the snapshot's bands join the state LAST
+      newBands.withColumn("snapshot", lit(snapshotId))
+        .write.partitionBy("snapshot")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stateDir)
+      info(s"incremental dedup: snapshot $snapshotId committed — " +
+        s"$emitted pairs, state now has ${committed.size + 1} snapshots")
+      emitted
+    } finally newBands.unpersist(blocking = false)
   }
 }

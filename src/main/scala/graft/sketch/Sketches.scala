@@ -204,10 +204,13 @@ object Sketches {
     * disjoint snapshots merge into EXACTLY the sketch of the union —
     * collisions included — which is what lets per-day d·w·8-byte sketches
     * persist and answer any date range without rescanning rows. */
-  def cmsMerge(sketches: Seq[Array[Long]]): Array[Long] = {
+  def cmsMerge(sketches: Seq[Array[Long]], width: Int, depth: Int): Array[Long] = {
     require(sketches.nonEmpty, "need at least one sketch")
-    val cells = sketches.head.length
-    require(sketches.forall(_.length == cells), "sketch dims differ")
+    // total cell count alone cannot distinguish 512x3 from 768x2 — the
+    // caller must assert the geometry, or the add would mix row layouts
+    val cells = width * depth
+    require(sketches.forall(_.length == cells),
+      s"sketch dims differ from ${width}x$depth")
     val out = new Array[Long](cells)
     for (s <- sketches) {
       var i = 0

@@ -75,4 +75,17 @@ class CurateJobSpec extends SparkTestBase {
       .select("blocked").as[Boolean].collect()
     assert(row.toSeq == Seq(false))
   }
+
+  test("explicit partition_id column is honored, not re-derived") {
+    val tmp = java.nio.file.Files.createTempDirectory("curjob3").toString
+    // every doc pinned to partition 7 — if the job re-derived partitions
+    // from hash(doc_id), the lineage would span several ids
+    mkDocs(6).map { case (id, dom, text) => (id, dom, text, 7) }
+      .toDF("doc_id", "source", "text", "partition_id")
+      .write.parquet(s"$tmp/in")
+    val rows = CurateJob.runJob(spark, s"$tmp/in", s"$tmp/out", s"$tmp/lineage",
+      CurateJob.Config(), nPartitions = 4, commitBatch = 2)
+    assert(rows.map(_.partition_id) == Seq(7))
+    assert(rows.head.docs_in == 6)
+  }
 }

@@ -87,4 +87,48 @@ class DedupJobSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == union.size)
     spark.catalog.clearCache()
   }
+
+  test("incremental job: zero-pair first snapshot commits and does not wedge") {
+    import org.apache.spark.sql.functions.col
+    // two snapshots with no duplicates inside s1: the first run emits 0
+    // pairs (nothing to write) yet MUST commit its bands so s2 can pair
+    // against them; a cross-snapshot dup proves the state was usable
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "one two three four five six", "s1"),
+      (3L, "alpha beta gamma delta epsilon zeta", "s2"))
+      .toDF("doc_id", "text", "snapshot")
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup0").toString
+    val (state, out) = (s"$tmp/state", s"$tmp/pairs")
+    assert(DedupJob.runIncremental(corpus, "doc_id", "text", "snapshot", "s1",
+      state, out, minJ = 0.5, maxBucket = 0) == 0L)
+    // s1 is committed despite the empty pairs output (rerun = no-op)
+    assert(DedupJob.runIncremental(corpus, "doc_id", "text", "snapshot", "s1",
+      state, out, minJ = 0.5, maxBucket = 0) == 0L)
+    assert(DedupJob.runIncremental(corpus, "doc_id", "text", "snapshot", "s2",
+      state, out, minJ = 0.5, maxBucket = 0) == 1L)
+    val got = spark.read.parquet(out).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("incremental operator: a re-crawled id never self-pairs; latest text wins") {
+    import org.apache.spark.sql.functions.col
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("id", "text")
+    // id 1 re-crawled with DIFFERENT text that now matches id 3's
+    val newDocs = Seq(
+      (1L, "red orange yellow green blue violet"),
+      (3L, "red orange yellow green blue violet")).toDF("id", "text")
+    val oldBands = Dedup.minhashBandRows(oldDocs, "id", "text", 3, 32, 8)
+    val pairs = Dedup.minhashIncrementalDuplicates(oldBands, oldDocs, newDocs,
+      "id", "text", n = 3, k = 32, bands = 8, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!pairs.exists(p => p._1 == p._2), s"self-pair leaked: $pairs")
+    // (1, 3) verifies at jaccard 1.0 ONLY if id 1's text is the new one
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 1.0), pairs.toString)
+    spark.catalog.clearCache()
+  }
 }

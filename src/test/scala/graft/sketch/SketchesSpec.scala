@@ -108,11 +108,15 @@ class SketchesSpec extends SparkTestBase {
     val df = (1 to 400).map(i => (i.toLong, s"w${i % 37}")).toDF("id", "t")
     val halves = Seq(0, 1).map(m =>
       Sketches.cmsBuild(df.filter($"id" % 2 === m), "t", width = 64, depth = 3))
-    val merged = Sketches.cmsMerge(halves)
+    val merged = Sketches.cmsMerge(halves, width = 64, depth = 3)
     val direct = Sketches.cmsBuild(df, "t", width = 64, depth = 3)
     assert(merged.toSeq == direct.toSeq)
     assertThrows[IllegalArgumentException] {
-      Sketches.cmsMerge(Seq(new Array[Long](6), new Array[Long](8)))
+      Sketches.cmsMerge(Seq(new Array[Long](6), new Array[Long](8)), 2, 3)
+    }
+    // equal cell count but different geometry is refused, not mixed
+    assertThrows[IllegalArgumentException] {
+      Sketches.cmsMerge(Seq(new Array[Long](6)), width = 3, depth = 3)
     }
   }
 
