@@ -216,6 +216,47 @@ object SparkEntry {
       }
   }
 
+  /** Gold + perturbed-actual span tables for the span_eval contract queries
+    * (exploded rows, no Doc round-trip). Gold: per (order k, page p) a text
+    * span at offset 2p and a media span at 2p+1. Actual plants disjoint
+    * deterministic defects on page 1: k%13=0 drops the media span (recall),
+    * k%17=0 (not 13) swaps the two offsets (order-only), k%19=0 (not 13/17)
+    * mutates the text (both), and k%23=0 appends a spurious span at a huge
+    * offset (precision). */
+  private def spanEvalFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val pg = rd(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("p"))
+      .agg(min(pmod(col("l_partkey"), lit(1000))).as("b"))
+    val id = col("k").cast("string").as("doc_id")
+    val body = concat(lit("body "), col("b").cast("string"),
+      lit(" page "), col("p").cast("string"))
+    val mref = concat(lit("mm-"), col("k").cast("string"),
+      lit("-"), col("p").cast("string"))
+    val gold = pg.select(id, lit("text").as("kind"), body.as("text"),
+        lit("").as("media_ref"), (col("p") * 2).cast("int").as("offset"))
+      .unionAll(pg.select(id, lit("media").as("kind"), lit("").as("text"),
+        mref.as("media_ref"), (col("p") * 2 + 1).cast("int").as("offset")))
+    val swap = pmod(col("k"), lit(17)) === 0 && pmod(col("k"), lit(13)) =!= 0 &&
+      col("p") === 1
+    val actText = pg.select(id, lit("text").as("kind"),
+      when(pmod(col("k"), lit(19)) === 0 && pmod(col("k"), lit(13)) =!= 0 &&
+        pmod(col("k"), lit(17)) =!= 0 && col("p") === 1,
+        concat(body, lit(" MUTATED"))).otherwise(body).as("text"),
+      lit("").as("media_ref"),
+      when(swap, col("p") * 2 + 1).otherwise(col("p") * 2).cast("int").as("offset"))
+    val actMedia = pg
+      .filter(!(pmod(col("k"), lit(13)) === 0 && col("p") === 1))
+      .select(id, lit("media").as("kind"), lit("").as("text"),
+        mref.as("media_ref"),
+        when(swap, col("p") * 2).otherwise(col("p") * 2 + 1).cast("int").as("offset"))
+    val extra = pg.filter(pmod(col("k"), lit(23)) === 0)
+      .select(col("k")).distinct()
+      .select(col("k").cast("string").as("doc_id"), lit("text").as("kind"),
+        lit("extra span").as("text"), lit("").as("media_ref"),
+        lit(1000000).as("offset"))
+    (actText.unionAll(actMedia).unionAll(extra), gold)
+  }
+
   /** Interleaved docs with media spans derived from lineitem (one doc per
     * order): per page a caption text span plus a media span with ref
     * `mm-<k>-<page>`; every 5th page's media span carries an EMPTY ref and
@@ -1022,6 +1063,24 @@ object SparkEntry {
         .select(col("doc_id"), col("page").cast("long").as("page"),
           posexplode(col("rows")).as(Seq("ri", "tr")))
         .select(col("doc_id"), col("page"), col("ri").cast("long").as("ri"), col("tr"))
+    }),
+
+    "span_eval" -> ((s, d) => {
+      // North-rule acceptance invariant as a distributed metric: per-doc
+      // span-sequence equality (kind, text, media_ref, order) vs a gold
+      // table, plus bag-level P/R that separates content errors from order
+      // errors. The actual corpus plants four deterministic defect families
+      // (drop / order-swap / text-mutation / spurious-extra) the metric must
+      // localize exactly.
+      val (a, g) = spanEvalFrames(s, d)
+      graft.qc.SpanEval.spanSeqEval(a, g)
+    }),
+
+    "span_eval_summary" -> ((s, d) => {
+      // Corpus roll-up of span_eval: doc exact-match rate + span micro P/R
+      // in exact milli units — the one-row report of a full extraction run.
+      val (a, g) = spanEvalFrames(s, d)
+      graft.qc.SpanEval.spanSeqSummary(graft.qc.SpanEval.spanSeqEval(a, g))
     }),
 
     "qc_compare" -> ((s, d) => {
@@ -3082,6 +3141,55 @@ object SparkEntry {
       |  kind, text
       |FROM rows_""".stripMargin
 
+  /** Shared CTE chain for the span_eval oracles: renders the gold + planted
+    * defect corpora (lockstep with [[spanEvalFrames]]) and replays
+    * [[graft.qc.SpanEval.spanSeqEval]] — per-side position index, full-outer
+    * positional match, dup-ranked bag intersection, integer-milli ratios. */
+  private val spanEvalOracleCtes: String =
+    """WITH pg AS (SELECT l_orderkey AS k, l_linenumber::INT AS p, min(l_partkey%1000) AS b
+      |  FROM lineitem GROUP BY 1,2),
+      |gold AS (
+      |  SELECT k::VARCHAR AS doc_id, 'text' AS kind, 'body '||b||' page '||p AS text,
+      |    '' AS media_ref, p*2 AS off FROM pg
+      |  UNION ALL SELECT k::VARCHAR, 'media', '', 'mm-'||k||'-'||p, p*2+1 FROM pg),
+      |act AS (
+      |  SELECT k::VARCHAR AS doc_id, 'text' AS kind,
+      |    CASE WHEN k%19=0 AND k%13<>0 AND k%17<>0 AND p=1
+      |      THEN 'body '||b||' page '||p||' MUTATED'
+      |      ELSE 'body '||b||' page '||p END AS text,
+      |    '' AS media_ref,
+      |    CASE WHEN k%17=0 AND k%13<>0 AND p=1 THEN p*2+1 ELSE p*2 END AS off FROM pg
+      |  UNION ALL SELECT k::VARCHAR, 'media', '', 'mm-'||k||'-'||p,
+      |    CASE WHEN k%17=0 AND k%13<>0 AND p=1 THEN p*2 ELSE p*2+1 END
+      |    FROM pg WHERE NOT (k%13=0 AND p=1)
+      |  UNION ALL SELECT DISTINCT k::VARCHAR, 'text', 'extra span', '', 1000000
+      |    FROM pg WHERE k%23=0),
+      |ai AS (SELECT doc_id, kind, text, media_ref,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY off, kind, text) AS idx FROM act),
+      |gi AS (SELECT doc_id, kind, text, media_ref,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY off, kind, text) AS idx FROM gold),
+      |ap AS (SELECT doc_id, idx, kind AS a_kind, text AS a_text, media_ref AS a_ref FROM ai),
+      |gp AS (SELECT doc_id, idx, kind AS g_kind, text AS g_text, media_ref AS g_ref FROM gi),
+      |pos AS (SELECT doc_id, count(a_kind) AS n_actual, count(g_kind) AS n_gold,
+      |  sum(CASE WHEN a_kind=g_kind AND a_text=g_text AND a_ref=g_ref
+      |    THEN 1 ELSE 0 END)::BIGINT AS pos_matched
+      |  FROM ap FULL JOIN gp USING (doc_id, idx) GROUP BY 1),
+      |ar AS (SELECT doc_id, kind, text, media_ref, row_number() OVER
+      |  (PARTITION BY doc_id, kind, text, media_ref ORDER BY idx) AS dup_rank FROM ai),
+      |gr AS (SELECT doc_id, kind, text, media_ref, row_number() OVER
+      |  (PARTITION BY doc_id, kind, text, media_ref ORDER BY idx) AS dup_rank FROM gi),
+      |bag AS (SELECT doc_id, count(*) AS bag_matched FROM ar
+      |  JOIN gr USING (doc_id, kind, text, media_ref, dup_rank) GROUP BY 1),
+      |per AS (SELECT pos.doc_id, n_gold, n_actual, pos_matched,
+      |  coalesce(bag_matched, 0) AS bag_matched,
+      |  (n_gold = n_actual AND pos_matched = n_gold) AS exact,
+      |  CASE WHEN n_actual>0 THEN (1000*coalesce(bag_matched,0))//n_actual
+      |    END AS precision_milli,
+      |  CASE WHEN n_gold>0 THEN (1000*coalesce(bag_matched,0))//n_gold
+      |    END AS recall_milli
+      |  FROM pos LEFT JOIN bag ON pos.doc_id=bag.doc_id)
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = {
     // shared fragments (kept in lockstep with the Spark derivations above)
     val docText =
@@ -3813,6 +3921,26 @@ object SparkEntry {
           |  FROM filled WHERE kind='table')
           |SELECT k::VARCHAR AS doc_id, page::BIGINT AS page, i-1 AS ri, parts[i] AS tr
           |FROM tt, unnest(generate_series(1, len(parts))) AS u(i)""".stripMargin,
+
+      "span_eval" -> (spanEvalOracleCtes +
+        """SELECT doc_id, n_gold, n_actual, pos_matched, bag_matched, exact,
+          |  precision_milli, recall_milli,
+          |  CASE WHEN coalesce(precision_milli,0)+coalesce(recall_milli,0) > 0
+          |    THEN (2*precision_milli*recall_milli)//(precision_milli+recall_milli)
+          |  END AS f1_milli
+          |FROM per""".stripMargin),
+
+      "span_eval_summary" -> (spanEvalOracleCtes +
+        """SELECT count(*) AS n_docs,
+          |  sum(CASE WHEN exact THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+          |  ((1000*sum(CASE WHEN exact THEN 1 ELSE 0 END))//count(*))::BIGINT
+          |    AS exact_rate_milli,
+          |  sum(n_gold)::BIGINT AS gold_spans, sum(n_actual)::BIGINT AS actual_spans,
+          |  (CASE WHEN sum(n_actual)>0 THEN (1000*sum(bag_matched))//sum(n_actual)
+          |    END)::BIGINT AS micro_precision_milli,
+          |  (CASE WHEN sum(n_gold)>0 THEN (1000*sum(bag_matched))//sum(n_gold)
+          |    END)::BIGINT AS micro_recall_milli
+          |FROM per""".stripMargin),
 
       "qc_compare" ->
         """WITH c AS (SELECT o_orderkey AS doc, 'total' AS field,
