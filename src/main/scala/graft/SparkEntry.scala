@@ -1452,6 +1452,14 @@ object SparkEntry {
         TA.qualityScoreCol(col("text")).as("quality"))
     }),
 
+    "char_entropy" -> ((s, d) => {
+      // compressibility quality signal: per-doc char-histogram Shannon
+      // entropy in micro-nats (one rounded ln per distinct count — the
+      // Importance integer-log idiom); repeated-char boilerplate scores
+      // near 0, random gibberish near the alphabet ceiling
+      TA.charEntropyDf(rd(s, d, "documents"), "doc_id", "text")
+    }),
+
     // the CurateJob kernel as a gated query: repairs → blocklist → Gopher
     // rules → classifier, composed per doc in one zero-shuffle typed map.
     // On this ASCII corpus the repair stages must be no-ops — if the
@@ -4393,6 +4401,22 @@ object SparkEntry {
            |  FROM t)
            |SELECT doc_id, round(CAST(q AS VARCHAR)::DECIMAL(25,20), 4)::DOUBLE AS quality
            |FROM raw""".stripMargin,
+
+      "char_entropy" ->
+        """WITH ch AS (SELECT doc_id, unnest(string_split(text,'')) AS c
+          |  FROM documents),
+          |hist AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1,2),
+          |agg AS (SELECT doc_id, sum(cnt)::BIGINT AS nch,
+          |  count(*)::BIGINT AS ndis,
+          |  sum(cnt * round(ln(cnt)*1e6)::BIGINT)::BIGINT AS sum_cl
+          |  FROM hist GROUP BY 1)
+          |SELECT d.doc_id,
+          |  coalesce(nch, 0) AS n_chars,
+          |  coalesce(ndis, 0) AS n_distinct,
+          |  CASE WHEN coalesce(nch, 0) = 0 THEN 0
+          |    ELSE round(ln(nch)*1e6)::BIGINT - sum_cl // nch
+          |  END AS entropy_micro
+          |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
       // curate-battery replay: blocklist + Gopher rules + classifier
       // fragments composed over RAW text (repairs are no-ops on this

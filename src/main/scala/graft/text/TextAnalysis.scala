@@ -727,6 +727,54 @@ object TextAnalysis {
     * at scale: explode → partial (map-side) count → final count →
     * TakeOrderedAndProject, i.e. each partition ships only its local top-k
     * candidates' counts, never a global sort. */
+  /** Character-level Shannon entropy as a quality signal — the
+    * compressibility heuristic: near-zero entropy flags repeated-char /
+    * template boilerplate, entropy near the alphabet ceiling flags
+    * random-byte gibberish, prose sits in between (~2.0-3.3 nats for
+    * English). H = ln(n) − (Σ cᵢ·ln(cᵢ))/n over the per-doc char
+    * histogram, carried in micro-nats with ONE rounded ln per distinct
+    * (doc, char) count so the number replays bit-identically in any
+    * engine (the [[graft.text.Importance]] integer-log idiom).
+    *
+    * Plan: explode to (id, char) rows, ONE partial-agg groupBy pair —
+    * map-side combine collapses the per-char rows before the exchange, so
+    * the shuffle carries ≤ |alphabet| rows per doc. Splitting is by Java
+    * char (UTF-16 unit): astral-plane code points count as two units —
+    * fine for a rate signal, documented rather than hidden.
+    *
+    * Output: (id, n_chars, n_distinct, entropy_micro); empty docs get
+    * entropy 0 (not null — a zero-length doc IS maximally compressible).
+    */
+  def charEntropyDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lnMicro = (c: Column) => round(log(c.cast("double")) * 1e6).cast("long")
+    df.select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      // Java split(re, -1) emits a trailing "" element; DuckDB's
+      // string_split does not — drop it on this side so the count replays
+      .filter(col("__ch") =!= "")
+      .groupBy(col(idCol), col("__ch")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c") * lnMicro(col("__c"))).as("__sum_cl"))
+      .join(df.select(col(idCol)), Seq(idCol), "right_outer")
+      .select(col(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_chars"), lit(0L)) === 0, lit(0L))
+          .otherwise(lnMicro(col("n_chars")) -
+            expr("__sum_cl div n_chars")).as("entropy_micro"))
+  }
+
+  /** Pure twin of [[charEntropyDf]] for one document. */
+  def charEntropy(text: String): (Long, Long, Long) = {
+    if (text.isEmpty) return (0L, 0L, 0L)
+    val hist = text.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def lnMicro(x: Long) = Math.round(Math.log(x.toDouble) * 1e6)
+    val n = text.length.toLong
+    val sumCl = hist.values.map(c => c * lnMicro(c)).sum
+    (n, hist.size.toLong, lnMicro(n) - sumCl / n)
+  }
+
   def topTokensDf(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     df.select(explode(tokensCol(col(textCol))).as("token"))

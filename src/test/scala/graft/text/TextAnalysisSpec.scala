@@ -326,4 +326,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(foldFrom.length == foldTo.length)
     assert(foldFrom.distinct.length == foldFrom.length)
   }
+
+  test("char entropy: pure ≡ DF, ordering and edge cases") {
+    import TextAnalysis.charEntropy
+    // uniform over 4 chars: H = ln 4 exactly (sum term is 4·2·ln2... per
+    // count 2: lnMicro(2)·2·4 summed / 8)
+    val (n, d, h) = charEntropy("aabbccdd")
+    assert(n == 8 && d == 4)
+    assert(Math.abs(h - Math.round(Math.log(4) * 1e6)) <= 1, h.toString)
+    // single repeated char compresses to zero entropy
+    assert(charEntropy("aaaaaaaa")._3 == 0L)
+    // empty doc: defined as (0, 0, 0), not null
+    assert(charEntropy("") == (0L, 0L, 0L))
+    // more-random text scores strictly higher than repetitive text
+    assert(charEntropy("abcdefgh")._3 > charEntropy("aabbccdd")._3)
+    assert(charEntropy("aabbccdd")._3 > charEntropy("aaaaaaab")._3)
+    val docs = Seq(("d1", "aabbccdd"), ("d2", "aaaaaaaa"), ("d3", ""),
+      ("d4", "the quick brown fox"))
+    val got = TextAnalysis.charEntropyDf(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = docs.sortBy(_._1).map { case (id, t) =>
+      val (nn, dd, hh) = charEntropy(t); (id, nn, dd, hh)
+    }
+    assert(got == want)
+  }
 }
