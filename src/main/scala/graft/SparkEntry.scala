@@ -2756,6 +2756,36 @@ object SparkEntry {
       s.read.parquet(out).select("doc_key", "text", "fp")
     }),
 
+    "stream_minhash" -> ((s, d) => {
+      // streaming MinHash+LSH near-dup (custom band-bucket state), run as a
+      // REAL checkpointed stream over the minhash_dups corpus (bounded to
+      // doc_id <= 500 so both SFs see the same docs): pairs stream out as
+      // docs arrive; verification is the signature-equality estimate (the
+      // documented streaming deviation from batch exact-Jaccard). Read-back
+      // distinct collapses the per-shared-band emissions.
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val base = 1767225600L // 2026-01-01 00:00:00 UTC
+      val rows = rd(s, d, "documents").filter(col("doc_id") <= 500)
+        .withColumn("t2", docText)
+        .select(col("doc_id"),
+          (lit(base) + col("doc_id")).cast("timestamp").as("event_time"),
+          col("t2").as("text"))
+      val (inDir, out, ck) = streamDirs("stream-minhash", d) { p =>
+        rows.coalesce(1).write.parquet(p)
+      }
+      val in = s.readStream.schema(rows.schema).parquet(inDir)
+        .as[graft.streaming.StreamJob.MinhashDocEvent]
+      graft.streaming.StreamJob.minhashDupStream(in,
+        n = 3, k = 32, bands = 8, minSimMilli = 500,
+        maxBucket = 1 << 20, horizonSeconds = 86400, watermarkDelay = "1 hour")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.read.parquet(out).select("id_a", "id_b", "sim_milli").distinct()
+    }),
+
     "stream_window" -> ((s, d) => {
       // watermarked tumbling-window aggregation, run as a REAL stream (file
       // source → append sink): docs rendered from lineitem with event_time
@@ -5982,6 +6012,27 @@ object SparkEntry {
            |SELECT id_a, id_b, round(cnt::DOUBLE/(sa.sz+sb.sz-cnt)::DOUBLE,6) AS jaccard
            |FROM common JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
            |WHERE round(cnt::DOUBLE/(sa.sz+sb.sz-cnt)::DOUBLE,6) >= 0.5""".stripMargin,
+
+      // streaming replay: the signature/banding cascade (identical to
+      // minhash_dups) on the bounded corpus, with the STREAMING verdict —
+      // signature-component equality fraction — instead of exact Jaccard
+      "stream_minhash" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents WHERE doc_id <= 500),
+           |tok AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM t),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+           |    i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS shl
+           |  FROM tok WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, list_transform(range(32), i ->
+           |    list_min(list_transform(shl, x -> ${hash60("i||':'||x")}))) AS sg FROM sh),
+           |bands AS (SELECT doc_id, unnest(list_transform(range(8), b ->
+           |    ${hash60("b||'|'||sg[4*b+1]||','||sg[4*b+2]||','||sg[4*b+3]||','||sg[4*b+4]")})) AS band FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band=b.band AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  ((1000 * len(list_filter(range(32), i -> sa.sg[i+1] = sb.sg[i+1]))) // 32)::BIGINT
+           |    AS sim_milli
+           |FROM cand JOIN sig sa ON sa.doc_id=id_a JOIN sig sb ON sb.doc_id=id_b
+           |WHERE (1000 * len(list_filter(range(32), i -> sa.sg[i+1] = sb.sg[i+1]))) // 32 >= 500""".stripMargin,
 
       // incremental replay: the BATCH cascade (identical to minhash_dups)
       // restricted to pairs touching an odd ("new") doc — the incremental

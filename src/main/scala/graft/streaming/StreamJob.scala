@@ -139,6 +139,97 @@ object StreamJob {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** One document arriving on a crawl stream (near-dup input). */
+  final case class MinhashDocEvent(doc_id: Long,
+      event_time: java.sql.Timestamp, text: String)
+
+  final case class BandEvent(band: Long, doc_id: Long,
+      event_ms: Long, sig: Seq[Long])
+
+  /** Per-band-bucket state: (doc_id, signature) entries in arrival order,
+    * plus the latest event time seen (drives horizon eviction). */
+  final case class BandBucketState(
+      entries: Seq[(Long, Seq[Long])], lastEventMs: Long)
+
+  /** Streaming MinHash+LSH near-duplicate detection — the online twin of
+    * [[graft.dedup.Dedup.minhashDuplicates]]: each arriving doc is
+    * signatured and banded IN THE MAP (per-row work, no shuffle), band
+    * events are grouped by band key, and custom state
+    * (`flatMapGroupsWithState`) holds the bucket's recent (doc_id,
+    * signature) entries so a new arrival emits a candidate pair against
+    * every stored neighbor immediately — dedup verdicts stream out with
+    * the crawl instead of waiting for a batch window.
+    *
+    * Verification DEVIATES from the batch path by design: batch re-reads
+    * candidate texts and computes exact shingle Jaccard; a stream cannot
+    * hold texts in state, so the verdict is the MinHash estimate itself —
+    * `sim_milli = 1000·|{i : sigA_i = sigB_i}| div k`, the unbiased
+    * estimator of Jaccard the signatures exist to provide.
+    *
+    * Scale/skew: state per bucket is capped at `maxBucket` entries
+    * (arrival order wins; later docs in a hot bucket still PAIR against
+    * the stored entries but are not stored — the same boilerplate-bucket
+    * cap as the batch path's `maxBucket`, applied online). A bucket idle
+    * past `horizonSeconds` (event time) times out and drops its state, so
+    * memory is bounded by active buckets × maxBucket × k longs, not by
+    * stream lifetime. A pair sharing several bands emits once per shared
+    * band — downstream dedups on (id_a, id_b) (the read-back `distinct`).
+    *
+    * In-batch determinism: events inside one micro-batch are processed in
+    * (event_time, doc_id) order, so replays and retries emit identical
+    * pairs. */
+  def minhashDupStream(docs: Dataset[MinhashDocEvent],
+      n: Int = 3, k: Int = 32, bands: Int = 8, minSimMilli: Long = 500,
+      maxBucket: Int = 64, horizonSeconds: Long = 3600,
+      watermarkDelay: String = "10 seconds"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val events = docs.flatMap { e =>
+      val sh = graft.dedup.Dedup.shingles(e.text, n)
+      if (sh.isEmpty) Iterator.empty
+      else {
+        val sig = (0 until k).map(i =>
+          sh.iterator.map(s => graft.text.TextAnalysis.hash60(s"$i:$s")).min)
+        graft.dedup.Dedup.lshBandKeys(sig, bands, r).iterator
+          .map(b => BandEvent(b, e.doc_id, e.event_time.getTime, sig))
+      }
+    }
+    events
+      .withColumn("event_time", (col("event_ms") / 1000).cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[(Long, Long, Long, Seq[Long], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BandBucketState, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, events, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption
+            var entries = prev.map(_.entries).getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            val evs = events.toSeq.sortBy(e => (e._3, e._2))
+            for (e <- evs) {
+              val (id, ms, sig) = (e._2, e._3, e._4)
+              for ((oid, osig) <- entries if oid != id) {
+                val m = (0 until k).count(i => sig(i) == osig(i)).toLong
+                val simMilli = 1000L * m / k
+                if (simMilli >= minSimMilli)
+                  out += ((math.min(oid, id), math.max(oid, id), simMilli, ms))
+              }
+              if (entries.size < maxBucket) entries :+= (id, sig)
+            }
+            val lastMs = math.max(prev.map(_.lastEventMs).getOrElse(0L),
+              evs.map(_._3).max)
+            state.update(BandBucketState(entries, lastMs))
+            state.setTimeoutTimestamp(lastMs + horizonSeconds * 1000L)
+            out.iterator
+          }
+      }
+      .toDF("id_a", "id_b", "sim_milli", "event_ms")
+  }
+
   /** One span arriving as a streaming event. */
   final case class SpanEvent(doc_id: String, event_time: java.sql.Timestamp,
       kind: String, text: String, media_ref: String, offset: Int)

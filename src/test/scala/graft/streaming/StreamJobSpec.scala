@@ -159,6 +159,66 @@ class StreamJobSpec extends SparkTestBase {
     assert(got("A").nonEmpty && got("B").nonEmpty)
   }
 
+  test("minhashDupStream: online near-dup pairs match the signature estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.dedup.Dedup
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    val tC = tA.replace("kappa", "lambda") // near-dup of A
+    def ev(id: Long, t: Long, text: String) =
+      StreamJob.MinhashDocEvent(id, new java.sql.Timestamp(t * 1000), text)
+
+    val input = MemoryStream[StreamJob.MinhashDocEvent]
+    val q = StreamJob.minhashDupStream(input.toDS(), minSimMilli = 500)
+      .writeStream.format("memory").queryName("mh").outputMode("append").start()
+    input.addData(ev(1, 100, tA), ev(2, 110, tB))
+    q.processAllAvailable()
+    // cross-batch: doc 3 is an exact dup of 1, doc 4 a near-dup
+    input.addData(ev(3, 200, tA), ev(4, 210, tC))
+    q.processAllAvailable()
+    q.stop()
+
+    val raw = spark.table("mh").as[(Long, Long, Long, Long)].collect().toSeq
+    val pairs = raw.map(r => (r._1, r._2, r._3)).distinct.sortBy(p => (p._1, p._2))
+    // expected sims from the batch signature estimator
+    def sim(a: String, b: String): Long = {
+      val (sa, sb) = (Dedup.minhashSignature(a, 3, 32), Dedup.minhashSignature(b, 3, 32))
+      1000L * sa.zip(sb).count(p => p._1 == p._2) / 32
+    }
+    val exp = Seq((1L, 3L, sim(tA, tA)), (1L, 4L, sim(tA, tC)), (3L, 4L, sim(tA, tC)))
+      .filter(_._3 >= 500).sortBy(p => (p._1, p._2))
+    assert(pairs == exp, s"got $pairs want $exp")
+    assert(sim(tA, tA) == 1000L)
+    // an exact dup shares all 8 bands → the (1,3) pair emits once per band
+    assert(raw.count(r => r._1 == 1L && r._2 == 3L) == 8)
+    // doc 2 never pairs
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhashDupStream: maxBucket cap stores first arrivals, still pairs against them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def ev(id: Long, ts: Long) =
+      StreamJob.MinhashDocEvent(id, new java.sql.Timestamp(ts * 1000), t)
+    val input = MemoryStream[StreamJob.MinhashDocEvent]
+    val q = StreamJob.minhashDupStream(input.toDS(), minSimMilli = 500, maxBucket = 1)
+      .writeStream.format("memory").queryName("mhc").outputMode("append").start()
+    input.addData(ev(1, 100), ev(3, 200), ev(5, 300))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("mhc").as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2)).distinct.toSet
+    // only doc 1 is stored; 3 and 5 pair against it but never against each
+    // other (the hot-bucket drop, applied online)
+    assert(pairs == Set((1L, 3L), (1L, 5L)))
+  }
+
   test("restart with same checkpoint is a no-op (no duplicate output)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream2").toString
