@@ -29,7 +29,7 @@ object ExplainQuery {
         "minhash_dups", "minhash_incremental", "bpe_merges", "bpe_segment", "bpe_batch",
         "cms_freq", "cms_merge", "bloom_dedup", "bloom_merge", "ingest_e2e",
         "pq_topk", "pagerank_dangling",
-        "dedup_clusters_alt", "hits_scores")
+        "dedup_clusters_alt", "dedup_best_of_cluster", "hits_scores")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

@@ -1970,6 +1970,20 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
     }),
 
+    "dedup_best_of_cluster" -> ((s, d) => {
+      // quality-survivor canonical selection: within each dup cluster the
+      // LONGEST text wins (ties → min id) — the production keep-best rule,
+      // vs dedup_canonical's min-id rule; same clusters, different survivor
+      val docs = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2"),
+          length(col("t2")).cast("long").as("n_chars2"))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "t2", n = 3, minJ = 0.2)
+      Dedup.canonicalizeByScore(docs.select("doc_id", "n_chars2"),
+        "doc_id", "n_chars2", pairs)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars2"),
+          col("is_canonical"))
+    }),
+
     // ---------------------------------------------------- similarity ------
     "knn_topk" -> ((s, d) => {
       val e = rd(s, d, "embeddings")
@@ -5152,6 +5166,24 @@ object SparkEntry {
            |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
            |  coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS is_canonical
            |FROM documents d LEFT JOIN cc USING (doc_id)""".stripMargin,
+
+      "dedup_best_of_cluster" ->
+        s"""WITH RECURSIVE $jacPairs,
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT s, s FROM edges
+           |  UNION
+           |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+           |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |full_ AS (SELECT d.doc_id,
+           |  coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+           |  length($docText)::BIGINT AS n_chars2
+           |  FROM documents d LEFT JOIN cc USING (doc_id))
+           |SELECT doc_id, cluster_id, n_chars2,
+           |  row_number() OVER (PARTITION BY cluster_id
+           |    ORDER BY n_chars2 DESC, doc_id) = 1 AS is_canonical
+           |FROM full_""".stripMargin,
 
       "knn_topk" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -897,4 +897,24 @@ object Dedup {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("is_canonical", col("cluster_id") === col(idCol))
   }
+
+  /** [[canonicalize]] with a QUALITY survivor policy: the canonical doc of
+    * each duplicate cluster is the one with the highest `scoreCol` (ties →
+    * smallest id), not the smallest id — the production rule when
+    * duplicates differ in quality (keep the longest / cleanest / highest-
+    * classifier copy, drop the rest). Costs one extra hash exchange on
+    * cluster_id + an in-partition sort over cluster members (bounded by
+    * cluster size); singletons are their own canonical. */
+  def canonicalizeByScore(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol, maxIters)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+  }
 }

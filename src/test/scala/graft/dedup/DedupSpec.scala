@@ -410,6 +410,23 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("canonicalizeByScore: highest score survives, ties fall to min id") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 7L), (4L, 7L), (5L, 30L), (6L, 1L))
+      .toDF("doc_id", "score")
+    // cluster {1,2,5}: max score 30 tied between 2 and 5 → 2 wins;
+    // cluster {3,4}: equal scores → min id 3 wins; 6 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = canonicalizeByScore(docs, "doc_id", "score", pairs)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, true),
+      (4L, 3L, false), (5L, 1L, false), (6L, 6L, true)))
+    // exactly one canonical per cluster
+    val perCluster = got.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(perCluster.values.forall(_ == 1))
+    spark.catalog.clearCache()
+  }
+
   test("substring dedup: duplicated k-token spans stripped to one canonical copy") {
     val shared = "standard legal disclaimer all liability limited to amounts stated"
     val corpus = Seq(
