@@ -224,9 +224,13 @@ object SparkEntry {
     * mutates the text (both), and k%23=0 appends a spurious span at a huge
     * offset (precision). */
   private def spanEvalFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val pg = rd(s, d, "lineitem")
-      .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("p"))
-      .agg(min(pmod(col("l_partkey"), lit(1000))).as("b"))
+    // the (k, p, b) aggregate feeds FIVE branches (gold text/media, actual
+    // text/media, extra) — persist it or the lineitem scan+agg runs 5x
+    val pg = graft.io.Persisted.track(
+      rd(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("p"))
+        .agg(min(pmod(col("l_partkey"), lit(1000))).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val id = col("k").cast("string").as("doc_id")
     val body = concat(lit("body "), col("b").cast("string"),
       lit(" page "), col("p").cast("string"))

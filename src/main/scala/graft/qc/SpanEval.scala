@@ -40,12 +40,25 @@ import org.apache.spark.sql.functions._
   */
 object SpanEval {
 
+  /** (id, idx, payload): position index plus a 60-bit digest of the span
+    * payload, so every exchange after this one carries longs instead of
+    * the three strings. The encoding is collision-free by construction
+    * (length-prefixed fields, null marked distinctly from any string —
+    * 'N' vs 'S<len>:<bytes>'), so payload equality ⇔ null-safe
+    * (kind, text, media_ref) equality up to md5 collisions (~2⁻⁶⁰ per
+    * pair, the same budget every dedup operator here runs on). */
   private def indexed(df: DataFrame, idCol: String): DataFrame = {
+    val enc = (c: org.apache.spark.sql.Column) =>
+      when(c.isNull, lit("N"))
+        .otherwise(concat(lit("S"), length(c).cast("string"), lit(":"), c))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("offset"), col("kind"), col("text"))
     df.select(col(idCol), col("kind"), col("text"), col("media_ref"),
       col("offset"))
+      .withColumn("payload", graft.text.TextAnalysis.hash60(
+        concat(enc(col("kind")), enc(col("text")), enc(col("media_ref")))))
       .withColumn("idx", row_number().over(w))
+      .select(col(idCol), col("idx"), col("payload"))
   }
 
   def spanSeqEval(actual: DataFrame, gold: DataFrame,
@@ -53,31 +66,26 @@ object SpanEval {
     val a = indexed(actual, idCol)
     val g = indexed(gold, idCol)
 
-    // positional: full outer on (id, idx); a position matches when all three
-    // payload fields agree null-safely on both sides
-    val aPos = a.select(col(idCol), col("idx"), col("kind").as("a_kind"),
-      col("text").as("a_text"), col("media_ref").as("a_ref"))
-    val gPos = g.select(col(idCol), col("idx"), col("kind").as("g_kind"),
-      col("text").as("g_text"), col("media_ref").as("g_ref"))
+    // positional: full outer on (id, idx); a position matches when the
+    // payload digests agree (⇔ null-safe field equality, see indexed)
+    val aPos = a.select(col(idCol), col("idx"), col("payload").as("a_pay"))
+    val gPos = g.select(col(idCol), col("idx"), col("payload").as("g_pay"))
     val pos = aPos.join(gPos, Seq(idCol, "idx"), "full_outer")
       .groupBy(col(idCol))
       .agg(
-        count(col("a_kind")).as("n_actual"),
-        count(col("g_kind")).as("n_gold"),
-        sum(when((col("a_kind") <=> col("g_kind")) &&
-          (col("a_text") <=> col("g_text")) &&
-          (col("a_ref") <=> col("g_ref")), 1L).otherwise(0L)).as("pos_matched"))
+        count(col("a_pay")).as("n_actual"),
+        count(col("g_pay")).as("n_gold"),
+        sum(when(col("a_pay") <=> col("g_pay"), 1L).otherwise(0L))
+          .as("pos_matched"))
 
-    // bag: rank duplicates of the same (kind, text, media_ref) within a doc
-    // on each side so multiset intersection = inner join on the rank too
+    // bag: rank duplicates of the same payload within a doc on each side so
+    // multiset intersection = inner join on the rank too
     def ranked(df: DataFrame) = df.withColumn("dup_rank",
-      row_number().over(Window.partitionBy(col(idCol), col("kind"),
-        col("text"), col("media_ref")).orderBy(col("idx"))))
-    val bag = ranked(a).select(col(idCol), col("kind"), col("text"),
-      col("media_ref"), col("dup_rank"))
-      .join(ranked(g).select(col(idCol), col("kind"), col("text"),
-        col("media_ref"), col("dup_rank")),
-        Seq(idCol, "kind", "text", "media_ref", "dup_rank"))
+      row_number().over(Window.partitionBy(col(idCol), col("payload"))
+        .orderBy(col("idx"))))
+    val bag = ranked(a).select(col(idCol), col("payload"), col("dup_rank"))
+      .join(ranked(g).select(col(idCol), col("payload"), col("dup_rank")),
+        Seq(idCol, "payload", "dup_rank"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("bag_matched"))
 
     pos.join(bag, Seq(idCol), "left_outer")
