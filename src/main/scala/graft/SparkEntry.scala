@@ -1140,6 +1140,29 @@ object SparkEntry {
           col("is_mismatch"))
     }),
 
+    "qc_fuzzy" -> ((s, d) => {
+      // OCR-noise edit-distance compare: 1 glyph slip passes (budget 1),
+      // 2 slips fail, abbreviation-only differences normalize to distance
+      // 0, one-sided null stays a hard mismatch
+      val o = rd(s, d, "orders")
+      val m = pmod(col("o_orderkey"), lit(5))
+      val certV = when(m === 0, lit("ACME HOLDINGS LLC"))
+        .when(m === 1, lit("123 Main Road, Suite 4"))
+        .when(m === 2, lit("JOHNSON & SONS"))
+        .when(m === 3, lit("NORTH RIVER MILLS"))
+        .otherwise(lit(null).cast("string"))
+      val polV = when(m === 0, lit("ACME HOLD1NGS LLC")) // 1 edit
+        .when(m === 1, lit("123 MAIN RD. STE 4"))        // norm-equal
+        .when(m === 2, lit("J0HNSON & S0NS"))            // 2 edits
+        .when(m === 3, lit("NORTH RIVER MILLS"))
+        .otherwise(lit("present"))                       // cert-side null
+      val certKv = o.select(col("o_orderkey").as("doc"), lit("f").as("field"), certV.as("value"))
+      val polKv = o.select(col("o_orderkey").as("doc"), lit("f").as("field"), polV.as("value"))
+      Qc.qcCompareFuzzyDf(certKv, polKv, "doc", maxEdits = 1)
+        .select(col("doc"), col("field"), col("certificate"), col("policy"),
+          col("edit_distance"), col("is_mismatch"))
+    }),
+
     "summary_counts" -> ((s, d) => {
       val status = when(col("o_orderstatus") === "F", "MATCH")
         .when(col("o_orderstatus") === "O", "MISMATCH")
@@ -1462,6 +1485,22 @@ object SparkEntry {
       // Importance integer-log idiom); repeated-char boilerplate scores
       // near 0, random gibberish near the alphabet ceiling
       TA.charEntropyDf(rd(s, d, "documents"), "doc_id", "text")
+    }),
+
+    "quality_top_fraction" -> ((s, d) => {
+      // dynamic per-language thresholding (the keep-top-X% curation rule):
+      // instead of one global score cutoff, each language keeps its own
+      // top quartile by entropy — percent_rank over a (lang) window, ties
+      // broken by doc_id so the kept set is deterministic. Integer score,
+      // exact double percent_rank in both engines.
+      val docs = rd(s, d, "documents")
+      val scored = TA.charEntropyDf(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          TA.langIdCol(col("text")).as("lang")), Seq("doc_id"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("entropy_micro").desc, col("doc_id"))
+      scored.select(col("doc_id"), col("lang"), col("entropy_micro"),
+        (percent_rank().over(w) <= 0.25).as("keep"))
     }),
 
     // the CurateJob kernel as a gated query: repairs → blocklist → Gopher
@@ -4061,6 +4100,47 @@ object SparkEntry {
           |  (certificate IS NULL OR policy IS NULL OR certificate <> policy) AS is_mismatch
           |FROM piv WHERE certificate IS NOT NULL OR policy IS NOT NULL""".stripMargin,
 
+      // the qc_tolerant normalization chain with the edit-distance verdict
+      // on top; both engines' native levenshtein
+      "qc_fuzzy" ->
+        """WITH base AS (SELECT o_orderkey AS doc, 'f' AS field, o_orderkey%5 AS m FROM orders),
+          |kv AS (SELECT doc, field,
+          |  CASE m WHEN 0 THEN 'ACME HOLDINGS LLC' WHEN 1 THEN '123 Main Road, Suite 4'
+          |    WHEN 2 THEN 'JOHNSON & SONS' WHEN 3 THEN 'NORTH RIVER MILLS' ELSE NULL END AS cv,
+          |  CASE m WHEN 0 THEN 'ACME HOLD1NGS LLC' WHEN 1 THEN '123 MAIN RD. STE 4'
+          |    WHEN 2 THEN 'J0HNSON & S0NS' WHEN 3 THEN 'NORTH RIVER MILLS' ELSE 'present' END AS pv
+          |  FROM base),
+          |u AS (SELECT doc, field, 'c' AS side, cv AS v FROM kv
+          |  UNION ALL SELECT doc, field, 'p', pv FROM kv),
+          |t0 AS (SELECT doc, field, side, regexp_replace(v, '^\s+|\s+$', '', 'g') AS t FROM u),
+          |nrm AS (SELECT doc, field, side,
+          |  CASE WHEN t IS NULL OR t = '' THEN NULL
+          |    WHEN regexp_matches(t, '^\d{1,2}/\d{1,2}/\d{4}$')
+          |      THEN regexp_replace(t, '^0?(\d{1,2})/0?(\d{1,2})/(\d{4})$', '\1/\2/\3')
+          |    WHEN regexp_matches(t, '^\$?\s*[0-9][0-9,\.]*$')
+          |      THEN regexp_replace(t, '[^0-9]', '', 'g')
+          |    ELSE regexp_replace(regexp_replace(
+          |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |        lower(t), '[.,#]', ' ', 'g'),
+          |        '\broad\b','rd','g'), '\bstreet\b','st','g'), '\bavenue\b','ave','g'),
+          |        '\bdrive\b','dr','g'), '\bboulevard\b','blvd','g'), '\blane\b','ln','g'),
+          |        '\bhighway\b','hwy','g'), '\bsuite\b','ste','g'),
+          |      '\s+', ' ', 'g') END AS nv
+          |  FROM t0),
+          |trimmed AS (SELECT doc, field, side,
+          |  regexp_replace(nv, '^\s+|\s+$', '', 'g') AS nv FROM nrm),
+          |piv AS (SELECT doc, field,
+          |  max(CASE WHEN side='c' THEN nv END) AS certificate,
+          |  max(CASE WHEN side='p' THEN nv END) AS policy
+          |  FROM trimmed GROUP BY 1, 2)
+          |SELECT doc, field, certificate, policy,
+          |  CASE WHEN certificate IS NULL OR policy IS NULL THEN NULL
+          |    ELSE levenshtein(certificate, policy)::BIGINT END AS edit_distance,
+          |  (certificate IS NULL OR policy IS NULL
+          |    OR levenshtein(certificate, policy) > 1) AS is_mismatch
+          |FROM piv WHERE certificate IS NOT NULL OR policy IS NOT NULL""".stripMargin,
+
       "summary_counts" ->
         """WITH s AS (SELECT o_orderpriority,
           |  CASE WHEN o_orderstatus='F' THEN 'MATCH' WHEN o_orderstatus='O' THEN 'MISMATCH'
@@ -4465,6 +4545,36 @@ object SparkEntry {
           |    ELSE round(ln(nch)*1e6)::BIGINT - sum_cl // nch
           |  END AS entropy_micro
           |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+      "quality_top_fraction" ->
+        s"""WITH ch AS (SELECT doc_id, unnest(string_split(text,'')) AS c
+           |  FROM documents),
+           |hist AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1,2),
+           |agg AS (SELECT doc_id, sum(cnt)::BIGINT AS nch,
+           |  sum(cnt * round(ln(cnt)*1e6)::BIGINT)::BIGINT AS sum_cl
+           |  FROM hist GROUP BY 1),
+           |ent AS (SELECT d.doc_id,
+           |  CASE WHEN coalesce(nch, 0) = 0 THEN 0
+           |    ELSE round(ln(nch)*1e6)::BIGINT - sum_cl // nch
+           |  END AS entropy_micro
+           |  FROM documents d LEFT JOIN agg USING (doc_id)),
+           |t AS (SELECT doc_id, text, ${toks.format("text")} AS toks FROM documents),
+           |c2 AS (SELECT doc_id, text,
+           |  len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','a','that'], t))) AS en,
+           |  len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las','una','es'], t))) AS es,
+           |  len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t))) AS de,
+           |  len(list_filter(toks, t -> list_contains(['le','la','les','des','et','est','une','dans'], t))) AS fr
+           |  FROM t),
+           |lng AS (SELECT doc_id,
+           |  CASE WHEN length(regexp_replace(text,'[^\\x{4E00}-\\x{9FFF}]','','g')) > 0 THEN 'zh'
+           |    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+           |    WHEN es >= de AND es >= fr THEN 'es'
+           |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang
+           |  FROM c2)
+           |SELECT e.doc_id, lang, entropy_micro,
+           |  percent_rank() OVER (PARTITION BY lang
+           |    ORDER BY entropy_micro DESC, e.doc_id) <= 0.25 AS keep
+           |FROM ent e JOIN lng USING (doc_id)""".stripMargin,
 
       // curate-battery replay: blocklist + Gopher rules + classifier
       // fragments composed over RAW text (repairs are no-ops on this

@@ -218,6 +218,31 @@ object Qc {
           col("certificate") =!= col("policy"))
   }
 
+  /** [[qcCompareTolerantDf]] with an OCR-noise edit-distance budget on top:
+    * after tolerant normalization, values within `maxEdits` Levenshtein
+    * edits still count as a match — the tolerance a scanned-document QC
+    * needs for single-glyph OCR slips ('O'→'0', dropped punctuation) that
+    * [[Norms.isNameVariation]] (J6) handles only for same-length strings.
+    * `levenshtein` is codegen'd and both-engine native, so the verdict
+    * replays exactly. Null on either side is still a hard mismatch
+    * (hartford-strict), and `edit_distance` rides along for audit. */
+  def qcCompareFuzzyDf(certKv: DataFrame, polKv: DataFrame, docCol: String,
+      maxEdits: Int = 1): DataFrame = {
+    val c = certKv.select(col(docCol), col("field"),
+      Norms.tolerantNormCol(col("value")).as("certificate"))
+      .filter(col("certificate").isNotNull)
+    val p = polKv.select(col(docCol), col("field"),
+      Norms.tolerantNormCol(col("value")).as("policy"))
+      .filter(col("policy").isNotNull)
+    c.join(p, Seq(docCol, "field"), "full_outer")
+      .withColumn("edit_distance",
+        when(col("certificate").isNull || col("policy").isNull,
+          lit(null).cast("long"))
+          .otherwise(levenshtein(col("certificate"), col("policy")).cast("long")))
+      .withColumn("is_mismatch",
+        col("edit_distance").isNull || col("edit_distance") > maxEdits)
+  }
+
   // ----------------------------------------------------------- A1 ----------
   final case class StatusCounts(total: Long, matched: Long, mismatched: Long, not_found: Long)
 

@@ -163,6 +163,26 @@ class QcSpec extends SparkTestBase {
     assert(got == Map("eff" -> false, "addr" -> false, "amt" -> false, "bad" -> true))
   }
 
+  test("J5 fuzzy DataFrame form: edit budget passes 1 slip, fails 2, nulls stay hard") {
+    import spark.implicits._
+    val certKv = Seq(
+      ("d1", "name", "ACME HOLDINGS LLC"), ("d1", "addr", "123 Main Road"),
+      ("d1", "two", "JOHNSON & SONS"), ("d1", "gone", null))
+      .toDF("doc_id", "field", "value")
+    val polKv = Seq(
+      ("d1", "name", "ACME HOLD1NGS LLC"), ("d1", "addr", "123 MAIN RD"),
+      ("d1", "two", "J0HNSON & S0NS"), ("d1", "gone", "present"))
+      .toDF("doc_id", "field", "value")
+    val got = qcCompareFuzzyDf(certKv, polKv, "doc_id", maxEdits = 1)
+      .select("field", "edit_distance", "is_mismatch")
+      .as[(String, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("name") == ((Some(1L), false))) // one OCR slip inside budget
+    assert(got("addr") == ((Some(0L), false))) // abbreviation normalizes away
+    assert(got("two") == ((Some(2L), true)))   // two slips exceed budget
+    assert(got("gone") == ((None, true)))      // one-sided null stays hard
+  }
+
   test("J5 one-sided null is a mismatch (hartford_done strict semantics)") {
     val p2 = policy.updated("general_liability", Map("policy_number" -> "GL-9"))
     val r = qcCompare(cert(locations = false), p2)
