@@ -443,6 +443,28 @@ object SparkEntry {
           col("win_start"))
     }),
 
+    "interval_overlap" -> ((s, d) => {
+      // interval × interval overlap join (sessions vs incidents shape):
+      // click intervals vs purchase intervals per user, bucket-cover
+      // equi-join with the one-bucket-owns-the-pair rule — no dedup pass,
+      // no per-key cross product
+      val ev = rd(s, d, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"))
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("lid"), col("user_id").as("lk"),
+          col("us").as("ls"),
+          (col("us") + pmod(col("event_id"), lit(50)) * 60000000L).as("le"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("rid"), col("user_id").as("rk"),
+          col("us").as("rs"),
+          (col("us") + pmod(col("event_id"), lit(30)) * 60000000L).as("re"))
+      graft.join.TemporalJoins.intervalOverlapJoin(l, "lk", "ls", "le",
+          r, "rk", "rs", "re", bucketUnits = 3600L * 1000000L)
+        .select(col("lid"), col("rid"),
+          (least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
+            .as("overlap_micros"))
+    }),
+
     // --------------------------------------------- extraction semantics ---
     "f1_dollar_filter" -> ((s, d) => {
       rd(s, d, "lineitem").withColumn("text", pageText)
@@ -3435,6 +3457,16 @@ object SparkEntry {
            |SELECT c.event_id, c.user_id, c.us, p.pus AS win_start
            |FROM c JOIN p ON c.user_id = p.user_id
            |  AND c.us BETWEEN p.pus AND p.pus + 86400000000""".stripMargin,
+
+      "interval_overlap" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+          |l AS (SELECT event_id AS lid, user_id AS lk, us AS ls,
+          |  us + (event_id%50)*60000000 AS le FROM ev WHERE event_type='click'),
+          |r AS (SELECT event_id AS rid, user_id AS rk, us AS rs,
+          |  us + (event_id%30)*60000000 AS re FROM ev WHERE event_type='purchase')
+          |SELECT lid, rid,
+          |  (least(le, re) - greatest(ls, rs))::BIGINT AS overlap_micros
+          |FROM l JOIN r ON lk = rk AND ls <= re AND rs <= le""".stripMargin,
 
       "f1_dollar_filter" ->
         s"""WITH t AS (SELECT l_orderkey, l_linenumber::BIGINT AS page, $pageText AS text FROM lineitem)

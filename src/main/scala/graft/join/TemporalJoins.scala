@@ -143,4 +143,52 @@ object TemporalJoins {
             ivs(iStartCol).cast("long"), ivs(iEndCol).cast("long")))
       .drop("__pb", "__ib")
   }
+
+  /** Interval OVERLAP join: every (left, right) interval pair on the same
+    * key with `lStart <= rEnd && rStart <= lEnd` (closed intervals) — the
+    * session-vs-incident / outage-vs-deploy join shape that a naive plan
+    * turns into a per-key cross product. Degenerate intervals (end <
+    * start) are dropped on both sides.
+    *
+    * Scale shape: BOTH sides replicate into the `bucketUnits`-wide buckets
+    * their interval covers and the join is a plain equi-join on
+    * (key, bucket) + the exact overlap predicate. A pair overlapping
+    * several shared buckets would emit once per bucket, so each pair is
+    * EMITTED EXACTLY ONCE, in the bucket holding `max(lStart, rStart)` —
+    * the standard one-bucket-owns-the-pair rule; no distinct pass, no
+    * wide dedup shuffle. Long intervals fan out into len/bucket copies:
+    * pick `bucketUnits` near the typical interval length, and cap or
+    * split pathological intervals upstream.
+    *
+    * Output columns: all left columns then all right columns (names must
+    * be disjoint). Timestamps integral longs, as in [[asofJoin]].
+    */
+  def intervalOverlapJoin(left: DataFrame, lKey: String, lStartCol: String,
+      lEndCol: String, right: DataFrame, rKey: String, rStartCol: String,
+      rEndCol: String, bucketUnits: Long): DataFrame = {
+    require(bucketUnits > 0, s"bucketUnits must be positive: $bucketUnits")
+    require(left.columns.intersect(right.columns).isEmpty,
+      "left and right column names must be disjoint")
+    // integral `div` by column NAME (Column./ is double division — exact
+    // only below 2^53; the contract is any monotone long)
+    def bucket(name: String): Column = expr(
+      s"(cast(`$name` as bigint) - pmod(cast(`$name` as bigint), ${bucketUnits}L))" +
+        s" div ${bucketUnits}L")
+    def covered(df: DataFrame, s: String, e: String,
+        b: String, sb: String): DataFrame =
+      df.filter(col(e).cast("long") >= col(s).cast("long"))
+        .withColumn(sb, bucket(s))
+        .withColumn(b, explode(sequence(col(sb), bucket(e))))
+    val l = covered(left, lStartCol, lEndCol, "__lb", "__lsb")
+    val r = covered(right, rStartCol, rEndCol, "__rb", "__rsb")
+    l.join(r,
+        l("__lb") === r("__rb") && l(lKey) === r(rKey) &&
+          l(lStartCol).cast("long") <= r(rEndCol).cast("long") &&
+          r(rStartCol).cast("long") <= l(lEndCol).cast("long") &&
+          // exactly-once: only the bucket containing the later start owns
+          // the pair; bucket() is monotone, so bucket(max(ls, rs)) =
+          // max(bucket(ls), bucket(rs)) — no cross-side recompute
+          l("__lb") === greatest(l("__lsb"), r("__rsb")))
+      .drop("__lb", "__rb", "__lsb", "__rsb")
+  }
 }

@@ -129,6 +129,49 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(got == Set((10L, 20L), (11L, 21L), (12L, 22L)))
   }
 
+  test("intervalOverlapJoin ≡ naive overlap join; pairs exactly once; negatives ok") {
+    val rnd = new scala.util.Random(23)
+    val l = Seq.tabulate(120) { i =>
+      val s = rnd.nextInt(200).toLong - 100L
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(40).toLong, i.toLong)
+    }.toDF("lk", "ls", "le", "lid")
+    val r = Seq.tabulate(90) { i =>
+      val s = rnd.nextInt(200).toLong - 100L
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(25).toLong, i.toLong)
+    }.toDF("rk", "rs", "re", "rid")
+    val got = TemporalJoins.intervalOverlapJoin(l, "lk", "ls", "le",
+      r, "rk", "rs", "re", 7L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // exactly once: the multiset has no duplicates even for pairs spanning
+    // many shared buckets
+    assert(got.size == got.toSet.size, "duplicate pair emissions")
+    val naive = l.join(r, l("lk") === r("rk") &&
+        l("ls") <= r("re") && r("rs") <= l("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == naive)
+  }
+
+  test("intervalOverlapJoin: degenerate intervals dropped, huge longs bucket exactly") {
+    val base = (1L << 62) + 1L
+    val l = Seq((1L, base, base + 5L, 1L), (1L, base + 10L, base + 4L, 2L))
+      .toDF("lk", "ls", "le", "lid") // lid=2 degenerate (end < start)
+    val r = Seq((1L, base + 3L, base + 8L, 10L), (1L, base + 6L, base + 9L, 11L))
+      .toDF("rk", "rs", "re", "rid")
+    val got = TemporalJoins.intervalOverlapJoin(l, "lk", "ls", "le",
+      r, "rk", "rs", "re", 3L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L))) // [base, base+5] × [base+3, base+8] only
+  }
+
+  test("intervalOverlapJoin plan: equi-join on (key, bucket), no nested-loop") {
+    val l = Seq((1L, 0L, 5L, 1L)).toDF("lk", "ls", "le", "lid")
+    val r = Seq((1L, 3L, 8L, 10L)).toDF("rk", "rs", "re", "rid")
+    val plan = TemporalJoins.intervalOverlapJoin(l, "lk", "ls", "le",
+      r, "rk", "rs", "re", 7L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("rangeJoin plan: equi-join on (key, bucket), no nested-loop") {
     val pts = Seq((1L, 0L, 10L)).toDF("k", "ts", "pid")
     val ivs = Seq((1L, 0L, 15L, 20L)).toDF("ik", "s", "e", "iid")
