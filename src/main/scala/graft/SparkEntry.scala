@@ -1679,6 +1679,20 @@ object SparkEntry {
         .withColumn("merge_exact", col("est_merged") === col("est_direct"))
     }),
 
+    "kmv_overlap" -> ((s, d) => {
+      // snapshot-overlap estimation from synopses alone: how much do the
+      // even-order and odd-order halves' partkey sets overlap — answered
+      // from two 64-row synopses, no corpus rescan (Beyer et al. 2007)
+      val li = rd(s, d, "lineitem")
+      def half(m: Int) = li.filter(pmod(col("l_orderkey"), lit(2)) === m)
+        .select(lit("pk").as("grp"), col("l_partkey").cast("string").as("v"))
+      val Sk = graft.sketch.Sketches
+      Sk.kmvOverlap(
+        Sk.kmvSynopsis(half(0), Seq("grp"), "v", 64),
+        Sk.kmvSynopsis(half(1), Seq("grp"), "v", 64),
+        Seq("grp"), 64)
+    }),
+
     // CMS mergeability (Sketches.cmsMerge): every counter is a sum over
     // input rows, so per-half sketches elementwise-add into EXACTLY the
     // union's sketch — collisions included. Both sketches are built for
@@ -4821,6 +4835,42 @@ object SparkEntry {
           |  ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
           |  END AS est FROM a)
           |SELECT grp, est AS est_merged, est AS est_direct, true AS merge_exact
+          |FROM e""".stripMargin,
+
+      // kmv-overlap replay: per-half synopses (rank ≤ 64 over distinct
+      // hashes), full-outer merge re-capped at 64, shared fraction +
+      // HUGEINT-floored estimates
+      "kmv_overlap" ->
+        """WITH ha AS (SELECT DISTINCT 'pk' AS grp,
+          |  ('0x'||substr(md5(l_partkey::VARCHAR),1,15))::BIGINT AS h
+          |  FROM lineitem WHERE l_orderkey%2=0),
+          |hb AS (SELECT DISTINCT 'pk' AS grp,
+          |  ('0x'||substr(md5(l_partkey::VARCHAR),1,15))::BIGINT AS h
+          |  FROM lineitem WHERE l_orderkey%2=1),
+          |sa AS (SELECT grp, h FROM (SELECT grp, h,
+          |  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM ha)
+          |  WHERE rn <= 64),
+          |sb AS (SELECT grp, h FROM (SELECT grp, h,
+          |  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hb)
+          |  WHERE rn <= 64),
+          |j AS (SELECT coalesce(sa.grp, sb.grp) AS grp, coalesce(sa.h, sb.h) AS h,
+          |  CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS ia,
+          |  CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS ib
+          |  FROM sa FULL JOIN sb ON sa.grp=sb.grp AND sa.h=sb.h),
+          |r AS (SELECT grp, h, ia, ib,
+          |  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM j),
+          |g AS (SELECT grp, count(*)::BIGINT AS k_used,
+          |  sum(CASE WHEN ia=1 AND ib=1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+          |  max(CASE WHEN rn = 64 THEN h END) AS kth
+          |  FROM r WHERE rn <= 64 GROUP BY 1),
+          |e AS (SELECT grp, n_shared, k_used,
+          |  CASE WHEN k_used < 64 THEN k_used
+          |    ELSE (63::HUGEINT * 1152921504606846976::HUGEINT // kth::HUGEINT)::BIGINT
+          |  END AS union_est FROM g)
+          |SELECT grp, n_shared, k_used,
+          |  ((1000 * n_shared) // k_used)::BIGINT AS jaccard_milli, union_est,
+          |  ((n_shared::HUGEINT * union_est::HUGEINT) // k_used::HUGEINT)::BIGINT
+          |    AS intersection_est
           |FROM e""".stripMargin,
 
       // cms-merge replay: counters are sums over input rows, so the

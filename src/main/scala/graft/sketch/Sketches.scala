@@ -153,6 +153,65 @@ object Sketches {
     kmvEstimateFromSynopsis(kmvSynopsis(df, groupCols, valueCol, k),
       groupCols, k)
 
+  /** KMV set-operation estimates from TWO synopses (Beyer et al. 2007,
+    * "On synopses for distinct-value estimation under multiset
+    * operations"): the union's k-min set L is the merge of the synopses
+    * re-capped at k; the Jaccard estimate is the fraction of L present in
+    * BOTH synopses, and the intersection estimate scales the union
+    * estimate by it — so "how much do yesterday's and today's crawls
+    * overlap" is answered from two k-row synopses without rescanning
+    * either corpus. All outputs integer (milli Jaccard, floored 128-bit
+    * products), so any engine replays them bit-identically.
+    *
+    * Output: groupCols + (n_shared, k_used, jaccard_milli, union_est,
+    * intersection_est). Groups empty on one side estimate zero overlap;
+    * groups below k on both sides are EXACT (L is the whole union). */
+  def kmvOverlap(synA: DataFrame, synB: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val M = 1L << 60
+    val gc = groupCols.map(col)
+    val a = synA.select(gc :+ col("h"): _*).withColumn("__a", lit(1L))
+    val b = synB.select(gc :+ col("h"): _*).withColumn("__b", lit(1L))
+    val j = a.join(b, groupCols :+ "h", "full_outer")
+      .na.fill(0L, Seq("__a", "__b"))
+    val w = Window.partitionBy(gc: _*).orderBy(col("h"))
+    j.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L))
+          .as("n_shared"),
+        max(when(col("__rn") === k, col("h"))).as("__kth"))
+      .withColumn("union_est",
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(floor(lit(BigDecimal(k - 1) * BigDecimal(M))
+            .cast("decimal(38,0)") / col("__kth").cast("decimal(38,0)"))
+            .cast("long")))
+      .withColumn("jaccard_milli", expr("(1000 * n_shared) div k_used"))
+      // n_shared·union_est can pass 2^63 (k up to hundreds × 2^60-scale
+      // estimates) — 128-bit decimal, floored like HUGEINT division
+      .withColumn("intersection_est",
+        floor(col("n_shared").cast("decimal(38,0)") *
+          col("union_est").cast("decimal(38,0)") /
+          col("k_used").cast("decimal(38,0)")).cast("long"))
+      .drop("__kth")
+  }
+
+  /** Pure twin of [[kmvOverlap]] for one group. */
+  def kmvOverlapPure(a: Seq[String], b: Seq[String], k: Int)
+      : (Long, Long, Long, Long, Long) = {
+    val ha = a.map(TextAnalysis.hash60).distinct.sorted.take(k).toSet
+    val hb = b.map(TextAnalysis.hash60).distinct.sorted.take(k).toSet
+    val l = (ha ++ hb).toSeq.sorted.take(k)
+    val kUsed = l.length.toLong
+    val nShared = l.count(h => ha(h) && hb(h)).toLong
+    val unionEst =
+      if (kUsed < k) kUsed
+      else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(l.last)).toLong
+    val interEst = (BigInt(nShared) * BigInt(unionEst) / BigInt(kUsed)).toLong
+    (nShared, kUsed, 1000L * nShared / kUsed, unionEst, interEst)
+  }
+
   /** Pure twin: exact replay of the KMV estimate over an in-memory set. */
   def kmvDistinctPure(values: Seq[String], k: Int): Long = {
     val hs = values.map(TextAnalysis.hash60).distinct.sorted.take(k)

@@ -120,6 +120,36 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("kmvOverlap: DF ≡ pure twin; exact below k; disjoint → zero") {
+    val k = 16
+    def syn(vals: Seq[String]) = Sketches.kmvSynopsis(
+      vals.map(v => ("g", v)).toDF("grp", "v"), Seq("grp"), "v", k)
+    def run(a: Seq[String], b: Seq[String]) =
+      Sketches.kmvOverlap(syn(a), syn(b), Seq("grp"), k)
+        .select("n_shared", "k_used", "jaccard_milli", "union_est",
+          "intersection_est")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+
+    // below k on both sides: L is the whole union → exact set arithmetic
+    val a1 = Seq("a", "b", "c", "d", "e")
+    val b1 = Seq("c", "d", "e", "f")
+    val got1 = run(a1, b1)
+    assert(got1 == Sketches.kmvOverlapPure(a1, b1, k))
+    assert(got1._1 == 3L && got1._2 == 6L) // |A∩B|=3, |A∪B|=6
+    assert(got1._4 == 6L && got1._5 == 3L) // exact union + intersection
+    assert(got1._3 == 3000L / 6L)
+
+    // big sets: estimator path (kth-value division), DF ≡ pure
+    val a2 = (1 to 300).map(i => s"x$i")
+    val b2 = (150 to 450).map(i => s"x$i")
+    assert(run(a2, b2) == Sketches.kmvOverlapPure(a2, b2, k))
+
+    // disjoint: zero shared, zero intersection estimate
+    val got3 = run(Seq("p", "q", "r"), Seq("s", "t"))
+    assert(got3._1 == 0L && got3._3 == 0L && got3._5 == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("HLL internals: rho from hex; linear-counting table; register merge") {
     // rho = 1 + leading zero bits of the 52-bit tail
     assert(Sketches.hllBucketRho("ff" + "8" + "0" * 12 + "0" * 17)._2 == 1)
