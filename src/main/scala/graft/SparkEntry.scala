@@ -1376,6 +1376,20 @@ object SparkEntry {
           Web.registrableDomain(Web.host(col("url"))).as("domain"))
     }),
 
+    "triangle_count" -> ((s, d) => {
+      // per-node triangle counts via degree-oriented wedge join over a
+      // deterministic tripartite-with-shortcuts graph (each doc plants one
+      // guaranteed triangle; cross-doc sharing adds more). The oracle
+      // counts triangles INDEPENDENTLY (id-ordered triple join), so a
+      // defect in the orientation trick cannot self-confirm.
+      val id = col("doc_id")
+      val doc = rd(s, d, "documents").select(col("doc_id"))
+      val e1 = doc.select(pmod(id, lit(20)).as("s"), (pmod(id, lit(15)) + 20).as("d"))
+      val e2 = doc.select((pmod(id, lit(15)) + 20).as("s"), (pmod(id, lit(11)) + 40).as("d"))
+      val e3 = doc.select(pmod(id, lit(20)).as("s"), (pmod(id, lit(11)) + 40).as("d"))
+      graft.graph.Triangles.perNode(e1.unionAll(e2).unionAll(e3), "s", "d")
+    }),
+
     "link_graph" -> ((s, d) => {
       // host-graph construction: synthesized pages whose own URL and anchor
       // targets are pure functions of doc_id — the oracle re-renders the
@@ -4454,6 +4468,22 @@ object SparkEntry {
            |    WHEN es >= de AND es >= fr THEN 'es'
            |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
            |FROM c""".stripMargin,
+
+      // INDEPENDENT triangle count: id-ordered triple join (x<y<z), not a
+      // replay of the degree-orientation plan
+      "triangle_count" ->
+        """WITH e AS (
+          |  SELECT doc_id%20 AS s, doc_id%15 + 20 AS d FROM documents
+          |  UNION ALL SELECT doc_id%15 + 20, doc_id%11 + 40 FROM documents
+          |  UNION ALL SELECT doc_id%20, doc_id%11 + 40 FROM documents),
+          |und AS (SELECT DISTINCT least(s,d) AS a, greatest(s,d) AS b
+          |  FROM e WHERE s <> d),
+          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+          |  JOIN und e2 ON e2.a = e1.a AND e1.b < e2.b
+          |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+          |c AS (SELECT x AS node FROM tri
+          |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+          |SELECT node, count(*)::BIGINT AS triangles FROM c GROUP BY 1""".stripMargin,
 
       "link_graph" ->
         s"""WITH e AS (
