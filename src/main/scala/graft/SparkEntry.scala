@@ -1376,6 +1376,13 @@ object SparkEntry {
           Web.registrableDomain(Web.host(col("url"))).as("domain"))
     }),
 
+    "key_skew" -> ((s, d) => {
+      // the pre-join skew report: per-user row counts of the events table
+      // summarized to max/percentiles/skew ratio — the decision input for
+      // salting / AQE hints / hot-key caps
+      graft.io.Skew.keySkew(rd(s, d, "events"), Seq("user_id"))
+    }),
+
     "triangle_count" -> ((s, d) => {
       // per-node triangle counts via degree-oriented wedge join over a
       // deterministic tripartite-with-shortcuts graph (each doc plants one
@@ -4468,6 +4475,21 @@ object SparkEntry {
            |    WHEN es >= de AND es >= fr THEN 'es'
            |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
            |FROM c""".stripMargin,
+
+      "key_skew" ->
+        """WITH c AS (SELECT user_id::VARCHAR AS key, count(*) AS cnt
+          |  FROM events GROUP BY 1),
+          |r AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt, key) AS rn FROM c),
+          |s AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+          |  max(cnt)::BIGINT AS max_rows FROM r),
+          |p50 AS (SELECT cnt::BIGINT AS p50_rows FROM r, s
+          |  WHERE rn = (n_keys*50+99)//100),
+          |p99 AS (SELECT cnt::BIGINT AS p99_rows FROM r, s
+          |  WHERE rn = (n_keys*99+99)//100),
+          |top AS (SELECT min(key) AS top_key FROM r, s WHERE cnt = max_rows)
+          |SELECT n_rows, n_keys, max_rows, p50_rows, p99_rows,
+          |  ((1000*max_rows*n_keys)//n_rows)::BIGINT AS skew_milli, top_key
+          |FROM s, p50, p99, top""".stripMargin,
 
       // INDEPENDENT triangle count: id-ordered triple join (x<y<z), not a
       // replay of the degree-orientation plan

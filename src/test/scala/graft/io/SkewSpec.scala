@@ -33,4 +33,34 @@ class SkewSpec extends SparkTestBase {
     assert(dist.max <= 4, s"giants clustered: ${dist.toSeq}") // spread, not all in one task
     assert(rebalanced.count() == 800)
   }
+
+  private def runSkew(keys: Seq[String]) =
+    Skew.keySkew(keys.map(k => (k, 1)).toDF("k", "v"), Seq("k"))
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().head
+
+  test("keySkew: uniform keys report skew_milli = 1000") {
+    assert(runSkew(Seq("a", "a", "b", "b", "c", "c", "d", "d")) ==
+      ((8L, 4L, 2L, 2L, 2L, 1000L, "a")))
+  }
+
+  test("keySkew: one hot key dominates; max tie falls to smallest key") {
+    val keys = Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i")
+    val got = runSkew(keys)
+    assert(got._1 == 100L && got._2 == 11L && got._3 == 90L)
+    assert(got._6 == 1000L * 90 * 11 / 100)
+    assert(got._7 == "hot" && got._4 == 1L && got._5 == 90L)
+    val tied = runSkew(Seq("z", "z", "z", "b", "b", "b", "a"))
+    assert(tied._3 == 3L && tied._7 == "b")
+  }
+
+  test("keySkew: DF ≡ pure twin on random keys; partitioning invariant") {
+    val rnd = new scala.util.Random(41)
+    val keys = Seq.fill(500)(s"k${rnd.nextInt(37)}")
+    val want = Skew.keySkewPure(keys)
+    assert(runSkew(keys) == want)
+    val got2 = Skew.keySkew(
+      keys.map(k => (k, 1)).toDF("k", "v").repartition(11), Seq("k"))
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().head
+    assert(got2 == want)
+  }
 }
