@@ -1091,6 +1091,41 @@ object SparkEntry {
         .select(col("doc_id"), col("page"), col("ri").cast("long").as("ri"), col("tr"))
     }),
 
+    "reading_order" -> ((s, d) => {
+      // layout analyzer: positioned page fragments → ordered span sequence
+      // (the north-star contract's "ordered (kind, text, media_ref,
+      // offset)"); k%3=0 docs are clean two-column pages (left column read
+      // fully before right), the rest carry a midline-crossing heading that
+      // forces the conservative single-column fallback; media fragments
+      // ride along in position
+      val pg = rd(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k"), col("l_linenumber").cast("int").as("p"))
+        .agg(min(pmod(col("l_partkey"), lit(1000))).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.io.Persisted.track(pg)
+      val id = col("k").cast("string").as("doc_id")
+      def frag(x: Int, y: Column, w: Int, kind: String, text: Column,
+          ref: Column) =
+        Seq(id, col("p").as("page"), lit(x).as("x"), y.cast("int").as("y"),
+          lit(w).as("w"), lit(kind).as("kind"), text.as("text"),
+          ref.as("media_ref"))
+      val f1 = pg.select(frag(0, pmod(col("b"), lit(50)), 40, "text",
+        concat(lit("A-"), col("p").cast("string"), lit("-"), col("b").cast("string")),
+        lit("")): _*)
+      val f2 = pg.select(frag(60, pmod(col("b") * 7, lit(50)), 40, "text",
+        concat(lit("B-"), col("p").cast("string"), lit("-"), col("b").cast("string")),
+        lit("")): _*)
+      val f3 = pg.filter(pmod(col("k"), lit(3)) =!= 0)
+        .select(frag(10, lit(0), 80, "text",
+          concat(lit("H-"), col("p").cast("string")), lit("")): _*)
+      val f4 = pg.filter(pmod(col("p"), lit(2)) === 0)
+        .select(frag(60, pmod(col("b") * 3, lit(50)) + 1, 40, "media",
+          lit(""), concat(lit("im-"), col("k").cast("string"), lit("-"),
+            col("p").cast("string"))): _*)
+      graft.segment.ReadingOrder.orderSpans(
+        f1.unionAll(f2).unionAll(f3).unionAll(f4))
+    }),
+
     "span_eval" -> ((s, d) => {
       // North-rule acceptance invariant as a distributed metric: per-doc
       // span-sequence equality (kind, text, media_ref, order) vs a gold
@@ -4083,6 +4118,32 @@ object SparkEntry {
           |  FROM filled WHERE kind='table')
           |SELECT k::VARCHAR AS doc_id, page::BIGINT AS page, i-1 AS ri, parts[i] AS tr
           |FROM tt, unnest(generate_series(1, len(parts))) AS u(i)""".stripMargin,
+
+      "reading_order" ->
+        """WITH pg AS (SELECT l_orderkey AS k, l_linenumber::INT AS p, min(l_partkey%1000) AS b
+          |  FROM lineitem GROUP BY 1, 2),
+          |f AS (
+          |  SELECT k::VARCHAR AS doc_id, k, p AS page, 0 AS x, (b%50)::INT AS y,
+          |    40 AS w, 'text' AS kind, 'A-'||p||'-'||b AS text, '' AS media_ref FROM pg
+          |  UNION ALL SELECT k::VARCHAR, k, p, 60, ((b*7)%50)::INT, 40, 'text',
+          |    'B-'||p||'-'||b, '' FROM pg
+          |  UNION ALL SELECT k::VARCHAR, k, p, 10, 0, 80, 'text', 'H-'||p, ''
+          |    FROM pg WHERE k%3 <> 0
+          |  UNION ALL SELECT k::VARCHAR, k, p, 60, ((b*3)%50+1)::INT, 40, 'media',
+          |    '', 'im-'||k||'-'||p FROM pg WHERE p%2 = 0),
+          |m AS (SELECT doc_id, page, x, y, w, kind, text, media_ref,
+          |  min(x) OVER pw + max(x+w) OVER pw AS mid2 FROM f
+          |  WINDOW pw AS (PARTITION BY doc_id, page)),
+          |s2 AS (SELECT *, (x+w)*2 <= mid2 AS isl, x*2 >= mid2 AS isr FROM m),
+          |dcd AS (SELECT *,
+          |  (NOT bool_or(NOT (isl OR isr)) OVER pw)
+          |    AND bool_or(isl) OVER pw AND bool_or(isr) OVER pw AS twocol
+          |  FROM s2 WINDOW pw AS (PARTITION BY doc_id, page))
+          |SELECT doc_id, kind, text, media_ref,
+          |  (row_number() OVER (PARTITION BY doc_id ORDER BY page,
+          |    CASE WHEN twocol AND isr THEN 1 ELSE 0 END, y, x, text) - 1)::INT
+          |    AS "offset"
+          |FROM dcd""".stripMargin,
 
       "span_eval" -> (spanEvalOracleCtes +
         """SELECT doc_id, n_gold, n_actual, pos_matched, bag_matched, exact,
