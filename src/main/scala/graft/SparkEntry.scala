@@ -2758,6 +2758,36 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    "image_phash" -> ((s, d) => {
+      // perceptual image hashing through the REAL decode path: 2000 images
+      // in 400 pixel-identical groups (seed keyed by c_custkey%400); the
+      // oracle replays the aHash from pixel arithmetic — PNG is lossless,
+      // so any decode or box-filter defect breaks parity
+      import s.implicits._
+      val grp = pmod(col("c_custkey"), lit(400))
+      val specs = rd(s, d, "customer").filter(col("c_custkey") <= 2000).select(
+        concat(lit("img-"), col("c_custkey").cast("string")).as("ref"),
+        TA.hash32(concat(lit("g"), grp.cast("string"))).as("seed"),
+        (lit(16) + pmod(grp, lit(9))).cast("int").as("w"),
+        (lit(12) + pmod(grp, lit(7))).cast("int").as("h"))
+        .as[(String, Long, Int, Int)]
+      Media.imageHashes(specs).toDF()
+    }),
+
+    "image_dups" -> ((s, d) => {
+      // image near-dup pairs: equal perceptual hash, one groupBy-shaped
+      // equi-join — the multimodal member of the dedup family
+      import s.implicits._
+      val grp = pmod(col("c_custkey"), lit(400))
+      val specs = rd(s, d, "customer").filter(col("c_custkey") <= 2000).select(
+        concat(lit("img-"), col("c_custkey").cast("string")).as("ref"),
+        TA.hash32(concat(lit("g"), grp.cast("string"))).as("seed"),
+        (lit(16) + pmod(grp, lit(9))).cast("int").as("w"),
+        (lit(12) + pmod(grp, lit(7))).cast("int").as("h"))
+        .as[(String, Long, Int, Int)]
+      Media.imageDupPairs(Media.imageHashes(specs).toDF())
+    }),
+
     "media_decode" -> ((s, d) => {
       // REAL image decode: deterministic synthetic pixels → real PNG encode
       // → JDK ImageIO decode → per-channel means. PNG is lossless, so the
@@ -3375,6 +3405,31 @@ object SparkEntry {
       |  CASE WHEN n_gold>0 THEN (1000*coalesce(bag_matched,0))//n_gold
       |    END AS recall_milli
       |  FROM pos LEFT JOIN bag ON pos.doc_id=bag.doc_id)
+      |""".stripMargin
+
+  /** Shared CTE chain for the image_phash/image_dups oracles: the synthetic
+    * pixel grid unnested, integer grayscale, (coord·8) div edge box cells,
+    * integer means, per-cell bits vs the 64-cell mean — lockstep with
+    * [[graft.media.Media.aHash64]] over the losslessly-decoded PNG. */
+  private val imagePhashOracleCtes: String =
+    """WITH spec AS (SELECT 'img-'||c_custkey AS media_ref,
+      |  ('0x'||substr(md5('g'||(c_custkey%400)),1,8))::BIGINT AS seed,
+      |  (16 + (c_custkey%400)%9)::INT AS w, (12 + (c_custkey%400)%7)::INT AS h
+      |  FROM customer WHERE c_custkey <= 2000),
+      |pxx AS (SELECT media_ref, seed, w, h, unnest(range(w)) AS x FROM spec),
+      |px AS (SELECT media_ref, seed, w, h, x, unnest(range(h)) AS y FROM pxx),
+      |g AS (SELECT media_ref, ((y*8)//h)*8 + ((x*8)//w) AS c,
+      |  (299*((x*31+y*17+seed)%256) + 587*((x*13+y*29+seed)%256)
+      |    + 114*((x*7+y*43+seed)%256)) // 1000 AS gray
+      |  FROM px),
+      |cells AS (SELECT media_ref, c, sum(gray)//count(*) AS m FROM g GROUP BY 1,2),
+      |ov AS (SELECT media_ref, sum(m)//64 AS om FROM cells GROUP BY 1),
+      |bits AS (SELECT cells.media_ref,
+      |  sum(CASE WHEN m > om AND c >= 32 THEN (1::BIGINT << (c-32))
+      |    ELSE 0 END)::BIGINT AS ahash_hi,
+      |  sum(CASE WHEN m > om AND c < 32 THEN (1::BIGINT << c)
+      |    ELSE 0 END)::BIGINT AS ahash_lo
+      |  FROM cells JOIN ov USING (media_ref) GROUP BY 1)
       |""".stripMargin
 
   def oracleSql: Map[String, String] = {
@@ -6446,6 +6501,19 @@ object SparkEntry {
       // decode → pixel scan; the oracle computes the identical channel sums
       // arithmetically (x = i mod w, y = i div w), means via the 6dp
       // VARCHAR→DECIMAL tie-boundary idiom.
+      // aHash replay from pixel arithmetic (PNG decode is lossless): unnest
+      // the pixel grid, integer grayscale, box cells by (coord*8) div edge,
+      // integer cell means, bit per cell above the 64-cell mean
+      "image_phash" -> (imagePhashOracleCtes +
+        "SELECT media_ref, ahash_hi, ahash_lo FROM bits"),
+
+      "image_dups" -> (imagePhashOracleCtes +
+        """SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+          |  a.ahash_hi, a.ahash_lo
+          |FROM bits a JOIN bits b
+          |  ON a.ahash_hi=b.ahash_hi AND a.ahash_lo=b.ahash_lo
+          |  AND a.media_ref < b.media_ref""".stripMargin),
+
       "media_decode" ->
         """WITH r AS (SELECT 'img-'||c_custkey AS media_ref,
           |  16 + c_custkey%17 AS w, 12 + c_custkey%13 AS h,

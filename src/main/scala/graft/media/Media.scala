@@ -268,6 +268,82 @@ object Media {
     })
   }
 
+  // --------------------------------------------- perceptual image hash -----
+
+  /** 64-bit average hash (aHash) over REAL decoded pixels, integer-exact:
+    * the image partitions into an 8×8 grid by `cell = (coord·8) div edge`
+    * (box cells, sizes differing by at most one pixel), each cell's
+    * grayscale mean is `Σ ((299r+587g+114b) div 1000) div n_px`, and bit
+    * (j·8+i) is set when cell (i,j) exceeds the integer mean of the 64
+    * cell means. Every step is integral division, so a codec-less engine
+    * replays the hash from pixel arithmetic while Spark computes it
+    * through a real PNG decode — the [[imageStats]] parity idiom. Returned
+    * split as (hi, lo) 32-bit halves so the sign bit never leaks into
+    * cross-engine int64 semantics. Images must be at least 8×8. */
+  def aHash64(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 8 && h >= 8, s"aHash needs >= 8x8, got ${w}x$h")
+    val sums = new Array[Long](64)
+    val npx = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val j = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = x * 8 / w
+        val p = img.getRGB(x, y)
+        val gray = (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)) / 1000L
+        sums(j * 8 + i) += gray
+        npx(j * 8 + i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(c => sums(c) / npx(c))
+    val overall = means.sum / 64L
+    var hi = 0L; var lo = 0L
+    var c = 0
+    while (c < 64) {
+      if (means(c) > overall) {
+        if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+      }
+      c += 1
+    }
+    (hi, lo)
+  }
+
+  final case class ImageHash(media_ref: String, ahash_hi: Long, ahash_lo: Long)
+
+  /** Distributed perceptual hashing over (media_ref, seed, w, h) specs:
+    * per-partition synth → PNG encode → REAL ImageIO decode → [[aHash64]].
+    * Narrow, no shuffle; the seed is explicit so callers control which
+    * refs are pixel-identical (a re-hosted image keeps its seed). */
+  def imageHashes(refs: Dataset[(String, Long, Int, Int)]): Dataset[ImageHash] = {
+    import refs.sparkSession.implicits._
+    refs.mapPartitions(_.map { case (ref, seed, w, h) =>
+      val bytes = synthPngBytes(seed, w, h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (hi, lo) = aHash64(img)
+      ImageHash(ref, hi, lo)
+    })
+  }
+
+  /** Image near-dup pairs: refs whose perceptual hashes are EQUAL (the
+    * exact-aHash tier; a Hamming-tolerant tier would band the 64 bits the
+    * way [[graft.dedup.Dedup.simhashDuplicates]] bands SimHash). One
+    * groupBy on the hash — never all-pairs. */
+  def imageDupPairs(hashes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = hashes.select(col("ahash_hi"), col("ahash_lo"),
+      col("media_ref").as("ref_a"))
+    val b = hashes.select(col("ahash_hi"), col("ahash_lo"),
+      col("media_ref").as("ref_b"))
+    a.join(b, Seq("ahash_hi", "ahash_lo"))
+      .filter(col("ref_a") < col("ref_b"))
+      .select(col("ref_a"), col("ref_b"), col("ahash_hi"), col("ahash_lo"))
+  }
+
   // ------------------------------------------------- real video path -------
   // The JDK has no video codec, but a CONTAINER of PNG frames decodes for
   // real on both sides of the boundary: the encoder writes a length-prefixed

@@ -126,4 +126,42 @@ class MediaSpec extends SparkTestBase {
     val tall = resizeMeta(MediaMeta("r", "d", "png", 300, 1200, 1, 10), 600)
     assert(tall.height == 600 && tall.width == 150)
   }
+
+  test("aHash via PNG decode ≡ independent pixel-arithmetic replay") {
+    import spark.implicits._
+    // arithmetic twin computed straight from synthPixel — no image objects,
+    // no decode: exactly what the codec-less oracle replays
+    def expected(seed: Long, w: Int, h: Int): (Long, Long) = {
+      val sums = new Array[Long](64); val npx = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Media.synthPixel(seed, x, y)
+        val c = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(c) += (299L * r + 587L * g + 114L * b) / 1000L
+        npx(c) += 1
+      }
+      val means = Array.tabulate(64)(c => sums(c) / npx(c))
+      val overall = means.sum / 64L
+      var hi = 0L; var lo = 0L
+      for (c <- 0 until 64; if means(c) > overall)
+        if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+      (hi, lo)
+    }
+    val specs = Seq(("a", 5L, 16, 12), ("b", 5L, 16, 12), ("c", 9L, 16, 12),
+      ("d", 9L, 23, 17), ("e", 123L, 8, 8))
+    val got = Media.imageHashes(specs.toDS()).collect()
+      .map(ih => ih.media_ref -> ((ih.ahash_hi, ih.ahash_lo))).toMap
+    for ((ref, seed, w, h) <- specs)
+      assert(got(ref) == expected(seed, w, h), ref)
+    // identical (seed, w, h) → identical hash; dup pairs found by groupBy
+    assert(got("a") == got("b"))
+    val pairs = Media.imageDupPairs(Media.imageHashes(specs.toDS()).toDF())
+      .select("ref_a", "ref_b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("a", "b")))
+    assert(!pairs.exists(p => p._1 == "e" || p._2 == "e"))
+    // hi/lo halves stay in unsigned-32 range (sign never leaks)
+    for ((_, (hi, lo)) <- got) {
+      assert(hi >= 0L && hi <= 0xffffffffL)
+      assert(lo >= 0L && lo <= 0xffffffffL)
+    }
+  }
 }
