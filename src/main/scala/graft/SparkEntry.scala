@@ -2808,6 +2808,20 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
+    "audio_fingerprint" -> ((s, d) => {
+      // energy-band fingerprint through the REAL WAV decode: 1000 clips in
+      // 200 sample-identical groups; the oracle replays the fingerprint
+      // from sample arithmetic (PCM in WAV is lossless)
+      import s.implicits._
+      val grp = pmod(col("c_custkey"), lit(200))
+      val specs = rd(s, d, "customer").filter(col("c_custkey") <= 1000).select(
+        concat(lit("au-"), col("c_custkey").cast("string")).as("ref"),
+        TA.hash32(concat(lit("a"), grp.cast("string"))).as("seed"),
+        (lit(200) + pmod(grp, lit(50))).cast("int").as("n"))
+        .as[(String, Long, Int)]
+      Media.audioFingerprints(specs).toDF()
+    }),
+
     "media_audio" -> ((s, d) => {
       // REAL audio decode: synthetic 16-bit PCM → real WAV encode →
       // javax.sound decode → sample statistics, oracled arithmetically
@@ -6504,6 +6518,24 @@ object SparkEntry {
       // aHash replay from pixel arithmetic (PNG decode is lossless): unnest
       // the pixel grid, integer grayscale, box cells by (coord*8) div edge,
       // integer cell means, bit per cell above the 64-cell mean
+      // energy-band fingerprint replay from synthSample arithmetic
+      "audio_fingerprint" ->
+        """WITH spec AS (SELECT 'au-'||c_custkey AS media_ref,
+          |  ('0x'||substr(md5('a'||(c_custkey%200)),1,8))::BIGINT AS seed,
+          |  (200 + (c_custkey%200)%50)::INT AS n
+          |  FROM customer WHERE c_custkey <= 1000),
+          |sx AS (SELECT media_ref, seed, n, unnest(range(n)) AS i FROM spec),
+          |sm AS (SELECT media_ref, (i*64)//n AS w,
+          |  abs(((i*773 + seed*31) % 65536) - 32768) AS a FROM sx),
+          |wm AS (SELECT media_ref, w, sum(a)//count(*) AS m FROM sm GROUP BY 1,2),
+          |ov AS (SELECT media_ref, sum(m)//64 AS om FROM wm GROUP BY 1)
+          |SELECT wm.media_ref,
+          |  sum(CASE WHEN m > om AND w >= 32 THEN (1::BIGINT << (w-32))
+          |    ELSE 0 END)::BIGINT AS fp_hi,
+          |  sum(CASE WHEN m > om AND w < 32 THEN (1::BIGINT << w)
+          |    ELSE 0 END)::BIGINT AS fp_lo
+          |FROM wm JOIN ov USING (media_ref) GROUP BY 1""".stripMargin,
+
       "image_phash" -> (imagePhashOracleCtes +
         "SELECT media_ref, ahash_hi, ahash_lo FROM bits"),
 

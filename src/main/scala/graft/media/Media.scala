@@ -259,6 +259,62 @@ object Media {
     } finally in.close()
   }
 
+  /** 64-bit energy-band audio fingerprint over REAL decoded PCM, the
+    * audio member of the perceptual-hash family ([[aHash64]] for images):
+    * the sample stream partitions into 64 windows by
+    * `window = (index·64) div n`, each window's mean |sample| is
+    * integer-computed, and bit w is set when window w exceeds the integer
+    * mean of the 64 window means — a coarse loudness-envelope signature
+    * that survives re-encoding of the same PCM. All integral division, so
+    * a codec-less engine replays it from sample arithmetic. hi/lo halves
+    * as in [[aHash64]]. Needs n ≥ 64 samples. */
+  def audioFingerprint64(pcmSamples: Array[Int]): (Long, Long) = {
+    val n = pcmSamples.length
+    require(n >= 64, s"fingerprint needs >= 64 samples, got $n")
+    val sums = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      sums(w) += math.abs(pcmSamples(i).toLong)
+      cnt(w) += 1
+      i += 1
+    }
+    val means = Array.tabulate(64)(w => sums(w) / cnt(w))
+    val overall = means.sum / 64L
+    var hi = 0L; var lo = 0L
+    var w = 0
+    while (w < 64) {
+      if (means(w) > overall) {
+        if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+      }
+      w += 1
+    }
+    (hi, lo)
+  }
+
+  final case class AudioHash(media_ref: String, fp_hi: Long, fp_lo: Long)
+
+  /** Distributed audio fingerprinting over (media_ref, seed, n) specs:
+    * synth → WAV encode → REAL javax.sound decode → [[audioFingerprint64]].
+    * The seed is explicit so callers control which refs are
+    * sample-identical. Narrow, no shuffle. */
+  def audioFingerprints(refs: Dataset[(String, Long, Int)]): Dataset[AudioHash] = {
+    import refs.sparkSession.implicits._
+    refs.mapPartitions(_.map { case (ref, seed, n) =>
+      val bytes = synthWavBytes(seed, n)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val pcm = in.readAllBytes()
+        val samples = Array.tabulate(pcm.length / 2)(i =>
+          (pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8))
+        val (hi, lo) = audioFingerprint64(samples)
+        AudioHash(ref, hi, lo)
+      } finally in.close()
+    })
+  }
+
   /** Distributed real audio decode over (media_ref, n_samples) specs. */
   def decodeAudioStats(refs: Dataset[(String, Int)]): Dataset[AudioStats] = {
     import refs.sparkSession.implicits._

@@ -164,4 +164,26 @@ class MediaSpec extends SparkTestBase {
       assert(lo >= 0L && lo <= 0xffffffffL)
     }
   }
+
+  test("audio fingerprint via WAV decode ≡ independent sample-arithmetic replay") {
+    import spark.implicits._
+    def expected(seed: Long, n: Int): (Long, Long) = {
+      val sums = new Array[Long](64); val cnt = new Array[Long](64)
+      for (i <- 0 until n) {
+        val w = (i.toLong * 64 / n).toInt
+        sums(w) += math.abs(Media.synthSample(seed, i).toLong); cnt(w) += 1
+      }
+      val means = Array.tabulate(64)(w => sums(w) / cnt(w))
+      val overall = means.sum / 64L
+      var hi = 0L; var lo = 0L
+      for (w <- 0 until 64; if means(w) > overall)
+        if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+      (hi, lo)
+    }
+    val specs = Seq(("a", 5L, 500), ("b", 5L, 500), ("c", 9L, 500), ("d", 9L, 321))
+    val got = Media.audioFingerprints(specs.toDS()).collect()
+      .map(ah => ah.media_ref -> ((ah.fp_hi, ah.fp_lo))).toMap
+    for ((ref, seed, n) <- specs) assert(got(ref) == expected(seed, n), ref)
+    assert(got("a") == got("b")) // sample-identical clips collide
+  }
 }
