@@ -2788,6 +2788,42 @@ object SparkEntry {
       Media.imageDupPairs(Media.imageHashes(specs).toDF())
     }),
 
+    "video_phash" -> ((s, d) => {
+      // per-frame video perceptual hashing through the REAL container path:
+      // 300 videos in 60 pixel-identical groups (seed keyed by
+      // c_custkey%60), GPNG parse → sampled-frame ImageIO decode → aHash64
+      // per frame; the oracle replays every sampled frame's hash from pixel
+      // arithmetic (frame f of seed s is the synth image of s+f)
+      import s.implicits._
+      val grp = pmod(col("c_custkey"), lit(60))
+      val specs = rd(s, d, "customer").filter(col("c_custkey") <= 300).select(
+        concat(lit("vid-"), col("c_custkey").cast("string")).as("ref"),
+        TA.hash32(concat(lit("v"), grp.cast("string"))).as("seed"),
+        (lit(8) + pmod(grp, lit(5))).cast("int").as("nf"),
+        (lit(16) + pmod(grp, lit(5))).cast("int").as("w"),
+        (lit(12) + pmod(grp, lit(5))).cast("int").as("h"))
+        .as[(String, Long, Int, Int, Int)]
+      Media.videoHashes(specs, 4).toDF()
+        .select(col("media_ref"), col("frame_index").cast("long").as("frame_index"),
+          col("ahash_hi"), col("ahash_lo"))
+    }),
+
+    "video_dups" -> ((s, d) => {
+      // video near-dup pairs: frame-aligned equal perceptual hashes on all
+      // 4 sampled frames — the frame index is the LSH band id, so the join
+      // buckets on (index, hash) and is never all-pairs
+      import s.implicits._
+      val grp = pmod(col("c_custkey"), lit(60))
+      val specs = rd(s, d, "customer").filter(col("c_custkey") <= 300).select(
+        concat(lit("vid-"), col("c_custkey").cast("string")).as("ref"),
+        TA.hash32(concat(lit("v"), grp.cast("string"))).as("seed"),
+        (lit(8) + pmod(grp, lit(5))).cast("int").as("nf"),
+        (lit(16) + pmod(grp, lit(5))).cast("int").as("w"),
+        (lit(12) + pmod(grp, lit(5))).cast("int").as("h"))
+        .as[(String, Long, Int, Int, Int)]
+      Media.videoDupPairs(Media.videoHashes(specs, 4).toDF(), minFrames = 4)
+    }),
+
     "media_decode" -> ((s, d) => {
       // REAL image decode: deterministic synthetic pixels → real PNG encode
       // → JDK ImageIO decode → per-channel means. PNG is lossless, so the
@@ -3444,6 +3480,39 @@ object SparkEntry {
       |  sum(CASE WHEN m > om AND c < 32 THEN (1::BIGINT << c)
       |    ELSE 0 END)::BIGINT AS ahash_lo
       |  FROM cells JOIN ov USING (media_ref) GROUP BY 1)
+      |""".stripMargin
+
+  /** Shared CTE chain for the video_phash/video_dups oracles: sampled-frame
+    * indices by the evenly-spaced integer rule, then the [[imagePhashOracleCtes]]
+    * aHash replay per (media_ref, frame_index) with frame seed = seed + index —
+    * lockstep with [[graft.media.Media.videoFrameHashes]] over the real
+    * GPNG-container decode. */
+  private val videoPhashOracleCtes: String =
+    """WITH spec AS (SELECT 'vid-'||c_custkey AS media_ref,
+      |  ('0x'||substr(md5('v'||(c_custkey%60)),1,8))::BIGINT AS seed,
+      |  (8 + (c_custkey%60)%5)::INT AS nf,
+      |  (16 + (c_custkey%60)%5)::INT AS w, (12 + (c_custkey%60)%5)::INT AS h
+      |  FROM customer WHERE c_custkey <= 300),
+      |f0 AS (SELECT media_ref, seed, nf, w, h, least(4, nf) AS n,
+      |  unnest(range(least(4, nf))) AS i FROM spec),
+      |f AS (SELECT media_ref, w, h,
+      |  (CASE WHEN n=1 THEN 0 ELSE (i*(nf-1))//(n-1) END)::BIGINT AS frame_index,
+      |  seed + (CASE WHEN n=1 THEN 0 ELSE (i*(nf-1))//(n-1) END) AS fseed FROM f0),
+      |pxx AS (SELECT media_ref, frame_index, fseed, w, h, unnest(range(w)) AS x FROM f),
+      |px AS (SELECT media_ref, frame_index, fseed, w, h, x, unnest(range(h)) AS y FROM pxx),
+      |g AS (SELECT media_ref, frame_index, ((y*8)//h)*8 + ((x*8)//w) AS c,
+      |  (299*((x*31+y*17+fseed)%256) + 587*((x*13+y*29+fseed)%256)
+      |    + 114*((x*7+y*43+fseed)%256)) // 1000 AS gray
+      |  FROM px),
+      |cells AS (SELECT media_ref, frame_index, c, sum(gray)//count(*) AS m
+      |  FROM g GROUP BY 1,2,3),
+      |ov AS (SELECT media_ref, frame_index, sum(m)//64 AS om FROM cells GROUP BY 1,2),
+      |vbits AS (SELECT cells.media_ref, cells.frame_index,
+      |  sum(CASE WHEN m > om AND c >= 32 THEN (1::BIGINT << (c-32))
+      |    ELSE 0 END)::BIGINT AS ahash_hi,
+      |  sum(CASE WHEN m > om AND c < 32 THEN (1::BIGINT << c)
+      |    ELSE 0 END)::BIGINT AS ahash_lo
+      |  FROM cells JOIN ov USING (media_ref, frame_index) GROUP BY 1,2)
       |""".stripMargin
 
   def oracleSql: Map[String, String] = {
@@ -6545,6 +6614,17 @@ object SparkEntry {
           |FROM bits a JOIN bits b
           |  ON a.ahash_hi=b.ahash_hi AND a.ahash_lo=b.ahash_lo
           |  AND a.media_ref < b.media_ref""".stripMargin),
+
+      "video_phash" -> (videoPhashOracleCtes +
+        "SELECT media_ref, frame_index, ahash_hi, ahash_lo FROM vbits"),
+
+      "video_dups" -> (videoPhashOracleCtes +
+        """SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+          |  count(*) AS matched_frames
+          |FROM vbits a JOIN vbits b
+          |  ON a.frame_index=b.frame_index AND a.ahash_hi=b.ahash_hi
+          |  AND a.ahash_lo=b.ahash_lo AND a.media_ref < b.media_ref
+          |GROUP BY 1,2 HAVING count(*) >= 4""".stripMargin),
 
       "media_decode" ->
         """WITH r AS (SELECT 'img-'||c_custkey AS media_ref,

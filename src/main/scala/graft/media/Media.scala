@@ -496,4 +496,72 @@ object Media {
       (w, h, bos.toByteArray)
     }
   }
+
+  /** Per-frame perceptual hash of a sampled video frame — the video member
+    * of the [[ImageHash]] family. */
+  final case class VideoFrameHash(media_ref: String, frame_index: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Parse a GPNG container, decode the same `k` evenly spaced frames as
+    * [[videoFrameStats]], and [[aHash64]] each — the per-frame signature a
+    * video near-dup pass buckets on. */
+  def videoFrameHashes(ref: String, bytes: Array[Byte], k: Int): Seq[VideoFrameHash] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](4); in.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GPNG", s"not a GPNG container: $ref")
+    val nFrames = in.readInt()
+    val n = math.min(k, nFrames)
+    val sampled = (0 until n).map(i =>
+      if (n == 1) 0 else (i.toLong * (nFrames - 1) / (n - 1)).toInt)
+    val want = sampled.toSet
+    val byIdx = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+    var f = 0
+    while (f < nFrames) {
+      val len = in.readInt()
+      if (want(f)) {
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        byIdx(f) = buf
+      } else in.skipNBytes(len.toLong)
+      f += 1
+    }
+    sampled.map { idx =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(byIdx(idx)))
+      val (hi, lo) = aHash64(img)
+      VideoFrameHash(ref, idx, hi, lo)
+    }
+  }
+
+  /** Distributed per-frame video hashing over explicit
+    * (media_ref, seed, n_frames, w, h) specs: per-partition synth →
+    * GPNG-encode → container seek → ImageIO decode of sampled frames only →
+    * [[aHash64]]. The seed is explicit (same contract as [[imageHashes]])
+    * so callers control which refs are pixel-identical — a re-encoded or
+    * re-hosted video keeps its seed. Narrow, no shuffle. */
+  def videoHashes(refs: Dataset[(String, Long, Int, Int, Int)], k: Int): Dataset[VideoFrameHash] = {
+    import refs.sparkSession.implicits._
+    refs.mapPartitions(_.flatMap { case (ref, seed, nf, w, h) =>
+      videoFrameHashes(ref, synthVideoBytes(seed, nf, w, h), k)
+    })
+  }
+
+  /** Video near-dup pairs from per-frame hashes: two videos match when at
+    * least `minFrames` of their sampled frames agree FRAME-ALIGNED (same
+    * sampled index, equal 64-bit hash) — the frame index acts as the LSH
+    * band id, so the join buckets on (index, hash) and is never all-pairs.
+    * A shifted or trimmed video matches on the surviving aligned frames;
+    * tolerance is the `minFrames` dial. One equi-join + one pair-count
+    * aggregate. Returns (ref_a, ref_b, matched_frames). */
+  def videoDupPairs(frameHashes: org.apache.spark.sql.DataFrame,
+      minFrames: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val key = Seq("frame_index", "ahash_hi", "ahash_lo")
+    val a = frameHashes.select(key.map(col) :+ col("media_ref").as("ref_a"): _*)
+    val b = frameHashes.select(key.map(col) :+ col("media_ref").as("ref_b"): _*)
+    a.join(b, key)
+      .filter(col("ref_a") < col("ref_b"))
+      .groupBy("ref_a", "ref_b")
+      .agg(count(lit(1)).as("matched_frames"))
+      .filter(col("matched_frames") >= minFrames)
+  }
 }

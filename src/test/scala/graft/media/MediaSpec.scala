@@ -165,6 +165,37 @@ class MediaSpec extends SparkTestBase {
     }
   }
 
+  test("per-frame video aHash ≡ image aHash of seed+index; aligned dup pairs") {
+    import spark.implicits._
+    // frame f of video (seed, w, h) is the synth image of seed+f, so the
+    // video hash path must agree with imageHashes on the sampled indices
+    val (seed, nf, w, h) = (77L, 10, 16, 12)
+    val vh = videoFrameHashes("v", synthVideoBytes(seed, nf, w, h), k = 4)
+    assert(vh.map(_.frame_index) == Seq(0, 3, 6, 9))
+    val imgSpecs = vh.map(f => (s"f${f.frame_index}", seed + f.frame_index, w, h))
+    val img = Media.imageHashes(imgSpecs.toDS()).collect()
+      .map(ih => ih.media_ref -> ((ih.ahash_hi, ih.ahash_lo))).toMap
+    for (f <- vh)
+      assert((f.ahash_hi, f.ahash_lo) == img(s"f${f.frame_index}"), s"frame ${f.frame_index}")
+    // distributed path + frame-aligned dup pairs: a/b share a seed (dup on
+    // all 4 frames), c differs; threshold 4 keeps only the true pair
+    val specs = Seq(("a", 5L, 9, 16, 12), ("b", 5L, 9, 16, 12), ("c", 6L, 9, 16, 12))
+    val hashes = Media.videoHashes(specs.toDS(), 4).toDF()
+    assert(hashes.count() == 12)
+    val pairs = Media.videoDupPairs(hashes, minFrames = 4)
+      .select("ref_a", "ref_b").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b")))
+    // a trimmed video (fewer frames) samples different indices — aligned
+    // matching is what keeps this from being a false positive at 4-of-4
+    val trimmed = Media.videoHashes(Seq(("a", 5L, 9, 16, 12), ("t", 5L, 5, 16, 12)).toDS(), 4).toDF()
+    val tp = Media.videoDupPairs(trimmed, minFrames = 4)
+      .select("ref_a", "ref_b").as[(String, String)].collect().toSet
+    // a samples 0,2,5,8 of 9; t samples 0,1,2,4 of 5 — only index 0 and 2 align
+    assert(!tp.contains(("a", "t")))
+    assert(Media.videoDupPairs(trimmed, minFrames = 2)
+      .select("ref_a", "ref_b").as[(String, String)].collect().toSet == Set(("a", "t")))
+  }
+
   test("audio fingerprint via WAV decode ≡ independent sample-arithmetic replay") {
     import spark.implicits._
     def expected(seed: Long, n: Int): (Long, Long) = {
