@@ -383,6 +383,19 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
     }),
 
+    // The same top-3-per-customer through the NATIVE whole-operator plan
+    // (custom LogicalPlan -> GraftTopKPartial/Final SparkPlans): bounded
+    // per-key heaps on the map side, <= k rows per key per partition through
+    // the exchange, no per-group sort — versus the window form above that
+    // shuffles and sorts every order row of every customer.
+    "topk_native" -> ((s, d) =>
+      org.apache.spark.sql.graftshim.GraftTopK.perKey(
+        rd(s, d, "orders"),
+        keys = Seq("o_custkey"),
+        order = Seq(("o_totalprice", true), ("o_orderkey", false)),
+        k = 3)
+        .select(col("o_custkey"), col("o_orderkey"))),
+
     "sessionize" -> ((s, d) => {
       val ev = rd(s, d, "events")
         .select(col("user_id"),
@@ -3629,6 +3642,12 @@ object SparkEntry {
         """SELECT o_custkey, o_orderkey,
           |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rnk
           |FROM orders QUALIFY rnk <= 3""".stripMargin,
+
+      "topk_native" ->
+        """SELECT o_custkey, o_orderkey FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn <= 3""".stripMargin,
 
       "sessionize" ->
         """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

@@ -68,8 +68,9 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session extension registering the engine's native expressions. Enable
-  * with `.config("spark.sql.extensions", "graft.sql.GraftExtensions")` (all
+/** Session extension registering the engine's native expressions and planner
+  * strategies. Enable with
+  * `.config("spark.sql.extensions", "graft.sql.GraftExtensions")` (all
   * of this project's entry points do). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -77,5 +78,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_fvdot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_fvdot"),
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftshim.GraftTopKStrategy)
   }
 }

@@ -23,5 +23,12 @@ object GraftRegistration {
         (children: Seq[Expression]) => FloatVecDot(children.head, children(1)),
         "built-in")
     }
+    // Planner strategy for the native top-K-per-key operator. experimental
+    // methods are the public runtime-injection point for strategies on an
+    // already built session (the extensions class covers construction time).
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(GraftTopKStrategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ GraftTopKStrategy
+    }
   }
 }
