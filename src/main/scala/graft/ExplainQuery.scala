@@ -28,6 +28,7 @@ object ExplainQuery {
         "stream_domstrip", "stream_hll", "stream_minhash",
         "minhash_dups", "minhash_incremental", "bpe_merges", "bpe_segment", "bpe_batch",
         "cms_freq", "cms_merge", "bloom_dedup", "bloom_merge", "ingest_e2e",
+        "bucket_join",
         "pq_topk", "pagerank_dangling",
         "dedup_clusters_alt", "dedup_best_of_cluster", "hits_scores")
     val names =

@@ -421,6 +421,41 @@ object SparkEntry {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
     }),
 
+    // The hot-key join lever as a contract query: the big side (events) is
+    // salted on a per-row discriminator so one hot join key spreads across 8
+    // partitions, the small side replicates 8-fold, and the join result is
+    // provably identical to the unsalted join — the oracle recomputes the
+    // weighted aggregate WITHOUT any join, so a dropped or duplicated row
+    // from the salting would break parity.
+    "salted_join" -> ((s, d) => {
+      val ev = rd(s, d, "events")
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("weight", length(col("event_type")).cast("long"))
+      graft.io.Skew.saltedJoin(ev, dim, Seq("event_type"), col("event_id"), n = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long") * col("weight"))
+            .as("weighted_cents"))
+    }),
+
+    // The co-located-join lever: both sides written ONCE as bucketed+sorted
+    // managed tables on the join key, then joined back — the planner proves
+    // co-location from the bucket layout and plans the join with NO exchange
+    // on either side (asserted in BucketingSpec). At 100 TB this moves the
+    // corpus-wide join shuffle to write time, paid once.
+    "bucket_join" -> ((s, d) => {
+      val orders = rd(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = rd(s, d, "customer").select("c_custkey", "c_nationkey")
+      graft.io.Bucketing.writeBucketed(orders, "graft_orders_bucketed", Seq("o_custkey"), 8)
+      graft.io.Bucketing.writeBucketed(cust, "graft_customer_bucketed", Seq("c_custkey"), 8)
+      val o = s.table("graft_orders_bucketed")
+      val c = s.table("graft_customer_bucketed")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+    }),
+
     // Backward as-of join (TemporalJoins.asofJoin — union-and-forward-fill,
     // one key shuffle, never an inequality join): every click event gets the
     // most recent at-or-before purchase of the same user. The oracle is
@@ -3662,6 +3697,20 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY 1""".stripMargin,
+
+      // no join at all: if the salted join dropped or duplicated any row,
+      // n or the weighted sum diverges
+      "salted_join" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(round(value*100) AS BIGINT) * length(event_type)) AS BIGINT)
+          |    AS weighted_cents
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "bucket_join" ->
+        """SELECT c_nationkey, count(*) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1""".stripMargin,
 
       // independent-engine check: DuckDB's native ASOF LEFT JOIN vs our
       // union-and-forward-fill — same backward (>=, ties match) semantics
