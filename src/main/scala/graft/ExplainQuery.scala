@@ -25,7 +25,7 @@ object ExplainQuery {
     // so a bare plan sweep stays side-effect-free and fast
     val eagerConstructors =
       Set("stream_extract", "stream_window", "stream_assemble", "stream_dedup",
-        "stream_domstrip", "stream_hll", "stream_minhash",
+        "stream_domstrip", "stream_hll", "stream_minhash", "stream_session",
         "minhash_dups", "minhash_incremental", "bpe_merges", "bpe_segment", "bpe_batch",
         "cms_freq", "cms_merge", "bloom_dedup", "bloom_merge", "ingest_e2e",
         "bucket_join",

@@ -2265,6 +2265,25 @@ object SparkEntry {
           concat_ws(" ", col("syms")).as("segmented"))
     }),
 
+    // WordPiece greedy longest-match segmentation (applies a FIXED vocab —
+    // the serving-side complement of bpe_* which trains one). The word
+    // corpus derives from lineitem by wid; the oracle re-renders the
+    // expected piece sequence per word from the independently hand-derived
+    // greedy walk, so any kernel drift (match order, ## continuation
+    // prefix, whole-word-UNK) breaks parity.
+    "wordpiece_segment" -> ((s, d) => {
+      val words = Seq("abc", "abca", "abcab", "unaffable", "affable", "aq",
+        "q", "helloworld", "hello", "heabc", "ab", "ba")
+      val vocab = Seq("a", "b", "c", "ab", "abc", "un", "aff", "he", "hello",
+        "wor", "x", "##a", "##ab", "##c", "##aff", "##able", "##wor", "##ld",
+        "##llo", "##y")
+      val corpus = rd(s, d, "lineitem")
+        .select(pmod(col("l_orderkey"), lit(words.size)).as("wid")).distinct()
+        .withColumn("word",
+          element_at(array(words.map(lit): _*), col("wid").cast("int") + 1))
+      graft.text.WordPiece.segmented(corpus, "wid", "word", vocab)
+    }),
+
     // Incremental crawl ingest as ONE plan: the committed corpus (even
     // doc_ids) contributes a Bloom filter (driver-held bytes in the probe
     // expression — the only cross-relation state); the increment (odd
@@ -2298,6 +2317,29 @@ object SparkEntry {
           pmod(col("l_orderkey"), lit(500)).as("src"),
           pmod(col("l_partkey"), lit(500)).as("dst")),
         "src", "dst", iters = 3)
+    }),
+
+    // Synchronous label propagation (LabelProp.labels): 3 deterministic
+    // rounds of most-frequent-neighbor-label with smallest-label ties over
+    // the symmetrized lineitem-derived graph — the oracle unrolls all three
+    // rounds (join + count + arg-max window) in SQL.
+    "label_prop" -> ((s, d) => {
+      graft.graph.LabelProp.labels(
+        rd(s, d, "lineitem").select(
+          pmod(col("l_orderkey"), lit(400)).as("src"),
+          pmod(col("l_partkey"), lit(400)).as("dst")),
+        "src", "dst", iters = 3)
+    }),
+
+    // k-core peel (KCore.core) over the squaring-map functional graph
+    // a -> a^2 mod 97 — a scale-stable fixture (the 97 edges saturate at
+    // every SF, so the peel structure is identical at sf0.01 and sf0.1):
+    // 4 rounds at k=2 strip the tree tendrils and leave the cycles.
+    "kcore" -> ((s, d) => {
+      val a = pmod(col("l_orderkey"), lit(97))
+      graft.graph.KCore.core(
+        rd(s, d, "lineitem").select(a.as("src"), pmod(a * a, lit(97)).as("dst")),
+        "src", "dst", k = 2, rounds = 4)
     }),
 
     // standard dangling-mass treatment (redistributeDangling = true): the
@@ -3094,6 +3136,39 @@ object SparkEntry {
       }
       val in = s.readStream.schema(regular.schema).parquet(inDir)
       graft.streaming.StreamJob.windowedMetrics(in, "10 seconds", "5 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.read.parquet(out)
+    }),
+
+    // Streaming sessionization with custom flatMapGroupsWithState state, run
+    // as a REAL checkpointed stream over the events table (event_id <=
+    // 20000): sessions close by the strict->30min gap rule or by event-time
+    // timeout; a sentinel event in 2030 advances the watermark past every
+    // open session's last+gap so ALL real sessions flush exactly once, and
+    // the sentinel's own (still-open) session is filtered out. The oracle is
+    // the SAME batch sessionize SQL as the `sessionize` query — stream ≡
+    // batch on a complete corpus.
+    "stream_session" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = rd(s, d, "events").filter(col("event_id") <= 20000)
+        // parquet ts is NTZ; session TZ is UTC, so the cast to the
+        // watermark-required LTZ type preserves the epoch DuckDB sees
+        .select(col("user_id"), col("ts").cast("timestamp").as("event_time"),
+          col("event_id"))
+      val sentinel = s.range(1).select(lit(999999999L).as("user_id"),
+        lit("2030-01-01 00:00:00").cast("timestamp").as("event_time"),
+        lit(-1L).as("event_id"))
+      val (inDir, out, ck) = streamDirs("stream-session", d) { p =>
+        ev.unionByName(sentinel).coalesce(1).write.parquet(p)
+      }
+      import s.implicits._
+      val in = s.readStream.schema(ev.schema).parquet(inDir)
+        .as[graft.streaming.StreamJob.UserEvent]
+      graft.streaming.StreamJob.sessionStream(in, gapSeconds = 1800)
+        .filter(col("user_id") =!= 999999999L)
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -5844,6 +5919,23 @@ object SparkEntry {
       // the oracle for the batched path: any unsafe batch breaks parity
       "bpe_batch" -> bpeMergesSql,
 
+      // expected pieces per word derived by hand-walking the greedy
+      // longest-match: independent of the Scala kernel, so it breaks on
+      // any drift in match order, ## prefixing, or whole-word-UNK
+      "wordpiece_segment" ->
+        """WITH w AS (SELECT DISTINCT l_orderkey%12 AS wid FROM lineitem)
+          |SELECT wid,
+          |  CASE wid WHEN 0 THEN 'abc' WHEN 1 THEN 'abca' WHEN 2 THEN 'abcab'
+          |    WHEN 3 THEN 'unaffable' WHEN 4 THEN 'affable' WHEN 5 THEN 'aq'
+          |    WHEN 6 THEN 'q' WHEN 7 THEN 'helloworld' WHEN 8 THEN 'hello'
+          |    WHEN 9 THEN 'heabc' WHEN 10 THEN 'ab' ELSE 'ba' END AS word,
+          |  CASE wid WHEN 0 THEN 'abc' WHEN 1 THEN 'abc|##a' WHEN 2 THEN 'abc|##ab'
+          |    WHEN 3 THEN 'un|##aff|##able' WHEN 4 THEN 'aff|##able'
+          |    WHEN 5 THEN '[UNK]' WHEN 6 THEN '[UNK]'
+          |    WHEN 7 THEN 'hello|##wor|##ld' WHEN 8 THEN 'hello'
+          |    WHEN 9 THEN 'he|##ab|##c' WHEN 10 THEN 'ab' ELSE 'b|##a' END AS pieces
+          |FROM w""".stripMargin,
+
       "bpe_segment" ->
         s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS w FROM documents),
            |v0 AS (SELECT w AS word, count(*) AS cnt,
@@ -5926,6 +6018,63 @@ object SparkEntry {
           |r3 AS (SELECT n.node, (150000 + (850000 * coalesce(c3.inflow, 0)) // 1000000)::BIGINT AS r
           |  FROM nodes n LEFT JOIN c3 USING (node))
           |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+
+      // label propagation replay: 3 unrolled synchronous rounds — per round
+      // join labels to the symmetrized edges, count per (node, label),
+      // arg-max with smallest-label ties, isolated nodes keep their own id
+      "label_prop" ->
+        """WITH e AS (SELECT l_orderkey%400 AS src, l_partkey%400 AS dst FROM lineitem),
+          |sym AS (SELECT DISTINCT src, dst FROM (
+          |  SELECT src, dst FROM e WHERE src<>dst
+          |  UNION ALL SELECT dst, src FROM e WHERE src<>dst)),
+          |nodes AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |l0 AS (SELECT node, node AS label FROM nodes),
+          |c1 AS (SELECT s.src AS node, l.label, count(*) AS n
+          |  FROM sym s JOIN l0 l ON s.dst = l.node GROUP BY 1, 2),
+          |w1 AS (SELECT node, label FROM (SELECT node, label,
+          |    row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn FROM c1)
+          |  WHERE rn = 1),
+          |l1 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+          |  FROM nodes n LEFT JOIN w1 w USING (node)),
+          |c2 AS (SELECT s.src AS node, l.label, count(*) AS n
+          |  FROM sym s JOIN l1 l ON s.dst = l.node GROUP BY 1, 2),
+          |w2 AS (SELECT node, label FROM (SELECT node, label,
+          |    row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn FROM c2)
+          |  WHERE rn = 1),
+          |l2 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+          |  FROM nodes n LEFT JOIN w2 w USING (node)),
+          |c3 AS (SELECT s.src AS node, l.label, count(*) AS n
+          |  FROM sym s JOIN l2 l ON s.dst = l.node GROUP BY 1, 2),
+          |w3 AS (SELECT node, label FROM (SELECT node, label,
+          |    row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn FROM c3)
+          |  WHERE rn = 1),
+          |l3 AS (SELECT n.node, coalesce(w.label, n.node) AS label
+          |  FROM nodes n LEFT JOIN w3 w USING (node))
+          |SELECT node, label FROM l3""".stripMargin,
+
+      // k-core replay: 4 unrolled peel rounds over the symmetrized
+      // squaring-map graph — keep a node iff its CURRENT degree >= 2, keep
+      // an edge iff both endpoints survive, then report final degrees
+      "kcore" ->
+        """WITH e AS (SELECT DISTINCT l_orderkey%97 AS src,
+          |    ((l_orderkey%97)*(l_orderkey%97))%97 AS dst FROM lineitem),
+          |g0 AS (SELECT DISTINCT src, dst FROM (
+          |  SELECT src, dst FROM e WHERE src<>dst
+          |  UNION ALL SELECT dst, src FROM e WHERE src<>dst)),
+          |k1 AS (SELECT src FROM g0 GROUP BY src HAVING count(*) >= 2),
+          |g1 AS (SELECT g.src, g.dst FROM g0 g
+          |  JOIN k1 a ON g.src = a.src JOIN k1 b ON g.dst = b.src),
+          |k2 AS (SELECT src FROM g1 GROUP BY src HAVING count(*) >= 2),
+          |g2 AS (SELECT g.src, g.dst FROM g1 g
+          |  JOIN k2 a ON g.src = a.src JOIN k2 b ON g.dst = b.src),
+          |k3 AS (SELECT src FROM g2 GROUP BY src HAVING count(*) >= 2),
+          |g3 AS (SELECT g.src, g.dst FROM g2 g
+          |  JOIN k3 a ON g.src = a.src JOIN k3 b ON g.dst = b.src),
+          |k4 AS (SELECT src FROM g3 GROUP BY src HAVING count(*) >= 2),
+          |g4 AS (SELECT g.src, g.dst FROM g3 g
+          |  JOIN k4 a ON g.src = a.src JOIN k4 b ON g.dst = b.src)
+          |SELECT src AS node, count(*) AS deg FROM g4 GROUP BY 1""".stripMargin,
 
       // dangling replay: per iteration ds = (Σ rank over out-degree-0
       // nodes) // N, added to every node's inflow before damping
@@ -6753,6 +6902,18 @@ object SparkEntry {
            |  CASE WHEN e.vz > 0 AND raw <= 640 THEN lcj.lc_est ELSE raw END AS hll_distinct,
            |  nr.n_rows
            |FROM est e LEFT JOIN lc lcj ON lcj.lv = e.vz JOIN nr USING (grp)""".stripMargin,
+
+      // the batch sessionize replay over the same bounded corpus: every
+      // real session closed (sentinel-flushed), sentinel excluded
+      "stream_session" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+          |  WHERE event_id <= 20000),
+          |l AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+          |s AS (SELECT user_id, us, CASE WHEN prev IS NULL OR us-prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+          |g AS (SELECT user_id, us, sum(ns) OVER (PARTITION BY user_id ORDER BY us
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)
+          |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+          |  count(*) AS n_events FROM g GROUP BY user_id, sess""".stripMargin,
 
       "stream_window" ->
         """WITH sp AS (SELECT l_orderkey AS k,

@@ -230,6 +230,82 @@ object StreamJob {
       .toDF("id_a", "id_b", "sim_milli", "event_ms")
   }
 
+  /** One user interaction arriving on a stream (sessionization input). */
+  final case class UserEvent(user_id: Long,
+      event_time: java.sql.Timestamp, event_id: Long)
+
+  /** Open-session state: first/last event epoch-MICROS + event count
+    * (micros, not millis — the batch oracle compares gaps at the parquet
+    * timestamp's full precision). */
+  final case class SessionWindow(startUs: Long, lastUs: Long, n: Long)
+
+  /** Full-precision epoch micros of a Timestamp (getTime alone truncates
+    * to millis; the sub-milli residue lives in getNanos). */
+  private def epochMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Streaming sessionization with CUSTOM STATE (`flatMapGroupsWithState`) —
+    * the streaming twin of the batch `sessionize` contract query: events
+    * grouped per user, a session closes when the gap to the next event
+    * exceeds `gapSeconds` (emitted immediately) or when the event-time
+    * watermark passes `last event + gap` (group timeout — the open session
+    * emits exactly once, the streaming analog of the batch query's final
+    * session per user). Built-in session windows
+    * (`session_window(event_time, gap)`) could express the aggregate shape,
+    * but the custom-state form also carries per-session derived state
+    * downstream (and is the documented pattern this engine uses for
+    * order-dependent state).
+    *
+    * Determinism: events inside a micro-batch are processed in
+    * (event_time, event_id) order, so replays emit identical sessions. The
+    * strict-`>` gap rule matches the batch oracle exactly.
+    *
+    * Scale/state: one `SessionWindow` (3 longs) per OPEN session — memory is
+    * bounded by concurrently active users inside the watermark horizon, not
+    * by stream lifetime; timeouts evict every idle session.
+    *
+    * Output: (user_id, session_start_us, session_end_us, n_events). */
+  def sessionStream(events: Dataset[UserEvent], gapSeconds: Long = 1800,
+      watermarkDelay: String = "10 seconds"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionWindow, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, evs, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single((userId, s.startUs, s.lastUs, s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (epochMicros(e.event_time), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val us = epochMicros(e.event_time)
+              cur match {
+                case Some(s) if us - s.lastUs > gapUs =>
+                  out += ((userId, s.startUs, s.lastUs, s.n))
+                  cur = Some(SessionWindow(us, us, 1L))
+                case Some(s) =>
+                  cur = Some(SessionWindow(s.startUs, math.max(s.lastUs, us), s.n + 1))
+                case None =>
+                  cur = Some(SessionWindow(us, us, 1L))
+              }
+            }
+            val s = cur.get
+            state.update(s)
+            // timeout API is millis; round UP so the timeout never fires
+            // before last + gap in micros
+            state.setTimeoutTimestamp((s.lastUs + gapUs + 999L) / 1000L)
+            out.iterator
+          }
+      }
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+  }
+
   /** One span arriving as a streaming event. */
   final case class SpanEvent(doc_id: String, event_time: java.sql.Timestamp,
       kind: String, text: String, media_ref: String, offset: Int)

@@ -265,4 +265,61 @@ class StreamJobSpec extends SparkTestBase {
     StreamJob.domStrip(spark, in, out, ckpt).awaitTermination(120000)
     assert(spark.read.parquet(out).count() == batch.length)
   }
+
+  test("streaming sessionization: gap close, timeout flush, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ev(userId: Long, sec: Long, id: Long) =
+      StreamJob.UserEvent(userId, new java.sql.Timestamp(sec * 1000L), id)
+
+    val input = MemoryStream[StreamJob.UserEvent]
+    val q = StreamJob.sessionStream(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+
+    // user 1: two sessions split by a >30min gap inside ONE batch;
+    // user 2: one session that stays open
+    input.addData(ev(1, 1000, 1), ev(1, 1500, 2), ev(1, 1500 + 1801, 3),
+      ev(2, 1200, 4))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("sess").as[(Long, Long, Long, Long)].collect().toSet
+    // user 1's FIRST session closed by the gap rule; user 2's session then
+    // timed out in the no-data batch (watermark 3291s passed its 3000s
+    // timeout); user 1's second session (timeout 5101s) stays open
+    assert(afterBatch1 == Set(
+      (1L, 1000000000L, 1500000000L, 2L),
+      (2L, 1200000000L, 1200000000L, 1L)), s"got $afterBatch1")
+
+    // an event far in the future advances the watermark past every open
+    // session's last+gap -> user 1's second session and user 2's session
+    // flush by TIMEOUT; the sentinel's own session stays open
+    input.addData(ev(99, 1000000, 5))
+    q.processAllAvailable()
+    input.addData(ev(99, 1000001, 6)) // nudge one more batch so timeouts fire
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess").as[(Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 1000000000L, 1500000000L, 2L),
+      (1L, 3301000000L, 3301000000L, 1L),
+      (2L, 1200000000L, 1200000000L, 1L))
+    assert(got == expected, s"got $got")
+
+    // exact boundary: a gap of exactly 30min does NOT split (strict >)
+    val input2 = MemoryStream[StreamJob.UserEvent]
+    val q2 = StreamJob.sessionStream(input2.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    input2.addData(ev(7, 1000, 1), ev(7, 1000 + 1800, 2))
+    q2.processAllAvailable()
+    input2.addData(ev(99, 2000000, 3))
+    q2.processAllAvailable()
+    input2.addData(ev(99, 2000001, 4))
+    q2.processAllAvailable()
+    q2.stop()
+    val got2 = spark.table("sess2").as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2 == Set((7L, 1000000000L, 2800000000L, 2L)), s"got $got2")
+  }
 }
