@@ -2319,6 +2319,32 @@ object SparkEntry {
         "src", "dst", iters = 3)
     }),
 
+    // One-pass dataset profiler (Profile.profile): per-column rows / nulls /
+    // exact distinct / lexicographic min-max via one stacked explode and one
+    // bounded-key aggregate — the pre-job sanity gate. rf_nullable
+    // synthesizes a nullable column so the null accounting is exercised.
+    "profile_stats" -> ((s, d) => {
+      val li = rd(s, d, "lineitem").withColumn("rf_nullable",
+        when(col("l_returnflag") === "A", lit(null).cast("string"))
+          .otherwise(col("l_returnflag")))
+      graft.io.Profile.profile(li,
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "rf_nullable"))
+    }),
+
+    // Politeness-aware frontier scheduling (Frontier.waves): each URL gets
+    // the wave number under which no host is fetched twice per wave — one
+    // host-partitioned window, no global ordering.
+    "crawl_schedule" -> ((s, d) => {
+      val urls = rd(s, d, "lineitem").select(
+        concat(lit("h"), pmod(col("l_orderkey"), lit(37))).as("host"),
+        concat(lit("https://h"), pmod(col("l_orderkey"), lit(37)),
+          lit(".example.com/p/"), col("l_orderkey"), lit("-"),
+          col("l_linenumber")).as("url"),
+        col("l_partkey").as("priority"))
+      graft.text.Frontier.waves(urls, "host", "url", "priority")
+    }),
+
     // Synchronous label propagation (LabelProp.labels): 3 deterministic
     // rounds of most-frequent-neighbor-label with smallest-label ties over
     // the symmetrized lineitem-derived graph — the oracle unrolls all three
@@ -6018,6 +6044,27 @@ object SparkEntry {
           |r3 AS (SELECT n.node, (150000 + (850000 * coalesce(c3.inflow, 0)) // 1000000)::BIGINT AS r
           |  FROM nodes n LEFT JOIN c3 USING (node))
           |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+
+      "profile_stats" ->
+        """WITH st AS (
+          |  SELECT 'l_orderkey' AS col_name, l_orderkey::VARCHAR AS v FROM lineitem
+          |  UNION ALL SELECT 'l_linenumber', l_linenumber::VARCHAR FROM lineitem
+          |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+          |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+          |  UNION ALL SELECT 'rf_nullable', NULLIF(l_returnflag, 'A') FROM lineitem)
+          |SELECT col_name, count(*) AS n_rows,
+          |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+          |  count(DISTINCT v)::BIGINT AS n_distinct,
+          |  min(v) AS min_str, max(v) AS max_str
+          |FROM st GROUP BY 1""".stripMargin,
+
+      "crawl_schedule" ->
+        """WITH u AS (SELECT 'h'||(l_orderkey%37) AS host,
+          |  'https://h'||(l_orderkey%37)||'.example.com/p/'||l_orderkey||'-'||l_linenumber AS url,
+          |  l_partkey AS priority FROM lineitem)
+          |SELECT host, url, priority,
+          |  row_number() OVER (PARTITION BY host ORDER BY priority, url) AS wave
+          |FROM u""".stripMargin,
 
       // label propagation replay: 3 unrolled synchronous rounds — per round
       // join labels to the symmetrized edges, count per (node, label),
