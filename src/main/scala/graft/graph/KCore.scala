@@ -34,10 +34,17 @@ object KCore {
       col(dstCol).cast("long").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+    // each round's survivor relation is persisted (caller-release contract):
+    // round r+1 references round r on BOTH semi-join sides, so an unpersisted
+    // fold re-evaluates the whole prior lineage once per reference —
+    // exponential recomputation by round 4 (same fix as HITS' checkpointed
+    // iterations)
     val peeled = (1 to rounds).foldLeft(sym) { (cur, _) =>
-      val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+      val c = graft.io.Persisted.track(
+        cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val keep = c.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
-      cur.join(keep, Seq("src"), "left_semi")
+      c.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
     }
     peeled.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
