@@ -396,6 +396,30 @@ object SparkEntry {
         k = 3)
         .select(col("o_custkey"), col("o_orderkey"))),
 
+    // The SAME query written as the ordinary window idiom, rewritten to the
+    // native operator by the injected optimizer rule
+    // (spark.graft.topk.rewrite): the flag is raised only around plan
+    // optimization (cached in this QueryExecution), and construction FAILS
+    // if the rewrite did not fire — a silently-kept window would still pass
+    // the oracle and hide a rule regression.
+    "topk_rewrite" -> ((s, d) => {
+      org.apache.spark.sql.graftshim.GraftRegistration.ensure(s)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = rd(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"))
+      s.conf.set(org.apache.spark.sql.graftshim.WindowTopKRewrite.ConfKey, "true")
+      try {
+        val opt = df.queryExecution.optimizedPlan
+        require(opt.toString.contains("TopKPerKey"),
+          s"window-to-TopK rewrite did not fire:\n$opt")
+      } finally {
+        s.conf.unset(org.apache.spark.sql.graftshim.WindowTopKRewrite.ConfKey)
+      }
+      df
+    }),
+
     "sessionize" -> ((s, d) => {
       val ev = rd(s, d, "events")
         .select(col("user_id"),
@@ -2121,6 +2145,27 @@ object SparkEntry {
       // sort; k < |vocab| so the cut and its tie-break actually bind)
       TA.topTokensDf(rd(s, d, "documents"), "text", 20)),
 
+    // k-gram novelty triage (Dedup.noveltyScore) over the same pasted-
+    // boilerplate fixture as substring_dedup: every 5th doc shares the
+    // disclaimer's 8-grams (plus any organically shared spans), everything
+    // else scores by its genuinely shared span mass; same tokenizer/hash as
+    // the dedup pass so the two signals agree on what a span is.
+    "novelty_score" -> ((s, d) =>
+      Dedup.noveltyScore(
+        rd(s, d, "documents").withColumn("page", disclaimerPage),
+        "doc_id", "page", k = 8)),
+
+    // Hard-negative mining (Similarity.hardNegatives): per labeled query
+    // the 5 nearest DIFFERENT-label vectors — the contrastive-training pair
+    // miner; the oracle replays the label-filtered brute-force ranking.
+    "hard_negatives" -> ((s, d) => {
+      val e = rd(s, d, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", "label", 5)
+        .select(col("query_id"), col("query_label"), col("neighbor_id"),
+          col("neighbor_label"), col("cos"), col("rank").cast("long").as("rnk"))
+    }),
+
     "dedup_clusters" -> ((s, d) => {
       // near-dup pairs → connected components: min-label propagation to the
       // fixpoint, labelling every paired doc with its component's min id —
@@ -3780,6 +3825,12 @@ object SparkEntry {
           |FROM orders QUALIFY rnk <= 3""".stripMargin,
 
       "topk_native" ->
+        """SELECT o_custkey, o_orderkey FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+      "topk_rewrite" ->
         """SELECT o_custkey, o_orderkey FROM (
           |  SELECT o_custkey, o_orderkey,
           |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -5750,6 +5801,23 @@ object SparkEntry {
            |SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1
            |ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
 
+      // novelty replay: same tokenization + 8-gram hash as substring_dedup;
+      // shared = k-gram in >1 DISTINCT doc; integer milli floor-div
+      "novelty_score" ->
+        s"""WITH d AS (SELECT doc_id, $disclaimerCase AS page FROM documents),
+           |tk AS (SELECT doc_id, ${toks.format("page")} AS l FROM d),
+           |kg AS (SELECT doc_id, ${hash60("array_to_string(l[pos+1:pos+8], ' ')")} AS kh
+           |  FROM (SELECT doc_id, l, unnest(range(len(l)-7)) AS pos FROM tk WHERE len(l) >= 8)),
+           |nd AS (SELECT kh, count(DISTINCT doc_id) AS n_docs FROM kg GROUP BY 1),
+           |sc AS (SELECT kg.doc_id, count(*) AS n_kgrams,
+           |  sum(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared
+           |  FROM kg JOIN nd USING (kh) GROUP BY 1)
+           |SELECT d.doc_id, coalesce(n_kgrams, 0)::BIGINT AS n_kgrams,
+           |  coalesce(n_shared, 0)::BIGINT AS n_shared,
+           |  (CASE WHEN coalesce(n_kgrams, 0) = 0 THEN 1000
+           |    ELSE (1000*(n_kgrams-n_shared))//n_kgrams END)::BIGINT AS novelty_milli
+           |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
       "dedup_clusters" ->
         s"""WITH RECURSIVE $jacPairs,
            |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
@@ -5811,6 +5879,20 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      // the label-mismatch predicate lands in the pair join, then the same
+      // exact ranking as knn_topk
+      "hard_negatives" ->
+        """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+          |s AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+          |  c.vec_id AS neighbor_id, c.label AS neighbor_label,
+          |  round(list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |    / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
+          |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label <> q.label)
+          |SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
+          |FROM s QUALIFY rnk <= 5""".stripMargin,
 
       "embedding_near_dup" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings),

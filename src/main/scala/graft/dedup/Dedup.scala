@@ -810,6 +810,68 @@ object Dedup {
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
 
+  /** Per-document k-gram novelty — the memorization/contamination risk
+    * signal: what fraction of a document's k-token spans appear in ANY other
+    * document? Docs full of shared spans (mirrors, templated pages, quoted
+    * benchmarks) score low and are the ones worth stripping or down-weighting
+    * before training; [[dedupSubstrings]] is the surgical fix, this is the
+    * cheap corpus-wide triage that decides where to aim it.
+    *
+    * A k-gram is shared when it occurs in MORE THAN ONE distinct document —
+    * in-doc repetition alone stays novel (that is repetition, Gopher's job,
+    * not cross-doc duplication). Same tokenizer, k-gram window, and 60-bit
+    * hash as [[dedupSubstrings]] so the two signals agree on what a span is.
+    *
+    * Plan: per-doc-bounded k-gram window, one distinct + one partial-agg
+    * groupBy on the k-gram hash, one join back, one per-doc groupBy — all
+    * bounded keys, nothing all-pairs. Output: (id, n_kgrams, n_shared,
+    * novelty_milli) with novelty in integer milli units (1000 = fully
+    * novel; short docs with no k-grams score 1000). */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = df
+      .select(col(idCol), posexplode(tokensCol(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val kg = toks
+      .withColumn("kgram", concat_ws(" ",
+        col("tok") +: (1 until k).map(i => lead("tok", i).over(w)): _*))
+      .withColumn("__last", lead("tok", k - 1).over(w))
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), hash60(col("kgram")).as("kh"))
+    val kgShared = graft.io.Persisted.track(
+      kg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val docsPerKh = kgShared.select(col(idCol), col("kh")).distinct()
+      .groupBy("kh").agg(count(lit(1)).as("__n_docs"))
+    val scored = kgShared.join(docsPerKh, Seq("kh"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kgrams"),
+        sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_kgrams", coalesce(col("n_kgrams"), lit(0L)))
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("novelty_milli",
+        when(col("n_kgrams") === 0, lit(1000L))
+          .otherwise(expr("(1000 * (n_kgrams - n_shared)) div n_kgrams")))
+  }
+
+  /** Pure twin of [[noveltyScore]] for spec cross-checking. */
+  def noveltyScorePure(docs: Seq[(Long, String)],
+      k: Int): Seq[(Long, Long, Long, Long)] = {
+    val kgrams = docs.map { case (id, text) =>
+      val t = graft.text.TextAnalysis.tokens(text)
+      id -> t.sliding(k).filter(_.size == k).map(g =>
+        graft.text.TextAnalysis.hash60(g.mkString(" "))).toSeq
+    }
+    val docsPerKh = kgrams.flatMap { case (id, ks) => ks.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    kgrams.map { case (id, ks) =>
+      val n = ks.size.toLong
+      val s = ks.count(kh => docsPerKh(kh) > 1).toLong
+      (id, n, s, if (n == 0) 1000L else Math.floorDiv(1000L * (n - s), n))
+    }
+  }
+
   /** Pure twin of [[dedupSubstrings]] for spec cross-checking:
     * (id, nTokens, nRemoved, cleanText) per doc. Same 60-bit k-gram hash
     * grouping as the DataFrame form so the two agree bit-for-bit even on a

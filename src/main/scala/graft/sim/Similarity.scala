@@ -64,6 +64,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the standard pair-mining
+    * step for embedding models à la DPR/SimCSE): for each labeled query, the
+    * k nearest candidates whose label DIFFERS — the most-confusable wrong
+    * answers, which carry far more gradient signal than random negatives.
+    * Same plan as [[bruteForceTopK]] (broadcast query side, one top-k
+    * window) with the label-mismatch predicate pushed into the join, so
+    * same-label pairs never materialize. At corpus scale, swap the
+    * brute-force scorer for [[ivfTopK]] candidates and keep the same
+    * label-filtered rescore. Output: (query_id, query_label, neighbor_id,
+    * neighbor_label, cos, rank). */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("query_label")).withColumn("__qn", normCol(col("__qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col(labelCol).as("neighbor_label")).withColumn("__cn", normCol(col("__cv")))
+    val scored = c.join(broadcast(q),
+      col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos",
+        round(dotCol(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cos", "rank")
+  }
+
   /** Sign-bucket key: the first `p` dimensions' signs packed into an int —
     * a deterministic 2^p-cell space partition (IVF-style coarse quantizer
     * without training). Vectors are only compared within their own cell. */

@@ -79,5 +79,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_fvdot"),
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftshim.GraftTopKStrategy)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graftshim.WindowTopKRewrite)
   }
 }

@@ -30,5 +30,9 @@ object GraftRegistration {
     if (!exp.extraStrategies.contains(GraftTopKStrategy)) {
       exp.extraStrategies = exp.extraStrategies :+ GraftTopKStrategy
     }
+    // window-to-TopK rewrite (no-op unless spark.graft.topk.rewrite=true)
+    if (!exp.extraOptimizations.contains(WindowTopKRewrite)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ WindowTopKRewrite
+    }
   }
 }

@@ -477,4 +477,43 @@ class DedupSpec extends SparkTestBase {
     assert(strict.count(_._2 > 0) == 3)
     graft.io.Persisted.release(spark)
   }
+
+  test("novelty score: cross-doc shared spans lower it, in-doc repetition does not") {
+    val boiler = "all rights reserved contact us for terms of service today"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"one two three four five six seven $boiler"),
+      // in-doc repetition of a 10-token span, but unique to this doc
+      (3L, "red blue green yellow purple orange pink " * 3),
+      (4L, "entirely unique words nowhere else repeated in this corpus at all"),
+      (5L, "short doc")) // < k tokens -> fully novel by contract
+    val got = Dedup.noveltyScore(docs.toDF("id", "text"), "id", "text", k = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val pure = Dedup.noveltyScorePure(docs, 8).map(r => r._1 -> r).toMap
+    assert(got == pure)
+    // docs 1 and 2 share the boilerplate k-grams -> partially novel
+    assert(got(1L)._3 > 0 && got(1L)._4 < 1000L)
+    assert(got(2L)._3 > 0 && got(2L)._4 < 1000L)
+    // in-doc repetition alone stays fully novel
+    assert(got(3L)._3 == 0 && got(3L)._4 == 1000L)
+    assert(got(4L)._4 == 1000L)
+    assert(got(5L) == ((5L, 0L, 0L, 1000L)))
+    graft.io.Persisted.release(spark)
+  }
+
+  test("novelty score: partitioning invariance and exact milli arithmetic") {
+    val docs = (0L until 30L).map { i =>
+      val shared = "the quick brown fox jumps over the lazy dog again"
+      val unique = (0 until 10).map(j => s"u${i}w$j").mkString(" ")
+      (i, if (i % 3 == 0) s"$shared $unique" else unique)
+    }
+    val expected = Dedup.noveltyScorePure(docs, 4).toSet
+    for (p <- Seq(1, 7)) {
+      val got = Dedup.noveltyScore(
+        docs.toDF("id", "text").repartition(p), "id", "text", k = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"parts=$p")
+      graft.io.Persisted.release(spark)
+    }
+  }
 }

@@ -191,4 +191,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.exists(!_._5))
     assert(got.groupBy(_._2).values.forall(_.exists(_._5)))
   }
+
+  test("hard negatives: nearest DIFFERENT-label neighbors only, ranked by cosine") {
+    val queries = df.filter(col("id").isin(0, 10))
+    val got = hardNegatives(df, queries, "id", "vec", "label", k = 4)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    assert(got.length == 8)
+    for ((q, ql, n, nl, _, _) <- got) {
+      assert(ql != nl, s"query $q (label $ql) got same-label negative $n")
+      assert(ql == (if (q < 10) 0 else 1) && nl == n / 10)
+    }
+    // equals brute-force top-k over the OTHER-label candidate subset
+    for (q <- Seq(0L, 10L)) {
+      val ql = (q / 10).toInt
+      val expected = bruteForceTopK(
+        df.filter(col("label") =!= ql), df.filter(col("id") === q),
+        "id", "vec", k = 4)
+        .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+      val mine = got.filter(_._1 == q).map(r => (r._3, r._6)).toSet
+      assert(mine == expected, s"query $q")
+    }
+  }
 }
