@@ -1926,6 +1926,15 @@ object SparkEntry {
         "doc_id", "t2", chunkSize = 32, overlap = 8)
     }),
 
+    // Content-defined chunking (Chunking.cdcChunks): window-hash cut
+    // points, 2^6 expected chunk length 64, max-size cap 256; the oracle
+    // replays every boundary and the verbatim chunk bytes.
+    "cdc_chunks" -> ((s, d) =>
+      graft.text.Chunking.cdcChunks(
+        rd(s, d, "documents").withColumn("t2", docText)
+          .select(col("doc_id"), col("t2")),
+        "doc_id", "t2", windowLen = 16, maskBits = 6, maxLen = 256)),
+
     // BM25 top-k retrieval (SparseSim.bm25TopK): three probe queries against
     // the corpus inverted index; query side broadcasts, one row_number
     // window per query. k1=1.5 (not the 1.2 default) so every float
@@ -5486,6 +5495,29 @@ object SparkEntry {
            |  FROM (SELECT doc_id, l, unnest(range(nchunks)) AS i FROM nc))
            |SELECT doc_id, chunk_id::BIGINT AS chunk_id, len(ck)::BIGINT AS n_tokens,
            |  array_to_string(ck, ' ') AS chunk_text FROM c""".stripMargin,
+
+      // CDC replay: every w-char window-end whose domain-prefixed hash60
+      // lands on the 2^6 mask is a cut; spans between consecutive cuts
+      // (plus doc end) split at fixed 256-char offsets; verbatim chunk text
+      "cdc_chunks" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents WHERE length($docText) > 0),
+           |cut AS (SELECT doc_id, i FROM
+           |  (SELECT doc_id, t2, unnest(range(16, length(t2)::BIGINT + 1)) AS i FROM t)
+           |  WHERE ${hash60("'cdc:' || substr(t2, (i - 15)::INT, 16)")} % 64 = 0),
+           |ends AS (SELECT doc_id, i AS e FROM cut
+           |  UNION SELECT doc_id, length(t2)::BIGINT FROM t),
+           |sp AS (SELECT doc_id, e,
+           |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+           |  FROM ends),
+           |pc AS (SELECT doc_id, s + j*256 AS start,
+           |  least(256, e - (s + j*256) + 1) AS len
+           |  FROM (SELECT doc_id, s, e, unnest(range((e - s) // 256 + 1)) AS j FROM sp)),
+           |ck AS (SELECT pc.doc_id, start, len,
+           |  substr(t.t2, start::INT, len::INT) AS chunk_text,
+           |  row_number() OVER (PARTITION BY pc.doc_id ORDER BY start) - 1 AS chunk_id
+           |  FROM pc JOIN t ON pc.doc_id = t.doc_id)
+           |SELECT doc_id, chunk_id::BIGINT AS chunk_id, start::BIGINT AS start,
+           |  len::BIGINT AS len, chunk_text FROM ck""".stripMargin,
 
       // BM25 replay: tf/dl/df/avgdl → Lucene-form idf in milli-nats → one
       // rounding per (query, doc, term) → exact int64 sums → ranked window

@@ -62,4 +62,103 @@ object Chunking {
       (i, c.length.toLong, c.mkString(" "))
     }
   }
+
+  // ------------------------------------------------ content-defined -------
+  /** Content-defined chunking (CDC — the FastCDC/LBFS family): a chunk
+    * boundary falls AT character position i whenever the hash of the w-char
+    * window ENDING at i lands in the cut set (`hash mod 2^maskBits == 0`),
+    * so boundaries follow the CONTENT, not absolute offsets. That is the
+    * property fixed-size chunking lacks and dedup storage needs: insert one
+    * byte mid-document and every fixed-size chunk after the edit shifts and
+    * re-uploads, while CDC chunks re-align within one window width — only
+    * the chunks overlapping the edit change. Expected chunk length is
+    * 2^maskBits characters.
+    *
+    * Two deliberate deviations from stateful CDC implementations, both so
+    * any engine can replay boundaries exactly (no sequential scan state):
+    *  - the window hash is the md5-derived [[TextAnalysis.hash60]] of the
+    *    window text (domain-prefixed "cdc:"), not a rolling Gear/Rabin
+    *    state — same boundaries, O(w) per position instead of O(1), a
+    *    constant-factor trade for bit-exact cross-engine replay;
+    *  - no minimum chunk length (a min-cut suppressor makes each boundary
+    *    depend on the previous KEPT boundary — a sequential chain). The
+    *    degenerate side that hurts storage, oversized chunks, IS bounded:
+    *    spans longer than `maxLen` split at fixed `maxLen` offsets.
+    *
+    * Plan shape: completely NARROW — per-row position filter + span
+    * assembly + one posexplode; no shuffle at any corpus size. Every
+    * document's text re-assembles exactly from its chunks in chunk_id
+    * order (asserted in the spec); empty documents yield no rows.
+    *
+    * Output: (idCol, chunk_id, start (1-based), len, chunk_text). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      windowLen: Int = 16, maskBits: Int = 6, maxLen: Int = 256): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2: $windowLen")
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits out of range: $maskBits")
+    require(maxLen >= windowLen, s"maxLen must be >= windowLen: $maxLen vs $windowLen")
+    val mask = 1L << maskBits
+    val base = df.select(col(idCol), col(textCol).as("__x"))
+      .filter(length(col("__x")) > 0)
+    val text = col("__x")
+    val len = length(text).cast("long")
+    // boundary ends: every window-end position whose window hash cuts,
+    // then the document end (array_union dedups when len is a boundary)
+    val cutEnds = when(len < windowLen, array().cast("array<bigint>"))
+      .otherwise(filter(sequence(lit(windowLen.toLong), len), i =>
+        pmod(TextAnalysis.hash60(
+          concat(lit("cdc:"), text.substr((i - windowLen + 1).cast("int"), lit(windowLen)))),
+          lit(mask)) === 0))
+    val ends = array_union(cutEnds, array(len))
+    // spans between consecutive ends (start = previous end + 1), each
+    // split at fixed maxLen offsets: nPieces = ceil(m/maxLen), all pure
+    // integer math so any engine replays the cut points exactly
+    val spans = transform(col("__ends"), (e, k) =>
+      struct(
+        (when(k === 0, lit(0L))
+          .otherwise(element_at(col("__ends"), k)) + 1L).as("s"),
+        (e - when(k === 0, lit(0L)).otherwise(element_at(col("__ends"), k)))
+          .as("m")))
+    val pieces = flatten(transform(col("__spans"), sp => {
+      val s = sp.getField("s")
+      val m = sp.getField("m")
+      val np = floor((m - 1L).cast("double") / maxLen).cast("long") + 1L
+      transform(sequence(lit(0L), np - 1L), j =>
+        struct((s + j * maxLen).as("start"),
+          least(lit(maxLen.toLong), m - j * maxLen).as("len")))
+    }))
+    base.withColumn("__ends", ends)
+      .withColumn("__spans", spans)
+      .select(col(idCol), text, posexplode(pieces))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("col.start").as("start"), col("col.len").as("len"),
+        text.substr(col("col.start").cast("int"), col("col.len").cast("int"))
+          .as("chunk_text"))
+  }
+
+  /** Pure twin of [[cdcChunks]]: (chunk_id, start, len, chunk_text). */
+  def cdcChunk(text: String, windowLen: Int = 16, maskBits: Int = 6,
+      maxLen: Int = 256): Seq[(Long, Long, Long, String)] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val mask = 1L << maskBits
+    val n = text.length.toLong
+    val cuts = (windowLen.toLong to n).filter { i =>
+      val wdw = text.substring((i - windowLen).toInt, i.toInt)
+      math.floorMod(TextAnalysis.hash60("cdc:" + wdw), mask) == 0
+    }
+    val ends = (cuts :+ n).distinct.sorted
+    val spans = ends.zipWithIndex.map { case (e, k) =>
+      (if (k == 0) 1L else ends(k - 1) + 1L, e)
+    }
+    val pieces = spans.flatMap { case (s, e) =>
+      val m = e - s + 1
+      (0L until ((m - 1) / maxLen + 1)).map { j =>
+        val st = s + j * maxLen
+        (st, math.min(maxLen.toLong, m - j * maxLen))
+      }
+    }
+    pieces.zipWithIndex.map { case ((st, l), k) =>
+      (k.toLong, st, l, text.substring((st - 1).toInt, (st - 1 + l).toInt))
+    }
+  }
 }

@@ -73,4 +73,69 @@ class ChunkingSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
     intercept[IllegalArgumentException](Chunking.chunkDf(df, "doc_id", "text", 8, 8))
   }
+
+  // ------------------------------------------------ content-defined -------
+
+  private def mkText(seed: Int, n: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val sb = new StringBuilder
+    while (sb.length < n) sb.append(('a' + rnd.nextInt(26)).toChar)
+      .append(if (rnd.nextInt(6) == 0) " " else "")
+    sb.toString.take(n)
+  }
+
+  test("cdc: DF ≡ pure twin; reassembly; max-size cap; edge docs") {
+    val docs = Seq(
+      1L -> mkText(42, 3000),
+      2L -> "short",                       // < windowLen → one chunk
+      3L -> "",                            // empty → no chunks
+      4L -> mkText(7, 300),
+      5L -> "z" * 700)                     // constant text: either no cuts
+                                           // (maxLen split) or cut everywhere
+    val df = docs.toDF("doc_id", "text")
+    val got = Chunking.cdcChunks(df, "doc_id", "text", 16, 4, 128)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    for ((id, t) <- docs) {
+      val exp = Chunking.cdcChunk(t, 16, 4, 128)
+        .map { case (c, s, l, x) => (id, c, s, l, x) }
+      assert(got.getOrElse(id, Seq.empty) == exp, s"doc $id")
+      // chunks re-assemble the document exactly, in chunk_id order
+      assert(exp.map(_._5).mkString == t, s"doc $id reassembly")
+      assert(exp.forall(_._4 <= 128), s"doc $id cap")
+      assert(exp.forall(_._4 >= 1), s"doc $id empty chunk")
+    }
+    assert(!got.contains(3L))
+    assert(got(2L).map(_._5) == Seq("short"))
+    // the mask actually cuts somewhere on the long random doc
+    assert(got(1L).size > 3000 / 128)
+  }
+
+  test("cdc: edit locality — chunks past the edit window re-align") {
+    val suffix = mkText(9, 4000)
+    val a = Chunking.cdcChunk(mkText(1, 500) + suffix, 16, 6, 256).map(_._4)
+    val b = Chunking.cdcChunk(mkText(2, 777) + suffix, 16, 6, 256).map(_._4)
+    // (_._4 is chunk text) common suffix of the two chunk STREAMS: with a
+    // 2^6 mask the ~4000 shared chars hold ~60 boundaries, and all chunks
+    // after the first shared boundary are content-identical despite the
+    // different (and differently-sized) prefixes shifting every offset
+    val common = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
+    assert(common >= 10, s"only $common common suffix chunks")
+    // and fixed-size chunking (the control) shares NO chunks when the
+    // prefix length shift is not a multiple of the chunk size
+    val fa = (mkText(1, 500) + suffix).grouped(256).toSeq
+    val fb = (mkText(2, 777) + suffix).grouped(256).toSeq
+    val fixedCommon = fa.reverse.zip(fb.reverse).takeWhile { case (x, y) => x == y }.length
+    assert(fixedCommon <= 1, s"fixed-size control unexpectedly aligned: $fixedCommon")
+  }
+
+  test("cdc: plan is narrow — zero exchanges; guards") {
+    val df = Seq(1L -> mkText(3, 400)).toDF("doc_id", "text")
+    val plan = Chunking.cdcChunks(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException](Chunking.cdcChunks(df, "doc_id", "text", 1))
+    intercept[IllegalArgumentException](Chunking.cdcChunks(df, "doc_id", "text", 16, 0))
+    intercept[IllegalArgumentException](Chunking.cdcChunks(df, "doc_id", "text", 16, 6, 8))
+  }
 }
