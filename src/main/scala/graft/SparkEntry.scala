@@ -2164,6 +2164,12 @@ object SparkEntry {
         rd(s, d, "documents").withColumn("page", disclaimerPage),
         "doc_id", "page", k = 8)),
 
+    // JL random projection (Similarity.jlProject): 64-dim embeddings onto
+    // 8 deterministic Rademacher directions, exact integer-micro output —
+    // the oracle replays the sign mix and every coordinate sum bit-for-bit.
+    "jl_project" -> ((s, d) =>
+      Similarity.jlProject(rd(s, d, "embeddings"), "vec_id", "embedding", 8)),
+
     // Hard-negative mining (Similarity.hardNegatives): per labeled query
     // the 5 nearest DIFFERENT-label vectors — the contrastive-training pair
     // miner; the oracle replays the label-filtered brute-force ranking.
@@ -5911,6 +5917,18 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
           |FROM s QUALIFY rnk <= 10""".stripMargin,
+
+      // JL replay: same (j,i) sign mix as the Spark side ("jl" additive
+      // constant 51151), micro-quantized inputs, integer sums
+      "jl_project" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+          |g AS (SELECT vec_id, embedding, unnest(range(8)) AS j FROM e),
+          |s AS (SELECT vec_id, j, i,
+          |  (((((((j*7919 + i*104729 + 51151) & 2147483647))*2654435761 + 1013904223) >> 16) % 2)*2 - 1) AS sgn,
+          |  round(embedding[(i+1)::INT]::DOUBLE * 1e6)::BIGINT AS vm
+          |  FROM (SELECT vec_id, j, embedding, unnest(range(len(embedding))) AS i FROM g))
+          |SELECT vec_id, j::BIGINT AS dim, sum(sgn * vm)::BIGINT AS out_micro
+          |FROM s GROUP BY 1, 2""".stripMargin,
 
       // the label-mismatch predicate lands in the pair join, then the same
       // exact ranking as knn_topk

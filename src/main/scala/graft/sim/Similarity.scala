@@ -92,6 +92,62 @@ object Similarity {
         "cos", "rank")
   }
 
+  // ------------------------------------------------------------------------
+  // Johnson–Lindenstrauss random projection — the dimensionality cut that
+  // makes everything downstream (LSH tables, IVF cells, pair rescoring)
+  // cheaper: project d-dim embeddings onto dOut Rademacher ±1 directions
+  // (Achlioptas 2001: a ±1 matrix satisfies the JL lemma, no Gaussians
+  // needed). Signs derive from the same integer mix family as the RHP
+  // hyperplanes ("jl" domain constant), so no RNG, no model table to ship —
+  // any engine replays the exact matrix. Inputs quantize to integer MICROS
+  // before the sum, so each output coordinate is an exact int64 no matter
+  // how partial aggregation reorders — same discipline as DSIR/perplexity.
+  // ------------------------------------------------------------------------
+
+  /** Deterministic ±1 for (output dim j, input dim i) — the "jl:" sibling
+    * of [[mixParity]] (distinct additive constant so the JL matrix and the
+    * RHP hyperplanes are independent). The 31-bit mask bounds the multiply
+    * below 2^63 for any (j, i). */
+  private def jlSign(j: Column, i: Column): Column = {
+    val f = (j.cast("long") * lit(7919L) + i.cast("long") * lit(104729L) + lit(51151L))
+      .bitwiseAND(lit(0x7fffffffL))
+    (shiftright(f * lit(2654435761L) + lit(1013904223L), 16) % 2) * 2 - 1
+  }
+
+  private def jlSign(j: Int, i: Int): Long = {
+    val f = (j.toLong * 7919L + i.toLong * 104729L + 51151L) & 0x7fffffffL
+    (((f * 2654435761L + 1013904223L) >> 16) % 2L) * 2L - 1L
+  }
+
+  /** Project every vector onto `dOut` deterministic ±1 directions.
+    * Output: (idCol, dim ∈ [0, dOut), out_micro) — coordinate j is
+    * Σᵢ sign(j,i)·round(vᵢ·10⁶), exact int64. Null vectors are dropped.
+    * Plan: completely NARROW (per-row transform + one posexplode); at
+    * 100 TB the projection is a free pre-pass fused into the scan. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      dOut: Int): DataFrame = {
+    require(dOut >= 1, s"dOut must be >= 1: $dOut")
+    val v = col("__v")
+    val out = transform(sequence(lit(0), lit(dOut - 1)), j =>
+      aggregate(sequence(lit(0), size(v) - 1), lit(0L), (acc, i) =>
+        acc + jlSign(j, i) *
+          round(element_at(v, i + 1).cast("double") * 1e6).cast("long")))
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .filter(v.isNotNull)
+      .withColumn("__out", out)
+      .select(col(idCol), posexplode(col("__out")).as(Seq("dim", "out_micro")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("out_micro"))
+  }
+
+  /** Pure twin of [[jlProject]] for one vector. */
+  def jlProjectPure(vec: Seq[Float], dOut: Int): Seq[Long] =
+    (0 until dOut).map { j =>
+      vec.indices.foldLeft(0L) { (acc, i) =>
+        acc + jlSign(j, i) * BigDecimal(vec(i).toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+
   /** Sign-bucket key: the first `p` dimensions' signs packed into an int —
     * a deterministic 2^p-cell space partition (IVF-style coarse quantizer
     * without training). Vectors are only compared within their own cell. */

@@ -192,6 +192,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.groupBy(_._2).values.forall(_.exists(_._5)))
   }
 
+  test("jl projection: DF ≡ pure twin; exact int64; null dropped; narrow plan") {
+    val withNull = df.union(Seq((99L, null.asInstanceOf[Seq[Float]], 9))
+      .toDF("id", "vec", "label"))
+    val got = jlProject(withNull, "id", "vec", dOut = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 30 * 8 && !got.exists(_._1 == 99L))
+    val byId = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for ((id, v, _) <- rows) assert(byId(id) == jlProjectPure(v, 8), s"vec $id")
+    val plan = jlProject(df, "id", "vec", 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException](jlProject(df, "id", "vec", 0))
+  }
+
+  test("jl projection preserves cluster geometry (same-cluster closest)") {
+    // cosine in the 8-dim projected space must still rank a same-cluster
+    // mate above cross-cluster vectors for every point — the JL property
+    // at the fidelity the downstream LSH/IVF passes actually need
+    def cosL(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val proj = rows.map { case (id, v, l) => (id, jlProjectPure(v, 8), l) }
+    for ((id, p, l) <- proj) {
+      val best = proj.filter(_._1 != id).maxBy(o => cosL(p, o._2))
+      assert(best._3 == l, s"vec $id (cluster $l) projected nearest to " +
+        s"${best._1} (cluster ${best._3})")
+    }
+  }
+
   test("hard negatives: nearest DIFFERENT-label neighbors only, ranked by cosine") {
     val queries = df.filter(col("id").isin(0, 10))
     val got = hardNegatives(df, queries, "id", "vec", "label", k = 4)
