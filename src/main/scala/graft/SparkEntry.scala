@@ -1692,6 +1692,18 @@ object SparkEntry {
         "text", graft.text.Classifier.syntheticWeights(s, 4096), 4096)
     }),
 
+    // Distributed hard-sigmoid LR training (Classifier.trainLinear): two
+    // full-batch rounds over docText with label = (doc_id%13=0) — the docs
+    // carrying the injected mortgagee tokens — so the learned weights are a
+    // genuine separation, not just arithmetic; the oracle unrolls both
+    // rounds (integer milli, floor-div) and matches every weight exactly.
+    "lr_train" -> ((s, d) =>
+      graft.text.Classifier.trainLinear(
+        rd(s, d, "documents").withColumn("t2", docText)
+          .withColumn("y", (pmod(col("doc_id"), lit(13)) === 0).cast("int"))
+          .select(col("doc_id"), col("t2"), col("y")),
+        "doc_id", "t2", "y", buckets = 4096, rounds = 2)),
+
     "token_counts" -> ((s, d) => {
       rd(s, d, "documents").select(col("doc_id"),
         TA.wsTokenCountCol(col("text")).cast("long").as("ws_tokens"),
@@ -5195,6 +5207,37 @@ object SparkEntry {
            |  coalesce(s,0)::BIGINT AS score_milli,
            |  coalesce(s,0) > 0 AS is_positive
            |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+      // LR-training replay: both gradient-descent rounds unrolled. Round 1
+      // starts from w=0 so p=500 for every doc. NOTE DuckDB's integer //
+      // TRUNCATES toward zero ((-5)//4 = -1), so every division below is an
+      // explicit floor() to match the Spark side's floor-div columns on
+      // negative gradients.
+      "lr_train" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2,
+           |  CASE WHEN doc_id%13=0 THEN 1000 ELSE 0 END AS y FROM documents),
+           |tk AS (SELECT doc_id, ${toks.format("t2")} AS l FROM t),
+           |feats AS (
+           |  SELECT doc_id, unnest(l) AS f FROM tk
+           |  UNION ALL
+           |  SELECT doc_id, unnest(list_transform(range(len(l)-1),
+           |    i -> l[i+1]||' '||l[i+2])) AS f FROM tk WHERE len(l) >= 2),
+           |fb AS (SELECT doc_id, ${hash60("'f:'||f")} % 4096 AS bucket FROM feats),
+           |g1 AS (SELECT bucket, sum(500 - y) AS g
+           |  FROM fb JOIN t USING (doc_id) GROUP BY 1),
+           |w1 AS (SELECT bucket, -floor(g / 64.0)::BIGINT AS w FROM g1),
+           |s2 AS (SELECT fb.doc_id, sum(coalesce(w1.w, 0)) AS s
+           |  FROM fb LEFT JOIN w1 USING (bucket) GROUP BY 1),
+           |p2 AS (SELECT t.doc_id, y,
+           |  greatest(0, least(1000, 500 + floor(coalesce(s, 0) / 4.0)::BIGINT)) AS p
+           |  FROM t LEFT JOIN s2 USING (doc_id)),
+           |g2 AS (SELECT bucket, sum(p - y) AS g
+           |  FROM fb JOIN p2 USING (doc_id) GROUP BY 1),
+           |w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+           |  coalesce(w1.w, 0) - floor(coalesce(g2.g, 0) / 64.0)::BIGINT AS weight_milli
+           |  FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket)
+           |SELECT bucket::BIGINT AS bucket, weight_milli::BIGINT AS weight_milli
+           |FROM w2""".stripMargin,
 
       "token_counts" ->
         """SELECT doc_id,

@@ -56,4 +56,50 @@ class ClassifierSpec extends SparkTestBase {
     assert(w == Classifier.syntheticWeights(spark, 100).as[(Long, Long)]
       .collect().toMap)
   }
+
+  // ---------------------------------------------------------- training ----
+
+  private val trainCorpus: Seq[(Long, String, Int)] =
+    (0L until 24L).map { i =>
+      val filler = s"doc$i filler words number ${i % 5}"
+      if (i % 2 == 0) (i, s"excellent insightful prose $filler", 1)
+      else (i, s"spam junk clickbait $filler", 0)
+    }
+
+  test("trainLinear ≡ pure twin, bit-exact across rounds and partitionings") {
+    val df = trainCorpus.toDF("doc_id", "text", "label")
+    val exp = Classifier.trainLinearPure(trainCorpus, B, rounds = 2)
+    for (p <- Seq(1, 7)) {
+      val got = Classifier.trainLinear(df.repartition(p), "doc_id", "text",
+        "label", B, rounds = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got == exp, s"parts=$p")
+      graft.io.Persisted.release(spark)
+    }
+  }
+
+  test("trainLinear learns a separable corpus; weights feed scoreLinear") {
+    val df = trainCorpus.toDF("doc_id", "text", "label")
+    val w = Classifier.trainLinear(df, "doc_id", "text", "label", B, rounds = 3)
+    val scored = Classifier.scoreLinear(df, "doc_id", "text", w, B)
+      .as[(Long, Long, Long, Boolean)].collect()
+    for ((id, _, _, pos) <- scored)
+      assert(pos == (id % 2 == 0), s"doc $id misclassified after training")
+    graft.io.Persisted.release(spark)
+  }
+
+  test("trainLinear: hard-sigmoid clamp and floor-div on negative gradients") {
+    // one hot doc drives scores past the clamp; a negative-label doc with
+    // odd feature counts exercises floorDiv rounding below zero
+    val docs = Seq((1L, "hot hot hot hot hot hot hot", 1),
+      (2L, "cold snap", 0), (3L, "", 1))
+    val got = Classifier.trainLinear(docs.toDF("doc_id", "text", "label"),
+      "doc_id", "text", "label", B, rounds = 3, lrDiv = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Classifier.trainLinearPure(docs, B, rounds = 3, lrDiv = 2L))
+    intercept[IllegalArgumentException](
+      Classifier.trainLinear(docs.toDF("doc_id", "text", "label"),
+        "doc_id", "text", "label", B, rounds = 0))
+    graft.io.Persisted.release(spark)
+  }
 }
