@@ -2356,6 +2356,24 @@ object SparkEntry {
       graft.text.WordPiece.segmented(corpus, "wid", "word", vocab)
     }),
 
+    // Unigram-LM (SentencePiece) Viterbi segmentation over the corpus's
+    // distinct-word table: max-probability split under integer micro-nat
+    // costs, ties to the longest final token. The oracle replays the FULL
+    // dynamic program — 12 unrolled DP positions + 12 path-walk steps —
+    // so every piece boundary and every cost is gated, not a fixture.
+    "unigram_segment" -> ((s, d) =>
+      graft.text.Unigram.segmentWords(
+        graft.text.Unigram.wordTable(rd(s, d, "documents"), "text"),
+        graft.text.Unigram.seedVocab)),
+
+    // Hard-EM E-step on the same model: exact frequency-weighted token
+    // counts under the current vocab — the distributed half of a
+    // SentencePiece training round (the M-step is a driver-side rebuild).
+    "unigram_counts" -> ((s, d) =>
+      graft.text.Unigram.emCounts(
+        graft.text.Unigram.wordTable(rd(s, d, "documents"), "text"),
+        graft.text.Unigram.seedVocab)),
+
     // Incremental crawl ingest as ONE plan: the committed corpus (even
     // doc_ids) contributes a Bloom filter (driver-held bytes in the probe
     // expression — the only cross-relation state); the increment (odd
@@ -3750,6 +3768,48 @@ object SparkEntry {
     val disclaimerCase =
       s"CASE WHEN doc_id%5=0 THEN text || '$disclaimerSentence' ELSE text END"
     def hash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+    // Unigram-LM Viterbi replay, generated: per word, MaxWordLen unrolled
+    // DP positions (each keeping the (cost, prev)-minimal cell via a
+    // window) then MaxWordLen path-walk steps re-assembling the pieces.
+    // Shared by unigram_segment and unigram_counts.
+    val unigramDp: String = {
+      val maxW = graft.text.Unigram.MaxWordLen
+      val maxT = graft.text.Unigram.maxTokenLen(graft.text.Unigram.seedVocab)
+      val vocabVals = graft.text.Unigram.seedVocab
+        .map { case (t, c) => s"('$t',$c)" }.mkString(",")
+      val dps = (1 to maxW).map { i =>
+        s"""d$i AS (SELECT word, $i AS i, cost, prev FROM (
+           |  SELECT a.word, a.cost + v.c AS cost, a.i AS prev,
+           |    row_number() OVER (PARTITION BY a.word ORDER BY a.cost + v.c, a.i) AS rn
+           |  FROM a${i - 1} a JOIN voc v
+           |    ON a.i >= $i - $maxT AND a.i < $i
+           |   AND substr(a.word, a.i + 1, $i - a.i) = v.t
+           |  WHERE length(a.word) >= $i) WHERE rn = 1),
+           |a$i AS MATERIALIZED (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM d$i)""".stripMargin
+      }.mkString(",\n")
+      val walks = (1 to maxW).map { k =>
+        s"""p$k AS (SELECT p.word, p.cnt,
+           |  CASE WHEN p.pos = 0 THEN 0 ELSE d.prev END AS pos,
+           |  CASE WHEN p.pos = 0 THEN p.pieces
+           |    ELSE substr(p.word, d.prev + 1, p.pos - d.prev) ||
+           |      (CASE WHEN p.pieces = '' THEN '' ELSE ' ' END) || p.pieces END AS pieces,
+           |  p.cost
+           |  FROM p${k - 1} p LEFT JOIN a$maxW d
+           |    ON p.word = d.word AND p.pos = d.i AND p.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      // a$i AS MATERIALIZED: each cumulative DP relation is referenced
+      // twice (next d and next a) — left inline, DuckDB re-expands the
+      // chain into 2^MaxWordLen scans of the corpus ("too many open files")
+      s"""WITH w AS MATERIALIZED (SELECT substr(tok, 1, $maxW) AS word, count(*) AS cnt FROM
+         |  (SELECT unnest(${toks.format("text")}) AS tok FROM documents) GROUP BY 1),
+         |voc(t, c) AS (VALUES $vocabVals),
+         |a0 AS (SELECT word, 0 AS i, 0::BIGINT AS cost, -1 AS prev FROM w),
+         |$dps,
+         |fin AS (SELECT w.word, w.cnt, a.cost, a.i
+         |  FROM w JOIN a$maxW a ON w.word = a.word AND a.i = length(w.word)),
+         |p0 AS (SELECT word, cnt, length(word) AS pos, '' AS pieces, cost FROM fin),
+         |$walks""".stripMargin
+    }
     // HLL linear-counting table, precomputed once on the JVM and embedded
     // as literals so the oracle never calls engine-side ln
     val hllLcValues = (1 to graft.sketch.Sketches.HllM)
@@ -6136,6 +6196,18 @@ object SparkEntry {
           |    WHEN 7 THEN 'hello|##wor|##ld' WHEN 8 THEN 'hello'
           |    WHEN 9 THEN 'he|##ab|##c' WHEN 10 THEN 'ab' ELSE 'b|##a' END AS pieces
           |FROM w""".stripMargin,
+
+      "unigram_segment" ->
+        s"""$unigramDp
+           |SELECT word, cnt::BIGINT AS cnt, pieces,
+           |  cost::BIGINT AS cost_micro FROM p${graft.text.Unigram.MaxWordLen}""".stripMargin,
+
+      "unigram_counts" ->
+        s"""$unigramDp,
+           |tok AS (SELECT cnt, unnest(string_split(pieces, ' ')) AS token
+           |  FROM p${graft.text.Unigram.MaxWordLen})
+           |SELECT token, sum(cnt)::BIGINT AS cnt FROM tok
+           |WHERE token <> '' GROUP BY 1""".stripMargin,
 
       "bpe_segment" ->
         s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS w FROM documents),
