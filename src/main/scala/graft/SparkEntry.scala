@@ -40,6 +40,13 @@ object SparkEntry {
       concat(col("text"), lit(disclaimerSentence)))
       .otherwise(col("text"))
 
+  /** Containment fixture: every 31st doc IS the bare disclaimer — a small
+    * page fully quoted inside every %5 disclaimer-carrying doc, the
+    * asymmetric partial-mirror shape Jaccard misses. */
+  private def containmentPage: Column =
+    when(pmod(col("doc_id"), lit(31)) === 0, lit(disclaimerSentence.trim))
+      .otherwise(disclaimerPage)
+
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -2166,6 +2173,16 @@ object SparkEntry {
       // sort; k < |vocab| so the cut and its tie-break actually bind)
       TA.topTokensDf(rd(s, d, "documents"), "text", 20)),
 
+    // Shingle-containment pairs (Dedup.containmentPairs): the %31 docs are
+    // the bare disclaimer, fully contained in every %5 doc — near-zero
+    // Jaccard, containment 1000; the oracle replays shingles, pair counts,
+    // and both milli directions exactly.
+    "containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(
+        rd(s, d, "documents").withColumn("page", containmentPage)
+          .select(col("doc_id"), col("page")),
+        "doc_id", "page", n = 3, minMilli = 800)),
+
     // k-gram novelty triage (Dedup.noveltyScore) over the same pasted-
     // boilerplate fixture as substring_dedup: every 5th doc shares the
     // disclaimer's 8-grams (plus any organically shared spans), everything
@@ -3767,6 +3784,10 @@ object SparkEntry {
     // SQL twin of the Spark-side disclaimerPage fixture (same constant)
     val disclaimerCase =
       s"CASE WHEN doc_id%5=0 THEN text || '$disclaimerSentence' ELSE text END"
+    // SQL twin of the Spark-side containmentPage fixture
+    val containmentCase =
+      s"CASE WHEN doc_id%31=0 THEN '${disclaimerSentence.trim}' " +
+        s"WHEN doc_id%5=0 THEN text || '$disclaimerSentence' ELSE text END"
     def hash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
     // Unigram-LM Viterbi replay, generated: per word, MaxWordLen unrolled
     // DP positions (each keeping the (cost, prev)-minimal cell via a
@@ -5941,6 +5962,29 @@ object SparkEntry {
         s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS token FROM documents)
            |SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1
            |ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+      // containment replay: distinct 3-shingle hashes per doc, in-bucket
+      // pair counts, both milli directions (non-negative, so DuckDB's
+      // truncating // IS floor here)
+      "containment_pairs" ->
+        s"""WITH t AS (SELECT doc_id, $containmentCase AS page FROM documents),
+           |tk AS (SELECT doc_id, ${toks.format("page")} AS l FROM t),
+           |sh AS (SELECT doc_id,
+           |  list_distinct(list_transform(range(len(l)-2), i -> l[i+1]||' '||l[i+2]||' '||l[i+3])) AS shl
+           |  FROM tk WHERE len(l) >= 3),
+           |rows_ AS (SELECT DISTINCT doc_id, ${hash60("s")} AS sh
+           |  FROM (SELECT doc_id, unnest(shl) AS s FROM sh)),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           |  FROM rows_ a JOIN rows_ b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, common::BIGINT AS common,
+           |  sa.sz::BIGINT AS sz_a, sb.sz::BIGINT AS sz_b,
+           |  ((1000*common)//sa.sz)::BIGINT AS cont_a_milli,
+           |  ((1000*common)//sb.sz)::BIGINT AS cont_b_milli
+           |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
+           |  JOIN sz sb ON pr.id_b = sb.doc_id
+           |WHERE greatest((1000*common)//sa.sz, (1000*common)//sb.sz) >= 800""".stripMargin,
 
       // novelty replay: same tokenization + 8-gram hash as substring_dedup;
       // shared = k-gram in >1 DISTINCT doc; integer milli floor-div

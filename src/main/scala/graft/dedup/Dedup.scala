@@ -172,6 +172,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Shingle-containment pairs — the PARTIAL-mirror detector Jaccard
+    * misses: a 100-page document quoting a 1-page source has near-zero
+    * Jaccard (union dominated by the big doc) but containment
+    * C(A,B) = |A∩B| / |A| ≈ 1 for the small side. That asymmetry is the
+    * signal for quote farms, wrapper pages, and corpus-in-corpus nesting,
+    * and the reason MinHash-LSH (which estimates Jaccard) cannot be the
+    * only near-dup pass.
+    *
+    * Same plan as [[jaccardPairs]] (shared shingle relation persisted, pair
+    * enumeration only inside same-shingle buckets, `maxDf` hot-shingle
+    * cap); both directions come back in integer MILLI (floor-div of
+    * non-negative counts, replayable anywhere). Keeps pairs with
+    * max(cont_a, cont_b) ≥ minMilli. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minMilli: Long, maxDf: Int = 0): DataFrame = {
+    require(minMilli >= 0 && minMilli <= 1000, s"minMilli out of range: $minMilli")
+    val rows = graft.io.Persisted.track(
+      shingleRows(df, idCol, textCol, n, maxDf).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = rows.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val a = rows.toDF("id_a", "sh")
+    val b = rows.toDF("id_b", "sh")
+    a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+      .withColumn("cont_a_milli", expr("(1000 * common) div sz_a"))
+      .withColumn("cont_b_milli", expr("(1000 * common) div sz_b"))
+      .filter(greatest(col("cont_a_milli"), col("cont_b_milli")) >= minMilli)
+      .select("id_a", "id_b", "common", "sz_a", "sz_b",
+        "cont_a_milli", "cont_b_milli")
+  }
+
+  /** Pure twin of one [[containmentPairs]] pair. */
+  def containment(a: String, b: String, n: Int): (Long, Long) = {
+    val sa = shingles(a, n).map(hash60).toSet
+    val sb = shingles(b, n).map(hash60).toSet
+    if (sa.isEmpty || sb.isEmpty) (0L, 0L)
+    else {
+      val c = (sa intersect sb).size.toLong
+      (Math.floorDiv(1000L * c, sa.size.toLong),
+        Math.floorDiv(1000L * c, sb.size.toLong))
+    }
+  }
+
   def jaccard(a: String, b: String, n: Int): Double = {
     val sa = shingles(a, n).toSet
     val sb = shingles(b, n).toSet

@@ -501,6 +501,51 @@ class DedupSpec extends SparkTestBase {
     graft.io.Persisted.release(spark)
   }
 
+  test("containment pairs: partial mirror scores ~1000 where jaccard stays low") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " " + (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(1L -> big, 2L -> small, 3L -> "totally unrelated content here today")
+    val got = Dedup.containmentPairs(docs.toDF("id", "text"), "id", "text",
+      n = 3, minMilli = 800)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (ia, ib, common, szA, szB, ca, cb) = got.head
+    assert((ia, ib) == ((1L, 2L)))
+    // every shingle of the small doc is inside the big one
+    assert(cb == 1000L && common == szB && ca < 200L)
+    val (pa, pb) = Dedup.containment(big, small, 3)
+    assert((ca, cb) == ((pa, pb)))
+    // jaccard would have missed this pair entirely at any useful threshold
+    assert(Dedup.jaccard(big, small, 3) < 0.12)
+    graft.io.Persisted.release(spark)
+  }
+
+  test("containment pairs: partitioning invariance and maxDf cap") {
+    val shared = "the common quoted passage appears here verbatim"
+    val docs = (0L until 20L).map { i =>
+      val unique = (0 until 12).map(j => s"u${i}t$j").mkString(" ")
+      (i, if (i % 4 == 0) s"$shared $unique" else unique)
+    }
+    val exp = Dedup.containmentPairs(docs.toDF("id", "text"), "id", "text",
+      n = 3, minMilli = 250)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    graft.io.Persisted.release(spark)
+    assert(exp.nonEmpty && exp.forall { case (a, b, _, _, _, _, _) =>
+      a % 4 == 0 && b % 4 == 0 })
+    val got = Dedup.containmentPairs(docs.toDF("id", "text").repartition(7),
+      "id", "text", n = 3, minMilli = 250)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == exp)
+    graft.io.Persisted.release(spark)
+    // the shared passage's shingles occur in 5 docs; maxDf=4 kills them all
+    val capped = Dedup.containmentPairs(docs.toDF("id", "text"), "id", "text",
+      n = 3, minMilli = 300, maxDf = 4).count()
+    assert(capped == 0)
+    graft.io.Persisted.release(spark)
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs.toDF("id", "text"), "id", "text", 3, 1001))
+  }
+
   test("novelty score: partitioning invariance and exact milli arithmetic") {
     val docs = (0L until 30L).map { i =>
       val shared = "the quick brown fox jumps over the lazy dog again"
