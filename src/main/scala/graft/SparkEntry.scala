@@ -2173,6 +2173,27 @@ object SparkEntry {
       // sort; k < |vocab| so the cut and its tie-break actually bind)
       TA.topTokensDf(rd(s, d, "documents"), "text", 20)),
 
+    // SCD2 snapshot merge (Snapshot.scd2Merge): increment at snapshot 2
+    // into a corpus with open rows (%4≠3), closed history (%7); the
+    // increment (%2) leaves %6 docs changed, odd docs untouched-open, %4=3
+    // evens inserted — all four MERGE cases plus history pass-through in
+    // one oracled plan.
+    "scd2_merge" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val fp = TA.hash60(col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+        .select(col("doc_id"), fp.as("fp"), lit(1L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), TA.hash60(concat(col("text"), lit("old"))).as("fp"),
+            lit(0L).as("valid_from"), lit(1L).cast("long").as("valid_to")))
+      val inc = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(6)) === 0,
+            TA.hash60(concat(col("text"), lit("v2")))).otherwise(fp).as("fp"))
+      graft.io.Snapshot.scd2Merge(corpus, inc, "doc_id", "fp", snapshotId = 2L)
+    }),
+
     // Shingle-containment pairs (Dedup.containmentPairs): the %31 docs are
     // the bare disclaimer, fully contained in every %5 doc — near-zero
     // Jaccard, containment 1000; the oracle replays shingles, pair counts,
@@ -5962,6 +5983,30 @@ object SparkEntry {
         s"""WITH tok AS (SELECT unnest(${toks.format("text")}) AS token FROM documents)
            |SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1
            |ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+      // SCD2 replay: history pass-through + full-outer open/increment join
+      // with the same change/insert/keep case split
+      "scd2_merge" ->
+        s"""WITH open_ AS (SELECT doc_id, ${hash60("text")} AS ofp, 1 AS vfrom
+           |  FROM documents WHERE doc_id%4 <> 3),
+           |hist AS (SELECT doc_id, ${hash60("text || 'old'")} AS fp,
+           |  0::BIGINT AS valid_from, 1::BIGINT AS valid_to
+           |  FROM documents WHERE doc_id%7 = 0),
+           |inc AS (SELECT doc_id, CASE WHEN doc_id%6 = 0
+           |    THEN ${hash60("text || 'v2'")} ELSE ${hash60("text")} END AS nfp
+           |  FROM documents WHERE doc_id%2 = 0),
+           |j AS (SELECT coalesce(o.doc_id, i.doc_id) AS doc_id, o.ofp, o.vfrom,
+           |  i.nfp, o.doc_id IS NOT NULL AS in_old, i.doc_id IS NOT NULL AS in_new
+           |  FROM open_ o FULL JOIN inc i ON o.doc_id = i.doc_id),
+           |oldr AS (SELECT doc_id, ofp AS fp, vfrom::BIGINT AS valid_from,
+           |  CASE WHEN in_new AND ofp <> nfp THEN 2 END::BIGINT AS valid_to
+           |  FROM j WHERE in_old),
+           |newr AS (SELECT doc_id, nfp AS fp, 2::BIGINT AS valid_from,
+           |  NULL::BIGINT AS valid_to
+           |  FROM j WHERE in_new AND (NOT in_old OR ofp <> nfp))
+           |SELECT doc_id, fp, valid_from, valid_to FROM hist
+           |UNION ALL SELECT doc_id, fp, valid_from, valid_to FROM oldr
+           |UNION ALL SELECT doc_id, fp, valid_from, valid_to FROM newr""".stripMargin,
 
       // containment replay: distinct 3-shingle hashes per doc, in-bucket
       // pair counts, both milli directions (non-negative, so DuckDB's

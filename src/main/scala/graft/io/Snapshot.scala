@@ -48,4 +48,78 @@ object Snapshot {
       k -> (status, oldSnap.get(k).flatten, newSnap.get(k).flatten)
     }.toMap
   }
+
+  /** SCD-Type-2 merge of a crawl increment into the versioned corpus
+    * dimension — the MERGE INTO an Iceberg-style corpus table needs for
+    * incremental maintenance with full history (when did this URL's
+    * content change?), expressed as a plain plan any engine runs:
+    *
+    *  - history rows (valid_to set) pass through UNTOUCHED and never join;
+    *  - open rows (valid_to null) full-outer-join the increment on the key:
+    *      · same fingerprint (null-safe)  → stay open as-is,
+    *      · different fingerprint         → close at `snapshotId` + insert
+    *                                        a new open row,
+    *      · key only in increment         → insert a new open row,
+    *      · key only in corpus            → stays open unless
+    *                                        `closeMissing` (absence in a
+    *                                        PARTIAL crawl is not deletion —
+    *                                        that default matters);
+    *
+    * exactly one open row per key is preserved as an invariant. Plan: the
+    * ONE key-equi full-outer join (both sides shuffle once), history is a
+    * scan-only union branch — at 100 TB the untouched history never moves.
+    *
+    * Input/output schema: (key, fp, valid_from, valid_to) with null
+    * valid_to = open; the increment is (key, fp). */
+  def scd2Merge(corpus: DataFrame, increment: DataFrame, keyCol: String,
+      fpCol: String, snapshotId: Long,
+      closeMissing: Boolean = false): DataFrame = {
+    val history = corpus.filter(col("valid_to").isNotNull)
+      .select(col(keyCol), col(fpCol), col("valid_from"), col("valid_to"))
+    val open = corpus.filter(col("valid_to").isNull)
+      .select(col(keyCol).as("__key"), col(fpCol).as("__ofp"),
+        col("valid_from").as("__ofrom"), lit(true).as("__in_old"))
+    val inc = increment
+      .select(col(keyCol).as("__key"), col(fpCol).as("__nfp"),
+        lit(true).as("__in_new"))
+    val joined = open.join(inc, Seq("__key"), "full_outer")
+    val changed = col("__in_old").isNotNull && col("__in_new").isNotNull &&
+      !(col("__ofp") <=> col("__nfp"))
+    // the surviving/closing version of the OLD row
+    val oldRows = joined.filter(col("__in_old").isNotNull)
+      .select(col("__key").as(keyCol), col("__ofp").as(fpCol),
+        col("__ofrom").as("valid_from"),
+        when(changed || (lit(closeMissing) && col("__in_new").isNull),
+          lit(snapshotId)).otherwise(lit(null).cast("long")).as("valid_to"))
+    // the NEW open row for inserts and changes
+    val newRows = joined.filter(col("__in_new").isNotNull &&
+        (col("__in_old").isNull || changed))
+      .select(col("__key").as(keyCol), col("__nfp").as(fpCol),
+        lit(snapshotId).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+    history.unionByName(oldRows).unionByName(newRows)
+  }
+
+  /** Pure twin of [[scd2Merge]]: rows as (key, fp, from, toOpt). */
+  def scd2MergePure(corpus: Seq[(String, Long, Long, Option[Long])],
+      increment: Map[String, Long], snapshotId: Long,
+      closeMissing: Boolean = false): Seq[(String, Long, Long, Option[Long])] = {
+    val history = corpus.filter(_._4.isDefined)
+    val open = corpus.filter(_._4.isEmpty)
+    val openKeys = open.map(_._1).toSet
+    val oldRows = open.map { case (k, fp, from, _) =>
+      increment.get(k) match {
+        case Some(nfp) if nfp != fp => (k, fp, from, Some(snapshotId))
+        case Some(_) => (k, fp, from, None)
+        case None =>
+          (k, fp, from, if (closeMissing) Some(snapshotId) else None)
+      }
+    }
+    val changedOrNew = increment.toSeq.collect {
+      case (k, nfp) if !openKeys.contains(k) ||
+          open.exists(o => o._1 == k && o._2 != nfp) =>
+        (k, nfp, snapshotId, None)
+    }
+    history ++ oldRows ++ changedOrNew
+  }
 }

@@ -32,4 +32,54 @@ class SnapshotSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("FullOuter") && !plan.contains("Cartesian"), plan)
   }
+
+  // ------------------------------------------------------- SCD2 merge -----
+
+  private val corpus = Seq(
+    // key, fp, valid_from, valid_to (None = open)
+    ("a", 10L, 1L, None),          // unchanged in increment
+    ("b", 20L, 1L, None),          // changed in increment
+    ("c", 30L, 1L, None),          // missing from increment
+    ("b", 19L, 0L, Some(1L)),      // closed history — must pass through
+    ("z", 99L, 0L, Some(1L)))      // closed history, key absent everywhere
+  private val inc = Map("a" -> 10L, "b" -> 21L, "d" -> 40L)
+
+  private def corpusDf = corpus
+    .map { case (k, fp, f, t) => (k, fp, f, t.map(Long.box).orNull) }
+    .toDF("url", "fp", "valid_from", "valid_to")
+  private def incDf = inc.toSeq.toDF("url", "fp")
+
+  test("scd2 merge: insert/change/keep/history semantics ≡ pure twin") {
+    for (closeMissing <- Seq(false, true)) {
+      val got = Snapshot.scd2Merge(corpusDf, incDf, "url", "fp", 2L, closeMissing)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+      val exp = Snapshot.scd2MergePure(corpus, inc, 2L, closeMissing)
+      assert(got.sorted == exp.sorted, s"closeMissing=$closeMissing")
+      // exactly one open row per live key
+      val openPerKey = got.filter(_._4.isEmpty).groupBy(_._1).view.mapValues(_.size)
+      assert(openPerKey.values.forall(_ == 1))
+      // the changed key carries full history: closed at 1, closed at 2, open at 2
+      assert(got.filter(_._1 == "b").sortBy(r => (r._3, r._4.getOrElse(Long.MaxValue))) ==
+        Seq(("b", 19L, 0L, Some(1L)), ("b", 20L, 1L, Some(2L)), ("b", 21L, 2L, None)))
+      // the missing key closes only under closeMissing
+      assert(got.contains(("c", 30L, 1L, if (closeMissing) Some(2L) else None)))
+      // inserts open at the new snapshot
+      assert(got.contains(("d", 40L, 2L, None)))
+    }
+  }
+
+  test("scd2 merge: history branch never joins; merge is idempotent on no-ops") {
+    // Catalyst narrows the full-outer to one-sided outers per union branch
+    // (the null-side filters make that legal) — assert only the shape that
+    // matters: key equi-joins, no cartesian
+    val plan = Snapshot.scd2Merge(corpusDf, incDf, "url", "fp", 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join") && !plan.contains("Cartesian"), plan)
+    // re-merging the SAME increment at the next snapshot changes nothing
+    // (all fingerprints now match open rows; d is open too)
+    val once = Snapshot.scd2Merge(corpusDf, incDf, "url", "fp", 2L)
+    val twice = Snapshot.scd2Merge(once, incDf, "url", "fp", 3L)
+    assert(twice.collect().map(_.toSeq).toSet == once.collect().map(_.toSeq).toSet)
+  }
 }
