@@ -1924,6 +1924,29 @@ object SparkEntry {
           col("text"), col("score"), col("content_words"))
     }),
 
+    // HTML-table extraction (Dom.tablesDf): the structured-table side
+    // output over <table> markup — header flags, 0-based (table,row,col)
+    // indices, implied td/tr closes, an EMPTY cell (structure: a dropped
+    // empty cell shifts every later col_idx), and a nested table whose text
+    // belongs to the inner cell while the outer cell resumes after it.
+    // Zero-shuffle typed mapPartitions; the oracle re-renders the expected
+    // cell relation from the same template without parsing any HTML.
+    "dom_tables" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><p>intro "), id,
+        lit("</p><table><tr><th>k</th><th>v</th></tr><tr><td>qty<td>"),
+        col("n_chars").cast("string"),
+        lit("</tr><tr><td>name "), id, lit("</td><td></td></tr></table>"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("<table><tr><td>pre <table><tr><td>in "), id,
+            lit("</td></tr></table>post</td></tr></table>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val docs = rd(s, d, "documents").select(col("doc_id"), html.as("html"))
+      graft.segment.Dom.tablesDf(docs, "doc_id", "html")
+    }),
+
     // RNG-free priority sampling (Sampling.prioritySample): weight ∝
     // n_chars, k=50, estimator weights attached (ŵ = max(w, τ)); selection
     // runs at full double precision, display columns rounded to 6dp.
@@ -5620,6 +5643,23 @@ object SparkEntry {
            |  nn.path, nn.text, sc.score::BIGINT AS score,
            |  sc.content_words::BIGINT AS content_words
            |FROM nn JOIN sc ON nn.id = sc.id AND nn.parent = sc.parent AND sc.rk = 1""".stripMargin,
+
+      // table-cell replay: re-render the template's cell relation without
+      // parsing — header row, implied-close data row, named row with the
+      // EMPTY cell, plus the %4-gated nested pair (inner table_idx 2 owns
+      // 'in', the outer cell is 'pre post')
+      "dom_tables" ->
+        """WITH d AS (SELECT doc_id::VARCHAR AS id, doc_id AS did,
+          |  n_chars FROM documents)
+          |SELECT id AS doc_id, 0::BIGINT AS table_idx, 0::BIGINT AS row_idx,
+          |  0::BIGINT AS col_idx, TRUE AS is_header, 'k' AS text FROM d
+          |UNION ALL SELECT id, 0, 0, 1, TRUE, 'v' FROM d
+          |UNION ALL SELECT id, 0, 1, 0, FALSE, 'qty' FROM d
+          |UNION ALL SELECT id, 0, 1, 1, FALSE, n_chars::VARCHAR FROM d
+          |UNION ALL SELECT id, 0, 2, 0, FALSE, 'name '||id FROM d
+          |UNION ALL SELECT id, 0, 2, 1, FALSE, '' FROM d
+          |UNION ALL SELECT id, 1, 0, 0, FALSE, 'pre post' FROM d WHERE did%4=0
+          |UNION ALL SELECT id, 2, 0, 0, FALSE, 'in '||id FROM d WHERE did%4=0""".stripMargin,
 
       // priority-sampling replay: q = w·2⁶⁰/(h+1) in the same op order,
       // τ = the 51st priority, ŵ = max(w, τ)

@@ -72,6 +72,58 @@ object Dom {
   private def words(s: String): Int =
     if (s.isEmpty) 0 else s.split(" ").count(_.nonEmpty)
 
+  /** Scan an open/close tag body starting at the tag-name end; returns
+    * (indexAfterGt, selfClosing) honoring quoted attribute values (a `>`
+    * inside a quoted attribute value does NOT end the tag). Shared by
+    * [[textNodes]] and [[tableCells]] so both walkers see identical tag
+    * boundaries. */
+  private def scanTagEnd(html: String, from: Int): (Int, Boolean) = {
+    val n = html.length
+    var i = from
+    var self = false
+    while (i < n && html(i) != '>') {
+      val c = html(i)
+      if (c == '"' || c == '\'') {
+        i += 1
+        while (i < n && html(i) != c) i += 1
+        if (i < n) i += 1
+      } else {
+        self = c == '/'
+        i += 1
+      }
+    }
+    (if (i < n) i + 1 else n, self)
+  }
+
+  /** Skip a raw-text element body (`script`/`style`) starting at `from`
+    * (just after the open tag's `>`); returns the index after the matching
+    * case-insensitive close tag's `>`. HTML5: the close-tag name must be
+    * followed by whitespace, '/', '>' or EOF — "</scripty>" must NOT end a
+    * <script> body. Shared by both walkers. */
+  private def skipRawText(html: String, name: String, from: Int): Int = {
+    val n = html.length
+    val close = "</" + name
+    var k = from
+    var found = -1
+    while (found < 0 && k + close.length <= n) {
+      val boundaryOk = {
+        val after = k + close.length
+        after >= n || {
+          val ch = html(after)
+          ch == '>' || ch == '/' || Character.isWhitespace(ch)
+        }
+      }
+      if (boundaryOk &&
+        html.regionMatches(true, k, close, 0, close.length)) found = k
+      else k += 1
+    }
+    if (found < 0) n
+    else {
+      val e = html.indexOf('>', found)
+      if (e < 0) n else e + 1
+    }
+  }
+
   /** All text nodes of `html` in document order. Single pass, lenient. */
   def textNodes(html: String): Vector[Node] = {
     val n = html.length
@@ -90,25 +142,6 @@ object Dom {
           if (anchor) w else 0)
         idx += 1
       }
-    }
-
-    // scan an open/close tag body starting at the tag-name end; returns
-    // (indexAfterGt, selfClosing) honoring quoted attribute values
-    def scanTagEnd(from: Int): (Int, Boolean) = {
-      var i = from
-      var self = false
-      while (i < n && html(i) != '>') {
-        val c = html(i)
-        if (c == '"' || c == '\'') {
-          i += 1
-          while (i < n && html(i) != c) i += 1
-          if (i < n) i += 1
-        } else {
-          self = c == '/'
-          i += 1
-        }
-      }
-      (if (i < n) i + 1 else n, self)
     }
 
     var i = 0
@@ -145,33 +178,10 @@ object Dom {
           var j = i + 1
           while (j < n && isNameChar(html(j))) j += 1
           val name = html.substring(i + 1, j).toLowerCase
-          val (after, self) = scanTagEnd(j)
+          val (after, self) = scanTagEnd(html, j)
           i = after
           if (RawTextTags.contains(name) && !self) {
-            // skip raw body through the matching case-insensitive close
-            val close = "</" + name
-            val lower = html
-            var k = i
-            var found = -1
-            while (found < 0 && k + close.length <= n) {
-              // HTML5: the close-tag name must be followed by whitespace,
-              // '/', '>' or EOF — "</scripty>" must NOT end a <script> body
-              val boundaryOk = {
-                val after = k + close.length
-                after >= n || {
-                  val ch = html(after)
-                  ch == '>' || ch == '/' || Character.isWhitespace(ch)
-                }
-              }
-              if (boundaryOk &&
-                lower.regionMatches(true, k, close, 0, close.length)) found = k
-              else k += 1
-            }
-            if (found < 0) i = n
-            else {
-              val e = html.indexOf('>', found)
-              i = if (e < 0) n else e + 1
-            }
+            i = skipRawText(html, name, i)
           } else if (!self && !VoidTags.contains(name)) {
             if (NoSelfNest.contains(name) && stack.nonEmpty &&
               stack.last == name) stack.remove(stack.length - 1)
@@ -278,5 +288,156 @@ object Dom {
       .filter(col("__rn") === 1).drop("__rn")
     nodes.withColumn("parent", parent)
       .join(win, Seq(idCol, "parent"))
+  }
+
+  // ------------------------------------------------------ table extract ----
+
+  final case class Cell(tableIdx: Int, rowIdx: Int, colIdx: Int,
+      isHeader: Boolean, text: String)
+
+  /** All `<table>` cells of `html` in document order — the structured-table
+    * side output of the extraction tier (the reference ships extracted
+    * tables as a JSON side output next to the text layer; an HTML corpus
+    * needs the same for `<table>` markup). Single pass, same tag-boundary
+    * rules as [[textNodes]] (shared [[scanTagEnd]]/[[skipRawText]]),
+    * lenient like a browser:
+    *  - `table_idx` counts `<table>` opens in document order (nested
+    *    tables get their own index); `row_idx`/`col_idx` are 0-based;
+    *  - `<td>`/`<th>` with no explicit close are closed by the next
+    *    cell/row/table boundary (the HTML5 implied end everyone omits);
+    *    a cell before any `<tr>` implies row 0;
+    *  - EMPTY cells are emitted (structure matters: a missing cell shifts
+    *    every later `col_idx` in the row);
+    *  - text inside a nested table belongs to the INNER table's open cell;
+    *    text after the inner table closes resumes the outer cell;
+    *  - any tag inside an open cell contributes a space (so `a<br>b` stays
+    *    two words), then [[collapse]] normalizes;
+    *  - text outside any open cell is not tabular and is ignored here
+    *    ([[textNodes]] is the text-layer walker).
+    */
+  def tableCells(html: String): Vector[Cell] = {
+    val n = html.length
+    val out = Vector.newBuilder[Cell]
+    var tableCounter = 0
+    // innermost-last stack of open tables
+    final class Ctx(val tableIdx: Int) {
+      var row: Int = -1
+      var col: Int = -1
+      var cellOpen: Boolean = false
+      var isHeader: Boolean = false
+      val buf = new StringBuilder
+    }
+    val ctxs = ArrayBuffer.empty[Ctx]
+    def top: Ctx = ctxs.last
+
+    def closeCell(): Unit = if (ctxs.nonEmpty && top.cellOpen) {
+      val c = top
+      out += Cell(c.tableIdx, if (c.row < 0) 0 else c.row, c.col,
+        c.isHeader, collapse(c.buf.toString))
+      c.cellOpen = false
+      c.buf.clear()
+    }
+
+    def openCell(header: Boolean): Unit = if (ctxs.nonEmpty) {
+      closeCell()
+      val c = top
+      if (c.row < 0) c.row = 0
+      c.col += 1
+      c.cellOpen = true
+      c.isHeader = header
+      c.buf.clear()
+    }
+
+    // a tag boundary inside an open cell separates words
+    def tagSpace(): Unit = if (ctxs.nonEmpty && top.cellOpen) top.buf.append(' ')
+
+    var i = 0
+    while (i < n) {
+      val c = html(i)
+      if (c != '<' || i + 1 >= n) {
+        if (ctxs.nonEmpty && top.cellOpen) top.buf.append(c)
+        i += 1
+      } else {
+        val c1 = html(i + 1)
+        if (c1 == '!') {
+          tagSpace()
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            val e = html.indexOf('>', i + 2)
+            i = if (e < 0) n else e + 1
+          }
+        } else if (c1 == '?') {
+          tagSpace()
+          val e = html.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
+        } else if (c1 == '/') {
+          var j = i + 2
+          val s = j
+          while (j < n && isNameChar(html(j))) j += 1
+          val name = html.substring(s, j).toLowerCase
+          val e = html.indexOf('>', j)
+          i = if (e < 0) n else e + 1
+          name match {
+            case "td" | "th" | "tr" => closeCell()
+            case "table" =>
+              if (ctxs.nonEmpty) { closeCell(); ctxs.remove(ctxs.length - 1) }
+              tagSpace() // the popped table separates the OUTER cell's words
+            case _ => tagSpace()
+          }
+        } else if (isNameStart(c1)) {
+          var j = i + 1
+          while (j < n && isNameChar(html(j))) j += 1
+          val name = html.substring(i + 1, j).toLowerCase
+          val (after, self) = scanTagEnd(html, j)
+          i = after
+          if (RawTextTags.contains(name) && !self) {
+            tagSpace() // the skipped element is still a word boundary
+            i = skipRawText(html, name, i)
+          } else name match {
+            case "table" if !self =>
+              tagSpace() // entering a nested table separates outer words
+              ctxs += new Ctx({ val t = tableCounter; tableCounter += 1; t })
+            case "tr" if ctxs.nonEmpty =>
+              closeCell(); top.row += 1; top.col = -1
+            case "td" => openCell(header = false)
+            case "th" => openCell(header = true)
+            case _ => tagSpace()
+          }
+        } else {
+          if (ctxs.nonEmpty && top.cellOpen) top.buf.append(c)
+          i += 1
+        }
+      }
+    }
+    // lenient EOF recovery: close every still-open cell, innermost first
+    while (ctxs.nonEmpty) { closeCell(); ctxs.remove(ctxs.length - 1) }
+    out.result()
+  }
+
+  val TableSchema: StructType = StructType(Seq(
+    StructField("doc", StringType, nullable = true),
+    StructField("table_idx", LongType, nullable = false),
+    StructField("row_idx", LongType, nullable = false),
+    StructField("col_idx", LongType, nullable = false),
+    StructField("is_header", BooleanType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** One row per table cell: (idCol, table_idx, row_idx, col_idx,
+    * is_header, text). Typed mapPartitions over (id, html) — narrow, zero
+    * shuffles at any corpus size; null/empty html yields no rows. */
+  def tablesDf(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("string").as("doc"),
+      col(htmlCol).as("__html"))
+    src.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getString(0)
+        val html = if (r.isNullAt(1)) "" else r.getString(1)
+        tableCells(html).iterator.map(c =>
+          Row(id, c.tableIdx.toLong, c.rowIdx.toLong, c.colIdx.toLong,
+            c.isHeader, c.text))
+      }
+    }(Encoders.row(TableSchema)).withColumnRenamed("doc", idCol)
   }
 }

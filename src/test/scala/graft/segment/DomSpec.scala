@@ -178,4 +178,73 @@ class DomSpec extends SparkTestBase {
     assert(out.select("parent").distinct.as[String].collect().toSeq ==
       Seq("body/div"))
   }
+
+  // ------------------------------------------------------- tableCells ----
+
+  private def cells(html: String): Vector[(Int, Int, Int, Boolean, String)] =
+    Dom.tableCells(html).map(c =>
+      (c.tableIdx, c.rowIdx, c.colIdx, c.isHeader, c.text))
+
+  test("tableCells: header + data rows, indices, empty cell emitted") {
+    val html = "<table><tr><th>k</th><th>v</th></tr>" +
+      "<tr><td>qty</td><td>12</td></tr>" +
+      "<tr><td>name x</td><td></td></tr></table>"
+    assert(cells(html) == Vector(
+      (0, 0, 0, true, "k"), (0, 0, 1, true, "v"),
+      (0, 1, 0, false, "qty"), (0, 1, 1, false, "12"),
+      (0, 2, 0, false, "name x"), (0, 2, 1, false, "")))
+  }
+
+  test("tableCells: implied td/tr closes (the markup everyone writes)") {
+    // no </td> anywhere, no </tr> before the next <tr>
+    val html = "<table><tr><td>a<td>b<tr><td>c</table>"
+    assert(cells(html) == Vector(
+      (0, 0, 0, false, "a"), (0, 0, 1, false, "b"), (0, 1, 0, false, "c")))
+    // a cell before any <tr> implies row 0; mixed th after td
+    assert(cells("<table><td>x</td><th>y</th></table>") == Vector(
+      (0, 0, 0, false, "x"), (0, 0, 1, true, "y")))
+  }
+
+  test("tableCells: nested table owns its text; outer cell resumes after") {
+    val html = "<table><tr><td>pre " +
+      "<table><tr><td>inner</td></tr></table>post</td></tr></table>"
+    assert(cells(html) == Vector(
+      (1, 0, 0, false, "inner"),          // inner table closes first
+      (0, 0, 0, false, "pre post")))      // outer cell: pre + post, spaced
+  }
+
+  test("tableCells: inline tags space words; script body never fakes a cell") {
+    assert(cells("<table><tr><td>a<br>b</td></tr></table>") ==
+      Vector((0, 0, 0, false, "a b")))
+    assert(cells("<table><tr><td>x<script>var t = '<td>no</td>';</script>y" +
+      "</td></tr></table>") == Vector((0, 0, 0, false, "x y")))
+  }
+
+  test("tableCells: non-table text ignored; EOF closes open cells") {
+    assert(cells("<p>prose only</p>") == Vector.empty)
+    assert(cells("<td>stray cell outside any table</td>") == Vector.empty)
+    // unclosed everything: lenient EOF recovery still emits the cell
+    assert(cells("<table><tr><td>tail") ==
+      Vector((0, 0, 0, false, "tail")))
+    // multiple sibling tables number in document order
+    assert(cells("<table><tr><td>a</td></tr></table>" +
+      "<table><tr><td>b</td></tr></table>").map(t => (t._1, t._5)) ==
+      Vector((0, "a"), (1, "b")))
+  }
+
+  test("tablesDf ≡ pure walker and the plan is narrow (no Exchange)") {
+    val h1 = "<table><tr><th>h</th></tr><tr><td>v 1</td><td></td></tr></table>"
+    val h2 = "<div>no tables here</div>"
+    val docs = Seq(("d1", h1), ("d2", h2), ("d3", null: String))
+      .toDF("id", "html")
+    val got = Dom.tablesDf(docs, "id", "html")
+      .as[(String, Long, Long, Long, Boolean, String)].collect().toSet
+    val want = Seq("d1" -> h1, "d2" -> h2).flatMap { case (id, h) =>
+      Dom.tableCells(h).map(c => (id, c.tableIdx.toLong, c.rowIdx.toLong,
+        c.colIdx.toLong, c.isHeader, c.text))
+    }.toSet
+    assert(got == want && got.size == 3)
+    val plan = Dom.tablesDf(docs, "id", "html").queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), plan)
+  }
 }
