@@ -2508,6 +2508,22 @@ object SparkEntry {
         "src", "dst", iters = 3)
     }),
 
+    // Redirect/rel=canonical chain resolution (Pointers.resolve): pointer
+    // jumping squares the URL map each round, so 3 rounds resolve the
+    // synthesized 7-hop chains (u_id -> u_{id-1} down to the u_{8k} roots)
+    // in O(log chain) shuffles; a 2-cycle rides along and must come back
+    // unconverged. The oracle unrolls all three f∘f rounds in SQL
+    // (materialized CTEs — the unigram lesson) plus the chain-end probe.
+    "redirect_resolve" -> ((s, d) => {
+      import s.implicits._
+      val e = rd(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(8)) =!= 0)
+        .select(concat(lit("u"), col("doc_id").cast("string")).as("src"),
+          concat(lit("u"), (col("doc_id") - 1).cast("string")).as("dst"))
+        .unionByName(Seq(("c1", "c2"), ("c2", "c1")).toDF("src", "dst"))
+      graft.graph.Pointers.resolve(e, "src", "dst", rounds = 3)
+    }),
+
     // k-core peel (KCore.core) over the squaring-map functional graph
     // a -> a^2 mod 97 — a scale-stable fixture (the 97 edges saturate at
     // every SF, so the peel structure is identical at sf0.01 and sf0.1):
@@ -6475,6 +6491,24 @@ object SparkEntry {
           |l3 AS (SELECT n.node, coalesce(w.label, n.node) AS label
           |  FROM nodes n LEFT JOIN w3 w USING (node))
           |SELECT node, label FROM l3""".stripMargin,
+
+      // pointer-jump replay: the same three f ← f∘f rounds, then
+      // converged ⇔ the target has no outgoing edge in the base map
+      "redirect_resolve" ->
+        """WITH e AS MATERIALIZED (
+          |  SELECT 'u'||doc_id::VARCHAR AS src,
+          |         'u'||(doc_id-1)::VARCHAR AS dst
+          |  FROM documents WHERE doc_id%8<>0
+          |  UNION ALL SELECT 'c1','c2' UNION ALL SELECT 'c2','c1'),
+          |f1 AS MATERIALIZED (SELECT a.src, coalesce(b.dst, a.dst) AS dst
+          |  FROM e a LEFT JOIN e b ON a.dst = b.src),
+          |f2 AS MATERIALIZED (SELECT a.src, coalesce(b.dst, a.dst) AS dst
+          |  FROM f1 a LEFT JOIN f1 b ON a.dst = b.src),
+          |f3 AS MATERIALIZED (SELECT a.src, coalesce(b.dst, a.dst) AS dst
+          |  FROM f2 a LEFT JOIN f2 b ON a.dst = b.src)
+          |SELECT f3.src, f3.dst AS target,
+          |  (f3.dst NOT IN (SELECT src FROM e)) AS converged
+          |FROM f3""".stripMargin,
 
       // k-core replay: 4 unrolled peel rounds over the symmetrized
       // squaring-map graph — keep a node iff its CURRENT degree >= 2, keep
