@@ -1947,6 +1947,20 @@ object SparkEntry {
       graft.segment.Dom.tablesDf(docs, "doc_id", "html")
     }),
 
+    // Token-budget corpus selection (Sampling.budgetSelect): keep the
+    // best-scoring docs until the cumulative cost fills the budget — an
+    // EXACT global running sum via distributed prefix-sum (range exchange
+    // + per-partition offsets prefix-summed on the driver, one row per
+    // partition), never a single-partition global window. The oracle is
+    // the plain SQL window cumsum the operator refuses to plan.
+    "budget_select" -> ((s, d) => {
+      Sampling.budgetSelect(
+        rd(s, d, "documents").select(col("doc_id"),
+          pmod(col("n_chars") * 31 + col("doc_id"), lit(1000)).as("q"),
+          (pmod(col("n_chars"), lit(997)) + 1).as("c")),
+        "doc_id", "q", "c", budget = 100000L)
+    }),
+
     // RNG-free priority sampling (Sampling.prioritySample): weight ∝
     // n_chars, k=50, estimator weights attached (ŵ = max(w, τ)); selection
     // runs at full double precision, display columns rounded to 6dp.
@@ -5676,6 +5690,17 @@ object SparkEntry {
           |UNION ALL SELECT id, 0, 2, 1, FALSE, '' FROM d
           |UNION ALL SELECT id, 1, 0, 0, FALSE, 'pre post' FROM d WHERE did%4=0
           |UNION ALL SELECT id, 2, 0, 0, FALSE, 'in '||id FROM d WHERE did%4=0""".stripMargin,
+
+      // budget-selection replay: the plain window cumsum over the same
+      // (score desc, id) total order, cut at the budget
+      "budget_select" ->
+        """WITH s AS (SELECT doc_id::VARCHAR AS doc_id,
+          |  ((n_chars*31 + doc_id)%1000)::BIGINT AS score,
+          |  (n_chars%997 + 1)::BIGINT AS cost FROM documents),
+          |c AS (SELECT doc_id, score, cost,
+          |  (sum(cost) OVER (ORDER BY score DESC, doc_id))::BIGINT AS cum
+          |  FROM s)
+          |SELECT doc_id, score, cost, cum FROM c WHERE cum <= 100000""".stripMargin,
 
       // priority-sampling replay: q = w·2⁶⁰/(h+1) in the same op order,
       // τ = the 51st priority, ŵ = max(w, τ)

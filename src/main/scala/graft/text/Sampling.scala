@@ -211,6 +211,88 @@ object Sampling {
     TextAnalysis.hash60(id.toString) < cut
   }
 
+  /** Token-budget corpus selection: keep the best-scoring docs until
+    * their cumulative cost (tokens) fills `budget` — the "spend my 500B
+    * training tokens on the highest-quality slice" cut, which needs an
+    * EXACT global running sum in (score desc, id) order, not a top-k.
+    *
+    * A bare `sum() OVER (ORDER BY ...)` with no partition key moves the
+    * whole corpus into ONE task — the single-partition-window anti-pattern.
+    * This is the distributed prefix-sum instead:
+    *   1. range-repartition + sort on (score desc, id) — one range
+    *      exchange, the same cost as a global orderBy;
+    *   2. per-partition cost totals → the DRIVER prefix-sums one row per
+    *      partition (bounded by the partition count, like the IVF
+    *      centroid table — never corpus-sized);
+    *   3. a narrow per-partition pass (mapPartitionsWithIndex — the index
+    *      IS the offset key) adds each partition's offset to its local
+    *      running sum.
+    * The global cumsum is exact wherever the sampled range bounds land,
+    * because (score desc, id) is a total order (`idCol` must be unique).
+    *
+    * Output: (id, score, cost, cum) for kept rows — cum ≤ budget, in the
+    * selection's own order. Scores/costs are integers (callers with
+    * real-valued scores pre-scale to milli, the engine-wide idiom). */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+      costCol: String, budget: Long, parts: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val src = df.select(col(idCol).cast("string").as("id"),
+      col(scoreCol).cast("long").as("score"),
+      col(costCol).cast("long").as("cost"))
+    val ranged = graft.io.Persisted.track(
+      src.repartitionByRange(p, col("score").desc, col("id").asc)
+        .sortWithinPartitions(col("score").desc, col("id").asc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // bounded driver state: ONE (pid, total) row per partition
+    val totals = ranged
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        col("cost"))
+      .groupBy("pid").agg(sum("cost").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) =>
+      acc + totals.getOrElse(i, 0L)).toArray
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cost",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    // RDD mapPartitionsWithIndex is FORCED here (the engine's one genuine
+    // per-partition-imperative case): the prefix-sum key must be the
+    // PARTITION index. TaskContext.getPartitionId/spark_partition_id are
+    // task-scoped — a downstream coalesce(1) packs many partitions into
+    // one task, resetting every offset to offsets(0) (caught by the sink
+    // write path: max cum collapsed to one partition's local sum).
+    val outRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      it.map { r =>
+        cum += r.getLong(2)
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1), r.getLong(2),
+          cum)
+      }
+    }
+    spark.createDataFrame(outRdd, schema)
+      .filter(col("cum") <= budget)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Pure twin of [[budgetSelect]]: (id, score, cost) rows → kept
+    * (id, score, cost, cum). */
+  def budgetSelectPure(rows: Seq[(String, Long, Long)], budget: Long)
+      : Seq[(String, Long, Long, Long)] = {
+    var cum = 0L
+    rows.sortBy { case (id, sc, _) => (-sc, id) }.flatMap { case (id, sc, c) =>
+      cum += c
+      if (cum <= budget) Some((id, sc, c, cum)) else None
+    }
+  }
+
   /** Pure twin for spec cross-checking: ids of one stratum → kept ids in
     * md5-rank order. */
   def stratifiedPure(ids: Seq[Long], frac: Double): Seq[Long] = {

@@ -156,4 +156,58 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.mixtureSample(docs, "doc_id", "lang", Map("en" -> 0L)))
   }
+
+  test("budgetSelect: exact global cumsum ≡ pure twin across partitionings") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      val id = s"d$i"
+      val score = (i * 2654435761L) % 50 // heavy score ties → id tie-break
+      val cost = (i * 40503L) % 97 + 1
+      (id, score, cost)
+    }
+    val want = Sampling.budgetSelectPure(rows, budget = 3000L)
+    assert(want.nonEmpty && want.size < 200) // the budget genuinely cuts
+    // the boundary row is exact: adding the next doc would overflow
+    val cut = want.last._4
+    assert(cut <= 3000L)
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Sampling.budgetSelect(
+        rows.toDF("doc_id", "q", "c").repartition(7),
+        "doc_id", "q", "c", budget = 3000L, parts = parts)
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .sortBy { case (_, sc, _, cum) => (-sc, cum) }
+      assert(got == want, s"parts=$parts")
+      graft.io.Persisted.release(spark)
+    }
+  }
+
+  test("budgetSelect survives a downstream coalesce(1) — the sink write path") {
+    import spark.implicits._
+    // regression: task-scoped partition ids zero every offset when a sink
+    // coalesces; the cut must stay identical under coalesce(1)
+    val rows = (0 until 200).map { i =>
+      (s"d$i", (i * 2654435761L) % 50, (i * 40503L) % 97 + 1)
+    }
+    val want = Sampling.budgetSelectPure(rows, budget = 3000L).map(_._1).toSet
+    val got = Sampling.budgetSelect(
+      rows.toDF("doc_id", "q", "c").repartition(7),
+      "doc_id", "q", "c", budget = 3000L, parts = 8)
+      .coalesce(1)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == want)
+    assert(got.map(_._4).max == Sampling.budgetSelectPure(rows, 3000L).last._4)
+    graft.io.Persisted.release(spark)
+  }
+
+  test("budgetSelect: zero budget keeps nothing; full budget keeps all") {
+    import spark.implicits._
+    val df = Seq(("a", 5L, 10L), ("b", 3L, 10L)).toDF("id", "s", "c")
+    assert(Sampling.budgetSelect(df, "id", "s", "c", 0L, parts = 2)
+      .count() == 0)
+    assert(Sampling.budgetSelect(df, "id", "s", "c", 100L, parts = 2)
+      .count() == 2)
+    intercept[IllegalArgumentException](
+      Sampling.budgetSelect(df, "id", "s", "c", -1L))
+    graft.io.Persisted.release(spark)
+  }
 }
