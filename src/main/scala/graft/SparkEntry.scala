@@ -2456,6 +2456,37 @@ object SparkEntry {
     // probed against the corpus filter (probably-seen docs dropped,
     // FP-exact — the oracle replays the double hashing bit-for-bit), and
     // quality-gated. The corpus itself never shuffles.
+    // JSONL ingest with quarantine (Jsonl.parseLines): lines rendered by
+    // to_json per doc — every 7th truncated mid-JSON (corrupt), every
+    // 11th missing the required title (schema drift) — parse back through
+    // the corrupt-record channel; nothing is dropped, everything flagged.
+    // Zero-shuffle codegen'd expression; the oracle re-renders the parsed
+    // relation straight from the source columns (the round-trip means it
+    // never needs JSON functions).
+    "jsonl_ingest" -> ((s, d) => {
+      val jschema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("title",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.StringType)))
+      val full = to_json(struct(col("doc_id").cast("long").as("id"),
+        concat(lit("T"), col("doc_id").cast("string")).as("title"),
+        col("n_chars").cast("long").as("n"), col("text").as("body")))
+      val noTitle = to_json(struct(col("doc_id").cast("long").as("id"),
+        col("n_chars").cast("long").as("n"), col("text").as("body")))
+      val line = when(pmod(col("doc_id"), lit(7)) === 0,
+        substring(full, 1, 10))
+        .when(pmod(col("doc_id"), lit(11)) === 0, noTitle)
+        .otherwise(full)
+      graft.io.Jsonl.parseLines(
+        rd(s, d, "documents").select(line.as("line")),
+        "line", jschema, required = Seq("title"))
+    }),
+
     "ingest_e2e" -> ((s, d) => {
       val t = rd(s, d, "documents").withColumn("t2", docText)
         .select(col("doc_id"), col("t2"))
@@ -6406,6 +6437,21 @@ object SparkEntry {
            |  FROM v2, b3)
            |SELECT word, cnt, array_to_string(syms, ' ') AS segmented
            |FROM v3 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+
+      // JSONL replay: the round-trip makes the expected parsed relation a
+      // pure function of the source columns — corrupt lines all-null, the
+      // no-title branch missing:title, corrupt (%7) outranking drift (%11)
+      "jsonl_ingest" ->
+        """SELECT
+          |  CASE WHEN doc_id%7=0 THEN NULL ELSE doc_id END AS id,
+          |  CASE WHEN doc_id%7=0 OR doc_id%11=0 THEN NULL
+          |       ELSE 'T'||doc_id::VARCHAR END AS title,
+          |  CASE WHEN doc_id%7=0 THEN NULL ELSE n_chars END AS n,
+          |  CASE WHEN doc_id%7=0 THEN NULL ELSE text END AS body,
+          |  (doc_id%7=0 OR doc_id%11=0) AS quarantined,
+          |  CASE WHEN doc_id%7=0 THEN 'corrupt'
+          |       WHEN doc_id%11=0 THEN 'missing:title' END AS reason
+          |FROM documents""".stripMargin,
 
       // ingest replay: within-batch fingerprint dedup → corpus Bloom
       // positions → probe (FP-exact) → quality gate
