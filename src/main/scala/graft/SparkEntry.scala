@@ -1947,6 +1947,26 @@ object SparkEntry {
       graft.segment.Dom.tablesDf(docs, "doc_id", "html")
     }),
 
+    // Markdown strip (TextAnalysis.markdownStripCol): README/doc corpora
+    // flattened to prose — fences dropped, inline code/links/images keep
+    // their text, heading/quote/list markers and emphasis removed. A fixed
+    // per-doc template exercises every rule; the oracle re-renders the
+    // expected flat text as a pure function of (doc_id, n_chars) — no
+    // regex replay, so engine regex dialects can't diverge.
+    "markdown_strip" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val md = concat(
+        lit("# Doc "), id, lit("\n\n> note "),
+        col("n_chars").cast("string"),
+        lit("\n\nbody **bold "), id,
+        lit("** with `code` and [link "), id,
+        lit("](http://x)\n\n- a\n- b "), id,
+        lit("\n\n```\nif (a < b) skip "), id,
+        lit("\n```\n\ntail done"))
+      rd(s, d, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.markdownStripCol(md).as("clean"))
+    }),
+
     // Token-budget corpus selection (Sampling.budgetSelect): keep the
     // best-scoring docs until the cumulative cost fills the budget — an
     // EXACT global running sum via distributed prefix-sum (range exchange
@@ -5721,6 +5741,16 @@ object SparkEntry {
           |UNION ALL SELECT id, 0, 2, 1, FALSE, '' FROM d
           |UNION ALL SELECT id, 1, 0, 0, FALSE, 'pre post' FROM d WHERE did%4=0
           |UNION ALL SELECT id, 2, 0, 0, FALSE, 'in '||id FROM d WHERE did%4=0""".stripMargin,
+
+      // markdown replay: the template is a pure function of
+      // (doc_id, n_chars), so the expected flat prose is re-rendered
+      // directly — any mis-stripped marker breaks parity
+      "markdown_strip" ->
+        """SELECT doc_id,
+          |  'Doc '||doc_id::VARCHAR||' note '||n_chars::VARCHAR||
+          |  ' body bold '||doc_id::VARCHAR||' with code and link '||
+          |  doc_id::VARCHAR||' a b '||doc_id::VARCHAR||' tail done' AS clean
+          |FROM documents""".stripMargin,
 
       // budget-selection replay: the plain window cumsum over the same
       // (score desc, id) total order, cut at the budget

@@ -205,6 +205,54 @@ object TextAnalysis {
   def fingerprint(text: String): Long =
     hash60(if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " "))
 
+  // ------------------------------------------------- markdown stripping ----
+
+  /** Markdown-source syntax in the order [[markdownStripCol]] removes it.
+    * Each entry is (java-regex, replacement); the order is the contract
+    * (images must strip before links, ** before *). Kept RE2-compatible
+    * (no lookaround, no pattern backreferences) so an independent engine
+    * can replay the chain. */
+  val MarkdownRules: Seq[(String, String)] = Seq(
+    "(?s)```.*?```" -> " ",                    // fenced code blocks dropped
+    "`([^`\n]*)`" -> "$1",                     // inline code keeps content
+    "!\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "$1",   // image -> alt text
+    "\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "$1",    // link  -> anchor text
+    "<https?://[^>]*>" -> " ",                 // autolinks dropped
+    "(?m)^#{1,6}[ \t]+" -> "",                 // heading markers
+    "(?m)^>[ \t]?" -> "",                      // blockquote markers
+    "(?m)^[ \t]*([-*_][ \t]*){3,}$" -> " ",    // horizontal rules
+    "(?m)^[ \t]*[-*+][ \t]+" -> "",            // bullet markers
+    "(?m)^[ \t]*[0-9]+\\.[ \t]+" -> "",        // numbered-list markers
+    "\\*\\*([^*]+)\\*\\*" -> "$1",             // bold
+    "\\*([^*]+)\\*" -> "$1",                   // italic
+    "__([^_]+)__" -> "$1",                     // bold (underscore form)
+    "_([^_]+)_" -> "$1")                       // italic (underscore form)
+
+  /** Markdown → flat prose text: README/doc corpora carry markup that
+    * pollutes token statistics, dedup shingles, and LM training the same
+    * way HTML tags do; this is the markdown twin of the DOM strip. Chained
+    * `regexp_replace` ([[MarkdownRules]] in order, then whitespace
+    * collapse + trim) — a codegen'd expression, zero shuffles. Known
+    * limitation (documented, not guessed at): the underscore-emphasis
+    * rules don't require word boundaries (RE2-compatibility forbids
+    * lookaround), so `snake_case_names` lose their underscores; corpora
+    * where that matters should drop those two rules. */
+  def markdownStripCol(text: Column): Column = {
+    val stripped = MarkdownRules.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    trim(regexp_replace(stripped, "\\s+", " "))
+  }
+
+  /** Pure twin of [[markdownStripCol]]. */
+  def markdownStrip(text: String): String = {
+    val s = if (text == null) "" else text
+    val stripped = MarkdownRules.foldLeft(s) { case (t, (p, r)) =>
+      t.replaceAll(p, r)
+    }
+    stripped.replaceAll("\\s+", " ").trim
+  }
+
   // ------------------------------------------------- repetition signals ----
   /** Gopher-style repetition signals per document (the classic "remove
     * template-y pages" quality rules): duplicate-line ratio (fraction of

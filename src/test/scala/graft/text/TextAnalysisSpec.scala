@@ -351,4 +351,32 @@ class TextAnalysisSpec extends SparkTestBase {
     }
     assert(got == want)
   }
+
+  test("markdownStrip: every rule fires; Column ≡ pure; plan narrow") {
+    import org.apache.spark.sql.functions.col
+    val md = "# Title\n\n> a quote\n\nintro **bold** and *ital* and " +
+      "`code x` here\n\n- item one\n- see [docs](http://e.com/d) now\n\n" +
+      "```\nif (a < b) { dropped }\n```\n\n1. first\n2. second\n\n---\n\n" +
+      "tail ![alt text](img.png) and <http://auto.link> done __under__ _em_"
+    val want = "Title a quote intro bold and ital and code x here " +
+      "item one see docs now first second tail alt text and done under em"
+    assert(TextAnalysis.markdownStrip(md) == want)
+    // null, empty, plain prose pass through
+    assert(TextAnalysis.markdownStrip(null) == "")
+    assert(TextAnalysis.markdownStrip("plain words stay") == "plain words stay")
+    // documented limitation: snake_case loses underscores via emphasis rules
+    assert(TextAnalysis.markdownStrip("a snake_case_name b") == "a snakecasename b")
+    // unterminated fence: the block rule needs a closing pair and eats
+    // nothing; the inline rule then consumes one empty ``-pair, leaving
+    // the odd backtick — no text is lost
+    assert(TextAnalysis.markdownStrip("pre ```no close") == "pre `no close")
+    val df = Seq(("d1", md), ("d2", null: String)).toDF("id", "t")
+    val out = df.select(col("id"),
+      TextAnalysis.markdownStripCol(col("t")).as("c"))
+      .as[(String, Option[String])].collect().toMap
+    assert(out("d1").contains(want) && out("d2").isEmpty)
+    val plan = df.select(TextAnalysis.markdownStripCol(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
