@@ -1947,6 +1947,23 @@ object SparkEntry {
       graft.segment.Dom.tablesDf(docs, "doc_id", "html")
     }),
 
+    // Luhn-gated card scrubbing (TextAnalysis.ccScrubDf): candidates that
+    // pass the ISO 7812 checksum are redacted, lookalike serials stay
+    // verbatim — presence-regex alone would mangle order ids. Each doc
+    // carries a valid Visa test number (dashed twin on even docs) and an
+    // always-invalid +1 variant; the oracle re-renders the expected
+    // redaction, so a checksum defect in either direction breaks parity.
+    "cc_scrub" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val t = concat(lit("pay 4111111111111111"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit(" and 4111-1111-1111-1111")).otherwise(lit("")),
+        lit(" not 4111111111111112 ref "), id)
+      graft.text.TextAnalysis.ccScrubDf(
+        rd(s, d, "documents").select(col("doc_id"), t.as("t")),
+        "doc_id", "t")
+    }),
+
     // Markdown strip (TextAnalysis.markdownStripCol): README/doc corpora
     // flattened to prose — fences dropped, inline code/links/images keep
     // their text, heading/quote/list markers and emphasis removed. A fixed
@@ -5741,6 +5758,17 @@ object SparkEntry {
           |UNION ALL SELECT id, 0, 2, 1, FALSE, '' FROM d
           |UNION ALL SELECT id, 1, 0, 0, FALSE, 'pre post' FROM d WHERE did%4=0
           |UNION ALL SELECT id, 2, 0, 0, FALSE, 'in '||id FROM d WHERE did%4=0""".stripMargin,
+
+      // card-scrub replay: expected redaction re-rendered per doc — the
+      // valid numbers become [CARD], the +1 variant survives verbatim
+      "cc_scrub" ->
+        """SELECT doc_id::VARCHAR AS doc_id,
+          |  'pay [CARD]'||
+          |  CASE WHEN doc_id%2=0 THEN ' and [CARD]' ELSE '' END||
+          |  ' not 4111111111111112 ref '||doc_id::VARCHAR AS clean,
+          |  (CASE WHEN doc_id%2=0 THEN 3 ELSE 2 END)::BIGINT AS n_candidates,
+          |  (CASE WHEN doc_id%2=0 THEN 2 ELSE 1 END)::BIGINT AS n_valid
+          |FROM documents""".stripMargin,
 
       // markdown replay: the template is a pure function of
       // (doc_id, n_chars), so the expected flat prose is re-rendered

@@ -663,6 +663,68 @@ object TextAnalysis {
     (n(EmailRe), n(PhoneRe), n(SsnRe))
   }
 
+  // ------------------------------------------------ payment-card scrub ----
+
+  /** Card-number candidates: 13-19 digits with optional single space/dash
+    * separators, word-bounded. Presence alone is NOT redaction-worthy —
+    * order ids and serial numbers look exactly like this — so candidates
+    * are Luhn-checked and only VALID numbers are replaced. */
+  val CardRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn checksum over a digit string (ISO/IEC 7812): double every second
+    * digit from the right, subtract 9 above 9, sum % 10 == 0. */
+  def luhnValid(digits: String): Boolean =
+    digits.length >= 13 && digits.length <= 19 && {
+      var sum = 0
+      var dbl = false
+      var i = digits.length - 1
+      while (i >= 0) {
+        var d = digits.charAt(i) - '0'
+        if (dbl) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        dbl = !dbl
+        i -= 1
+      }
+      sum % 10 == 0
+    }
+
+  /** Scrub Luhn-valid card numbers from `text`: (cleaned, nCandidates,
+    * nValid). Candidates that fail the checksum stay verbatim — they are
+    * data, not PII. Pure kernel; [[ccScrubDf]] is the distributed twin. */
+  def ccScrub(text: String): (String, Int, Int) = {
+    val s = if (text == null) "" else text
+    var cands = 0
+    var valid = 0
+    val out = CardRe.r.replaceAllIn(s, m => {
+      cands += 1
+      val digits = m.matched.filter(_.isDigit)
+      if (luhnValid(digits)) { valid += 1; "[CARD]" }
+      else java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
+    (out, cands, valid)
+  }
+
+  /** One row per input row: (idCol, clean, n_candidates, n_valid). Typed
+    * mapPartitions — narrow, zero shuffles (the conditional per-match
+    * replacement has no regexp_replace form). */
+  def ccScrubDf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType, nullable = true),
+      StructField("clean", StringType, nullable = false),
+      StructField("n_candidates", LongType, nullable = false),
+      StructField("n_valid", LongType, nullable = false)))
+    df.select(col(idCol).cast("string").as("id"), col(textCol).as("__t"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val (c, n, v) = ccScrub(if (r.isNullAt(1)) "" else r.getString(1))
+          org.apache.spark.sql.Row(r.getString(0), c, n.toLong, v.toLong)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+      .withColumnRenamed("id", idCol)
+  }
+
   // -------------------------------------------------------- mojibake -------
   /** UTF-8 bytes mis-decoded as Windows-1252 — the dominant encoding defect
     * in web corpora ("Ã©" where "é" was meant). Each entry maps the

@@ -379,4 +379,39 @@ class TextAnalysisSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("ccScrub: Luhn gate separates cards from lookalike serials") {
+    import TextAnalysis.{ccScrub, luhnValid}
+    // classic test numbers: valid Visa/Amex; +1 on the check digit breaks
+    assert(luhnValid("4111111111111111"))
+    assert(luhnValid("378282246310005"))
+    assert(!luhnValid("4111111111111112"))
+    assert(!luhnValid("123456789012")) // 12 digits: too short by contract
+    assert(ccScrub("pay 4111111111111111 now") == ("pay [CARD] now", 1, 1))
+    // invalid candidate stays verbatim — it's an order id, not PII
+    assert(ccScrub("order 4111111111111112 ok") ==
+      ("order 4111111111111112 ok", 1, 0))
+    // separators: spaces and dashes redact the same card
+    assert(ccScrub("c 4111-1111-1111-1111 d 4111 1111 1111 1111 e")._1 ==
+      "c [CARD] d [CARD] e")
+    // SSN/phone shapes are far below 13 digits: zero candidates
+    assert(ccScrub("ssn 123-45-6789 tel 555-123-4567") ==
+      ("ssn 123-45-6789 tel 555-123-4567", 0, 0))
+    assert(ccScrub(null) == ("", 0, 0))
+  }
+
+  test("ccScrubDf ≡ pure kernel and the plan is narrow") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      ("d1", "pay 4111111111111111 not 4111111111111112"),
+      ("d2", "plain"), ("d3", null: String)).toDF("doc_id", "t")
+    val got = TextAnalysis.ccScrubDf(docs, "doc_id", "t")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("d1", "pay [CARD] not 4111111111111112", 2L, 1L),
+      ("d2", "plain", 0L, 0L), ("d3", "", 0L, 0L)))
+    val plan = TextAnalysis.ccScrubDf(docs, "doc_id", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
