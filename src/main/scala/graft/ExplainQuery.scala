@@ -30,7 +30,8 @@ object ExplainQuery {
         "cms_freq", "cms_merge", "bloom_dedup", "bloom_merge", "ingest_e2e",
         "bucket_join",
         "pq_topk", "pagerank_dangling",
-        "dedup_clusters_alt", "dedup_best_of_cluster", "hits_scores")
+        "dedup_clusters_alt", "dedup_best_of_cluster", "hits_scores",
+        "redirect_resolve", "budget_select")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq
