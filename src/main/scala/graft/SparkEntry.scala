@@ -2294,6 +2294,14 @@ object SparkEntry {
     "jl_project" -> ((s, d) =>
       Similarity.jlProject(rd(s, d, "embeddings"), "vec_id", "embedding", 8)),
 
+    // Class-prototype mean pooling (Similarity.meanPool): per-label
+    // element-wise mean of the embedding vectors in exact integer micro
+    // (float sums are order-dependent; quantized sums are not) — ONE
+    // partial-aggregated (label, dim) groupBy, relational output so a hot
+    // label never builds per-key array state.
+    "embed_pool" -> ((s, d) =>
+      Similarity.meanPool(rd(s, d, "embeddings"), "label", "embedding")),
+
     // Hard-negative mining (Similarity.hardNegatives): per labeled query
     // the 5 nearest DIFFERENT-label vectors — the contrastive-training pair
     // miner; the oracle replays the label-filtered brute-force ranking.
@@ -6291,6 +6299,18 @@ object SparkEntry {
           |  FROM (SELECT vec_id, j, embedding, unnest(range(len(embedding))) AS i FROM g))
           |SELECT vec_id, j::BIGINT AS dim, sum(sgn * vm)::BIGINT AS out_micro
           |FROM s GROUP BY 1, 2""".stripMargin,
+
+      // pooling replay: same micro quantization, integer sum, ONE
+      // truncated division per (label, dim) — // and DIV both truncate
+      "embed_pool" ->
+        """WITH e AS (SELECT label, embedding FROM embeddings
+          |  WHERE embedding IS NOT NULL),
+          |x AS (SELECT label, unnest(embedding) AS v,
+          |  unnest(range(len(embedding))) AS dim FROM e)
+          |SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+          |  (sum(round(v::DOUBLE*1e6)::BIGINT) // count(*))::BIGINT AS mean_micro,
+          |  count(*)::BIGINT AS n
+          |FROM x GROUP BY 1, 2""".stripMargin,
 
       // the label-mismatch predicate lands in the pair join, then the same
       // exact ranking as knn_topk

@@ -148,6 +148,42 @@ object Similarity {
       }
     }
 
+  /** Per-key element-wise MEAN pooling of embedding vectors — chunk
+    * embeddings → document embedding, labeled vectors → class prototypes
+    * (the centroid table a prototype-kNN classifier serves from). Float
+    * addition is order-dependent, so components are micro-quantized first
+    * (the [[jlProject]] idiom: round(x·10⁶) as int64) — sums are then
+    * exact integers and the result is invariant to partitioning; the mean
+    * is ONE truncated integer division per (key, dim).
+    *
+    * Output stays RELATIONAL — (key, dim, mean_micro, n) — rather than
+    * re-assembled arrays: no per-key array state, so a key with millions
+    * of members costs the same shuffle as any other. Plan: narrow
+    * quantize + posexplode, then ONE partial-aggregated (key, dim)
+    * groupBy — a hot key spreads across its dims. */
+  def meanPool(df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    val v = col("__v")
+    df.select(col(keyCol).cast("long").as("__k"), col(vecCol).as("__v"))
+      .filter(v.isNotNull)
+      .select(col("__k"), posexplode(
+        transform(v, x => round(x.cast("double") * 1e6).cast("long")))
+        .as(Seq("dim", "m")))
+      .groupBy(col("__k"), col("dim"))
+      .agg(sum("m").as("__s"), count(lit(1)).as("n"))
+      .select(col("__k").as(keyCol), col("dim").cast("long").as("dim"),
+        expr("__s div n").as("mean_micro"), col("n"))
+  }
+
+  /** Pure twin of [[meanPool]] for one key: (dim, mean_micro, n). */
+  def meanPoolPure(vecs: Seq[Seq[Float]]): Seq[(Long, Long, Long)] = {
+    val quant = vecs.map(_.map(x => BigDecimal(x.toDouble * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    quant.flatMap(_.zipWithIndex.map { case (m, d) => (d.toLong, m) })
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, ms) =>
+        (d, ms.map(_._2).sum / ms.size, ms.size.toLong) }
+  }
+
   /** Sign-bucket key: the first `p` dimensions' signs packed into an int —
     * a deterministic 2^p-cell space partition (IVF-style coarse quantizer
     * without training). Vectors are only compared within their own cell. */

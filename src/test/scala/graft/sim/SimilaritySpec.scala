@@ -243,4 +243,34 @@ class SimilaritySpec extends SparkTestBase {
       assert(mine == expected, s"query $q")
     }
   }
+
+  test("meanPool: DF ≡ pure twin per key, partitioning invariant, null dropped") {
+    import spark.implicits._
+    // two classes with float values whose sums would be order-sensitive in
+    // double arithmetic; micro quantization makes them exact
+    val rows = (0 until 60).map { i =>
+      val label = (i % 2).toLong
+      val vec = Seq(0.1f * i - 2.7f, -0.33f * i, 1.0f / (i + 1))
+      (i.toLong, label, vec)
+    }
+    val want = rows.groupBy(_._2).map { case (k, rs) =>
+      k -> Similarity.meanPoolPure(rs.map(_._3))
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Similarity.meanPool(
+        rows.toDF("vec_id", "label", "embedding").repartition(parts)
+          .select(col("label"), col("embedding")),
+        "label", "embedding")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, rs) =>
+          k -> rs.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq }
+      assert(got == want, s"parts=$parts")
+    }
+    // null vectors drop; a lone vector pools to itself
+    val single = Similarity.meanPool(
+      Seq((1L, Seq(0.5f, -0.25f)), (2L, null: Seq[Float]))
+        .toDF("k", "embedding"), "k", "embedding")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(single == Set((1L, 0L, 500000L, 1L), (1L, 1L, -250000L, 1L)))
+  }
 }
