@@ -83,6 +83,17 @@ object Main {
             s"(docs=${rows.map(_.docs_in).sum}, kept=${rows.map(_.docs_out).sum}, " +
             s"kept tokens=${rows.map(_.spans_out).sum}); " +
             s"lineage now has $committed committed partitions")
+        case "compact" :: in :: out :: lineage :: rest =>
+          // small-file compaction: rewrite each partition into
+          // ceil(bytes/targetBytes) files, content-identical, resumable
+          val target = rest.headOption.map(_.toLong).getOrElse(128L << 20)
+          val rows = graft.pipeline.CompactJob.runJob(spark, in, out, lineage,
+            targetBytes = target)
+          val committed = TableIO.readLineage(spark, lineage).count()
+          println(s"[graft] compact: processed ${rows.length} partitions this run " +
+            s"(files ${rows.map(_.docs_in).sum} -> ${rows.map(_.docs_out).sum}, " +
+            s"rows=${rows.map(_.spans_out).sum}); " +
+            s"lineage now has $committed committed partitions")
         case "incdedup" :: corpus :: state :: out :: snap :: rest =>
           // day-over-day incremental near-dup: corpus parquet carries a
           // `snapshot` column; each invocation processes one snapshot
@@ -117,6 +128,7 @@ object Main {
             "run <in> <out> <lineage> [commitBatch] | strip <in> <out> <lineage> [commitBatch] | " +
             "domstrip <in> <out> <lineage> [commitBatch] | " +
             "curate <in> <out> <lineage> [commitBatch] | " +
+            "compact <in> <out> <lineage> [targetBytes] | " +
             "dedup <in> <out> [minJ] [maxDf] [maxBucket] | " +
             "incdedup <corpus> <state> <out> <snapshotId> [minJ] [maxBucket]")
           sys.exit(2)
