@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale: each partition compacts independently (one `repartition(nOut)`
   * shuffle of just that partition's rows); nothing global, nothing
-  * collected beyond one FileStatus listing per partition.
+  * collected beyond one FileStatus listing per partition. Pacing is
+  * driver-sequential per partition (the target-file-count differs per
+  * partition, so each gets its own small job) — maintenance runs are
+  * background work where this is the norm; parallelize across partitions
+  * by running several compactors over disjoint partition ranges, each
+  * with its own lineage path.
   */
 object CompactJob {
 
