@@ -1947,6 +1947,29 @@ object SparkEntry {
       graft.segment.Dom.tablesDf(docs, "doc_id", "html")
     }),
 
+    // Table-to-markdown rendering (Dom.tablesToMarkdown): the extracted
+    // cell rows serialized back as GitHub-markdown tables — the text-layer
+    // form tabular content takes in a training corpus. Header separator
+    // iff row 0 is all-header; two bounded-key groupBys; the oracle
+    // re-renders every line (incl. the empty cell and the separator) from
+    // the same template.
+    "table_markdown" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><p>intro "), id,
+        lit("</p><table><tr><th>k</th><th>v</th></tr><tr><td>qty<td>"),
+        col("n_chars").cast("string"),
+        lit("</tr><tr><td>name "), id, lit("</td><td></td></tr></table>"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("<table><tr><td>pre <table><tr><td>in "), id,
+            lit("</td></tr></table>post</td></tr></table>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val docs = rd(s, d, "documents").select(col("doc_id"), html.as("html"))
+      graft.segment.Dom.tablesToMarkdown(
+        graft.segment.Dom.tablesDf(docs, "doc_id", "html"), "doc_id")
+    }),
+
     // Luhn-gated card scrubbing (TextAnalysis.ccScrubDf): candidates that
     // pass the ISO 7812 checksum are redacted, lookalike serials stay
     // verbatim — presence-regex alone would mangle order ids. Each doc
@@ -5766,6 +5789,19 @@ object SparkEntry {
           |UNION ALL SELECT id, 0, 2, 1, FALSE, '' FROM d
           |UNION ALL SELECT id, 1, 0, 0, FALSE, 'pre post' FROM d WHERE did%4=0
           |UNION ALL SELECT id, 2, 0, 0, FALSE, 'in '||id FROM d WHERE did%4=0""".stripMargin,
+
+      // markdown-table replay: every line re-rendered — header row,
+      // dashed separator, the data rows incl. the EMPTY cell, and the
+      // separator-less single-cell nested pair on %4 docs
+      "table_markdown" ->
+        """WITH d AS (SELECT doc_id::VARCHAR AS id, doc_id AS did,
+          |  n_chars FROM documents)
+          |SELECT id AS doc_id, 0::BIGINT AS table_idx,
+          |  '| k | v |'||chr(10)||'| --- | --- |'||chr(10)||
+          |  '| qty | '||n_chars::VARCHAR||' |'||chr(10)||
+          |  '| name '||id||' |  |' AS md FROM d
+          |UNION ALL SELECT id, 1, '| pre post |' FROM d WHERE did%4=0
+          |UNION ALL SELECT id, 2, '| in '||id||' |' FROM d WHERE did%4=0""".stripMargin,
 
       // card-scrub replay: expected redaction re-rendered per doc — the
       // valid numbers become [CARD], the +1 variant survives verbatim

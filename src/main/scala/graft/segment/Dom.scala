@@ -424,6 +424,47 @@ object Dom {
     StructField("is_header", BooleanType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
+  /** Render [[tablesDf]] cell rows as GitHub-markdown tables — the
+    * serialization LLM training corpora actually use for tabular content
+    * (a flat text layer loses the structure; markdown keeps it and stays
+    * prose-tokenizable). One `| a | b |` line per row, cells in col_idx
+    * order, `|` escaped; a `| --- | ... |` separator after row 0 iff
+    * row 0 is all-header (the GitHub table contract).
+    *
+    * Output: (idCol, table_idx, md). Plan: two bounded-key partial-agg
+    * groupBys — (id, table, row) then (id, table); per-group array state
+    * is one TABLE, which is document-bounded (unlike corpus-keyed state,
+    * this cannot hot-spot). */
+  def tablesToMarkdown(cells: DataFrame, idCol: String): DataFrame = {
+    val esc = regexp_replace(col("text"), "\\|", "\\\\|")
+    val rows = cells
+      .groupBy(col(idCol), col("table_idx"), col("row_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("col_idx"), esc.as("t")))),
+          x => x.getField("t")), " | ").as("body"),
+        min(col("is_header").cast("int")).as("all_hdr"),
+        count(lit(1)).as("n_cols"))
+      .select(col(idCol), col("table_idx"), col("row_idx"),
+        concat(lit("| "), col("body"), lit(" |")).as("line"),
+        col("all_hdr"), col("n_cols"))
+    val tables = rows.groupBy(col(idCol), col("table_idx"))
+      .agg(array_sort(collect_list(struct(col("row_idx"), col("line"),
+        col("all_hdr"), col("n_cols")))).as("rs"))
+    val first = element_at(col("rs"), 1)
+    val sep = concat(lit("| "),
+      array_join(transform(sequence(lit(1), first.getField("n_cols")),
+        _ => lit("---")), " | "), lit(" |"))
+    val rest = array_join(transform(
+      slice(col("rs"), lit(2), greatest(size(col("rs")) - 1, lit(0))),
+      x => x.getField("line")), "\n")
+    val md = concat(first.getField("line"),
+      when(first.getField("all_hdr") === 1, concat(lit("\n"), sep))
+        .otherwise(lit("")),
+      when(size(col("rs")) > 1, concat(lit("\n"), rest)).otherwise(lit("")))
+    tables.select(col(idCol), col("table_idx"), md.as("md"))
+  }
+
   /** One row per table cell: (idCol, table_idx, row_idx, col_idx,
     * is_header, text). Typed mapPartitions over (id, html) — narrow, zero
     * shuffles at any corpus size; null/empty html yields no rows. */

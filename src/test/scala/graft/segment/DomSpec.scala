@@ -232,6 +232,24 @@ class DomSpec extends SparkTestBase {
       Vector((0, "a"), (1, "b")))
   }
 
+  test("tablesToMarkdown: header separator, col order, escapes, no-header tables") {
+    val html = "<table><tr><th>k</th><th>v</th></tr>" +
+      "<tr><td>a|b</td><td></td></tr></table>" +
+      "<table><tr><td>plain</td></tr></table>"
+    val cells = Dom.tablesDf(Seq(("d", html)).toDF("id", "html"), "id", "html")
+    val got = Dom.tablesToMarkdown(cells, "id")
+      .as[(String, Long, String)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      ("d", 0L, "| k | v |\n| --- | --- |\n| a\\|b |  |"),
+      ("d", 1L, "| plain |")))
+    // mixed first row (td+th) gets NO separator
+    val mixed = Dom.tablesDf(Seq(("m",
+      "<table><tr><td>x</td><th>y</th></tr><tr><td>1</td><td>2</td></tr></table>"))
+      .toDF("id", "html"), "id", "html")
+    assert(Dom.tablesToMarkdown(mixed, "id").as[(String, Long, String)]
+      .collect().head._3 == "| x | y |\n| 1 | 2 |")
+  }
+
   test("tablesDf ≡ pure walker and the plan is narrow (no Exchange)") {
     val h1 = "<table><tr><th>h</th></tr><tr><td>v 1</td><td></td></tr></table>"
     val h2 = "<div>no tables here</div>"
