@@ -1947,6 +1947,24 @@ object SparkEntry {
       graft.segment.Dom.tablesDf(docs, "doc_id", "html")
     }),
 
+    // Confusable-character scrub (TextAnalysis.confusableScrubCol):
+    // zero-width chars deleted and Cyrillic/Greek homoglyphs mapped to
+    // their Latin look-alikes, with detection counts — the obfuscated-spam
+    // cleaner that must run BEFORE keyword filters and dedup shingling.
+    // Template plants a ZWSP, three Cyrillic lookalikes, and (%3 docs) an
+    // uppercase pair; the oracle re-renders the cleaned text and counts.
+    "confusable_scrub" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val t = concat(lit("fr​ee hеrе sаle ref "), id,
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" САLE")).otherwise(lit("")))
+      val (inv, homo) = graft.text.TextAnalysis.confusableCountsCol(t)
+      rd(s, d, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.confusableScrubCol(t).as("clean"),
+        inv.cast("long").as("n_invisible"),
+        homo.cast("long").as("n_homoglyph"))
+    }),
+
     // Table-to-markdown rendering (Dom.tablesToMarkdown): the extracted
     // cell rows serialized back as GitHub-markdown tables — the text-layer
     // form tabular content takes in a training corpus. Header separator
@@ -5789,6 +5807,16 @@ object SparkEntry {
           |UNION ALL SELECT id, 0, 2, 1, FALSE, '' FROM d
           |UNION ALL SELECT id, 1, 0, 0, FALSE, 'pre post' FROM d WHERE did%4=0
           |UNION ALL SELECT id, 2, 0, 0, FALSE, 'in '||id FROM d WHERE did%4=0""".stripMargin,
+
+      // confusable replay: the planted ZWSP and lookalikes resolve to a
+      // pure function of doc_id — clean text and both counts re-rendered
+      "confusable_scrub" ->
+        """SELECT doc_id,
+          |  'free here sale ref '||doc_id::VARCHAR||
+          |  CASE WHEN doc_id%3=0 THEN ' CALE' ELSE '' END AS clean,
+          |  1::BIGINT AS n_invisible,
+          |  (CASE WHEN doc_id%3=0 THEN 5 ELSE 3 END)::BIGINT AS n_homoglyph
+          |FROM documents""".stripMargin,
 
       // markdown-table replay: every line re-rendered — header row,
       // dashed separator, the data rows incl. the EMPTY cell, and the

@@ -831,6 +831,62 @@ object TextAnalysis {
     multi.map(c => map.getOrElse(c, c))
   }
 
+  // ------------------------------------------- confusable-char scrubbing ---
+
+  /** Invisible / zero-width characters that obfuscated spam hides behind
+    * (word-splitting defeats keyword filters while rendering unchanged):
+    * ZWSP, ZWNJ, ZWJ, word joiner, BOM-as-ZWNBSP, soft hyphen. */
+  val InvisibleChars = "\u200B\u200C\u200D\u2060\uFEFF\u00AD"
+
+  /** Cyrillic and Greek letters visually identical to Latin ones — the
+    * classic homoglyph-substitution trick ("sаle" with U+0430). Single
+    * BMP chars only, so one `translate` pass maps them all. */
+  val HomoglyphPairs: Seq[(Char, Char)] = Seq(
+    // Cyrillic lowercase / uppercase
+    'а' -> 'a', 'е' -> 'e', 'о' -> 'o', 'р' -> 'p',
+    'с' -> 'c', 'у' -> 'y', 'х' -> 'x', 'і' -> 'i',
+    'ѕ' -> 's', 'ј' -> 'j',
+    'А' -> 'A', 'В' -> 'B', 'Е' -> 'E', 'К' -> 'K',
+    'М' -> 'M', 'Н' -> 'H', 'О' -> 'O', 'Р' -> 'P',
+    'С' -> 'C', 'Т' -> 'T', 'Х' -> 'X',
+    // Greek lowercase / uppercase
+    'ο' -> 'o', 'ν' -> 'v',
+    'Α' -> 'A', 'Β' -> 'B', 'Ε' -> 'E', 'Ζ' -> 'Z',
+    'Η' -> 'H', 'Ι' -> 'I', 'Κ' -> 'K', 'Μ' -> 'M',
+    'Ν' -> 'N', 'Ο' -> 'O', 'Ρ' -> 'P', 'Τ' -> 'T',
+    'Υ' -> 'Y', 'Χ' -> 'X')
+
+  private val homoFrom = HomoglyphPairs.map(_._1).mkString
+  private val homoTo = HomoglyphPairs.map(_._2).mkString
+  private val invisibleRe = s"[$InvisibleChars]"
+  private val homoRe = s"[$homoFrom]"
+
+  /** Scrubbed text: invisibles deleted, homoglyphs mapped to their Latin
+    * look-alikes. Codegen'd (one regexp_replace + one translate), zero
+    * shuffles. Run BEFORE keyword filters, blocklists, and dedup
+    * shingling — the whole point of the obfuscation is to defeat them. */
+  def confusableScrubCol(text: Column): Column =
+    translate(regexp_replace(text, invisibleRe, ""), homoFrom, homoTo)
+
+  /** Detection counts (n_invisible, n_homoglyph) — a page with many hits
+    * is adversarial, not multilingual: genuine Cyrillic text uses the
+    * WHOLE alphabet, not just the Latin-lookalike subset. */
+  def confusableCountsCol(text: Column): (Column, Column) =
+    (regexp_count(text, lit(invisibleRe)), regexp_count(text, lit(homoRe)))
+
+  /** Pure twin of [[confusableScrubCol]]. */
+  def confusableScrub(text: String): String = {
+    val map = HomoglyphPairs.toMap
+    val s = if (text == null) "" else text
+    s.filterNot(InvisibleChars.contains(_)).map(c => map.getOrElse(c, c))
+  }
+
+  /** Pure twin of [[confusableCountsCol]]. */
+  def confusableCounts(text: String): (Int, Int) = {
+    val s = if (text == null) "" else text
+    (s.count(InvisibleChars.contains(_)), s.count(homoFrom.contains(_)))
+  }
+
   // ------------------------------------------------------- vocabulary ------
   /** Corpus-wide top-k token vocabulary with frequencies, ties broken by
     * token text so the cut is deterministic. The plan is the one you want

@@ -400,6 +400,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(ccScrub(null) == ("", 0, 0))
   }
 
+  test("confusableScrub: invisibles deleted, homoglyphs mapped, counts; Column ≡ pure") {
+    import org.apache.spark.sql.functions.col
+    import TextAnalysis.{confusableScrub, confusableCounts}
+    // "free here" hiding a ZWSP and two Cyrillic е (U+0435)
+    val dirty = "fr​ee hеrе sаle"
+    assert(confusableScrub(dirty) == "free here sale")
+    assert(confusableCounts(dirty) == ((1, 3)))
+    // genuine non-lookalike Cyrillic survives untouched (ж has no twin)
+    assert(confusableScrub("жизнь") == "жизнь")
+    assert(confusableCounts("жизнь")._2 == 0)
+    // uppercase + Greek mappings
+    // uppercase Cyrillic С/А (U+0421/U+0410) and Greek Ο (U+039F)
+    assert(confusableScrub("САLE Οk") == "CALE Ok")
+    assert(confusableScrub(null) == "")
+    val df = Seq(("d1", dirty), ("d2", null: String)).toDF("id", "t")
+    val (inv, homo) = TextAnalysis.confusableCountsCol(col("t"))
+    val out = df.select(col("id"),
+      TextAnalysis.confusableScrubCol(col("t")).as("c"),
+      inv.as("ni"), homo.as("nh"))
+      .as[(String, Option[String], Option[Int], Option[Int])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("d1") == ((Some("free here sale"), Some(1), Some(3))))
+    assert(out("d2") == ((None, None, None)))
+    val plan = df.select(TextAnalysis.confusableScrubCol(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("ccScrubDf ≡ pure kernel and the plan is narrow") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
