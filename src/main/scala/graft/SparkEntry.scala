@@ -120,6 +120,34 @@ object SparkEntry {
       .when(pmod(col("doc_id"), lit(11)) === 0, substring(col("text"), 1, 5))
       .otherwise(col("text"))
 
+  /** Expected-record schema shared by jsonl_ingest / stream_jsonl. */
+  private val jsonlSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("title",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("body",
+      org.apache.spark.sql.types.StringType)))
+
+  /** JSONL lines per document — every 7th truncated mid-JSON (corrupt),
+    * every 11th missing the required title (schema drift); shared by the
+    * batch and streaming quarantine-ingest queries and replayed by their
+    * common oracle. */
+  private def jsonlLines(s: SparkSession, d: String): DataFrame = {
+    val full = to_json(struct(col("doc_id").cast("long").as("id"),
+      concat(lit("T"), col("doc_id").cast("string")).as("title"),
+      col("n_chars").cast("long").as("n"), col("text").as("body")))
+    val noTitle = to_json(struct(col("doc_id").cast("long").as("id"),
+      col("n_chars").cast("long").as("n"), col("text").as("body")))
+    val line = when(pmod(col("doc_id"), lit(7)) === 0,
+      substring(full, 1, 10))
+      .when(pmod(col("doc_id"), lit(11)) === 0, noTitle)
+      .otherwise(full)
+    rd(s, d, "documents").select(line.as("line"))
+  }
+
   /** Deterministic HTML page per document for the dom_nodes/dom_main
     * contract queries: title + nav anchors + main div (h1, one or two
     * paragraphs sliced from the document text, an optional inline-link
@@ -2549,28 +2577,20 @@ object SparkEntry {
     // Zero-shuffle codegen'd expression; the oracle re-renders the parsed
     // relation straight from the source columns (the round-trip means it
     // never needs JSON functions).
-    "jsonl_ingest" -> ((s, d) => {
-      val jschema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("title",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("body",
-          org.apache.spark.sql.types.StringType)))
-      val full = to_json(struct(col("doc_id").cast("long").as("id"),
-        concat(lit("T"), col("doc_id").cast("string")).as("title"),
-        col("n_chars").cast("long").as("n"), col("text").as("body")))
-      val noTitle = to_json(struct(col("doc_id").cast("long").as("id"),
-        col("n_chars").cast("long").as("n"), col("text").as("body")))
-      val line = when(pmod(col("doc_id"), lit(7)) === 0,
-        substring(full, 1, 10))
-        .when(pmod(col("doc_id"), lit(11)) === 0, noTitle)
-        .otherwise(full)
-      graft.io.Jsonl.parseLines(
-        rd(s, d, "documents").select(line.as("line")),
-        "line", jschema, required = Seq("title"))
+    "jsonl_ingest" -> ((s, d) =>
+      graft.io.Jsonl.parseLines(jsonlLines(s, d), "line", jsonlSchema,
+        required = Seq("title"))),
+
+    // the SAME quarantine ingest as a REAL checkpointed stream (file
+    // source → AvailableNow → append sink): stateless per-row parse makes
+    // stream output ≡ batch output, so the oracle replay is identical
+    "stream_jsonl" -> ((s, d) => {
+      val (inDir, out, ck) = streamDirs("stream-jsonl", d) { p =>
+        jsonlLines(s, d).coalesce(1).write.parquet(p)
+      }
+      graft.streaming.StreamJob.jsonlStream(s, inDir, out, ck, jsonlSchema,
+        required = Seq("title")).awaitTermination()
+      s.read.parquet(out)
     }),
 
     "ingest_e2e" -> ((s, d) => {
@@ -6583,6 +6603,18 @@ object SparkEntry {
       // JSONL replay: the round-trip makes the expected parsed relation a
       // pure function of the source columns — corrupt lines all-null, the
       // no-title branch missing:title, corrupt (%7) outranking drift (%11)
+      "stream_jsonl" ->
+        """SELECT
+          |  CASE WHEN doc_id%7=0 THEN NULL ELSE doc_id END AS id,
+          |  CASE WHEN doc_id%7=0 OR doc_id%11=0 THEN NULL
+          |       ELSE 'T'||doc_id::VARCHAR END AS title,
+          |  CASE WHEN doc_id%7=0 THEN NULL ELSE n_chars END AS n,
+          |  CASE WHEN doc_id%7=0 THEN NULL ELSE text END AS body,
+          |  (doc_id%7=0 OR doc_id%11=0) AS quarantined,
+          |  CASE WHEN doc_id%7=0 THEN 'corrupt'
+          |       WHEN doc_id%11=0 THEN 'missing:title' END AS reason
+          |FROM documents""".stripMargin,
+
       "jsonl_ingest" ->
         """SELECT
           |  CASE WHEN doc_id%7=0 THEN NULL ELSE doc_id END AS id,

@@ -69,6 +69,29 @@ object StreamJob {
       .start()
   }
 
+  /** The JSONL quarantine ingest as a stream: raw crawl lines arrive as a
+    * file-source stream and every line leaves flagged (the Jsonl.parseLines
+    * contract) — the shape a live crawl ingest actually runs. Stateless
+    * per-row expression, so stream output ≡ batch output row-for-row. */
+  def jsonlStream(spark: SparkSession, inputPath: String, outputPath: String,
+      checkpointPath: String,
+      schema: org.apache.spark.sql.types.StructType, required: Seq[String],
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("line",
+        org.apache.spark.sql.types.StringType)))
+    val in = spark.readStream
+      .schema(lineSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputPath)
+    graft.io.Jsonl.parseLines(in, "line", schema, required).writeStream
+      .format("parquet")
+      .option("path", outputPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked tumbling-window extraction metrics over streaming docs
     * carrying an `event_time` timestamp column next to `spans`:
     * (window_start epoch-seconds, kind, n_spans, n_chars).

@@ -266,6 +266,33 @@ class StreamJobSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == batch.length)
   }
 
+  test("streaming JSONL quarantine matches the batch parse; restart no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonlstream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("title", StringType)))
+    val lines = Seq(
+      """{"id": 1, "title": "a"}""",
+      """{"id": 2""",             // corrupt
+      """{"id": 3}""")            // missing title
+    lines.toDF("line").write.parquet(in)
+    StreamJob.jsonlStream(spark, in, out, ckpt, schema, Seq("title"))
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .as[(Option[Long], Option[String], Boolean, Option[String])]
+      .collect().sortBy(_._1)
+    val batch = graft.io.Jsonl.parseLines(lines.toDF("line"), "line",
+      schema, Seq("title"))
+      .as[(Option[Long], Option[String], Boolean, Option[String])]
+      .collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq && streamed.length == 3)
+    StreamJob.jsonlStream(spark, in, out, ckpt, schema, Seq("title"))
+      .awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("streaming sessionization: gap close, timeout flush, batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
