@@ -1939,6 +1939,29 @@ object SparkEntry {
       graft.segment.Dom.stripInterleaved(textSpans.unionByName(mediaSpans))
     }),
 
+    // Multimodal training-format serialization (Interleave.toMarkdown):
+    // interleaved spans rendered as MMC4-style markdown — text blocks
+    // verbatim, media spans as ![](media_ref) placeholders, blank-line
+    // joined in offset order (the interleaving position IS the training
+    // signal). ONE per-doc partial-agg groupBy; the oracle replays the
+    // render with an ordered string_agg over the same span derivation.
+    "interleave_markdown" -> ((s, d) => {
+      val li = rd(s, d, "lineitem").filter(col("l_orderkey") <= 20000)
+      val textSpans = li.select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        lit("text").as("kind"), domSpanText.as("text"),
+        lit(null).cast("string").as("media_ref"),
+        (col("l_linenumber") * 2).cast("int").as("offset"))
+      val mediaSpans = li.filter(pmod(col("l_partkey"), lit(3)) === 0).select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        lit("media").as("kind"),
+        lit(null).cast("string").as("text"),
+        domMediaRef.as("media_ref"),
+        (col("l_linenumber") * 2 + 1).cast("int").as("offset"))
+      graft.interleave.Interleave.toMarkdown(
+        textSpans.unionByName(mediaSpans))
+    }),
+
     // Readability-style main-container selection (Dom.mainContent): group
     // text nodes by parent path, score Σ(n_words − 3·n_link_words), keep
     // the per-doc argmax container's nodes. One partial-agg groupBy + one
@@ -5777,6 +5800,26 @@ object SparkEntry {
           |SELECT k::VARCHAR, 'media', CAST(NULL AS VARCHAR),
           |  'img-'||k||'-'||ln, (ln*2+1)::INT
           |FROM li WHERE pk%3 = 0""".stripMargin,
+
+      // interleave-markdown replay: ordered string_agg over the same span
+      // derivation — text blocks raw, media as placeholders
+      "interleave_markdown" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+          |  l_quantity::BIGINT AS q, l_partkey%1000 AS pr, l_partkey AS pk
+          |  FROM lineitem WHERE l_orderkey <= 20000),
+          |sp AS (
+          |  SELECT k::VARCHAR AS doc_id, (ln*2) AS off,
+          |    CASE WHEN k%11=0 THEN '<nav><a href="/">related item links</a></nav>'
+          |         ELSE '<div><h1>Item '||ln||'</h1><p>qty '||q||' price '||pr||'</p><a href="/m">more</a></div>'
+          |    END AS block
+          |  FROM li
+          |  UNION ALL
+          |  SELECT k::VARCHAR, ln*2+1, '![](img-'||k||'-'||ln||')'
+          |  FROM li WHERE pk%3=0)
+          |SELECT doc_id,
+          |  string_agg(block, chr(10)||chr(10) ORDER BY off, block) AS md,
+          |  count(*)::BIGINT AS n_spans
+          |FROM sp GROUP BY doc_id""".stripMargin,
 
       // main-container replay: same node list → parent path → score
       // Σ(words − 3·link words) → per-doc argmax (score desc, parent asc)

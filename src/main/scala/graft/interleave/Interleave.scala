@@ -66,4 +66,29 @@ object Interleave {
     */
   def split(spans: DataFrame, kind: String): DataFrame =
     spans.filter(col("kind") === kind)
+
+  /** Serialize interleaved span rows `(doc_id, kind, text, media_ref,
+    * offset)` to the multimodal training format: text spans verbatim,
+    * media spans as markdown image placeholders `![](media_ref)`, blocks
+    * joined by blank lines in offset order — the MMC4-style document a
+    * text+image pretraining corpus actually stores (the media bytes live
+    * in the object store; the placeholder carries the reference, and the
+    * INTERLEAVING POSITION is the training signal being preserved).
+    *
+    * Plan: ONE partial-agg groupBy on doc_id; per-doc array state is one
+    * document (bounded by doc length, the same state every per-doc kernel
+    * here holds). Null text renders as an empty block. */
+  def toMarkdown(spans: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val block = (x: Column) =>
+      when(x.getField("kind") === "media",
+        concat(lit("![]("), coalesce(x.getField("media_ref"), lit("")),
+          lit(")")))
+        .otherwise(coalesce(x.getField("text"), lit("")))
+    spans.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("offset"), col("kind"),
+        col("text"), col("media_ref")))).as("__sp"))
+      .select(col(idCol),
+        array_join(transform(col("__sp"), block), "\n\n").as("md"),
+        size(col("__sp")).cast("long").as("n_spans"))
+  }
 }

@@ -1,0 +1,36 @@
+package graft.interleave
+
+import graft.SparkTestBase
+
+class InterleaveSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("toMarkdown: offset order, media placeholders, blank-line joins") {
+    val spans = Seq(
+      ("d1", "text", "intro words", null, 0),
+      ("d1", "media", null, "img-7", 1),
+      ("d1", "text", "tail", null, 2),
+      ("d2", "media", null, "img-9", 5),
+      ("d2", "text", "before the image", null, 3))
+      .asInstanceOf[Seq[(String, String, String, String, Int)]]
+      .toDF("doc_id", "kind", "text", "media_ref", "offset")
+      .repartition(3)
+    val got = Interleave.toMarkdown(spans)
+      .as[(String, String, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got("d1") == (("intro words\n\n![](img-7)\n\ntail", 3L)))
+    // offset order wins over row order
+    assert(got("d2") == (("before the image\n\n![](img-9)", 2L)))
+  }
+
+  test("toMarkdown: null text renders empty; null media_ref renders ![]()") {
+    val spans = Seq(
+      ("d", "text", null, null, 0),
+      ("d", "media", null, null, 1))
+      .asInstanceOf[Seq[(String, String, String, String, Int)]]
+      .toDF("doc_id", "kind", "text", "media_ref", "offset")
+    val got = Interleave.toMarkdown(spans)
+      .as[(String, String, Long)].collect().head
+    assert(got == (("d", "\n\n![]()", 2L)))
+  }
+}
