@@ -1962,6 +1962,29 @@ object SparkEntry {
         textSpans.unionByName(mediaSpans))
     }),
 
+    // The ingest inverse (Interleave.fromMarkdown): the serialized corpus
+    // parsed back to span rows — placeholders to media spans, dense block
+    // positions as offsets. Composed as a REAL round-trip over toMarkdown;
+    // the oracle re-renders the expected span relation with a window for
+    // the dense positions.
+    "markdown_spans" -> ((s, d) => {
+      val li = rd(s, d, "lineitem").filter(col("l_orderkey") <= 20000)
+      val textSpans = li.select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        lit("text").as("kind"), domSpanText.as("text"),
+        lit(null).cast("string").as("media_ref"),
+        (col("l_linenumber") * 2).cast("int").as("offset"))
+      val mediaSpans = li.filter(pmod(col("l_partkey"), lit(3)) === 0).select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        lit("media").as("kind"),
+        lit(null).cast("string").as("text"),
+        domMediaRef.as("media_ref"),
+        (col("l_linenumber") * 2 + 1).cast("int").as("offset"))
+      graft.interleave.Interleave.fromMarkdown(
+        graft.interleave.Interleave.toMarkdown(
+          textSpans.unionByName(mediaSpans)), "doc_id", "md")
+    }),
+
     // Readability-style main-container selection (Dom.mainContent): group
     // text nodes by parent path, score Σ(n_words − 3·n_link_words), keep
     // the per-doc argmax container's nodes. One partial-agg groupBy + one
@@ -5820,6 +5843,35 @@ object SparkEntry {
           |  string_agg(block, chr(10)||chr(10) ORDER BY off, block) AS md,
           |  count(*)::BIGINT AS n_spans
           |FROM sp GROUP BY doc_id""".stripMargin,
+
+      // round-trip replay: the same span derivation, dense positions via a
+      // window over the serialization order (off, block)
+      "markdown_spans" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+          |  l_quantity::BIGINT AS q, l_partkey%1000 AS pr, l_partkey AS pk
+          |  FROM lineitem WHERE l_orderkey <= 20000),
+          |sp AS (
+          |  SELECT k::VARCHAR AS doc_id, (ln*2) AS off,
+          |    CASE WHEN k%11=0 THEN '<nav><a href="/">related item links</a></nav>'
+          |         ELSE '<div><h1>Item '||ln||'</h1><p>qty '||q||' price '||pr||'</p><a href="/m">more</a></div>'
+          |    END AS block
+          |  FROM li
+          |  UNION ALL
+          |  SELECT k::VARCHAR, ln*2+1, '![](img-'||k||'-'||ln||')'
+          |  FROM li WHERE pk%3=0),
+          |r AS (SELECT doc_id, block,
+          |  (row_number() OVER (PARTITION BY doc_id ORDER BY off, block) - 1) AS pos
+          |  FROM sp)
+          |SELECT doc_id,
+          |  CASE WHEN regexp_matches(block, '^!\[\]\([^)]*\)$')
+          |       THEN 'media' ELSE 'text' END AS kind,
+          |  CASE WHEN regexp_matches(block, '^!\[\]\([^)]*\)$')
+          |       THEN NULL ELSE block END AS text,
+          |  CASE WHEN regexp_matches(block, '^!\[\]\([^)]*\)$')
+          |       THEN nullif(regexp_extract(block, '^!\[\]\(([^)]*)\)$', 1), '')
+          |       ELSE NULL END AS media_ref,
+          |  pos::INT AS "offset"
+          |FROM r""".stripMargin,
 
       // main-container replay: same node list → parent path → score
       // Σ(words − 3·link words) → per-doc argmax (score desc, parent asc)

@@ -91,4 +91,32 @@ object Interleave {
         array_join(transform(col("__sp"), block), "\n\n").as("md"),
         size(col("__sp")).cast("long").as("n_spans"))
   }
+
+  /** Inverse of [[toMarkdown]]: parse MMC4-style documents back to span
+    * rows `(idCol, kind, text, media_ref, offset)` — the ingest side when
+    * the corpus arrives already serialized. Blocks split on blank lines;
+    * a block that is exactly `![](ref)` becomes a media span (empty ref →
+    * null), everything else a text span. Offsets are the DENSE block
+    * positions — the original sparse offsets are not stored by the
+    * serialization, and only the order is the training signal. Inherent
+    * contract of the format (not this parser): a text block that is
+    * literally an image placeholder round-trips as media, and text
+    * containing blank lines re-splits into multiple blocks. Narrow
+    * posexplode, zero shuffles. */
+  def fromMarkdown(docs: DataFrame, idCol: String, mdCol: String)
+      : DataFrame = {
+    val mediaRe = "^!\\[\\]\\(([^)]*)\\)$"
+    val isMedia = col("block").rlike(mediaRe)
+    // NB: functions.split is shadowed by this object's J3 split(df, kind)
+    docs.select(col(idCol),
+      posexplode(org.apache.spark.sql.functions.split(col(mdCol), "\n\n"))
+        .as(Seq("pos", "block")))
+      .select(col(idCol),
+        when(isMedia, "media").otherwise("text").as("kind"),
+        when(isMedia, lit(null).cast("string")).otherwise(col("block"))
+          .as("text"),
+        when(isMedia, nullif(regexp_extract(col("block"), mediaRe, 1),
+          lit(""))).otherwise(lit(null).cast("string")).as("media_ref"),
+        col("pos").cast("int").as("offset"))
+  }
 }

@@ -23,6 +23,34 @@ class InterleaveSpec extends SparkTestBase {
     assert(got("d2") == (("before the image\n\n![](img-9)", 2L)))
   }
 
+  test("fromMarkdown round-trips toMarkdown up to dense offsets") {
+    import org.apache.spark.sql.functions.col
+    val spans = Seq(
+      ("d1", "text", "intro words", null, 0),
+      ("d1", "media", null, "img-7", 4),
+      ("d1", "text", "tail", null, 9))
+      .asInstanceOf[Seq[(String, String, String, String, Int)]]
+      .toDF("doc_id", "kind", "text", "media_ref", "offset")
+    val back = Interleave.fromMarkdown(
+      Interleave.toMarkdown(spans), "doc_id", "md")
+      .as[(String, String, String, String, Int)].collect().sortBy(_._5)
+    // offsets densify 0,4,9 -> 0,1,2; everything else survives
+    assert(back.toSeq == Seq(
+      ("d1", "text", "intro words", null, 0),
+      ("d1", "media", null, "img-7", 1),
+      ("d1", "text", "tail", null, 2)))
+    // empty-ref placeholder parses to a null media_ref
+    val p = Interleave.fromMarkdown(
+      Seq(("d", "a\n\n![]()")).toDF("id", "md"), "id", "md")
+      .as[(String, String, String, String, Int)].collect().sortBy(_._5)
+    assert(p.toSeq == Seq(("d", "text", "a", null, 0),
+      ("d", "media", null, null, 1)))
+    val plan = Interleave.fromMarkdown(
+      Seq(("d", "a")).toDF("id", "md"), "id", "md")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("toMarkdown: null text renders empty; null media_ref renders ![]()") {
     val spans = Seq(
       ("d", "text", null, null, 0),
