@@ -1962,6 +1962,29 @@ object SparkEntry {
         textSpans.unionByName(mediaSpans))
     }),
 
+    // Caption-candidate alignment (Interleave.nearestCaption): each media
+    // span paired with its nearest text span (ties → preceding) — the
+    // deterministic candidate-extraction half of CLIP-style image-text
+    // alignment. ONE per-doc window with a full tie-break order; the
+    // oracle replays the ignore-nulls running last/first and the
+    // distance rule.
+    "caption_align" -> ((s, d) => {
+      val li = rd(s, d, "lineitem").filter(col("l_orderkey") <= 20000)
+      val textSpans = li.select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        lit("text").as("kind"), domSpanText.as("text"),
+        lit(null).cast("string").as("media_ref"),
+        (col("l_linenumber") * 2).cast("int").as("offset"))
+      val mediaSpans = li.filter(pmod(col("l_partkey"), lit(3)) === 0).select(
+        col("l_orderkey").cast("string").as("doc_id"),
+        lit("media").as("kind"),
+        lit(null).cast("string").as("text"),
+        domMediaRef.as("media_ref"),
+        (col("l_linenumber") * 2 + 1).cast("int").as("offset"))
+      graft.interleave.Interleave.nearestCaption(
+        textSpans.unionByName(mediaSpans))
+    }),
+
     // The ingest inverse (Interleave.fromMarkdown): the serialized corpus
     // parsed back to span rows — placeholders to media spans, dense block
     // positions as offsets. Composed as a REAL round-trip over toMarkdown;
@@ -5843,6 +5866,46 @@ object SparkEntry {
           |  string_agg(block, chr(10)||chr(10) ORDER BY off, block) AS md,
           |  count(*)::BIGINT AS n_spans
           |FROM sp GROUP BY doc_id""".stripMargin,
+
+      // caption replay: same spans, same full order, ignore-nulls running
+      // last/first, then the distance rule (ties → preceding)
+      "caption_align" ->
+        """WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+          |  l_quantity::BIGINT AS q, l_partkey%1000 AS pr, l_partkey AS pk
+          |  FROM lineitem WHERE l_orderkey <= 20000),
+          |sp AS (
+          |  SELECT k::VARCHAR AS doc_id, 'text' AS kind,
+          |    CASE WHEN k%11=0 THEN '<nav><a href="/">related item links</a></nav>'
+          |         ELSE '<div><h1>Item '||ln||'</h1><p>qty '||q||' price '||pr||'</p><a href="/m">more</a></div>'
+          |    END AS text, CAST(NULL AS VARCHAR) AS ref, (ln*2) AS off
+          |  FROM li
+          |  UNION ALL
+          |  SELECT k::VARCHAR, 'media', NULL, 'img-'||k||'-'||ln, ln*2+1
+          |  FROM li WHERE pk%3=0),
+          |w AS (SELECT doc_id, kind, text, ref, off,
+          |  last_value(CASE WHEN kind='text' THEN off END IGNORE NULLS)
+          |    OVER (PARTITION BY doc_id
+          |          ORDER BY off, coalesce(text,''), coalesce(ref,'')
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS po,
+          |  last_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
+          |    OVER (PARTITION BY doc_id
+          |          ORDER BY off, coalesce(text,''), coalesce(ref,'')
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+          |  first_value(CASE WHEN kind='text' THEN off END IGNORE NULLS)
+          |    OVER (PARTITION BY doc_id
+          |          ORDER BY off, coalesce(text,''), coalesce(ref,'')
+          |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS no,
+          |  first_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
+          |    OVER (PARTITION BY doc_id
+          |          ORDER BY off, coalesce(text,''), coalesce(ref,'')
+          |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+          |  FROM sp)
+          |SELECT doc_id, off::INT AS "offset", ref AS media_ref,
+          |  (CASE WHEN no IS NULL OR (po IS NOT NULL AND (off-po) <= (no-off))
+          |        THEN po ELSE no END)::INT AS caption_offset,
+          |  CASE WHEN no IS NULL OR (po IS NOT NULL AND (off-po) <= (no-off))
+          |       THEN pt ELSE nt END AS caption
+          |FROM w WHERE kind='media'""".stripMargin,
 
       // round-trip replay: the same span derivation, dense positions via a
       // window over the serialization order (off, block)

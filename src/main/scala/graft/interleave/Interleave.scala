@@ -119,4 +119,45 @@ object Interleave {
           lit(""))).otherwise(lit(null).cast("string")).as("media_ref"),
         col("pos").cast("int").as("offset"))
   }
+
+  /** Caption-candidate alignment: each media span paired with its NEAREST
+    * text span by offset distance (ties → the preceding one — captions
+    * usually precede or sit beside their figure). The deterministic stand-in
+    * for CLIP-score image-text alignment in a multimodal curation pipeline:
+    * the candidate extraction is this; the scorer swaps in later.
+    *
+    * Output: (idCol, offset, media_ref, caption_offset, caption) — one row
+    * per media span; both null when the doc has no text span. Plan: ONE
+    * per-doc window (hash exchange on the doc key + in-partition sort),
+    * running last/first-ignore-nulls — no self-join, no per-doc state
+    * beyond the window frame. */
+  def nearestCaption(spans: DataFrame, idCol: String = "doc_id")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // full tie-break (offset, text, media_ref): with duplicate offsets a
+    // bare ORDER BY offset leaves last/first frame contents row-order
+    // dependent — nondeterministic across runs and engines
+    val w = Window.partitionBy(col(idCol)).orderBy(col("offset"),
+      coalesce(col("text"), lit("")), coalesce(col("media_ref"), lit("")))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val textOff = when(col("kind") === "text", col("offset"))
+    val textVal = when(col("kind") === "text", col("text"))
+    val prevOff = last(textOff, ignoreNulls = true).over(before)
+    val prevTxt = last(textVal, ignoreNulls = true).over(before)
+    val nextOff = first(textOff, ignoreNulls = true).over(after)
+    val nextTxt = first(textVal, ignoreNulls = true).over(after)
+    // the preference must read the MATERIALIZED columns: a window
+    // expression evaluated after the media filter would only see media rows
+    val preferPrev = col("__no").isNull || (col("__po").isNotNull &&
+      (col("offset") - col("__po")) <= (col("__no") - col("offset")))
+    spans
+      .withColumn("__po", prevOff).withColumn("__pt", prevTxt)
+      .withColumn("__no", nextOff).withColumn("__nt", nextTxt)
+      .filter(col("kind") === "media")
+      .select(col(idCol), col("offset"), col("media_ref"),
+        when(preferPrev, col("__po")).otherwise(col("__no"))
+          .cast("int").as("caption_offset"),
+        when(preferPrev, col("__pt")).otherwise(col("__nt")).as("caption"))
+  }
 }

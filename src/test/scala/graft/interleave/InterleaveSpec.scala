@@ -51,6 +51,28 @@ class InterleaveSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("nearestCaption: nearer text wins, ties prefer preceding, edges null") {
+    val spans = Seq(
+      ("d1", "text", "far caption", null, 0),
+      ("d1", "media", null, "imgA", 4),    // prev at 0 (d=4), next at 5 (d=1) -> next
+      ("d1", "text", "near caption", null, 5),
+      ("d1", "media", null, "imgB", 6),    // prev at 5 (d=1), next at 7 (d=1) -> TIE -> prev
+      ("d1", "text", "after", null, 7),
+      ("d2", "media", null, "imgC", 0),    // no prev -> next
+      ("d2", "text", "only text", null, 3),
+      ("d3", "media", null, "imgD", 0))    // no text at all -> nulls
+      .asInstanceOf[Seq[(String, String, String, String, Int)]]
+      .toDF("doc_id", "kind", "text", "media_ref", "offset")
+      .repartition(3)
+    val got = Interleave.nearestCaption(spans)
+      .as[(String, Int, String, Option[Int], Option[String])]
+      .collect().map(r => r._3 -> ((r._4, r._5))).toMap
+    assert(got("imgA") == ((Some(5), Some("near caption"))))
+    assert(got("imgB") == ((Some(5), Some("near caption"))))
+    assert(got("imgC") == ((Some(3), Some("only text"))))
+    assert(got("imgD") == ((None, None)))
+  }
+
   test("toMarkdown: null text renders empty; null media_ref renders ![]()") {
     val spans = Seq(
       ("d", "text", null, null, 0),
