@@ -2406,6 +2406,30 @@ object SparkEntry {
       graft.io.Snapshot.scd2Merge(corpus, inc, "doc_id", "fp", snapshotId = 2L)
     }),
 
+    // Time-travel read (Snapshot.asOf): the corpus AS OF snapshot 1 — the
+    // state before the snapshot-2 merge above ever happened. A pure scan
+    // filter over the merged SCD2 table (prunable when laid out by
+    // valid_from); the oracle applies the same validity predicate to its
+    // merge replay.
+    "scd2_asof" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val fp = TA.hash60(col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+        .select(col("doc_id"), fp.as("fp"), lit(1L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), TA.hash60(concat(col("text"), lit("old"))).as("fp"),
+            lit(0L).as("valid_from"), lit(1L).cast("long").as("valid_to")))
+      val inc = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(6)) === 0,
+            TA.hash60(concat(col("text"), lit("v2")))).otherwise(fp).as("fp"))
+      graft.io.Snapshot.asOf(
+        graft.io.Snapshot.scd2Merge(corpus, inc, "doc_id", "fp",
+          snapshotId = 2L),
+        snapshotId = 1L)
+    }),
+
     // Shingle-containment pairs (Dedup.containmentPairs): the %31 docs are
     // the bare disclaimer, fully contained in every %5 doc — near-zero
     // Jaccard, containment 1000; the oracle replays shingles, pair counts,
@@ -6427,6 +6451,31 @@ object SparkEntry {
            |SELECT doc_id, fp, valid_from, valid_to FROM hist
            |UNION ALL SELECT doc_id, fp, valid_from, valid_to FROM oldr
            |UNION ALL SELECT doc_id, fp, valid_from, valid_to FROM newr""".stripMargin,
+
+      // as-of replay: the merge replay wrapped in the validity predicate
+      "scd2_asof" ->
+        s"""WITH open_ AS (SELECT doc_id, ${hash60("text")} AS ofp, 1 AS vfrom
+           |  FROM documents WHERE doc_id%4 <> 3),
+           |hist AS (SELECT doc_id, ${hash60("text || 'old'")} AS fp,
+           |  0::BIGINT AS valid_from, 1::BIGINT AS valid_to
+           |  FROM documents WHERE doc_id%7 = 0),
+           |inc AS (SELECT doc_id, CASE WHEN doc_id%6 = 0
+           |    THEN ${hash60("text || 'v2'")} ELSE ${hash60("text")} END AS nfp
+           |  FROM documents WHERE doc_id%2 = 0),
+           |j AS (SELECT coalesce(o.doc_id, i.doc_id) AS doc_id, o.ofp, o.vfrom,
+           |  i.nfp, o.doc_id IS NOT NULL AS in_old, i.doc_id IS NOT NULL AS in_new
+           |  FROM open_ o FULL JOIN inc i ON o.doc_id = i.doc_id),
+           |oldr AS (SELECT doc_id, ofp AS fp, vfrom::BIGINT AS valid_from,
+           |  CASE WHEN in_new AND ofp <> nfp THEN 2 END::BIGINT AS valid_to
+           |  FROM j WHERE in_old),
+           |newr AS (SELECT doc_id, nfp AS fp, 2::BIGINT AS valid_from,
+           |  NULL::BIGINT AS valid_to
+           |  FROM j WHERE in_new AND (NOT in_old OR ofp <> nfp)),
+           |m AS (SELECT doc_id, fp, valid_from, valid_to FROM hist
+           |  UNION ALL SELECT doc_id, fp, valid_from, valid_to FROM oldr
+           |  UNION ALL SELECT doc_id, fp, valid_from, valid_to FROM newr)
+           |SELECT * FROM m
+           |WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)""".stripMargin,
 
       // containment replay: distinct 3-shingle hashes per doc, in-bucket
       // pair counts, both milli directions (non-negative, so DuckDB's

@@ -100,6 +100,15 @@ object Snapshot {
     history.unionByName(oldRows).unionByName(newRows)
   }
 
+  /** Time-travel read over an SCD2 table: the rows valid AT `snapshotId`
+    * — `valid_from <= id AND (valid_to IS NULL OR valid_to > id)`. A pure
+    * scan filter: with the table laid out / partitioned by `valid_from`,
+    * both predicates push down to row-group pruning, so reading an old
+    * snapshot never scans versions written after it. */
+  def asOf(scd2: DataFrame, snapshotId: Long): DataFrame =
+    scd2.filter(col("valid_from") <= snapshotId &&
+      (col("valid_to").isNull || col("valid_to") > snapshotId))
+
   /** Pure twin of [[scd2Merge]]: rows as (key, fp, from, toOpt). */
   def scd2MergePure(corpus: Seq[(String, Long, Long, Option[Long])],
       increment: Map[String, Long], snapshotId: Long,

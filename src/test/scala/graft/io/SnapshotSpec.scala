@@ -82,4 +82,17 @@ class SnapshotSpec extends SparkTestBase {
     val twice = Snapshot.scd2Merge(once, incDf, "url", "fp", 3L)
     assert(twice.collect().map(_.toSeq).toSet == once.collect().map(_.toSeq).toSet)
   }
+
+  test("scd2 asOf: each snapshot reads exactly its own state") {
+    val merged = Snapshot.scd2Merge(corpusDf, incDf, "url", "fp", 2L)
+    def state(id: Long): Map[String, Long] =
+      Snapshot.asOf(merged, id).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // at 0: only the history rows were live
+    assert(state(0L) == Map("b" -> 19L, "z" -> 99L))
+    // at 1: the pre-merge open corpus
+    assert(state(1L) == Map("a" -> 10L, "b" -> 20L, "c" -> 30L))
+    // at 2: the post-merge state (b changed, d inserted)
+    assert(state(2L) == Map("a" -> 10L, "b" -> 21L, "c" -> 30L, "d" -> 40L))
+  }
 }
