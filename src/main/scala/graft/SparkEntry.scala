@@ -2406,6 +2406,27 @@ object SparkEntry {
       graft.io.Snapshot.scd2Merge(corpus, inc, "doc_id", "fp", snapshotId = 2L)
     }),
 
+    // Deterministic train/val/test split (Sampling.datasetSplit): md5
+    // permille buckets of the id — membership is a pure function of the
+    // id, so docs never migrate between splits as the corpus grows.
+    // Zero shuffles; the oracle replays bucket and cuts.
+    "dataset_split" -> ((s, d) =>
+      Sampling.datasetSplit(
+        rd(s, d, "documents").select(col("doc_id")), "doc_id")),
+
+    // Corpus datasheet: the one-row "datasheets for datasets" summary a
+    // release ships — doc/token/char totals and the exact-dup count, all
+    // integers, one scan + one final aggregate.
+    "corpus_datasheet" -> ((s, d) => {
+      val t = rd(s, d, "documents")
+      t.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TA.wsTokenCountCol(col("text")).cast("long")).as("n_ws_tokens"),
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        (count(lit(1)) - countDistinct(TA.fingerprintCol(col("text"))))
+          .as("n_exact_dups"))
+    }),
+
     // Time-travel read (Snapshot.asOf): the corpus AS OF snapshot 1 — the
     // state before the snapshot-2 merge above ever happened. A pure scan
     // filter over the merged SCD2 table (prunable when laid out by
@@ -6451,6 +6472,24 @@ object SparkEntry {
            |SELECT doc_id, fp, valid_from, valid_to FROM hist
            |UNION ALL SELECT doc_id, fp, valid_from, valid_to FROM oldr
            |UNION ALL SELECT doc_id, fp, valid_from, valid_to FROM newr""".stripMargin,
+
+      // split replay: same md5 permille bucket, same cumulative cuts
+      "dataset_split" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN ${hash60("doc_id::VARCHAR")} % 1000 < 800 THEN 'train'
+           |       WHEN ${hash60("doc_id::VARCHAR")} % 1000 < 900 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin,
+
+      // datasheet replay: same token rule, same fingerprint, one aggregate
+      "corpus_datasheet" ->
+        s"""SELECT count(*)::BIGINT AS n_docs,
+           |  sum(CASE WHEN length(regexp_replace(text,'^\\s+|\\s+$$','','g'))=0 THEN 0
+           |    ELSE len(string_split_regex(regexp_replace(text,'^\\s+|\\s+$$','','g'),'\\s+')) END)::BIGINT AS n_ws_tokens,
+           |  sum(n_chars)::BIGINT AS n_chars,
+           |  (count(*) - count(DISTINCT
+           |    ${hash60("regexp_replace(trim(lower(text)),'\\s+',' ','g')")}))::BIGINT AS n_exact_dups
+           |FROM documents""".stripMargin,
 
       // as-of replay: the merge replay wrapped in the validity predicate
       "scd2_asof" ->

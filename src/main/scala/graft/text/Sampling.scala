@@ -282,6 +282,34 @@ object Sampling {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Deterministic train/val/test assignment: split on md5 buckets of the
+    * id — `pmod(hash60(id), 1000)` against cumulative permille cuts, so
+    * membership is a pure function of the id (stable across reruns,
+    * re-partitions, and corpus growth — a doc NEVER migrates between
+    * splits when new data arrives, the property a time-based or
+    * row-number split lacks). Zero shuffles. */
+  def datasetSplit(df: DataFrame, idCol: String,
+      trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    require(trainPermille > 0 && valPermille > 0 &&
+      trainPermille + valPermille < 1000,
+      s"invalid cuts: train=$trainPermille val=$valPermille")
+    val bucket = pmod(TextAnalysis.hash60(col(idCol).cast("string")),
+      lit(1000L))
+    df.withColumn("split",
+      when(bucket < trainPermille, "train")
+        .when(bucket < trainPermille + valPermille, "val")
+        .otherwise("test"))
+  }
+
+  /** Pure twin of [[datasetSplit]]. */
+  def datasetSplitPure(id: String, trainPermille: Int = 800,
+      valPermille: Int = 100): String = {
+    val b = java.lang.Math.floorMod(TextAnalysis.hash60(id), 1000L)
+    if (b < trainPermille) "train"
+    else if (b < trainPermille + valPermille) "val"
+    else "test"
+  }
+
   /** Pure twin of [[budgetSelect]]: (id, score, cost) rows → kept
     * (id, score, cost, cum). */
   def budgetSelectPure(rows: Seq[(String, Long, Long)], budget: Long)

@@ -199,6 +199,28 @@ class SamplingSpec extends SparkTestBase {
     graft.io.Persisted.release(spark)
   }
 
+  test("datasetSplit: pure-twin parity, stability under growth, refusals") {
+    import spark.implicits._
+    val ids = (0 until 500).map(i => s"doc$i")
+    val got = Sampling.datasetSplit(ids.toDF("doc_id").repartition(5), "doc_id")
+      .as[(String, String)].collect().toMap
+    ids.foreach(id => assert(got(id) == Sampling.datasetSplitPure(id), id))
+    // all three splits are populated at plausible rates
+    val bys = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bys("train") > 300 && bys("val") > 20 && bys("test") > 20, bys)
+    // growth stability: adding docs never moves an existing one
+    val grown = Sampling.datasetSplit(
+      (ids ++ (500 until 900).map(i => s"doc$i")).toDF("doc_id"), "doc_id")
+      .as[(String, String)].collect().toMap
+    ids.foreach(id => assert(grown(id) == got(id), id))
+    // zero-shuffle plan
+    val plan = Sampling.datasetSplit(ids.toDF("doc_id"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.replaceAll("RoundRobin", "").contains("Exchange"), plan)
+    intercept[IllegalArgumentException](
+      Sampling.datasetSplit(ids.toDF("doc_id"), "doc_id", 900, 100))
+  }
+
   test("budgetSelect: zero budget keeps nothing; full budget keeps all") {
     import spark.implicits._
     val df = Seq(("a", 5L, 10L), ("b", 3L, 10L)).toDF("id", "s", "c")
