@@ -31,7 +31,8 @@ object ExplainQuery {
         "bucket_join",
         "pq_topk", "pagerank_dangling",
         "dedup_clusters_alt", "dedup_best_of_cluster", "hits_scores",
-        "redirect_resolve", "budget_select", "stream_jsonl")
+        "redirect_resolve", "budget_select", "stream_jsonl",
+        "stream_join", "global_ids")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

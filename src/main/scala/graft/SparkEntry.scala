@@ -1903,6 +1903,17 @@ object SparkEntry {
         .withColumn("zval", graft.io.Layout.zValue(col("ka"), col("kb"), 8))
     }),
 
+    // contiguous 0-based global IDs (io.Ids.assign) in a scrambled total
+    // order — zipWithIndex without the single-partition window: range
+    // partition + per-partition counts + driver prefix-sum + broadcast
+    // offsets. The oracle is the window form the operator exists to avoid.
+    "global_ids" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(7)).as("grp"))
+      graft.io.Ids.assign(docs, Seq("grp", "doc_id"), numPartitions = 8)
+        .select(col("doc_id"), col("grp"), col("global_id"))
+    }),
+
     // DOM tokenization (Dom.nodesDf): stack-based HTML → ordered text-node
     // rows, run over HTML synthesized from each document (title / nav
     // anchors / main div / optional second paragraph / optional inline-link
@@ -3634,6 +3645,50 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    // Watermarked STREAM-STREAM inner join (StreamJob.streamStreamJoin),
+    // run as a REAL checkpointed two-source stream: an orders-derived doc
+    // stream joins a lineitem-derived span stream on the order key within a
+    // ±60s event-time band. Inner matches emit on partner arrival, so with
+    // both sides fully delivered the output IS the batch join — which the
+    // oracle replays with plain epoch-second arithmetic (timestamps are
+    // whole seconds, so interval math ≡ integer math exactly).
+    "stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = 1767225600L // 2026-01-01 00:00:00 UTC
+      val docSide = rd(s, d, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("doc_id"),
+          (lit(base) + pmod(col("o_orderkey"), lit(3600)))
+            .cast("timestamp").as("doc_time"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      // span events jittered around the doc time: linenumber*37 % 150 - 70
+      // puts offsets in [-70, +78] — some inside the ±60s band, some out
+      val spanSide = rd(s, d, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey").as("span_key"),
+          (lit(base) + pmod(col("l_orderkey"), lit(3600)) +
+            pmod(col("l_linenumber") * 37, lit(150)) - 70)
+            .cast("timestamp").as("span_time"),
+          concat(lit("p"), col("l_linenumber").cast("string"), lit("-"),
+            col("l_orderkey").cast("string")).as("span_text"))
+      val (docDir, out, ck) = streamDirs("ssj-docs", d) { p =>
+        docSide.coalesce(1).write.parquet(p)
+      }
+      val (spanDir, _, _) = streamDirs("ssj-spans", d) { p =>
+        spanSide.coalesce(1).write.parquet(p)
+      }
+      val lhs = s.readStream.schema(docSide.schema).parquet(docDir)
+      val rhs = s.readStream.schema(spanSide.schema).parquet(spanDir)
+      graft.streaming.StreamJob.streamStreamJoin(lhs, rhs,
+          "doc_id", "span_key", "doc_time", "span_time", toleranceSeconds = 60)
+        .select(col("doc_id"), col("doc_time").cast("long").as("doc_ts"),
+          col("o_cents"), col("span_time").cast("long").as("span_ts"),
+          col("span_text"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // streaming HLL (StreamJob.windowedDistinct): distinct part keys per
     // tumbling window as a REAL checkpointed stream — 256 B of sketch
     // state per window in the state store where exact distinct would hold
@@ -3726,6 +3781,27 @@ object SparkEntry {
       Dedup.minhashDuplicates(
         rd(s, d, "documents").withColumn("t2", docText).select(col("doc_id"), col("t2")),
         "doc_id", "t2", n = 3, k = 32, bands = 8, minJ = 0.5)
+    }),
+
+    // LSH RECALL measurement — the eval every production near-dup deploy
+    // needs before trusting its band parameters: ground truth = exact
+    // shingle-Jaccard pairs >= 0.5 (shared-shingle candidates, exact at this
+    // threshold: J >= 0.5 implies a common shingle), found = the banded
+    // MinHash path's rescored pairs (a subset of truth by construction, so
+    // recall_milli is exact). One row: the (32,8)-band recall at 0.5.
+    "minhash_recall" -> ((s, d) => {
+      val docs = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2"))
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "t2", n = 3, minJ = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val found = Dedup.minhashDuplicates(docs, "doc_id", "t2",
+          n = 3, k = 32, bands = 8, minJ = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      truth.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          expr("n_found * 1000L div n_true").as("recall_milli"))
     }),
 
     // incremental LSH dedup (Dedup.minhashIncrementalDuplicates): the odd
@@ -5834,6 +5910,12 @@ object SparkEntry {
           |    ((((l_partkey % 256) >> i) & 1) << (2*i + 1))))::BIGINT AS zval
           |FROM lineitem""".stripMargin,
 
+      // the single-partition window the distributed assigner avoids
+      "global_ids" ->
+        """SELECT doc_id, doc_id % 7 AS grp,
+          |  row_number() OVER (ORDER BY doc_id % 7, doc_id) - 1 AS global_id
+          |FROM documents""".stripMargin,
+
       // DOM-node replay: re-render the template's node list (no HTML
       // parsing) — optional rows gated on the same md5 seed branches,
       // document order via a per-template ordinal
@@ -7657,6 +7739,39 @@ object SparkEntry {
            |FROM common JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
            |WHERE round(cnt::DOUBLE/(sa.sz+sb.sz-cnt)::DOUBLE,6) >= 0.5""".stripMargin,
 
+      // recall replay: truth = ALL shared-shingle pairs at exact J >= 0.5
+      // (the ngram_jaccard cascade), found = the banded cascade above;
+      // found ⊆ truth, so the left join + count is the exact recall
+      "minhash_recall" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |tok AS (SELECT doc_id, ${toks.format("t2")} AS toks FROM t),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+           |    i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS shl
+           |  FROM tok WHERE len(toks) >= 3),
+           |rows_ AS (SELECT doc_id, ${hash60("s")} AS sh2
+           |  FROM (SELECT doc_id, unnest(shl) AS s FROM sh)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+           |allc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+           |  FROM rows_ a JOIN rows_ b ON a.sh2=b.sh2 AND a.doc_id < b.doc_id GROUP BY 1,2),
+           |truth AS (SELECT id_a, id_b FROM allc
+           |  JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
+           |  WHERE round(cnt::DOUBLE/(sa.sz+sb.sz-cnt)::DOUBLE,6) >= 0.5),
+           |sig AS (SELECT doc_id, list_transform(range(32), i ->
+           |    list_min(list_transform(shl, x -> ${hash60("i||':'||x")}))) AS sg FROM sh),
+           |bands AS (SELECT doc_id, unnest(list_transform(range(8), b ->
+           |    ${hash60("b||'|'||sg[4*b+1]||','||sg[4*b+2]||','||sg[4*b+3]||','||sg[4*b+4]")})) AS band FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band=b.band AND a.doc_id < b.doc_id),
+           |common AS (SELECT c.id_a, c.id_b, count(*) AS cnt FROM cand c
+           |  JOIN rows_ a ON a.doc_id=c.id_a JOIN rows_ b ON b.doc_id=c.id_b AND a.sh2=b.sh2 GROUP BY 1,2),
+           |found AS (SELECT id_a, id_b FROM common
+           |  JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
+           |  WHERE round(cnt::DOUBLE/(sa.sz+sb.sz-cnt)::DOUBLE,6) >= 0.5)
+           |SELECT count(*)::BIGINT AS n_true,
+           |  count(f.id_a)::BIGINT AS n_found,
+           |  (1000 * count(f.id_a)) // count(*) AS recall_milli
+           |FROM truth tr LEFT JOIN found f ON tr.id_a=f.id_a AND tr.id_b=f.id_b""".stripMargin,
+
       // streaming replay: the signature/banding cascade (identical to
       // minhash_dups) on the bounded corpus, with the STREAMING verdict —
       // signature-component equality fraction — instead of exact Jaccard
@@ -7819,6 +7934,21 @@ object SparkEntry {
            |  'Body Variant  ' || (doc_id % 100) AS text,
            |  ${hash60("regexp_replace(trim(lower('Body Variant  ' || (doc_id % 100))),'\\s+',' ','g')")} AS fp
            |FROM documents""".stripMargin,
+
+      // stream-stream join replay: inner matches emit on partner arrival,
+      // so a fully-delivered two-source stream equals the batch join; whole-
+      // second timestamps make interval math exact integer arithmetic
+      "stream_join" ->
+        """WITH l AS (SELECT o_orderkey AS doc_id,
+          |    1767225600 + o_orderkey % 3600 AS doc_ts,
+          |    CAST(round(o_totalprice*100) AS BIGINT) AS o_cents
+          |  FROM orders WHERE o_orderkey <= 2000),
+          |r AS (SELECT l_orderkey AS rk,
+          |    1767225600 + (l_orderkey % 3600) + ((l_linenumber*37) % 150) - 70 AS span_ts,
+          |    'p' || l_linenumber || '-' || l_orderkey AS span_text
+          |  FROM lineitem WHERE l_orderkey <= 2000)
+          |SELECT doc_id, doc_ts, o_cents, span_ts, span_text
+          |FROM l JOIN r ON doc_id = rk AND abs(span_ts - doc_ts) <= 60""".stripMargin,
 
       // streaming-HLL replay: the hll_distinct register chain with the
       // 5-minute window start as the group key; the sentinel's own window

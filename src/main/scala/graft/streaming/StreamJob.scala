@@ -373,6 +373,50 @@ object StreamJob {
       }
   }
 
+  /** Watermarked STREAM-STREAM equi-join with an event-time tolerance band —
+    * the two-unbounded-sides join Structured Streaming supports only when
+    * both inputs are watermarked AND the join condition bounds how far apart
+    * matching event times can be (the range condition is what lets the state
+    * store evict: a buffered left row can be dropped once the right-side
+    * watermark passes `leftTime + tolerance`, and vice versa). The curation
+    * use: enrich a crawl's text-span stream with its media-sidecar stream
+    * (or a metadata feed) without landing either to storage first.
+    *
+    * Inner join only here: inner matches emit the moment the partner
+    * arrives, so the output is exactly the batch join whenever no row
+    * arrives later than the watermark allows — which is what the DuckDB
+    * oracle replays. (Outer stream-stream joins additionally emit
+    * null-padded rows on watermark passage; their finalization timing is
+    * trigger-dependent, so they are exercised in the spec via multi-batch
+    * MemoryStreams rather than oracled.)
+    *
+    * Column contract: the two sides must have DISJOINT column names (rename
+    * before calling) — the joined row carries both sides' columns verbatim.
+    *
+    * Scale/state: state is bounded by rows inside the watermark horizon ×
+    * tolerance on each side, not stream lifetime. The join itself shuffles
+    * both sides by the equi-key exactly like the batch join; skewed keys
+    * skew here too (cap or salt upstream — the [[graft.io.Skew]] levers
+    * apply before the watermark). */
+  def streamStreamJoin(lhs: org.apache.spark.sql.DataFrame,
+      rhs: org.apache.spark.sql.DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      toleranceSeconds: Long,
+      watermarkDelay: String = "10 seconds"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(toleranceSeconds >= 0, s"negative tolerance: $toleranceSeconds")
+    val overlap = lhs.columns.toSet.intersect(rhs.columns.toSet)
+    require(overlap.isEmpty, s"sides must have disjoint columns, shared: $overlap")
+    val l = lhs.withWatermark(leftTime, watermarkDelay)
+    val r = rhs.withWatermark(rightTime, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $toleranceSeconds SECONDS") &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $toleranceSeconds SECONDS"),
+      "inner")
+  }
+
   private object Synth {
     def docSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
       import spark.implicits._

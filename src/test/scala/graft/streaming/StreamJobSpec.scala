@@ -349,4 +349,43 @@ class StreamJobSpec extends SparkTestBase {
     val got2 = spark.table("sess2").as[(Long, Long, Long, Long)].collect().toSet
     assert(got2 == Set((7L, 1000000000L, 2800000000L, 2L)), s"got $got2")
   }
+
+  test("streamStreamJoin: inner matches within tolerance, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val lIn = MemoryStream[(Long, Long, String)]
+    val rIn = MemoryStream[(Long, Long, String)]
+    val left = lIn.toDF().select(col("_1").as("k"),
+      col("_2").cast("timestamp").as("lt"), col("_3").as("lval"))
+    val right = rIn.toDF().select(col("_1").as("rk"),
+      col("_2").cast("timestamp").as("rt"), col("_3").as("rval"))
+    // delay wider than the data's time span: the batch-2 row at ts=950 must
+    // not be late-dropped (watermark after batch 1 is max(ts) - delay)
+    val q = StreamJob.streamStreamJoin(left, right, "k", "rk", "lt", "rt",
+        toleranceSeconds = 60, watermarkDelay = "2 hours")
+      .select(col("k"), col("lval"), col("rval"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+
+    lIn.addData((1L, 1000L, "a"), (2L, 5000L, "b"))
+    rIn.addData((1L, 1030L, "x"), (1L, 1100L, "y"), (2L, 4990L, "z"))
+    q.processAllAvailable()
+    // a later right-side batch still joins the buffered left row (state)
+    rIn.addData((1L, 950L, "w"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssj").as[(Long, String, String)].collect().toSet
+    // (1,1100,"y") is 100s from lt=1000 — outside the 60s band
+    val expected = Set((1L, "a", "x"), (2L, "b", "z"), (1L, "a", "w"))
+    assert(got == expected, s"got $got")
+
+    // shared column names are rejected up front
+    val bad = intercept[IllegalArgumentException] {
+      StreamJob.streamStreamJoin(left, left, "k", "k", "lt", "lt", 60)
+    }
+    assert(bad.getMessage.contains("disjoint"))
+  }
 }
