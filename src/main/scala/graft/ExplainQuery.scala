@@ -29,7 +29,7 @@ object ExplainQuery {
         "minhash_dups", "minhash_incremental", "bpe_merges", "bpe_segment", "bpe_batch",
         "cms_freq", "cms_merge", "bloom_dedup", "bloom_merge", "ingest_e2e",
         "bucket_join",
-        "pq_topk", "pagerank_dangling",
+        "pq_topk", "ivfpq_topk", "pagerank_dangling",
         "dedup_clusters_alt", "dedup_best_of_cluster", "hits_scores",
         "redirect_resolve", "budget_select", "stream_jsonl",
         "stream_join", "global_ids")

@@ -3089,6 +3089,19 @@ object SparkEntry {
         "embedding", k = 10, m = 4, ksub = 8, iters = 1)
     }),
 
+    // IVF-PQ ANN (Pq.ivfpqTopK) — the production faiss index shape: coarse
+    // IVF cells + ONE product quantizer over pooled residuals + per-(query,
+    // probed-cell) ADC tables. Both trainings are RNG-free, so the oracle
+    // replays the ENTIRE index: centroid Lloyd step, cell assignment,
+    // residual arithmetic, residual codebook Lloyd step, encoding, and the
+    // int64 ADC sums. Candidates are scanned twice, narrowly (train, then
+    // fused encode+score); only heap survivors shuffle.
+    "ivfpq_topk" -> ((s, d) => {
+      val e = rd(s, d, "embeddings")
+      graft.sim.Pq.ivfpqTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nlist = 8, nProbe = 2, m = 4, ksub = 8, iters = 1)
+    }),
+
     "selection_e2e" -> ((s, d) => {
       // the data-selection chain composed as ONE plan: strip duplicated
       // 8-token spans → DSIR-score the CLEANED text against the %11 target
@@ -7382,6 +7395,94 @@ object SparkEntry {
           |  FROM sv q JOIN cents ON q.s = cents.s WHERE q.vec_id < 5),
           |adc AS (SELECT d.query_id, enc.vec_id AS neighbor_id, sum(d.dm) AS adist
           |  FROM enc JOIN dtab d ON enc.s = d.s AND enc.code = d.code
+          |  WHERE enc.vec_id <> d.query_id GROUP BY 1, 2)
+          |SELECT query_id, neighbor_id, adist::BIGINT AS adist,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id)::BIGINT AS rank
+          |FROM adc QUALIFY rank <= 10""".stripMargin,
+
+      // IVF-PQ replay: the ivf_topk centroid cascade (train + assign +
+      // probe) composed with the pq_topk codebook cascade run on RESIDUALS
+      // (embedding − cell centroid, exact IEEE doubles), ADC tables keyed
+      // per (query, probed cell) over the QUERY's residual
+      "ivfpq_topk" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |seeds AS (
+          |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+          |         embedding AS c
+          |  FROM e
+          |  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 8),
+          |a0 AS (
+          |  SELECT e.vec_id, e.embedding, s.cell,
+          |    round(list_sum(list_transform(list_zip(e.embedding, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |      / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |       * sqrt(list_sum(list_transform(list_zip(s.c, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |  FROM e CROSS JOIN seeds s),
+          |asg AS (
+          |  SELECT vec_id, embedding, cell FROM a0
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) = 1),
+          |cm AS (
+          |  SELECT cell, unnest(range(len(embedding))) AS pos,
+          |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
+          |  FROM asg),
+          |cents AS (
+          |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+          |    SELECT cell, pos, round(avg(x), 6) AS m FROM cm GROUP BY 1, 2)
+          |  GROUP BY cell),
+          |casg AS (
+          |  SELECT vec_id, embedding, cell FROM (
+          |    SELECT e.vec_id, e.embedding, c.cell,
+          |      round(list_sum(list_transform(list_zip(e.embedding, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |        / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |         * sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |    FROM e CROSS JOIN cents c)
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) = 1),
+          |resid AS (
+          |  SELECT ca.vec_id, ca.cell,
+          |    list_transform(list_zip(ca.embedding, c.c), x -> x[1]::DOUBLE - x[2]::DOUBLE) AS r
+          |  FROM casg ca JOIN cents c USING (cell)),
+          |sv AS (SELECT vec_id, cell, s, r[s*16+1 : s*16+16] AS v
+          |  FROM resid, unnest([0,1,2,3]) AS t(s)),
+          |pseeds AS (SELECT s, pcode, v FROM (
+          |  SELECT s, row_number() OVER (PARTITION BY s
+          |    ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS pcode, v FROM sv)
+          |  WHERE pcode < 8),
+          |pa0 AS (SELECT sv.vec_id, sv.s, sv.v, pseeds.pcode,
+          |  round(list_sum(list_transform(list_zip(sv.v, pseeds.v),
+          |    x -> (x[1]::DOUBLE - x[2]::DOUBLE)*(x[1]::DOUBLE - x[2]::DOUBLE)))*1e6)::BIGINT AS dm
+          |  FROM sv JOIN pseeds ON sv.s = pseeds.s),
+          |pasg AS (SELECT vec_id, s, v, pcode FROM pa0
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, pcode) = 1),
+          |pcm AS (SELECT s, pcode, unnest(range(len(v))) AS pos,
+          |  unnest(list_transform(v, x -> x::DOUBLE)) AS x FROM pasg),
+          |pcents AS (SELECT s, pcode, list(mn ORDER BY pos) AS c FROM (
+          |  SELECT s, pcode, pos, round(avg(x), 6) AS mn FROM pcm GROUP BY 1, 2, 3)
+          |  GROUP BY 1, 2),
+          |enc AS (SELECT vec_id, cell, s, pcode AS code FROM (
+          |  SELECT sv.vec_id, sv.cell, sv.s, pcents.pcode,
+          |    round(list_sum(list_transform(list_zip(sv.v, pcents.c),
+          |      x -> (x[1]::DOUBLE - x[2]::DOUBLE)*(x[1]::DOUBLE - x[2]::DOUBLE)))*1e6)::BIGINT AS dm
+          |  FROM sv JOIN pcents ON sv.s = pcents.s)
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, pcode) = 1),
+          |probe AS (
+          |  SELECT query_id, qe, cell FROM (
+          |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+          |      round(list_sum(list_transform(list_zip(q.embedding, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |        / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |         * sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |    FROM e q CROSS JOIN cents c WHERE q.vec_id < 5)
+          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell) <= 2),
+          |qres AS (
+          |  SELECT p.query_id, p.cell,
+          |    list_transform(list_zip(p.qe, c.c), x -> x[1]::DOUBLE - x[2]::DOUBLE) AS qr
+          |  FROM probe p JOIN cents c USING (cell)),
+          |qsv AS (SELECT query_id, cell, s, qr[s*16+1 : s*16+16] AS v
+          |  FROM qres, unnest([0,1,2,3]) AS t(s)),
+          |dtab AS (SELECT qsv.query_id, qsv.cell, qsv.s, pcents.pcode AS code,
+          |  round(list_sum(list_transform(list_zip(qsv.v, pcents.c),
+          |    x -> (x[1]::DOUBLE - x[2]::DOUBLE)*(x[1]::DOUBLE - x[2]::DOUBLE)))*1e6)::BIGINT AS dm
+          |  FROM qsv JOIN pcents ON qsv.s = pcents.s),
+          |adc AS (SELECT d.query_id, enc.vec_id AS neighbor_id, sum(d.dm) AS adist
+          |  FROM enc JOIN dtab d ON enc.cell = d.cell AND enc.s = d.s AND enc.code = d.code
           |  WHERE enc.vec_id <> d.query_id GROUP BY 1, 2)
           |SELECT query_id, neighbor_id, adist::BIGINT AS adist,
           |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id)::BIGINT AS rank

@@ -99,11 +99,15 @@ object Pq {
     * m·ksub·ds doubles per step (codebooks are driver data by design). */
   def codebooks(df: DataFrame, idCol: String, vecCol: String, m: Int,
       ksub: Int, iters: Int = 1): Array[(Int, Int, Array[Double])] = {
-    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // float→double cast is exact, so training float input through the
+    // double path is bit-identical; it also admits array<double> input
+    // (the IVF-PQ residual relation) through the same code
+    val base = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
       .filter(col("__v").isNotNull)
     val seedVecs = base.withColumn("__h", md5(col("__id").cast("string")))
       .orderBy(col("__h"), col("__id")).limit(ksub)
-      .select("__v").collect().map(_.getSeq[Float](0).toArray)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
     val dim = seedVecs.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val ds = dim / m
@@ -297,5 +301,173 @@ object Pq {
       if (xm.isEmpty) 0L
       else xm.zip(q).map { case (a, b) => math.abs(a - (b * amax) / 127) }.sum / xm.size
     (amax, q, mae)
+  }
+
+  // ----------------------------------------------------------- IVF-PQ ----
+
+  /** Double-array twin of [[sqSub]] (IVF residuals are doubles). */
+  def sqSubD(vec: Seq[Double], cent: Array[Double], off: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < cent.length) {
+      val d = vec(off + j) - cent(j)
+      s += d * d
+      j += 1
+    }
+    s
+  }
+
+  /** 6dp cosine between a float vector and a double centroid — the pure
+    * twin of the relational assignment rule ([[Similarity.ivfAssignRows]]
+    * uses the same rounding), for driver-side query probing. */
+  private def cos6(q: Seq[Float], c: Array[Double]): Double = {
+    var d = 0.0; var qq = 0.0; var cc = 0.0
+    var j = 0
+    while (j < q.length && j < c.length) {
+      val x = q(j).toDouble
+      d += x * c(j); qq += x * x; cc += c(j) * c(j)
+      j += 1
+    }
+    BigDecimal(d / (math.sqrt(qq) * math.sqrt(cc)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** The residual relation an IVF-PQ index trains on: each candidate's
+    * (id, cell, vec − centroid(cell)) — doubles, exact in both engines
+    * (float→double is exact, centroids are 6dp doubles, and IEEE
+    * subtraction is deterministic). Typed zero-shuffle scan. */
+  def residualRows(assigned: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val centByCell = cents.toMap
+    val schema = StructType(Seq(assigned.schema(idCol),
+      StructField("__cell", IntegerType, nullable = false),
+      StructField("__res", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    assigned.select(col(idCol), col(vecCol), col("__cell"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val vec = row.getSeq[Float](1)
+          val cell = row.getInt(2)
+          val c = centByCell(cell)
+          val res = Array.tabulate(vec.length)(j => vec(j).toDouble - c(j))
+          Row(row.get(0), cell, res.toSeq)
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** IVF-PQ approximate top-k — the production ANN index shape (faiss
+    * IVFPQ): a coarse IVF quantizer routes each vector to a cell, ONE
+    * product quantizer (trained on the pooled residuals vec − centroid)
+    * compresses what the cell centroid missed, and queries probe their
+    * `nProbe` best cells scoring candidates by asymmetric distance against
+    * a per-(query, cell) lookup table over the QUERY's residual. Combines
+    * [[Similarity.ivfCentroids]]/[[Similarity.ivfAssignRows]] (coarse) with
+    * [[codebooks]] (residual PQ) — both deterministic, so the whole index
+    * replays in SQL.
+    *
+    * Scale shape: two narrow passes over the candidates (residual training
+    * scan, then a FUSED residual→encode→score scan with bounded per-query
+    * k-heaps — codes never materialize, nothing shuffles until the final
+    * nPartitions·nQueries·k-row window). Centroids/codebooks are
+    * driver/broadcast data by design (nlist·dim + m·ksub·ds doubles); the
+    * query relation is driver-sized by contract, as in [[adcTopK]].
+    * Recall = IVF's probe trade compounded by PQ's quantization error —
+    * rescore survivors exactly when it matters (the [[Similarity.ivfTopK]]
+    * pattern). Ids must be integral; self-matches are excluded.
+    * Output: (query_id, neighbor_id, adist, rank). */
+  def ivfpqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 8, nProbe: Int = 2,
+      m: Int = 4, ksub: Int = 8, iters: Int = 1): DataFrame = {
+    val cents = Similarity.ivfCentroids(candidates, idCol, vecCol, nlist, iters)
+    val cands = candidates
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+    val assigned = Similarity.ivfAssignRows(cands, idCol, vecCol, cents)
+    val books = codebooks(
+      residualRows(assigned, idCol, vecCol, cents), idCol, "__res", m, ksub, iters)
+    val sub = bySub(books)
+    val ds = books.head._3.length
+    val centByCell = cents.toMap
+
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(vecCol).isNotNull).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // per query: the nProbe best cells (6dp cosine desc, cell asc — the
+    // exact assignment rule), then per probed cell the ADC lookup table
+    // over the query's residual: (subspace, code) -> micro distance
+    val probes: Map[Int, Array[(Long, Array[Map[Int, Long]])]] = qRows.flatMap {
+      case (qid, qv) =>
+        cents.map { case (cell, c) => (cell, cos6(qv, c)) }
+          .sortBy { case (cell, cs) => (-cs, cell) }.take(nProbe)
+          .map { case (cell, _) =>
+            val c = centByCell(cell)
+            val qres = Array.tabulate(qv.length)(j => qv(j).toDouble - c(j))
+            val tabs = sub.zipWithIndex.map { case (cells, s) =>
+              cells.map { case (code, cent) =>
+                code -> micro(sqSubD(qres, cent, s * ds))
+              }.toMap
+            }
+            (cell, (qid, tabs))
+          }
+    }.groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
+
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("adist", LongType, nullable = false)))
+    // fused residual → PQ-encode → ADC score, one narrow pass
+    val perPart = assigned.select(col(idCol), col(vecCol), col("__cell"))
+      .mapPartitions { it =>
+        val heaps = qRows.map { case (qid, _) =>
+          qid -> mutable.PriorityQueue.empty[(Long, Long)](
+            Ordering.Tuple2[Long, Long])
+        }.toMap
+        it.foreach { row =>
+          val cell = row.getInt(2)
+          probes.get(cell).foreach { qs =>
+            val nid = row.getLong(0)
+            val vec = row.getSeq[Float](1)
+            val c = centByCell(cell)
+            val res: Seq[Double] =
+              Array.tabulate(vec.length)(j => vec(j).toDouble - c(j)).toSeq
+            val codes = new Array[Int](sub.length)
+            var s = 0
+            while (s < sub.length) {
+              var bestCode = -1
+              var bestD = Long.MaxValue
+              sub(s).foreach { case (code, cent) =>
+                val d = micro(sqSubD(res, cent, s * ds))
+                if (d < bestD || (d == bestD && code < bestCode)) {
+                  bestD = d; bestCode = code
+                }
+              }
+              codes(s) = bestCode
+              s += 1
+            }
+            qs.foreach { case (qid, tabs) =>
+              if (nid != qid) {
+                var d = 0L
+                var i = 0
+                while (i < tabs.length) { d += tabs(i)(codes(i)); i += 1 }
+                val h = heaps(qid)
+                if (h.size < k) h.enqueue((d, nid))
+                else if (Ordering.Tuple2[Long, Long].lt((d, nid), h.head)) {
+                  h.dequeue(); h.enqueue((d, nid))
+                }
+              }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (d, nid) => Row(qid, nid, d) }
+        }
+      }(Encoders.row(schema))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    perPart.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        col("rank").cast("long").as("rank"))
   }
 }
