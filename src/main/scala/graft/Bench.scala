@@ -184,6 +184,22 @@ object Bench {
   val ControlFastSec: Double =
     sys.env.getOrElse("SPARK_GRAFT_CONTROL_FAST_SEC", "0.35").toDouble
 
+  /** Spark-level in-sweep control: a fixed tiny Spark job (range → sum)
+    * whose cost is scheduler + codegen + one stage of trivial work. The
+    * pure-JVM [[calibrationControl]] detects the HOST's allocation mode;
+    * this one detects DEGRADATION OF THE SESSION ITSELF (BlockManager /
+    * listener / codegen-cache buildup across a long sweep): sampled every
+    * 40 queries and emitted as `spark_control_series`, so a reader can see
+    * at a glance whether late-sweep numbers ran on a degraded session. A
+    * driver GC right before each sample keeps the ContextCleaner draining
+    * broadcast/RDD litter at a fixed cadence instead of never. */
+  private def sparkControl(spark: SparkSession): Double = {
+    System.gc()
+    time {
+      spark.range(0L, 4000000L, 1, 32).selectExpr("sum(id * 3 + 1)").collect()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("control")) {
       // standalone mode: print the control alone (for calibrating the
@@ -244,7 +260,9 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val swept = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
-    val results = swept.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sparkControls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    sparkControls += sparkControl(spark)
+    val results = swept.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
       def pass(): Double = {
         val t = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
         // operators that persist() internal relations (dedup LSH) would
@@ -252,6 +270,15 @@ object Bench {
         // drain the tracked registry, then blanket-clear query-local caches
         graft.io.Persisted.release(spark)
         spark.catalog.clearCache()
+        // …and kill every persistent RDD left behind: localCheckpoint
+        // materializations (redirect_resolve, kcore, HITS, the clustering
+        // family) and operator-internal RDD caches are INVISIBLE to
+        // clearCache and only die on a driver GC via the ContextCleaner.
+        // Across a 230-query sweep they pile into BlockManager pressure
+        // that inflated mid-sweep queries 3-13x (caption_align 9.2 s in a
+        // full sweep vs 0.68 s isolated, same binary, fast-mode controls)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         t
       }
       val t1 = pass()
@@ -276,8 +303,10 @@ object Bench {
       val spread = if (valid.size >= 2 && valid.min > 0) {
         val s = valid.sorted; s(1) / s(0)
       } else 1.0
+      if ((qi + 1) % 40 == 0) sparkControls += sparkControl(spark)
       (name, best, spread)
     }
+    sparkControls += sparkControl(spark)
 
     // control again AFTER the sweep (min of 2 — single passes show ~3x
     // in-mode noise): the mode can flip mid-run; the pair brackets the
@@ -305,6 +334,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""control_before_sec":${f"$controlBefore%.3f"},"control_after_sec":${f"$controlAfter%.3f"},""" +
+        s""""spark_control_series":${sparkControls.map(v => f"$v%.3f").mkString("[", ",", "]")},""" +
         s""""control_fast_sec":${f"$ControlFastSec%.3f"},"control_ratio":${f"$controlRatio%.2f"},""" +
         s""""slow_mode":$slowMode,""" +
         s""""failed":${failed.size},"failed_queries":$failedJson,""" +

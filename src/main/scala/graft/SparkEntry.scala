@@ -1784,6 +1784,27 @@ object SparkEntry {
           Seq("l_returnflag"))
     }),
 
+    // Misra-Gries heavy hitters (HeavyHitters.heavyHitters): the
+    // frequent-items sketch next to KMV/CMS/HLL/Bloom. The stream is a
+    // deterministic skewed derivation (two hot keys at ~20% each over a
+    // unique cold tail — ~60% of rows are singleton keys, so the k=16
+    // summary genuinely compresses a corpus-scale key space). Candidates
+    // come from per-partition MG + treeReduce merge; the exact rescore
+    // groupBy shuffles only the ≤16 candidate keys' rows. The output is
+    // deterministic (MG's no-false-negative window at den ≤ k+1 makes the
+    // exact threshold filter partition-layout-independent) and the oracle
+    // is the plain exact threshold.
+    "heavy_hitters" -> ((s, d) => {
+      val stream = rd(s, d, "lineitem").select(
+        when(pmod(col("l_orderkey") + col("l_linenumber"), lit(10)) < 4,
+          concat(lit("hot-"),
+            pmod(col("l_orderkey") + col("l_linenumber"), lit(2))))
+          .otherwise(concat(lit("cold-"), col("l_orderkey"), lit("-"),
+            col("l_linenumber")))
+          .as("value"))
+      graft.sketch.HeavyHitters.heavyHitters(stream, "value", k = 16, den = 8)
+    }),
+
     // HyperLogLog distinct sketch (Sketches.hllDistinct): the production
     // 256-byte-register sketch with every step pinned to engine-neutral
     // integer/string math — hex-string rho (no float log2), exact-rational
@@ -2341,6 +2362,22 @@ object SparkEntry {
       // same packing with the deterministic md5 corpus shuffle on the tape
       Packing.pack(rd(s, d, "documents"), "doc_id", "text",
         budget = 512, nShards = 8, shuffleOrder = true)),
+
+    "length_buckets" -> ((s, d) =>
+      // padding-efficiency report for length-bucketed SFT batches: docs
+      // bucket to the next power-of-two token length, batch ids come from
+      // md5-sharded per-(bucket, shard) windows (the seq_pack idiom — no
+      // corpus-scale single-partition window), waste in integer milli
+      graft.text.Batching.paddingReport(rd(s, d, "documents"), "doc_id",
+        "text", batchSize = 4, nShards = 4)),
+
+    "epoch_plan" -> ((s, d) =>
+      // fixed-token-budget data recipe: per-source token inventory (one
+      // partial-agg groupBy) vs target milli-weights → needed tokens,
+      // epochs (1000 = one pass), oversample flags — all integer math
+      graft.text.Recipe.epochPlan(rd(s, d, "documents"), "source", "text",
+        Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L, "src3" -> 100L),
+        targetTokens = 50000L)),
 
     "sample_stratified" -> ((s, d) =>
       // deterministic 25% per-language sample, md5-ranked
@@ -5780,6 +5817,17 @@ object SparkEntry {
           |  END AS distinct_est, x.distinct_exact
           |FROM a JOIN x USING (l_returnflag)""".stripMargin,
 
+      // exact threshold over the same deterministic skewed stream — the MG
+      // sketch's no-false-negative window (den=8 ≤ k+1=17) plus the exact
+      // rescore makes the engine output equal this under any partitioning
+      "heavy_hitters" ->
+        """WITH s AS (SELECT CASE WHEN (l_orderkey+l_linenumber)%10 < 4
+          |  THEN 'hot-'||((l_orderkey+l_linenumber)%2)
+          |  ELSE 'cold-'||l_orderkey||'-'||l_linenumber END AS value
+          |  FROM lineitem)
+          |SELECT value, count(*)::BIGINT AS cnt FROM s GROUP BY 1
+          |HAVING count(*)*8 > (SELECT count(*) FROM s)""".stripMargin,
+
       // HLL replay: hex-string rho (13 tail chars = 52 bits), register max
       // per bucket, int64 harmonic sum scaled by 2^53, exact-rational
       // α_256 = 1846528/2570790 through HUGEINT floor division, and the
@@ -6470,6 +6518,48 @@ object SparkEntry {
            |  (CASE WHEN n_tokens=0 THEN FALSE
            |    ELSE (tok_end-n_tokens)//512 <> (tok_end-1)//512 END) AS is_split
            |FROM c""".stripMargin,
+
+      // replay of Batching.paddingReport: ws token counts (seq_pack's
+      // trim/split twin), power-of-two bucket via bin-string length,
+      // md5-sharded per-(bucket, shard) windows, integer waste
+      "length_buckets" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  ${hash60("doc_id::VARCHAR")} % 4 AS shard,
+           |  (CASE WHEN length(regexp_replace(text,'^\\s+|\\s+$$','','g'))=0 THEN 0
+           |    ELSE len(string_split_regex(regexp_replace(text,'^\\s+|\\s+$$','','g'),'\\s+')) END)::BIGINT AS n_tokens
+           |  FROM documents),
+           |b AS (SELECT doc_id, shard, n_tokens,
+           |  (CASE WHEN n_tokens <= 1 THEN 1
+           |    ELSE 1::BIGINT << length(bin(n_tokens-1)) END)::BIGINT AS bucket
+           |  FROM t WHERE n_tokens > 0),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard
+           |    ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS rn FROM b)
+           |SELECT bucket, shard, (rn//4)::BIGINT AS batch_idx,
+           |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+           |  max(n_tokens)::BIGINT AS max_tokens,
+           |  (count(*)*bucket)::BIGINT AS padded_tokens,
+           |  ((1000*(count(*)*bucket - sum(n_tokens)))//(count(*)*bucket))::BIGINT AS waste_milli
+           |FROM r GROUP BY bucket, shard, rn//4""".stripMargin,
+
+      // replay of Recipe.epochPlan: per-source ws-token inventory joined to
+      // the literal milli-weight recipe, integer needs/epochs/flags
+      "epoch_plan" ->
+        """WITH inv AS (SELECT source,
+          |  sum(CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g'))=0 THEN 0
+          |    ELSE len(string_split_regex(regexp_replace(text,'^\s+|\s+$','','g'),'\s+')) END)::BIGINT AS src_tokens
+          |  FROM documents GROUP BY 1),
+          |w(wsource, weight_milli) AS (VALUES
+          |  ('src0',400),('src1',300),('src2',200),('src3',100))
+          |SELECT source, src_tokens,
+          |  coalesce(weight_milli,0)::BIGINT AS weight_milli,
+          |  ((50000*coalesce(weight_milli,0))//1000)::BIGINT AS needed_tokens,
+          |  (CASE WHEN src_tokens = 0 THEN 0
+          |    ELSE (1000*((50000*coalesce(weight_milli,0))//1000))//src_tokens
+          |  END)::BIGINT AS epochs_milli,
+          |  (CASE WHEN src_tokens = 0 THEN 0
+          |    ELSE (1000*((50000*coalesce(weight_milli,0))//1000))//src_tokens
+          |  END) > 1000 AS oversampled
+          |FROM inv LEFT JOIN w ON source = wsource""".stripMargin,
 
       "sample_stratified" ->
         """WITH r AS (SELECT doc_id, lang,
