@@ -32,7 +32,7 @@ object ExplainQuery {
         "pq_topk", "ivfpq_topk", "pagerank_dangling",
         "dedup_clusters_alt", "dedup_best_of_cluster", "hits_scores",
         "redirect_resolve", "budget_select", "stream_jsonl",
-        "stream_join", "global_ids")
+        "stream_join", "global_ids", "heavy_hitters")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

@@ -2410,6 +2410,16 @@ object SparkEntry {
           col("domain_rank").cast("long").as("domain_rank"), col("domain_n"))
     }),
 
+    "group_reservoir" -> ((s, d) => {
+      // exact per-group cap as a mergeable bounded-buffer Aggregator —
+      // same kept set as domain_cap (k smallest md5 per domain) but a
+      // partial-agg plan: O(k) state per group, no window sort anywhere
+      val docs = rd(s, d, "documents").withColumn("domain",
+        concat_ws("-", col("source"), (col("doc_id") % 7).cast("string")))
+      Sampling.groupReservoir(docs, "doc_id", "domain", 5)
+        .select(col("doc_id"), col("domain"), col("res_rank"), col("group_n"))
+    }),
+
     "mixture_sample" -> ((s, d) =>
       // domain-reweighting: prescribe per-language output doc counts — en
       // downsampled, de kept whole (target over-covers), zh deliberately
@@ -6595,6 +6605,15 @@ object SparkEntry {
            |SELECT doc_id, domain, domain_rank::BIGINT AS domain_rank,
            |  domain_n::BIGINT AS domain_n
            |FROM r WHERE domain_rank <= 10""".stripMargin,
+
+      "group_reservoir" ->
+        """WITH d AS (SELECT doc_id, source||'-'||(doc_id % 7) AS domain FROM documents),
+          |r AS (SELECT doc_id, domain,
+          |  row_number() OVER (PARTITION BY domain ORDER BY md5(doc_id::VARCHAR), doc_id) AS res_rank,
+          |  count(*) OVER (PARTITION BY domain) AS group_n FROM d)
+          |SELECT doc_id, domain, res_rank::BIGINT AS res_rank,
+          |  group_n::BIGINT AS group_n
+          |FROM r WHERE res_rank <= 5""".stripMargin,
 
       "mixture_sample" ->
         s"""WITH sz AS (SELECT lang, count(*) AS stratum_n FROM documents GROUP BY 1),

@@ -111,6 +111,90 @@ object Sampling {
       .filter(col("domain_rank") <= cap)
   }
 
+  /** Mergeable per-group reservoir: the k smallest (md5(id), id) pairs of
+    * a group as a typed Aggregator with a BOUNDED sorted buffer — the
+    * exact-answer scale path for the per-domain cap. Selection rule is
+    * identical to [[domainCap]] (deterministic uniform draw by md5 rank),
+    * but the execution shape is a real partial aggregation instead of a
+    * window sort: map-side combine caps every task's contribution at k
+    * pairs per group it saw, the shuffle carries sketch buffers (≤ k
+    * entries each), and the reduce side merges sorted runs — so a 10M-row
+    * mega-domain costs O(k) state and never lands in one sort task. That
+    * removes [[domainCapScalable]]'s under-fill probability entirely:
+    * same plan profile, exact answer.
+    *
+    * Ids must be integral (the engine's doc_id convention): ties on md5
+    * break by NUMERIC id, matching `ORDER BY md5(id::VARCHAR), id`. */
+  class ReservoirAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+    require(k >= 1, s"k must be >= 1: $k")
+    private def lt(a: (String, Long), b: (String, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: Seq[(String, Long)] = Vector.empty
+
+    override def reduce(buf: Seq[(String, Long)], x: (String, Long))
+        : Seq[(String, Long)] =
+      if (buf.length == k && !lt(x, buf.last)) buf
+      else {
+        val ins = buf.indexWhere(e => lt(x, e)) match {
+          case -1 => buf.length
+          case i  => i
+        }
+        val grown = (buf.take(ins) :+ x) ++ buf.drop(ins)
+        if (grown.length > k) grown.take(k) else grown
+      }
+
+    override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)])
+        : Seq[(String, Long)] = {
+      // merge two sorted runs, keep the k smallest
+      val out = Vector.newBuilder[(String, Long)]
+      var i = 0; var j = 0; var n = 0
+      val cap = math.min(k, a.length + b.length)
+      while (n < cap) {
+        if (j >= b.length || (i < a.length && !lt(b(j), a(i)))) {
+          out += a(i); i += 1
+        } else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+
+    override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf
+
+    override def bufferEncoder
+        : org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(String, Long)]]()
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** Per-group cap via [[ReservoirAggregator]] — output matches
+    * [[domainCap]]'s kept set exactly: groupCol, idCol, res_rank (1-based
+    * md5 rank), group_n (ORIGINAL group size). One partial-agg shuffle of
+    * bounded buffers; no window, no per-group sort. `idCol` must be
+    * integral. */
+  def groupReservoir(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val agg = udaf(new ReservoirAggregator(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(String, Long)]())
+    df.groupBy(col(groupCol))
+      .agg(
+        agg(md5(col(idCol).cast("string")), col(idCol).cast("long"))
+          .as("__kept"),
+        count(lit(1)).as("group_n"))
+      .select(col(groupCol), col("group_n"),
+        posexplode(col("__kept")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), col("__e._2").as(idCol),
+        (col("__pos") + 1).cast("long").as("res_rank"), col("group_n"))
+  }
+
   /** Source-mixture resampling — down-sample each stratum to a target doc
     * count so the output approximates a prescribed mixture (the domain-
     * reweighting step of a pretraining recipe: "this corpus should be X

@@ -232,4 +232,42 @@ class SamplingSpec extends SparkTestBase {
       Sampling.budgetSelect(df, "id", "s", "c", -1L))
     graft.io.Persisted.release(spark)
   }
+
+  test("groupReservoir: matches domainCap exactly; partition-invariant; whole small groups") {
+    val dom: Long => String =
+      i => if (i % 5 == 0) "small.example" else s"big${i % 2}.example"
+    val docs = (1L to 300L).map(i => (i, dom(i))).toDF("doc_id", "domain")
+    val exact = Sampling.domainCap(docs, "doc_id", "domain", 7)
+      .select($"doc_id", $"domain", $"domain_rank".cast("long"), $"domain_n")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val res = Sampling.groupReservoir(docs, "doc_id", "domain", 7)
+      .select($"domain", $"doc_id", $"res_rank", $"group_n")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._2, r._1, r._3, r._4)).toSet
+    assert(res == exact) // same kept ids, ranks, and ORIGINAL group sizes
+
+    // merge correctness: the buffer path must not depend on layout
+    val one = Sampling.groupReservoir(docs.repartition(1), "doc_id", "domain", 7)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val many = Sampling.groupReservoir(docs.repartition(13), "doc_id", "domain", 7)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(one == many)
+
+    // k >= group size keeps the whole group with ranks 1..n
+    val whole = Sampling.groupReservoir(docs, "doc_id", "domain", 1000)
+      .as[(String, Long, Long, Long)].collect()
+    assert(whole.length == 300)
+    for ((_, rows) <- whole.groupBy(_._1))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+
+    // the plan is a partial aggregation, not a window sort
+    val plan = Sampling.groupReservoir(docs, "doc_id", "domain", 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no window in:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate in:\n$plan")
+
+    intercept[IllegalArgumentException](
+      Sampling.groupReservoir(docs, "doc_id", "domain", 0))
+  }
 }
