@@ -2312,6 +2312,27 @@ object SparkEntry {
         ssn.cast("long").as("n_ssn"))
     }),
 
+    "k_anon" -> ((s, d) => {
+      // structured-release privacy gate: (nation, segment) is the QI pair,
+      // the sensitive attribute is the account balance coarsened to 2k
+      // buckets (raw balances are all-distinct, which would make every
+      // group trivially l-diverse)
+      val c = rd(s, d, "customer").withColumn("bal_bucket",
+        floor(col("c_acctbal") / lit(2000.0)).cast("long"))
+      graft.text.Privacy.kAnonymize(
+          c, Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10, l = 5)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("group_n"), col("n_sensitive"), col("suppressed"),
+          col("l_diverse"))
+    }),
+
+    "distinct_ngrams" -> ((s, d) => {
+      // distinct-n diversity per language slice, n in {1,2,3}
+      TA.distinctNgramStats(rd(s, d, "documents"), "lang", "text", Seq(1, 2, 3))
+        .select(col("slice").as("lang"), col("n"), col("total_ngrams"),
+          col("distinct_ngrams"), col("distinct_milli"))
+    }),
+
     "curation_e2e" -> ((s, d) => {
       // the full pretraining-corpus curation chain in ONE plan: line-level
       // dedup of synthetic pages → token-count quality gate → zero-shuffle
@@ -6424,6 +6445,38 @@ object SparkEntry {
           |  len(regexp_extract_all(t, '\(\d{3}\)\s*\d{3}[-.]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
           |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn
           |FROM t""".stripMargin,
+
+      // k-anonymity replay: same coarsened sensitive bucket, group stats,
+      // CASE-suppressed QI columns, and both verdicts
+      "k_anon" ->
+        """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          |  floor(c_acctbal/2000.0)::BIGINT AS bb FROM customer),
+          |g AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+          |  count(DISTINCT bb)::BIGINT AS ns FROM c GROUP BY 1, 2)
+          |SELECT c.c_custkey,
+          |  CASE WHEN g.n >= 10 THEN c.c_nationkey END AS c_nationkey,
+          |  CASE WHEN g.n >= 10 THEN c.c_mktsegment END AS c_mktsegment,
+          |  g.n AS group_n, g.ns AS n_sensitive,
+          |  (g.n < 10) AS suppressed,
+          |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
+          |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+      // distinct-n replay: same tokenizer as token_counts/vocab_topk, list
+      // slices re-render the n-grams, // is DuckDB's floor division
+      "distinct_ngrams" ->
+        """WITH toks AS (SELECT lang,
+          |  list_filter(regexp_split_to_array(lower(text), '\W+'),
+          |    t -> t <> '') AS tk FROM documents),
+          |g AS (SELECT lang, n,
+          |  unnest(CASE WHEN len(tk) >= n THEN
+          |    list_transform(range(len(tk) - n + 1),
+          |      i -> array_to_string(tk[(i+1):(i+n)], ' '))
+          |    ELSE []::VARCHAR[] END) AS gram
+          |  FROM toks, unnest([1, 2, 3]) AS t(n))
+          |SELECT lang, n::BIGINT AS n, count(*)::BIGINT AS total_ngrams,
+          |  count(DISTINCT gram)::BIGINT AS distinct_ngrams,
+          |  (1000 * count(DISTINCT gram) // count(*))::BIGINT AS distinct_milli
+          |FROM g GROUP BY 1, 2""".stripMargin,
 
       "curation_e2e" ->
         s"""WITH pg AS (SELECT doc_id,

@@ -948,4 +948,59 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
   }
+
+  // ------------------------------------------------ n-gram diversity -------
+  /** Word n-grams of `toks` joined with single spaces; empty when the
+    * document is shorter than n. The `when` guard matters: Spark's
+    * `sequence(0, -1)` infers a DESCENDING step and returns [0, -1]
+    * instead of an empty array. */
+  def ngramsCol(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1: $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array())
+  }
+
+  /** distinct-n diversity (Li et al. 2016): per corpus slice and n-gram
+    * order, total n-grams, distinct n-grams, and the distinct fraction in
+    * integer milli. Low distinct-2/3 flags templated or model-generated
+    * text; the metric is the standard per-slice QA gate before a corpus
+    * (or a synthetic-data batch) is admitted to training.
+    *
+    * Shape at scale: narrow n-gram construction, then ONE partial-agg
+    * (slice, n, gram) groupBy followed by a bounded-key (slice, n)
+    * aggregate — the big shuffle carries each distinct gram once per map
+    * partition, never the corpus. Slices with zero tokens emit nothing
+    * (explode of an empty array). */
+  def distinctNgramStats(df: DataFrame, sliceCol: String, textCol: String,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram orders: $ns")
+    require(ns.distinct.size == ns.size, s"duplicate orders: $ns")
+    val toks = tokensCol(col(textCol))
+    val exploded = ns.map { n =>
+      df.select(col(sliceCol).as("slice"),
+        explode(ngramsCol(toks, n)).as("gram"))
+        .withColumn("n", lit(n).cast("long"))
+    }.reduce(_ unionByName _)
+    exploded
+      .groupBy("slice", "n", "gram").agg(count(lit(1)).as("__c"))
+      .groupBy("slice", "n")
+      .agg(sum("__c").as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("distinct_milli",
+        expr("1000 * distinct_ngrams div total_ngrams"))
+  }
+
+  /** Pure twin of [[distinctNgramStats]] for one slice and one n. */
+  def distinctNgramStatsPure(texts: Seq[String], n: Int): (Long, Long, Long) = {
+    val grams = texts.flatMap(t => tokens(t).sliding(n).filter(_.size == n)
+      .map(_.mkString(" ")))
+    if (grams.isEmpty) (0L, 0L, 0L)
+    else {
+      val total = grams.size.toLong
+      val dist = grams.distinct.size.toLong
+      (total, dist, 1000L * dist / total)
+    }
+  }
 }

@@ -1,0 +1,66 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DiversitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "en", "the cat sat on the mat"),
+    (2L, "en", "the cat sat"),
+    (3L, "de", "der hund der hund der hund"),
+    (4L, "de", ""),                       // tokenless doc contributes nothing
+    (5L, "fr", "un"))                     // shorter than n=2 -> only unigrams
+
+  private def df = docs.toDF("doc_id", "lang", "text")
+
+  test("per-slice totals, distincts, and milli match the pure twin") {
+    val got = TextAnalysis.distinctNgramStats(df, "lang", "text", Seq(1, 2))
+      .select("slice", "n", "total_ngrams", "distinct_ngrams", "distinct_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    for (lang <- Seq("en", "de", "fr"); n <- Seq(1, 2)) {
+      val texts = docs.filter(_._2 == lang).map(_._3)
+      val exp = TextAnalysis.distinctNgramStatsPure(texts, n)
+      if (exp._1 == 0L)
+        assert(!got.contains((lang, n.toLong)), s"$lang n=$n should be absent")
+      else
+        assert(got((lang, n.toLong)) == exp, s"$lang n=$n")
+    }
+    // hand-check: en unigrams = 9 total, distinct {the,cat,sat,on,mat} = 5
+    assert(got(("en", 1L)) == ((9L, 5L, 555L)))
+    // de bigrams: "der hund" x3 + "hund der" x2 -> 5 total, 2 distinct
+    assert(got(("de", 2L)) == ((5L, 2L, 400L)))
+    // fr has no bigrams at all
+    assert(!got.contains(("fr", 2L)))
+  }
+
+  test("ngramsCol: short-doc guard returns empty, not a descending sequence") {
+    val grams = df.select(
+        TextAnalysis.ngramsCol(TextAnalysis.tokensCol(col("text")), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(grams.forall(g => g != null))
+    // the 1-token and 0-token docs yield empty arrays
+    assert(grams.count(_.isEmpty) == 2)
+    // repeated trigram counted per occurrence downstream; array keeps order
+    val en = df.filter(col("doc_id") === 1)
+      .select(TextAnalysis.ngramsCol(TextAnalysis.tokensCol(col("text")), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(en == Seq("the cat", "cat sat", "sat on", "on the", "the mat"))
+  }
+
+  test("partitioning invariance and refusals") {
+    val a = TextAnalysis.distinctNgramStats(df, "lang", "text", Seq(1, 2, 3))
+      .collect().map(_.toString).sorted.toSeq
+    val b = TextAnalysis.distinctNgramStats(df.repartition(7), "lang", "text",
+      Seq(1, 2, 3)).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      TextAnalysis.distinctNgramStats(df, "lang", "text", Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.distinctNgramStats(df, "lang", "text", Seq(0)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.distinctNgramStats(df, "lang", "text", Seq(1, 1)))
+  }
+}

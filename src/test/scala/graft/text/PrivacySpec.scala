@@ -1,0 +1,75 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (id, city, segment, salary): city+segment is the QI pair
+  private val rows = Seq(
+    (1L, "berlin", "a", "50k"),
+    (2L, "berlin", "a", "60k"),
+    (3L, "berlin", "a", "60k"),
+    (4L, "paris", "a", "70k"),   // singleton group -> suppressed
+    (5L, "berlin", "b", "50k"),
+    (6L, "berlin", "b", "50k"))  // 2-group, 1 distinct salary
+
+  private def df = rows.toDF("id", "city", "segment", "salary")
+
+  test("suppression + verdicts match the hand-derived groups") {
+    val got = Privacy.kAnonymize(df, Seq("city", "segment"), "salary", k = 2, l = 2)
+      .select("id", "city", "segment", "group_n", "n_sensitive",
+        "suppressed", "l_diverse")
+      .as[(Long, Option[String], Option[String], Long, Long, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    // (berlin,a): n=3, 2 salaries -> kept, diverse
+    assert(got(0) == ((1L, Some("berlin"), Some("a"), 3L, 2L, false, true)))
+    // paris singleton: QI nulled, suppressed, never l_diverse
+    assert(got(3) == ((4L, None, None, 1L, 1L, true, false)))
+    // (berlin,b): kept but NOT l-diverse (one shared salary)
+    assert(got(4) == ((5L, Some("berlin"), Some("b"), 2L, 1L, false, false)))
+    // non-QI payload survives suppression
+    val salaries = Privacy.kAnonymize(df, Seq("city", "segment"), "salary", 2, 2)
+      .select("id", "salary").as[(Long, String)].collect().toMap
+    assert(salaries == rows.map(r => r._1 -> r._4).toMap)
+  }
+
+  test("null QI values form their own group (null-safe join)") {
+    val withNull = df.withColumn("city",
+      when(col("id") >= 5, lit(null)).otherwise(col("city")))
+    val byId = Privacy.kAnonymize(withNull, Seq("city", "segment"), "salary", 2, 1)
+      .select("id", "group_n").as[(Long, Long)].collect().toMap
+    // ids 5,6 share (null, "b") -> group of 2, kept
+    assert(byId(5L) == 2L && byId(6L) == 2L)
+    // every input row comes back exactly once even with null keys
+    assert(byId.keySet == rows.map(_._1).toSet)
+  }
+
+  test("pure-twin parity across partitionings") {
+    val pure = Privacy.kAnonymizePure(
+      rows.map(r => (r._1, Seq(Option(r._2), Option(r._3)), r._4)), k = 2, l = 2)
+    for (parts <- Seq(1, 7)) {
+      val got = Privacy.kAnonymize(df.repartition(parts),
+          Seq("city", "segment"), "salary", 2, 2)
+        .select("id", "group_n", "n_sensitive", "suppressed", "l_diverse")
+        .as[(Long, Long, Long, Boolean, Boolean)].collect()
+      assert(got.length == rows.length)
+      for ((id, n, ns, sup, ld) <- got)
+        assert(pure(id) == ((n, ns, sup, ld)), s"id=$id parts=$parts")
+    }
+  }
+
+  test("refusals") {
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymize(df, Seq("city"), "salary", k = 0, l = 1))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymize(df, Seq("city"), "salary", k = 1, l = 0))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymize(df, Seq.empty, "salary", 2, 2))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymize(df, Seq("nope"), "salary", 2, 2))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymize(df, Seq("salary"), "salary", 2, 2))
+  }
+}
