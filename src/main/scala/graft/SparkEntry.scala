@@ -2333,6 +2333,15 @@ object SparkEntry {
           col("distinct_ngrams"), col("distinct_milli"))
     }),
 
+    "snm_pairs" -> ((s, d) => {
+      // sorted-neighborhood blocking: prefix of the lowered text as the
+      // discriminating key, window 4 over the global (key, id) order
+      val docs = rd(s, d, "documents")
+        .select(col("doc_id"), substring(lower(col("text")), 1, 24).as("k"))
+      graft.dedup.Blocking.sortedNeighborhood(docs, "doc_id", "k", 4)
+        .select(col("id_a"), col("id_b"), col("rank_dist"))
+    }),
+
     "curation_e2e" -> ((s, d) => {
       // the full pretraining-corpus curation chain in ONE plan: line-level
       // dedup of synthetic pages → token-count quality gate → zero-shuffle
@@ -6477,6 +6486,17 @@ object SparkEntry {
           |  count(DISTINCT gram)::BIGINT AS distinct_ngrams,
           |  (1000 * count(DISTINCT gram) // count(*))::BIGINT AS distinct_milli
           |FROM g GROUP BY 1, 2""".stripMargin,
+
+      // SNM replay: the window form the operator avoids — row_number over
+      // the (key, id) total order + a rank-distance self-join
+      "snm_pairs" ->
+        """WITH k AS (SELECT doc_id, substr(lower(text), 1, 24) AS k
+          |  FROM documents),
+          |r AS (SELECT doc_id,
+          |  row_number() OVER (ORDER BY k, doc_id) - 1 AS rnk FROM k)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  (b.rnk - a.rnk)::BIGINT AS rank_dist
+          |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3""".stripMargin,
 
       "curation_e2e" ->
         s"""WITH pg AS (SELECT doc_id,
