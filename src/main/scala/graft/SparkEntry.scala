@@ -2342,6 +2342,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("rank_dist"))
     }),
 
+    "kcenter_select" -> ((s, d) => {
+      // greedy k-center coreset selection, 4 driver-paced rounds
+      Similarity.kCenterSelect(rd(s, d, "embeddings"), "vec_id", "embedding", 4)
+        .select(col("round"), col("vec_id"), col("dist2"))
+    }),
+
     "curation_e2e" -> ((s, d) => {
       // the full pretraining-corpus curation chain in ONE plan: line-level
       // dedup of synthetic pages → token-count quality gate → zero-shuffle
@@ -6497,6 +6503,31 @@ object SparkEntry {
           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |  (b.rnk - a.rnk)::BIGINT AS rank_dist
           |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3""".stripMargin,
+
+      // greedy k-center replay: all 3 post-seed rounds unrolled — micro-
+      // quantized int64 squared distances, arg-max with the (md, id)
+      // tie-break, running least() min-distance exactly as the operator
+      "kcenter_select" ->
+        """WITH e AS (SELECT vec_id,
+          |  list_transform(embedding, x -> round(x::DOUBLE*1e6)::BIGINT) AS v
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+          |d1 AS (SELECT e.vec_id, e.v, list_sum(list_transform(
+          |    list_zip(e.v, c0.v), p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT AS md
+          |  FROM e, c0),
+          |c1 AS (SELECT * FROM d1 ORDER BY md DESC, vec_id LIMIT 1),
+          |d2 AS (SELECT d1.vec_id, d1.v, least(d1.md, list_sum(list_transform(
+          |    list_zip(d1.v, c1.v), p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT) AS md
+          |  FROM d1, c1),
+          |c2 AS (SELECT * FROM d2 ORDER BY md DESC, vec_id LIMIT 1),
+          |d3 AS (SELECT d2.vec_id, d2.v, least(d2.md, list_sum(list_transform(
+          |    list_zip(d2.v, c2.v), p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT) AS md
+          |  FROM d2, c2),
+          |c3 AS (SELECT * FROM d3 ORDER BY md DESC, vec_id LIMIT 1)
+          |SELECT 0::BIGINT AS round, vec_id, 0::BIGINT AS dist2 FROM c0
+          |UNION ALL SELECT 1, vec_id, md FROM c1
+          |UNION ALL SELECT 2, vec_id, md FROM c2
+          |UNION ALL SELECT 3, vec_id, md FROM c3""".stripMargin,
 
       "curation_e2e" ->
         s"""WITH pg AS (SELECT doc_id,

@@ -584,4 +584,96 @@ object Similarity {
       .withColumn("n_closer_dups", coalesce(col("n_closer_dups"), lit(0L)))
       .withColumn("is_kept", col("n_closer_dups") === 0)
   }
+  // ------------------------------------------------ k-center selection -----
+  /** Greedy k-center / farthest-point traversal (Gonzalez 1985) — the
+    * classic coreset selector for data curation (Sener & Savarese 2018,
+    * "Active Learning for CNNs: A Core-Set Approach"): pick the point
+    * farthest from everything selected so far, k times. The selected rows
+    * maximize coverage diversity; `dist2` of round r is the corpus'
+    * covering radius BEFORE that center was added, so the output doubles
+    * as the coverage-radius curve.
+    *
+    * Determinism: exact integer micro² squared-Euclidean distances
+    * (coords quantized to 1e-6; dim·64 × (2·10⁶)² ≪ 2⁶³ so the sum never
+    * overflows), seed = smallest id, arg-max ties broken by smallest id.
+    *
+    * Shape at scale: k-1 driver-paced rounds (same contract as the BPE
+    * trainer — k is tens-to-hundreds for curation, never corpus-sized);
+    * each round is ONE narrow column update against the newest center (a
+    * broadcast-literal array) + ONE TakeOrdered(1) action. The running
+    * min-distance column is persisted and rolled forward, so round r does
+    * NOT recompute r-1 distance evaluations — total work is O(n·k·dim)
+    * spread over k scans, the textbook distributed Gonzalez. Early-stops
+    * when the covering radius hits 0 (fewer distinct points than k).
+    */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType, s"$idCol must be LONG")
+
+    def dist2To(c: Seq[Long]): Column = aggregate(
+      zip_with(col("__v"), array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1e6).cast("long")).as("__v"))
+    val seed = base.orderBy(col("__id")).limit(1)
+      .select(col("__id"), col("__v")).collect()(0)
+    val seedId = seed.getLong(0)
+    val seedVec = seed.getSeq[Long](1)
+    val out = scala.collection.mutable.ArrayBuffer((0L, seedId, 0L))
+    var cur = graft.io.Persisted.track(
+      base.withColumn("__mind", dist2To(seedVec)).persist())
+    var r = 1
+    var radius0 = false
+    while (r < k && !radius0) {
+      val top = cur.orderBy(col("__mind").desc, col("__id")).limit(1)
+        .select(col("__id"), col("__v"), col("__mind")).collect()(0)
+      if (top.getLong(2) == 0L) radius0 = true // every point IS a center
+      else {
+        out += ((r.toLong, top.getLong(0), top.getLong(2)))
+        if (r < k - 1) {
+          val next = graft.io.Persisted.track(cur.withColumn("__mind",
+            least(col("__mind"), dist2To(top.getSeq[Long](1)))).persist())
+          next.limit(1).count() // materialize before dropping the parent
+          cur.unpersist()
+          cur = next
+        }
+      }
+      r += 1
+    }
+    cur.unpersist()
+    out.toSeq.toDF("round", idCol, "dist2")
+  }
+
+  /** Pure twin of [[kCenterSelect]]: (id, vec) rows → (round, id, dist2). */
+  def kCenterSelectPure(rows: Seq[(Long, Seq[Float])], k: Int)
+      : Seq[(Long, Long, Long)] = {
+    require(k >= 1 && rows.nonEmpty)
+    val pts = rows.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)) }
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var mind = pts.map(p => p._1 -> d2(p._2, pts.head._2)).toMap
+    val byId = pts.toMap
+    val out = scala.collection.mutable.ArrayBuffer((0L, pts.head._1, 0L))
+    var r = 1
+    var stop = false
+    while (r < k && !stop) {
+      val (id, md) = mind.toSeq.maxBy { case (i, m) => (m, -i) }
+      if (md == 0L) stop = true
+      else {
+        out += ((r.toLong, id, md))
+        mind = mind.map { case (i, m) => i -> math.min(m, d2(byId(i), byId(id))) }
+      }
+      r += 1
+    }
+    out.toSeq
+  }
 }
