@@ -2348,6 +2348,18 @@ object SparkEntry {
         .select(col("round"), col("vec_id"), col("dist2"))
     }),
 
+    "bitext_mine" -> ((s, d) => {
+      // margin-based parallel-pair mining: even ids stand in for the source
+      // language, odd ids for the target; both capped for a bounded oracle
+      val e = rd(s, d, "embeddings")
+      Similarity.bitextMine(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0 && col("vec_id") < 200),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 200),
+        "vec_id", "embedding", 4)
+        .select(col("src_id"), col("dst_id"), col("cos_micro"),
+          col("margin_milli"), col("is_best"))
+    }),
+
     "curation_e2e" -> ((s, d) => {
       // the full pretraining-corpus curation chain in ONE plan: line-level
       // dedup of synthetic pages → token-count quality gate → zero-shuffle
@@ -6528,6 +6540,40 @@ object SparkEntry {
           |UNION ALL SELECT 1, vec_id, md FROM c1
           |UNION ALL SELECT 2, vec_id, md FROM c2
           |UNION ALL SELECT 3, vec_id, md FROM c3""".stripMargin,
+
+      // bitext-margin replay: both kNN directions (the knn_topk cosine
+      // chain in micro), neighborhood sums, the exact integer ratio margin
+      // (// and div both truncate toward zero), per-src best window
+      "bitext_mine" ->
+        """WITH s AS (SELECT vec_id, embedding FROM embeddings
+          |  WHERE vec_id % 2 = 0 AND vec_id < 200),
+          |d AS (SELECT vec_id, embedding FROM embeddings
+          |  WHERE vec_id % 2 = 1 AND vec_id < 200),
+          |fc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          |  round(round(list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |    / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) * 1e6)::BIGINT AS cm
+          |  FROM s q JOIN d c ON true),
+          |fk AS (SELECT * FROM (SELECT qid, cid, cm,
+          |  row_number() OVER (PARTITION BY qid ORDER BY cm DESC, cid) AS rk
+          |  FROM fc) WHERE rk <= 4),
+          |bc AS (SELECT qid, cid, cm FROM (SELECT cid AS qid, qid AS cid, cm FROM fc)),
+          |bk AS (SELECT * FROM (SELECT qid, cid, cm,
+          |  row_number() OVER (PARTITION BY qid ORDER BY cm DESC, cid) AS rk
+          |  FROM bc) WHERE rk <= 4),
+          |ss AS (SELECT qid AS src_id, sum(cm)::BIGINT AS sum_src,
+          |  count(*)::BIGINT AS n_src FROM fk GROUP BY 1),
+          |sd AS (SELECT qid AS dst_id, sum(cm)::BIGINT AS sum_dst,
+          |  count(*)::BIGINT AS n_dst FROM bk GROUP BY 1),
+          |p AS (SELECT fk.qid AS src_id, fk.cid AS dst_id, fk.cm AS cos_micro,
+          |  ((2000*fk.cm*ss.n_src*sd.n_dst) //
+          |   (ss.sum_src*sd.n_dst + sd.sum_dst*ss.n_src))::BIGINT AS margin_milli
+          |  FROM fk JOIN ss ON ss.src_id = fk.qid JOIN sd ON sd.dst_id = fk.cid
+          |  WHERE ss.sum_src*sd.n_dst + sd.sum_dst*ss.n_src > 0)
+          |SELECT src_id, dst_id, cos_micro, margin_milli,
+          |  (row_number() OVER (PARTITION BY src_id
+          |    ORDER BY margin_milli DESC, dst_id) = 1) AS is_best
+          |FROM p""".stripMargin,
 
       "curation_e2e" ->
         s"""WITH pg AS (SELECT doc_id,

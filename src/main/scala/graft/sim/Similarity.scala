@@ -676,4 +676,80 @@ object Similarity {
     }
     out.toSeq
   }
+  // ------------------------------------------------ bitext margin mining ---
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, "Margin-
+    * based Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the CCMatrix/LASER recipe): a (src, dst) pair's raw cosine is
+    * normalized by both sides' average cosine to their own k nearest
+    * neighbors in the OTHER corpus, so hub sentences (close to everything)
+    * stop winning every retrieval. ratio margin, both-direction
+    * neighborhoods, integer throughout:
+    *
+    *   margin_milli = 2000·cos·n_src·n_dst div (sum_src·n_dst + sum_dst·n_src)
+    *
+    * with cos in micro (the 6-dp cosine is exactly integral in micro) and
+    * sum/n the neighborhood cosine sum and size. Pairs whose denominator
+    * is not positive (average neighborhood cosine ≤ 0 — unrelated spaces)
+    * are dropped: the margin is meaningless there.
+    *
+    * Shape at scale: candidates here come from [[bruteForceTopK]] both ways
+    * (queries broadcast, one top-k window each); the margin stage itself is
+    * TWO bounded-key aggregates (one row per query) + two equi-joins on the
+    * pair list. At corpus scale swap the kNN source for [[graft.sim.Pq.ivfpqTopK]]
+    * or [[rhpNearDupPairs]] — the scoring is agnostic to where the
+    * neighbor lists came from.
+    */
+  def bitextMine(src: DataFrame, dst: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def micro(df: DataFrame) =
+      df.withColumn("cos_micro", round(col("cos") * 1e6).cast("long"))
+    val fwd = micro(bruteForceTopK(dst, src, idCol, vecCol, k))
+    val bwd = micro(bruteForceTopK(src, dst, idCol, vecCol, k))
+    val sumS = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(sum("cos_micro").as("__sum_src"), count(lit(1)).as("__n_src"))
+    val sumD = bwd.groupBy(col("query_id").as("dst_id"))
+      .agg(sum("cos_micro").as("__sum_dst"), count(lit(1)).as("__n_dst"))
+    val pairs = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("dst_id"), col("cos_micro"))
+      .join(sumS, "src_id").join(sumD, "dst_id")
+      .filter(col("__sum_src") * col("__n_dst") +
+        col("__sum_dst") * col("__n_src") > 0)
+      .withColumn("margin_milli",
+        expr("(2000 * cos_micro * __n_src * __n_dst) div " +
+          "(__sum_src * __n_dst + __sum_dst * __n_src)"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("margin_milli").desc, col("dst_id"))
+    pairs.withColumn("is_best", row_number().over(w) === 1)
+      .select("src_id", "dst_id", "cos_micro", "margin_milli", "is_best")
+  }
+
+  /** Pure twin of [[bitextMine]] over in-memory vectors. */
+  def bitextMinePure(src: Seq[(Long, Seq[Float])], dst: Seq[(Long, Seq[Float])],
+      k: Int): Seq[(Long, Long, Long, Long, Boolean)] = {
+    def cosM(a: Seq[Float], b: Seq[Float]): Long = {
+      val c = BigDecimal(cosine(a, b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (c * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    def topk(qs: Seq[(Long, Seq[Float])], cs: Seq[(Long, Seq[Float])]) =
+      qs.map { case (qid, qv) =>
+        qid -> cs.filter(_._1 != qid).map { case (cid, cv) => (cid, cosM(qv, cv)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(k)
+      }.toMap
+    val fwd = topk(src, dst)
+    val bwd = topk(dst, src)
+    // Spark `div` and DuckDB `//` both truncate toward zero = Long./
+    val rows = for {
+      (sid, nbrs) <- fwd.toSeq
+      sumS = nbrs.map(_._2).sum; nS = nbrs.size.toLong
+      (did, c) <- nbrs
+      sumD = bwd(did).map(_._2).sum; nD = bwd(did).size.toLong
+      denom = sumS * nD + sumD * nS
+      if denom > 0
+    } yield (sid, did, c, 2000L * c * nS * nD / denom)
+    rows.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val best = ps.sortBy { case (_, did, _, m) => (-m, did) }.head
+      ps.map(p => (p._1, p._2, p._3, p._4, p == best))
+    }
+  }
 }
