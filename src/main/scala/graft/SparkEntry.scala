@@ -2348,6 +2348,14 @@ object SparkEntry {
         .select(col("round"), col("vec_id"), col("dist2"))
     }),
 
+    "span_corrupt" -> ((s, d) => {
+      // T5 denoising examples straight off the corpus: block-deterministic
+      // span masking at the 15% default (blocks of 10, spans 0-3)
+      graft.text.SpanCorrupt.corrupt(rd(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("input_text"), col("target_text"),
+          col("n_spans"), col("n_masked"))
+    }),
+
     "bitext_mine" -> ((s, d) => {
       // margin-based parallel-pair mining: even ids stand in for the source
       // language, odd ids for the target; both capped for a bounded oracle
@@ -6540,6 +6548,46 @@ object SparkEntry {
           |UNION ALL SELECT 1, vec_id, md FROM c1
           |UNION ALL SELECT 2, vec_id, md FROM c2
           |UNION ALL SELECT 3, vec_id, md FROM c3""".stripMargin,
+
+      // span-corruption replay: same block hash (sc:<id>:<b> through the
+      // hash60 idiom), capped span lengths, prefix sentinel numbering,
+      // list-slice re-rendering of input/target
+      "span_corrupt" ->
+        """WITH d AS (SELECT doc_id,
+          |  regexp_replace(text, '^\s+|\s+$', '') AS t FROM documents),
+          |tk AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+          |  ELSE regexp_split_to_array(t, '\s+') END AS toks FROM d),
+          |b AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+          |  ((len(toks) + 9) // 10)::BIGINT AS nb FROM tk),
+          |sb AS (SELECT doc_id, toks, n, nb, list_transform(range(nb), bb ->
+          |  ('0x'||substr(md5('sc:'||doc_id||':'||bb), 1, 15))::BIGINT % 4) AS sbl
+          |  FROM b),
+          |eff AS (SELECT doc_id, toks, n, nb, sbl,
+          |  list_transform(range(nb), bb ->
+          |    least(sbl[(bb+1)::INT], n - bb*10)) AS se,
+          |  list_transform(range(nb), bb ->
+          |    least(10::BIGINT, n - bb*10)) AS bl,
+          |  list_transform(range(nb), bb ->
+          |    len(list_filter(sbl[1:bb::INT], x -> x > 0))::BIGINT) AS pre
+          |  FROM sb)
+          |SELECT doc_id,
+          |  coalesce(array_to_string(flatten(list_transform(range(nb), bb ->
+          |    list_concat(
+          |      CASE WHEN se[(bb+1)::INT] > 0
+          |        THEN ['<extra_id_'||pre[(bb+1)::INT]||'>']
+          |        ELSE []::VARCHAR[] END,
+          |      toks[(bb*10 + se[(bb+1)::INT] + 1)::INT
+          |           : (bb*10 + bl[(bb+1)::INT])::INT]))), ' '), '') AS input_text,
+          |  coalesce(array_to_string(flatten(list_transform(range(nb), bb ->
+          |    CASE WHEN se[(bb+1)::INT] > 0 THEN
+          |      list_concat(['<extra_id_'||pre[(bb+1)::INT]||'>'],
+          |        toks[(bb*10 + 1)::INT : (bb*10 + se[(bb+1)::INT])::INT])
+          |    ELSE []::VARCHAR[] END)), ' '), '') AS target_text,
+          |  coalesce(list_sum(list_transform(se,
+          |    x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)), 0)::BIGINT AS n_spans,
+          |  coalesce(list_sum(list_transform(se,
+          |    x -> CASE WHEN x > 0 THEN x ELSE 0 END)), 0)::BIGINT AS n_masked
+          |FROM eff""".stripMargin,
 
       // bitext-margin replay: both kNN directions (the knn_topk cosine
       // chain in micro), neighborhood sums, the exact integer ratio margin
