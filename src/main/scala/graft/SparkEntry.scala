@@ -2348,6 +2348,46 @@ object SparkEntry {
         .select(col("round"), col("vec_id"), col("dist2"))
     }),
 
+    "audio_vad" -> ((s, d) => {
+      // energy VAD through the REAL WAV decode path: frames of 64 samples,
+      // active above the integer clip mean, hangover gap 1
+      import s.implicits._
+      val refs = rd(s, d, "supplier").select(
+        concat(lit("wav-"), col("s_suppkey").cast("string")).as("ref"),
+        (lit(256) + pmod(col("s_suppkey"), lit(512))).cast("int").as("n"))
+        .as[(String, Int)]
+      Media.vadSegments(refs, 64, 1000L, 1).toDF()
+        .select(col("media_ref"), col("seg").cast("long").as("seg"),
+          col("start_frame").cast("long").as("start_frame"),
+          col("end_frame").cast("long").as("end_frame"),
+          col("n_active").cast("long").as("n_active"))
+    }),
+
+    "video_scenes" -> ((s, d) => {
+      // scene-cut detection over planted scene structure: frames inside a
+      // scene share a seed (identical pixels), boundaries jump; hashes come
+      // through the REAL PNG decode, cuts at aHash Hamming >= 8
+      import s.implicits._
+      val grp = pmod(col("c_custkey"), lit(30))
+      val frames = rd(s, d, "customer").filter(col("c_custkey") <= 120)
+        .select(concat(lit("scn-"), col("c_custkey").cast("string")).as("clip"),
+          grp.as("g"))
+        .select(col("clip"), col("g"),
+          explode(sequence(lit(0), lit(7))).as("f"))
+      val specs = frames.select(
+        concat(col("clip"), lit("#"), col("f").cast("string")).as("ref"),
+        TA.hash32(concat(lit("scene:"), col("g").cast("string"), lit(":"),
+          expr("f div (2 + g % 3)").cast("string"))).as("seed"),
+        (lit(16) + pmod(col("g"), lit(5))).cast("int").as("w"),
+        (lit(12) + pmod(col("g"), lit(5))).cast("int").as("h"))
+        .as[(String, Long, Int, Int)]
+      val hashes = Media.imageHashes(specs).toDF()
+        .select(split(col("media_ref"), "#").getItem(0).as("media_ref"),
+          split(col("media_ref"), "#").getItem(1).cast("long").as("frame_index"),
+          col("ahash_hi"), col("ahash_lo"))
+      Media.sceneCuts(hashes, 8)
+    }),
+
     "span_corrupt" -> ((s, d) => {
       // T5 denoising examples straight off the corpus: block-deterministic
       // span masking at the 15% default (blocks of 10, spans 0-3)
@@ -6548,6 +6588,66 @@ object SparkEntry {
           |UNION ALL SELECT 1, vec_id, md FROM c1
           |UNION ALL SELECT 2, vec_id, md FROM c2
           |UNION ALL SELECT 3, vec_id, md FROM c3""".stripMargin,
+
+      // VAD replay: synth PCM arithmetic (WAV is lossless), integer frame
+      // means, cross-multiplied threshold, gaps-and-islands hangover merge
+      "audio_vad" ->
+        """WITH r AS (SELECT 'wav-'||s_suppkey AS media_ref,
+          |  256 + s_suppkey%512 AS n,
+          |  ('0x'||substr(md5('wav-'||s_suppkey),1,8))::BIGINT AS seed
+          |  FROM supplier),
+          |sam AS (SELECT media_ref, n,
+          |  list_transform(range(n), i -> abs(((i*773 + seed*31) % 65536) - 32768)) AS a
+          |  FROM r),
+          |cm AS (SELECT media_ref, n, a,
+          |  (list_sum(a) // n)::BIGINT AS clip_mean,
+          |  ((n + 63) // 64)::BIGINT AS nf FROM sam),
+          |fr AS (SELECT media_ref, clip_mean, f,
+          |  (list_sum(a[(f*64+1)::INT : least((f+1)*64, n)::INT])
+          |    // (least((f+1)*64, n) - f*64))::BIGINT AS fmean
+          |  FROM cm, unnest(range(nf)) AS t(f)),
+          |act AS (SELECT media_ref, f FROM fr
+          |  WHERE fmean * 1000 > 1000 * clip_mean),
+          |brk AS (SELECT media_ref, f, CASE WHEN
+          |    f - lag(f) OVER (PARTITION BY media_ref ORDER BY f) <= 2
+          |  THEN 0 ELSE 1 END AS b FROM act),
+          |sid AS (SELECT media_ref, f,
+          |  sum(b) OVER (PARTITION BY media_ref ORDER BY f) - 1 AS seg
+          |  FROM brk)
+          |SELECT media_ref, seg::BIGINT AS seg, min(f)::BIGINT AS start_frame,
+          |  max(f)::BIGINT AS end_frame, count(*)::BIGINT AS n_active
+          |FROM sid GROUP BY 1, 2""".stripMargin,
+
+      // scene-cut replay: per-frame scene seeds, the aHash pixel chain
+      // (the image_phash idiom), then the lag-window Hamming rule
+      "video_scenes" ->
+        """WITH spec0 AS (SELECT 'scn-'||c_custkey AS media_ref,
+          |  (c_custkey%30) AS g FROM customer WHERE c_custkey <= 120),
+          |fr AS (SELECT media_ref, g, unnest(range(8)) AS f FROM spec0),
+          |fs AS (SELECT media_ref, f,
+          |  ('0x'||substr(md5('scene:'||g||':'||(f//(2+g%3))),1,8))::BIGINT AS fseed,
+          |  (16 + g%5)::INT AS w, (12 + g%5)::INT AS h FROM fr),
+          |pxx AS (SELECT media_ref, f, fseed, w, h, unnest(range(w)) AS x FROM fs),
+          |px AS (SELECT media_ref, f, fseed, w, h, x, unnest(range(h)) AS y FROM pxx),
+          |g2 AS (SELECT media_ref, f, ((y*8)//h)*8 + ((x*8)//w) AS c,
+          |  (299*((x*31+y*17+fseed)%256) + 587*((x*13+y*29+fseed)%256)
+          |    + 114*((x*7+y*43+fseed)%256)) // 1000 AS gray FROM px),
+          |cells AS (SELECT media_ref, f, c, sum(gray)//count(*) AS m
+          |  FROM g2 GROUP BY 1,2,3),
+          |ov AS (SELECT media_ref, f, sum(m)//64 AS om FROM cells GROUP BY 1,2),
+          |bits AS (SELECT cells.media_ref, cells.f,
+          |  sum(CASE WHEN m > om AND c >= 32 THEN (1::BIGINT << (c-32))
+          |    ELSE 0 END)::BIGINT AS hi,
+          |  sum(CASE WHEN m > om AND c < 32 THEN (1::BIGINT << c)
+          |    ELSE 0 END)::BIGINT AS lo
+          |  FROM cells JOIN ov USING (media_ref, f) GROUP BY 1,2),
+          |lagd AS (SELECT media_ref, f, hi, lo,
+          |  lag(hi) OVER (PARTITION BY media_ref ORDER BY f) AS phi,
+          |  lag(lo) OVER (PARTITION BY media_ref ORDER BY f) AS plo FROM bits)
+          |SELECT media_ref, f::BIGINT AS frame_index,
+          |  (bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)))::BIGINT AS dist
+          |FROM lagd WHERE phi IS NOT NULL
+          |  AND bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) >= 8""".stripMargin,
 
       // span-corruption replay: same block hash (sc:<id>:<b> through the
       // hash60 idiom), capped span lengths, prefix sentinel numbering,

@@ -564,4 +564,106 @@ object Media {
       .agg(count(lit(1)).as("matched_frames"))
       .filter(col("matched_frames") >= minFrames)
   }
+
+  // --------------------------------------------- audio VAD segmentation ----
+
+  /** One voice-activity segment of a clip: active-frame run with gap
+    * tolerance. `end_frame` is the LAST active frame (inclusive). */
+  final case class VadSegment(media_ref: String, seg: Int, start_frame: Int,
+    end_frame: Int, n_active: Int)
+
+  /** Energy-threshold voice-activity detection over a PCM sample array —
+    * the classic first stage of any speech-data pipeline (frame energy vs
+    * an adaptive clip-level threshold, hangover merging; Sohn et al. 1999
+    * shape, energy-only variant). Integer throughout:
+    *  - frame f = samples [f·frameLen, min((f+1)·frameLen, n)), mean
+    *    |sample| by integral division;
+    *  - frame ACTIVE iff frameMean·1000 > thrMilli·clipMean (cross-
+    *    multiplied — no division, no floats), clipMean = Σ|sample| div n;
+    *  - active runs separated by ≤ maxGap inactive frames merge into one
+    *    segment (the hangover); a clip with no active frame emits nothing.
+    */
+  def vadSegmentsPure(samples: Array[Int], frameLen: Int, thrMilli: Long,
+      maxGap: Int): Seq[VadSegment] = {
+    require(frameLen >= 1 && thrMilli >= 0 && maxGap >= 0)
+    val n = samples.length
+    if (n == 0) return Seq.empty
+    var total = 0L
+    var i = 0
+    while (i < n) { total += math.abs(samples(i).toLong); i += 1 }
+    val clipMean = total / n
+    val nf = (n + frameLen - 1) / frameLen
+    val active = (0 until nf).filter { f =>
+      val from = f * frameLen
+      val until = math.min(from + frameLen, n)
+      var s = 0L
+      var j = from
+      while (j < until) { s += math.abs(samples(j).toLong); j += 1 }
+      (s / (until - from)) * 1000L > thrMilli * clipMean
+    }
+    if (active.isEmpty) return Seq.empty
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var start = active.head
+    var last = active.head
+    var cnt = 1
+    for (f <- active.tail) {
+      if (f - last <= maxGap + 1) { last = f; cnt += 1 }
+      else { segs += ((start, last, cnt)); start = f; last = f; cnt = 1 }
+    }
+    segs += ((start, last, cnt))
+    segs.toSeq.zipWithIndex.map { case ((s, e, c), k) =>
+      VadSegment("", k, s, e, c) }
+  }
+
+  /** Distributed VAD over (media_ref, n_samples) specs through the REAL
+    * decode path (synth PCM → WAV encode → javax.sound decode), seed =
+    * hash32(ref) as in [[decodeAudioStats]]. Narrow, no shuffle; at scale
+    * the per-clip kernel cost is linear in samples and nothing crosses
+    * partitions. */
+  def vadSegments(refs: Dataset[(String, Int)], frameLen: Int,
+      thrMilli: Long, maxGap: Int): Dataset[VadSegment] = {
+    import refs.sparkSession.implicits._
+    refs.mapPartitions(_.flatMap { case (ref, n) =>
+      val seed = graft.text.TextAnalysis.hash32(ref)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(synthWavBytes(seed, n)))
+      val samples = try {
+        val pcm = in.readAllBytes()
+        Array.tabulate(pcm.length / 2)(i =>
+          (pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8))
+      } finally in.close()
+      vadSegmentsPure(samples, frameLen, thrMilli, maxGap)
+        .map(_.copy(media_ref = ref))
+    })
+  }
+
+  // --------------------------------------------- video scene detection -----
+
+  /** Scene-cut detection over a per-frame perceptual-hash table
+    * (`media_ref`, `frame_index`, `ahash_hi`, `ahash_lo` — the
+    * [[videoHashes]] output shape): frame k starts a new scene when its
+    * aHash Hamming distance to frame k-1 is at least `minHamming` (the
+    * standard hash-distance shot-boundary detector). Output: one row per
+    * CUT (media_ref, frame_index, dist) — the first frame of each new
+    * scene; a clip with static content emits nothing.
+    *
+    * Shape at scale: ONE hash exchange on media_ref + an in-partition
+    * window over the clip's (bounded, sampled) frames; `bit_count` over
+    * xor is codegen'd. Never a join. */
+  def sceneCuts(frameHashes: org.apache.spark.sql.DataFrame,
+      minHamming: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(minHamming >= 1, s"minHamming must be >= 1: $minHamming")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_ref").orderBy("frame_index")
+    frameHashes
+      .withColumn("__phi", lag("ahash_hi", 1).over(w))
+      .withColumn("__plo", lag("ahash_lo", 1).over(w))
+      .filter(col("__phi").isNotNull)
+      .withColumn("dist",
+        (bit_count(col("ahash_hi").bitwiseXOR(col("__phi"))) +
+         bit_count(col("ahash_lo").bitwiseXOR(col("__plo")))).cast("long"))
+      .filter(col("dist") >= minHamming)
+      .select(col("media_ref"), col("frame_index"), col("dist"))
+  }
 }
