@@ -32,7 +32,10 @@ object ExplainQuery {
         "pq_topk", "ivfpq_topk", "pagerank_dangling",
         "dedup_clusters_alt", "dedup_best_of_cluster", "hits_scores",
         "redirect_resolve", "budget_select", "stream_jsonl",
-        "stream_join", "global_ids", "heavy_hitters")
+        "stream_join", "global_ids", "heavy_hitters",
+        // kcenter runs its driver-paced selection rounds at construction;
+        // snm_pairs ranks through Ids.assign (a count job + prefix-sum)
+        "kcenter_select", "snm_pairs")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

@@ -977,13 +977,16 @@ object TextAnalysis {
       ns: Seq[Int]): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram orders: $ns")
     require(ns.distinct.size == ns.size, s"duplicate orders: $ns")
-    val toks = tokensCol(col(textCol))
-    val exploded = ns.map { n =>
-      df.select(col(sliceCol).as("slice"),
-        explode(ngramsCol(toks, n)).as("gram"))
-        .withColumn("n", lit(n).cast("long"))
-    }.reduce(_ unionByName _)
-    exploded
+    // all orders built from ONE tokenization in ONE scan (a per-order
+    // union would re-read the table once per n at 100 TB)
+    val grams = ns.map { n =>
+      transform(ngramsCol(col("__toks"), n),
+        g => struct(lit(n.toLong).as("n"), g.as("gram")))
+    }
+    df.withColumn("__toks", tokensCol(col(textCol)))
+      .select(col(sliceCol).as("slice"),
+        explode(flatten(array(grams: _*))).as("__p"))
+      .select(col("slice"), col("__p.n").as("n"), col("__p.gram").as("gram"))
       .groupBy("slice", "n", "gram").agg(count(lit(1)).as("__c"))
       .groupBy("slice", "n")
       .agg(sum("__c").as("total_ngrams"),
