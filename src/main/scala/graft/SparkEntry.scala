@@ -3730,6 +3730,51 @@ object SparkEntry {
       s.read.parquet(out).select("id_a", "id_b", "sim_milli").distinct()
     }),
 
+    "stream_topk" -> ((s, d) => {
+      // streaming Misra-Gries frequent items over a REAL checkpointed
+      // stream: values hash-shard into 4 MG states of 8 counters, a
+      // sentinel per shard flushes candidates, and the batch-side exact
+      // rescore (the heavy_hitters contract) yields the deterministic
+      // answer regardless of how micro-batches sliced the stream
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val base = 1767225600L // 2026-01-01 00:00:00 UTC
+      def corpus = rd(s, d, "lineitem").filter(col("l_orderkey") <= 20000)
+        .select(when(pmod(col("l_orderkey"), lit(10)) < 3, lit("hot-a"))
+          .when(pmod(col("l_orderkey"), lit(10)) < 6, lit("hot-b"))
+          .otherwise(concat(lit("v"),
+            pmod(col("l_orderkey"), lit(97)).cast("string"))).as("value"))
+      val vals = corpus
+        .withColumn("shard", pmod(TA.hash60(col("value")), lit(4)).cast("int"))
+        .withColumn("event_time",
+          (lit(base) + pmod(TA.hash60(col("value")), lit(3600)))
+            .cast("timestamp"))
+        .withColumn("flush", lit(false))
+        .select("shard", "value", "event_time", "flush")
+      val sent = s.range(4).select(col("id").cast("int").as("shard"),
+        lit("").as("value"),
+        lit(base + 86400).cast("timestamp").as("event_time"),
+        lit(true).as("flush"))
+      val rows = vals.unionByName(sent)
+      val (inDir, out, ck) = streamDirs("stream-topk", d) { p =>
+        rows.coalesce(1).write.parquet(p)
+      }
+      val in = s.readStream.schema(rows.schema).parquet(inDir)
+        .as[graft.streaming.StreamJob.MgEvent]
+      graft.streaming.StreamJob.mgStream(in, k = 8)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val cands = s.read.parquet(out).select("value").distinct()
+      val tot = corpus.agg(count(lit(1)).as("__total"))
+      corpus.join(cands, Seq("value"))
+        .groupBy("value").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(tot))
+        .filter(col("cnt") * 4 > col("__total"))
+        .select(col("value"), col("cnt"))
+    }),
+
     "stream_window" -> ((s, d) => {
       // watermarked tumbling-window aggregation, run as a REAL stream (file
       // source → append sink): docs rendered from lineitem with event_time
@@ -6588,6 +6633,19 @@ object SparkEntry {
           |UNION ALL SELECT 1, vec_id, md FROM c1
           |UNION ALL SELECT 2, vec_id, md FROM c2
           |UNION ALL SELECT 3, vec_id, md FROM c3""".stripMargin,
+
+      // streaming-MG replay: the EXACT heavy-hitter rule — the stream's
+      // flushed candidate set is a superset of true hitters by the MG
+      // bound (den=4 <= k+1=9 per shard), and the query's batch rescore
+      // reduces it to exactly this relation
+      "stream_topk" ->
+        """WITH v AS (SELECT CASE WHEN l_orderkey%10 < 3 THEN 'hot-a'
+          |  WHEN l_orderkey%10 < 6 THEN 'hot-b'
+          |  ELSE 'v'||(l_orderkey%97) END AS value
+          |  FROM lineitem WHERE l_orderkey <= 20000),
+          |t AS (SELECT count(*) AS total FROM v)
+          |SELECT value, count(*)::BIGINT AS cnt FROM v, t
+          |GROUP BY value, t.total HAVING count(*)*4 > t.total""".stripMargin,
 
       // VAD replay: synth PCM arithmetic (WAV is lossless), integer frame
       // means, cross-multiplied threshold, gaps-and-islands hangover merge

@@ -30,27 +30,32 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Pure streaming Misra-Gries update over one partition: ≤ k counters.
-    * On a miss with a full table every counter decrements by 1 (zeros
-    * evicted) — the classic k-counter form. */
+  /** One Misra-Gries counter update: increment on hit, insert while under
+    * k, decrement-all on a miss with a full table (zeros evicted) — the
+    * classic k-counter step, shared by the batch partition sweep and the
+    * streaming shard state. */
+  def mgUpdatePure(m: collection.mutable.HashMap[String, Long], v: String,
+      k: Int): Unit = {
+    m.get(v) match {
+      case Some(c) => m.update(v, c + 1)
+      case None =>
+        if (m.size < k) m.update(v, 1L)
+        else {
+          // decrement-all: one shared "charge" against every counter
+          val dead = collection.mutable.ArrayBuffer.empty[String]
+          for ((key, c) <- m) {
+            if (c == 1L) dead += key else m.update(key, c - 1)
+          }
+          dead.foreach(m.remove)
+        }
+    }
+  }
+
+  /** Pure streaming Misra-Gries update over one partition: ≤ k counters. */
   def mgStreamPure(it: Iterator[String], k: Int): collection.mutable.HashMap[String, Long] = {
     require(k >= 1, s"k must be >= 1: $k")
     val m = collection.mutable.HashMap.empty[String, Long]
-    for (v <- it) {
-      m.get(v) match {
-        case Some(c) => m.update(v, c + 1)
-        case None =>
-          if (m.size < k) m.update(v, 1L)
-          else {
-            // decrement-all: one shared "charge" against every counter
-            val dead = collection.mutable.ArrayBuffer.empty[String]
-            for ((key, c) <- m) {
-              if (c == 1L) dead += key else m.update(key, c - 1)
-            }
-            dead.foreach(m.remove)
-          }
-      }
-    }
+    for (v <- it) mgUpdatePure(m, v, k)
     m
   }
 

@@ -417,6 +417,59 @@ object StreamJob {
       "inner")
   }
 
+  /** One value arriving on the frequent-items stream. `flush = true` rows
+    * are sentinels: they update nothing and make the shard emit its
+    * current summary. */
+  final case class MgEvent(shard: Int, value: String,
+      event_time: java.sql.Timestamp, flush: Boolean)
+
+  /** Serializable Misra-Gries summary state for one shard. */
+  final case class MgShardState(keys: Seq[String], counts: Seq[Long])
+
+  /** Streaming Misra-Gries frequent-items — the online twin of
+    * [[graft.sketch.HeavyHitters.heavyHitters]]: values hash-shard in the
+    * map, each shard's `flatMapGroupsWithState` state is ONE k-counter
+    * summary (`k`·(string+long) — constant, stream-lifetime-independent),
+    * and a `flush` sentinel makes a shard emit its current
+    * (shard, value, mg_count) rows. Because a value always lands on its
+    * own shard, the per-shard MG bound applies to the value's FULL stream:
+    * undercount ≤ n_shard/(k+1), so every item with global count >
+    * total/den (den ≤ k+1) is guaranteed present at flush time no matter
+    * how micro-batches sliced the stream — the emitted candidates feed
+    * the same exact batch rescore as the batch operator, and THAT output
+    * is deterministic even though the raw candidate set is order-
+    * dependent (the documented MG property).
+    *
+    * In-batch determinism: a batch's events process in (event_time,
+    * value) order with sentinels last within their timestamp.
+    */
+  def mgStream(events: Dataset[MgEvent], k: Int,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[MgShardState, (Int, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard, evs, state) =>
+          val m = state.getOption
+            .map(s => collection.mutable.HashMap(s.keys.zip(s.counts): _*))
+            .getOrElse(collection.mutable.HashMap.empty[String, Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+          // flush sorts AFTER updates at the same timestamp (false < true)
+          for (e <- evs.toSeq.sortBy(e => (e.event_time.getTime, e.flush, e.value))) {
+            if (e.flush)
+              out ++= m.toSeq.sortBy(_._1).map { case (v, c) => (shard, v, c) }
+            else graft.sketch.HeavyHitters.mgUpdatePure(m, e.value, k)
+          }
+          state.update(MgShardState(m.keys.toSeq, m.keys.toSeq.map(m)))
+          out.iterator
+      }
+      .toDF("shard", "value", "mg_count")
+  }
+
   private object Synth {
     def docSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
       import spark.implicits._
