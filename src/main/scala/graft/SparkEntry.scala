@@ -2326,6 +2326,12 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "dp_counts" -> ((s, d) => {
+      // seeded-Laplace noisy count release per market segment, eps=0.5
+      graft.text.Privacy.dpCounts(rd(s, d, "customer"),
+        Seq("c_mktsegment"), epsMilli = 500, salt = "dp1")
+    }),
+
     "distinct_ngrams" -> ((s, d) => {
       // distinct-n diversity per language slice, n in {1,2,3}
       TA.distinctNgramStats(rd(s, d, "documents"), "lang", "text", Seq(1, 2, 3))
@@ -6580,6 +6586,23 @@ object SparkEntry {
           |  (g.n < 10) AS suppressed,
           |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
           |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+      // seeded-Laplace replay: hash60 uniform draw, inverse-CDF micro-nat
+      // lns (the JVM ln(2^60) constant embedded so both engines subtract
+      // the identical baseline), one toward-zero division
+      "dp_counts" ->
+        s"""WITH g AS (SELECT c_mktsegment, count(*)::BIGINT AS n
+           |  FROM customer GROUP BY 1),
+           |h AS (SELECT c_mktsegment, n,
+           |  ('0x'||substr(md5('dp1:'||c_mktsegment),1,15))::BIGINT AS hv FROM g),
+           |x AS (SELECT c_mktsegment, n,
+           |  hv*2 - ${1L << 60} AS c FROM h),
+           |y AS (SELECT c_mktsegment, n,
+           |  CASE WHEN c >= 0 THEN 1 ELSE -1 END AS s,
+           |  round(ln(greatest(${1L << 60} - abs(c), 1))*1e6)::BIGINT
+           |    - ${Math.round(Math.log((1L << 60).toDouble) * 1e6)} AS lt FROM x)
+           |SELECT c_mktsegment,
+           |  n*1000000 + (-(1000*s*lt) // 500) AS noisy_micro FROM y""".stripMargin,
 
       // distinct-n replay: same tokenizer as token_counts/vocab_topk, list
       // slices re-render the n-grams, // is DuckDB's floor division

@@ -90,4 +90,62 @@ object Privacy {
       id -> (n, ns, sup, !sup && ns >= l)
     }.toMap
   }
+
+  // ------------------------------------------------ noisy count release ----
+
+  /** 2^60, the [[TextAnalysis.hash60]] range — the uniform-draw denominator. */
+  private val H = 1L << 60
+
+  private def lnMicroCol(x: Column): Column = round(log(x) * 1e6).cast("long")
+  private val lnHMicro = Math.round(Math.log(H.toDouble) * 1e6)
+
+  /** Laplace-mechanism count release (Dwork et al. 2006), seeded variant:
+    * per-group noisy counts `count + Lap(1/ε)` with the draw derived from
+    * hash60(salt:key) through the inverse CDF —
+    * `noise = -b·sgn(u-½)·ln(1-2|u-½|)`, b = 1/ε — in the repo's integer
+    * micro-nat discipline (one `div` per group, lnMicro differences, no
+    * engine-dependent RNG).
+    *
+    * REPRODUCIBLE noise, not private against an adversary who knows the
+    * salt: real DP requires secret randomness, so production deployments
+    * must treat `salt` as a secret drawn fresh per release. The seeded
+    * form is what a data-release PIPELINE needs in test and audit: byte-
+    * stable outputs, replayable by the oracle engine. Sensitivity is 1
+    * (unit-weight count queries).
+    *
+    * Shape at scale: ONE partial-agg groupBy; the noise math is a narrow
+    * projection over the (bounded-key) aggregate. Output:
+    * (groupCols…, noisy_micro) — the true count is deliberately absent.
+    */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsMilli: Long,
+      salt: String): DataFrame = {
+    require(epsMilli >= 1, s"epsMilli must be >= 1: $epsMilli")
+    require(groupCols.nonEmpty && groupCols.forall(df.columns.contains),
+      s"bad group columns: $groupCols")
+    val key = concat_ws(":", lit(salt) +: groupCols.map(c =>
+      col(c).cast("string")): _*)
+    val h = TextAnalysis.hash60(key)
+    val c = h * 2 - H                       // 2^60·(2u - 1) ∈ [-H, H)
+    val sign = when(c >= 0, 1L).otherwise(-1L)
+    val lnTail = lnMicroCol(greatest(lit(H) - abs(c), lit(1L))) - lnHMicro
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__sign", sign)
+      .withColumn("__ln", lnTail)
+      .withColumn("__noise_micro", expr(s"-(1000 * __sign * __ln) div $epsMilli"))
+      .withColumn("noisy_micro", col("__n") * 1000000L + col("__noise_micro"))
+      .select(groupCols.map(col) :+ col("noisy_micro"): _*)
+  }
+
+  /** Pure twin of [[dpCounts]] for one group. */
+  def dpCountPure(groupVals: Seq[String], n: Long, epsMilli: Long,
+      salt: String): Long = {
+    val h = TextAnalysis.hash60((salt +: groupVals).mkString(":"))
+    val c = h * 2 - H
+    val sign = if (c >= 0) 1L else -1L
+    val lnTail = Math.round(Math.log(math.max(H - math.abs(c), 1L).toDouble)
+      * 1e6) - lnHMicro
+    val noise = -(1000L * sign * lnTail) / epsMilli
+    n * 1000000L + noise
+  }
 }

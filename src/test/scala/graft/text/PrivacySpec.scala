@@ -60,6 +60,35 @@ class PrivacySpec extends SparkTestBase {
     }
   }
 
+  test("dpCounts: pure-twin parity, invariance, noise shape") {
+    val many = (1L to 2000L).map(i => (i, s"g${i % 200}"))
+      .toDF("id", "grp")
+    val got = Privacy.dpCounts(many, Seq("grp"), epsMilli = 1000, salt = "s1")
+      .select("grp", "noisy_micro").as[(String, Long)].collect().toMap
+    assert(got.size == 200)
+    for ((g, noisy) <- got)
+      assert(noisy == Privacy.dpCountPure(Seq(g), 10L, 1000, "s1"), g)
+    // partitioning cannot move the noise
+    val rep = Privacy.dpCounts(many.repartition(13), Seq("grp"), 1000, "s1")
+      .select("grp", "noisy_micro").as[(String, Long)].collect().toMap
+    assert(rep == got)
+    // Laplace shape over 200 seeded draws: roughly sign-balanced, mean
+    // |noise| within 3x of b = 1/eps = 1e6 micro
+    val noise = got.map { case (_, v) => v - 10L * 1000000L }
+    val pos = noise.count(_ > 0)
+    assert(pos > 60 && pos < 140, s"sign balance $pos/200")
+    val meanAbs = noise.map(math.abs).sum / noise.size
+    assert(meanAbs > 300000L && meanAbs < 3000000L, s"meanAbs $meanAbs")
+    // a different salt moves every draw
+    val other = Privacy.dpCounts(many, Seq("grp"), 1000, "s2")
+      .select("grp", "noisy_micro").as[(String, Long)].collect().toMap
+    assert(other.count { case (g, v) => v != got(g) } > 190)
+    intercept[IllegalArgumentException](
+      Privacy.dpCounts(many, Seq("grp"), 0, "s1"))
+    intercept[IllegalArgumentException](
+      Privacy.dpCounts(many, Seq("nope"), 1000, "s1"))
+  }
+
   test("refusals") {
     intercept[IllegalArgumentException](
       Privacy.kAnonymize(df, Seq("city"), "salary", k = 0, l = 1))
