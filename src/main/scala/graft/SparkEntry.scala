@@ -2326,6 +2326,13 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "rendezvous_shard" -> ((s, d) => {
+      // HRW stable sharding of the corpus into 8 shards
+      graft.io.Bucketing.rendezvousShard(
+        rd(s, d, "documents").select("doc_id"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"))
+    }),
+
     "dp_counts" -> ((s, d) => {
       // seeded-Laplace noisy count release per market segment, eps=0.5
       graft.text.Privacy.dpCounts(rd(s, d, "customer"),
@@ -6586,6 +6593,16 @@ object SparkEntry {
           |  (g.n < 10) AS suppressed,
           |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
           |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+      // HRW replay: per-(doc, shard) hash60 scores, argmax window with the
+      // (score desc, shard asc) tie rule
+      "rendezvous_shard" ->
+        """WITH s AS (SELECT doc_id, s,
+          |  ('0x'||substr(md5('rv:'||s||':'||doc_id),1,15))::BIGINT AS h
+          |  FROM documents, unnest(range(8)) AS t(s)),
+          |r AS (SELECT doc_id, s, row_number() OVER
+          |  (PARTITION BY doc_id ORDER BY h DESC, s) AS rk FROM s)
+          |SELECT doc_id, s::INT AS shard FROM r WHERE rk = 1""".stripMargin,
 
       // seeded-Laplace replay: hash60 uniform draw, inverse-CDF micro-nat
       // lns (the JVM ln(2^60) constant embedded so both engines subtract

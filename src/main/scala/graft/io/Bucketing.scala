@@ -48,4 +48,35 @@ object Bucketing {
   /** Read a bucketed table back; the scan carries the bucket layout so the
     * planner can prove co-location. */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Rendezvous / highest-random-weight shard assignment (Thaler &
+    * Ravishankar 1998) — the stable alternative to `pmod(hash, S)`: doc d
+    * goes to `argmax over s of hash60("rv:s:d")`. Growing S→S+1 moves ONLY
+    * the docs whose new-shard score wins (≈ n/(S+1) of them, each straight
+    * to the new shard); a mod-hash reshard moves ≈ half the corpus. That
+    * is the difference between topping up a 100 TB bucketed layout and
+    * rewriting it.
+    *
+    * Completely narrow (a per-row argmax over an S-element generated
+    * array); determinism and the tie rule (higher score, then LOWER shard
+    * id — struct max compares fields in order, so the id is negated) are
+    * engine-replayable md5 arithmetic.
+    */
+  def rendezvousShard(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    import org.apache.spark.sql.functions._
+    val scores = transform(sequence(lit(0), lit(shards - 1)), s =>
+      struct(graft.text.TextAnalysis.hash60(
+        concat_ws(":", lit("rv"), s.cast("string"), col(idCol).cast("string")))
+        .as("h"), (-s).as("ns")))
+    df.withColumn("shard",
+      (-array_max(scores).getField("ns")).cast("int"))
+  }
+
+  /** Pure twin of [[rendezvousShard]] for one id. */
+  def rendezvousShardPure(id: String, shards: Int): Int = {
+    require(shards >= 1)
+    (0 until shards).maxBy(s =>
+      (graft.text.TextAnalysis.hash60(s"rv:$s:$id"), -s))
+  }
 }
