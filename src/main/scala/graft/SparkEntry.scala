@@ -2326,6 +2326,33 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "code_clones" -> ((s, d) => {
+      // type-2 clone detection over a synthetic code corpus: 15 naming
+      // variants x 40 structural seeds; renamed identifiers and changed
+      // constants collapse, operator/arity differences do not
+      val base = rd(s, d, "customer").filter(col("c_custkey") <= 600)
+        .withColumn("g", pmod(col("c_custkey"), lit(40)))
+        .withColumn("v", expr("cast(c_custkey div 40 as string)"))
+        .withColumn("op", when(pmod(col("g"), lit(4)) === 0, lit("+"))
+          .when(pmod(col("g"), lit(4)) === 1, lit("-"))
+          .when(pmod(col("g"), lit(4)) === 2, lit("*")).otherwise(lit("/")))
+        .withColumn("code", concat(lit("def fn"), col("v"), lit(" ( arg"),
+          col("v"), lit(" , tmp"), col("v"), lit(" ) : return arg"), col("v"),
+          expr("repeat(concat(' ', op, ' tmp', v), cast(g % 3 + 1 as int))"),
+          lit(" ; "), col("g").cast("string")))
+      graft.dedup.Clones.cloneGroups(
+        base.select(col("c_custkey").as("doc_id"), col("code")),
+        "doc_id", "code")
+    }),
+
+    "oov_rate" -> ((s, d) => {
+      // tokenizer-coverage report: the corpus' own top-50 tokens as the
+      // vocab, OOV fraction per language slice
+      val docs = rd(s, d, "documents")
+      TA.oovStats(docs, "lang", "text", TA.topTokensDf(docs, "text", 50))
+        .select(col("slice"), col("n_tokens"), col("n_oov"), col("oov_milli"))
+    }),
+
     "rendezvous_shard" -> ((s, d) => {
       // HRW stable sharding of the corpus into 8 shards
       graft.io.Bucketing.rendezvousShard(
@@ -6593,6 +6620,58 @@ object SparkEntry {
           |  (g.n < 10) AS suppressed,
           |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
           |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+      // clone replay: re-render the code, re-tokenize with the shared
+      // longest-match pattern, renumber identifiers by first occurrence
+      // (dense_rank over min position), re-assemble the canonical string,
+      // hash, and window-count the groups
+      "code_clones" ->
+        """WITH c AS (SELECT c_custkey AS doc_id, c_custkey % 40 AS g,
+          |  (c_custkey // 40)::VARCHAR AS v FROM customer
+          |  WHERE c_custkey <= 600),
+          |c2 AS (SELECT doc_id, g, v, CASE g%4 WHEN 0 THEN '+' WHEN 1 THEN '-'
+          |  WHEN 2 THEN '*' ELSE '/' END AS op FROM c),
+          |codes AS (SELECT doc_id,
+          |  'def fn'||v||' ( arg'||v||' , tmp'||v||' ) : return arg'||v||
+          |  repeat(' '||op||' tmp'||v, (g%3+1)::INT)||' ; '||g AS code FROM c2),
+          |t AS (SELECT doc_id, i, toks[i+1] AS tk FROM
+          |  (SELECT doc_id, regexp_extract_all(code,
+          |    '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|\S') AS toks FROM codes),
+          |  unnest(range(len(toks))) AS u(i)),
+          |firsts AS (SELECT doc_id, tk, min(i) AS fp FROM t
+          |  WHERE regexp_full_match(tk, '[A-Za-z_][A-Za-z0-9_]*')
+          |    AND tk NOT IN ('def','return','if','else','while','for',
+          |      'class','val','var','import','new','null','true','false')
+          |  GROUP BY 1, 2),
+          |ren AS (SELECT doc_id, tk, 'id'||(dense_rank() OVER
+          |  (PARTITION BY doc_id ORDER BY fp) - 1) AS mapped FROM firsts),
+          |mapped AS (SELECT t.doc_id, t.i, coalesce(ren.mapped,
+          |  CASE WHEN regexp_full_match(t.tk, '[0-9]+') THEN 'num'
+          |  ELSE t.tk END) AS mtk FROM t LEFT JOIN ren
+          |  ON t.doc_id = ren.doc_id AND t.tk = ren.tk),
+          |canon AS (SELECT doc_id, string_agg(mtk, ' ' ORDER BY i) AS cn
+          |  FROM mapped GROUP BY 1),
+          |fp2 AS (SELECT doc_id,
+          |  ('0x'||substr(md5(cn),1,15))::BIGINT AS fingerprint FROM canon)
+          |SELECT doc_id, fingerprint,
+          |  (count(*) OVER (PARTITION BY fingerprint))::BIGINT AS group_n
+          |FROM fp2""".stripMargin,
+
+      // OOV replay: shared tokenizer, the (count desc, token) top-50 vocab,
+      // left-join coverage per slice
+      "oov_rate" ->
+        """WITH toks AS (SELECT lang, unnest(list_filter(
+          |  regexp_split_to_array(lower(text), '\W+'), t -> t <> '')) AS token
+          |  FROM documents),
+          |v AS (SELECT token FROM (SELECT token, count(*) AS c FROM toks
+          |  GROUP BY 1 ORDER BY c DESC, token LIMIT 50)),
+          |j AS (SELECT lang, t.token, (v.token IS NOT NULL) AS iv
+          |  FROM toks t LEFT JOIN v ON t.token = v.token)
+          |SELECT lang AS slice, count(*)::BIGINT AS n_tokens,
+          |  sum(CASE WHEN iv THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+          |  (1000 * sum(CASE WHEN iv THEN 0 ELSE 1 END) // count(*))::BIGINT
+          |    AS oov_milli
+          |FROM j GROUP BY 1""".stripMargin,
 
       // HRW replay: per-(doc, shard) hash60 scores, argmax window with the
       // (score desc, shard asc) tie rule

@@ -995,6 +995,39 @@ object TextAnalysis {
         expr("1000 * distinct_ngrams div total_ngrams"))
   }
 
+  /** Tokenizer / vocabulary coverage per corpus slice — the OOV-rate
+    * report every tokenizer swap ships with: per slice, total tokens,
+    * tokens outside `vocabDf` (one `token` string column), and the OOV
+    * fraction in integer milli.
+    *
+    * Shape at scale: explode → BROADCAST left join on the vocab (a vocab
+    * is ≤ a few hundred thousand rows — always the small side) → ONE
+    * partial-agg groupBy on the slice key. The corpus never shuffles by
+    * token; the only exchange carries one row per slice per map partition. */
+  def oovStats(df: DataFrame, sliceCol: String, textCol: String,
+      vocabDf: DataFrame): DataFrame = {
+    require(vocabDf.columns.contains("token"), "vocabDf needs a token column")
+    val vocab = broadcast(vocabDf.select(col("token")).distinct()
+      .withColumn("__in_vocab", lit(1L)))
+    df.select(col(sliceCol).as("slice"),
+        explode(tokensCol(col(textCol))).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_milli", expr("1000 * n_oov div n_tokens"))
+  }
+
+  /** Pure twin of [[oovStats]] for one slice. */
+  def oovStatsPure(texts: Seq[String], vocab: Set[String]): (Long, Long, Long) = {
+    val toks = texts.flatMap(tokens)
+    if (toks.isEmpty) (0L, 0L, 0L)
+    else {
+      val oov = toks.count(t => !vocab(t)).toLong
+      (toks.size.toLong, oov, 1000L * oov / toks.size)
+    }
+  }
+
   /** Pure twin of [[distinctNgramStats]] for one slice and one n. */
   def distinctNgramStatsPure(texts: Seq[String], n: Int): (Long, Long, Long) = {
     val grams = texts.flatMap(t => tokens(t).sliding(n).filter(_.size == n)

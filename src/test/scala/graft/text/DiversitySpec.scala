@@ -50,6 +50,31 @@ class DiversitySpec extends SparkTestBase {
     assert(en == Seq("the cat", "cat sat", "sat on", "on the", "the mat"))
   }
 
+  test("oovStats: per-slice coverage vs the pure twin, broadcast plan") {
+    val vocab = Seq("the", "cat", "der").toDF("token")
+    val q = TextAnalysis.oovStats(df, "lang", "text", vocab)
+    val got = q.select("slice", "n_tokens", "n_oov", "oov_milli")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    val vset = Set("the", "cat", "der")
+    for (lang <- Seq("en", "de", "fr")) {
+      val texts = docs.filter(_._2 == lang).map(_._3)
+      assert(got(lang) == TextAnalysis.oovStatsPure(texts, vset), lang)
+    }
+    // en: 9 tokens, oov = {sat x2, on, mat} = 4 -> 444 milli
+    assert(got("en") == ((9L, 4L, 444L)))
+    // the vocab side must broadcast — the corpus never shuffles by token
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // a duplicated vocab row cannot double-count matches
+    val dup = TextAnalysis.oovStats(df, "lang", "text",
+      Seq("the", "the", "cat", "der").toDF("token"))
+      .select("slice", "n_tokens").as[(String, Long)].collect().toMap
+    assert(dup("en") == 9L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.oovStats(df, "lang", "text", Seq(1).toDF("notok")))
+  }
+
   test("partitioning invariance and refusals") {
     val a = TextAnalysis.distinctNgramStats(df, "lang", "text", Seq(1, 2, 3))
       .collect().map(_.toString).sorted.toSeq
