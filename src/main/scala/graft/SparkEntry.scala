@@ -2326,6 +2326,22 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "pseudonymize" -> ((s, d) => {
+      // keyed pseudonymization over the pii_scrub injection fixture:
+      // linkable pseudonyms instead of redaction; SSNs are out of scope
+      // here (redaction-only class) and pass through
+      val t = concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact agent"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" call (555) 123-4567 or 555-987-6543")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          lit(" ssn 123-45-6789")).otherwise(lit("")))
+      graft.text.Privacy.pseudonymizeDf(
+        rd(s, d, "documents").withColumn("t", t), "doc_id", "t", "pz1")
+    }),
+
     "code_clones" -> ((s, d) => {
       // type-2 clone detection over a synthetic code corpus: 15 naming
       // variants x 40 structural seeds; renamed identifiers and changed
@@ -6620,6 +6636,27 @@ object SparkEntry {
           |  (g.n < 10) AS suppressed,
           |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
           |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+      // pseudonym replay: the injections are the only matches (base text
+      // is PII-free — the pii_scrub parity proves it), so the expected
+      // output re-renders with the hashed pseudonyms inline
+      "pseudonymize" ->
+        """WITH t AS (SELECT doc_id, text,
+          |  ('0x'||substr(md5('pz1:agent'||doc_id||'@example.com'),1,15))::BIGINT
+          |    % 1000000 AS he,
+          |  ('0x'||substr(md5('pz1:5551234567'),1,15))::BIGINT % 10000 AS hp1,
+          |  ('0x'||substr(md5('pz1:5559876543'),1,15))::BIGINT % 10000 AS hp2
+          |  FROM documents)
+          |SELECT doc_id,
+          |  text ||
+          |  (CASE WHEN doc_id%5=0 THEN ' contact user'||lpad(he::VARCHAR,6,'0')
+          |    ||'@anon.invalid' ELSE '' END) ||
+          |  (CASE WHEN doc_id%7=0 THEN ' call 555-'||lpad(hp1::VARCHAR,4,'0')
+          |    ||' or 555-'||lpad(hp2::VARCHAR,4,'0') ELSE '' END) ||
+          |  (CASE WHEN doc_id%9=0 THEN ' ssn 123-45-6789' ELSE '' END) AS clean,
+          |  (CASE WHEN doc_id%5=0 THEN 1 ELSE 0 END)::BIGINT AS n_email,
+          |  (CASE WHEN doc_id%7=0 THEN 2 ELSE 0 END)::BIGINT AS n_phone
+          |FROM t""".stripMargin,
 
       // clone replay: re-render the code, re-tokenize with the shared
       // longest-match pattern, renumber identifiers by first occurrence

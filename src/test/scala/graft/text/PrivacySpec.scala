@@ -89,6 +89,33 @@ class PrivacySpec extends SparkTestBase {
       Privacy.dpCounts(many, Seq("nope"), 1000, "s1"))
   }
 
+  test("pseudonymize: stable keyed pseudonyms, format linking, counts") {
+    val (c1, e1, p1) = Privacy.pseudonymize(
+      "mail Bob@Ex.COM or call (555) 123-4567", "s")
+    val (c2, e2, p2) = Privacy.pseudonymize(
+      "bob@ex.com again, phone 555.123.4567", "s")
+    assert(e1 == 1 && p1 == 1 && e2 == 1 && p2 == 1)
+    // same identifier (case/format-insensitive) -> same pseudonym
+    val pseudo1 = "user\\d{6}@anon\\.invalid".r.findFirstIn(c1).get
+    assert(c2.contains(pseudo1))
+    val phone1 = "555-\\d{4}".r.findFirstIn(c1).get
+    assert(c2.contains(phone1))
+    // a different salt unlinks
+    val (c3, _, _) = Privacy.pseudonymize("bob@ex.com", "other")
+    assert(!c3.contains(pseudo1))
+    // raw values are gone; non-PII text untouched
+    assert(!c1.toLowerCase.contains("bob@ex.com") && !c1.contains("123-4567"))
+    assert(Privacy.pseudonymize("plain text 12-34", "s") ==
+      (("plain text 12-34", 0L, 0L)))
+    // DF twin: id type preserved, rows match the pure kernel
+    val df = Seq((7L, "x bob@ex.com y"), (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "t")
+    val got = Privacy.pseudonymizeDf(df, "doc_id", "t", "s")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((7L, Privacy.pseudonymize("x bob@ex.com y", "s")._1, 1L, 0L)))
+    assert(got(1) == ((8L, "", 0L, 0L)))
+  }
+
   test("refusals") {
     intercept[IllegalArgumentException](
       Privacy.kAnonymize(df, Seq("city"), "salary", k = 0, l = 1))
