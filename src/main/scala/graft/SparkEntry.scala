@@ -2326,6 +2326,19 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "release_e2e" -> ((s, d) => {
+      // the privacy-release chain composed relationally: k-anonymity gate
+      // (small (nation, segment) groups suppressed) -> seeded-Laplace
+      // noisy counts over the kept groups; one agg + one join + one agg
+      val c = rd(s, d, "customer").withColumn("bal_bucket",
+        floor(col("c_acctbal") / lit(2000.0)).cast("long"))
+      val gated = graft.text.Privacy.kAnonymize(
+          c, Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10, l = 5)
+        .filter(!col("suppressed"))
+      graft.text.Privacy.dpCounts(gated,
+        Seq("c_nationkey", "c_mktsegment"), epsMilli = 500, salt = "rel1")
+    }),
+
     "pseudonymize" -> ((s, d) => {
       // keyed pseudonymization over the pii_scrub injection fixture:
       // linkable pseudonyms instead of redaction; SSNs are out of scope
@@ -6636,6 +6649,24 @@ object SparkEntry {
           |  (g.n < 10) AS suppressed,
           |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
           |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+      // release-chain replay: the k-anon group filter composed with the
+      // dp_counts draw/ln/division chain under the release salt
+      "release_e2e" ->
+        s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+           |  FROM customer GROUP BY 1, 2),
+           |k AS (SELECT * FROM g WHERE n >= 10),
+           |h AS (SELECT c_nationkey, c_mktsegment, n,
+           |  ('0x'||substr(md5('rel1:'||c_nationkey||':'||c_mktsegment),1,15))::BIGINT
+           |    AS hv FROM k),
+           |x AS (SELECT c_nationkey, c_mktsegment, n,
+           |  hv*2 - ${1L << 60} AS c FROM h),
+           |y AS (SELECT c_nationkey, c_mktsegment, n,
+           |  CASE WHEN c >= 0 THEN 1 ELSE -1 END AS s,
+           |  round(ln(greatest(${1L << 60} - abs(c), 1))*1e6)::BIGINT
+           |    - ${Math.round(Math.log((1L << 60).toDouble) * 1e6)} AS lt FROM x)
+           |SELECT c_nationkey, c_mktsegment,
+           |  n*1000000 + (-(1000*s*lt) // 500) AS noisy_micro FROM y""".stripMargin,
 
       // pseudonym replay: the injections are the only matches (base text
       // is PII-free — the pii_scrub parity proves it), so the expected
