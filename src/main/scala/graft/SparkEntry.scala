@@ -2326,6 +2326,16 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "url_bitext" -> ((s, d) => {
+      // ParaCrawl-style URL-pattern alignment: synthetic site URLs carry
+      // the doc's language as a path segment; mates share (site, page)
+      val docs = rd(s, d, "documents").select(col("doc_id"),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(50)).cast("string"),
+          lit("/"), col("lang"), lit("/page"),
+          pmod(col("doc_id"), lit(20)).cast("string")).as("url"))
+      graft.text.Web.urlBitextPairs(docs, "doc_id", "url", maxGroup = 32)
+    }),
+
     "release_e2e" -> ((s, d) => {
       // the privacy-release chain composed relationally: k-anonymity gate
       // (small (nation, segment) groups suppressed) -> seeded-Laplace
@@ -6649,6 +6659,20 @@ object SparkEntry {
           |  (g.n < 10) AS suppressed,
           |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
           |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+      // URL-bitext replay: in this fixture the language is the only
+      // code-valued segment, so the wildcarded key re-renders directly
+      // (all five corpus langs are in UrlLangCodes); cap + pair join replayed
+      "url_bitext" ->
+        """WITH k AS (SELECT doc_id, lang AS l,
+          |  'https://site'||(doc_id%50)||'/*/page'||(doc_id%20) AS key
+          |  FROM documents),
+          |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 32),
+          |ok AS (SELECT k.* FROM k JOIN g USING (key))
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS lang_a,
+          |  b.l AS lang_b, a.key AS url_key
+          |FROM ok a JOIN ok b ON a.key = b.key
+          |  AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))""".stripMargin,
 
       // release-chain replay: the k-anon group filter composed with the
       // dp_counts draw/ln/division chain under the release salt

@@ -305,4 +305,70 @@ object Web {
       .groupBy("src_domain", "dst_domain")
       .agg(count(lit(1)).as("n_links"))
   }
+
+  /** Language codes recognized as URL path segments by [[urlBitextPairs]]. */
+  val UrlLangCodes: Seq[String] = Seq("en", "fr", "de", "es", "it", "pt",
+    "nl", "ru", "zh", "ja", "ko")
+
+  /** URL-pattern bitext document alignment (the ParaCrawl/WikiMatrix
+    * first-stage candidate rule, Bañón et al. 2020): pages whose URLs are
+    * identical except for a language path segment ("/en/" vs "/fr/") are
+    * translation candidates. The URL splits on '/', every language-code
+    * segment maps to '*', and documents sharing the wildcarded key with
+    * DIFFERENT language codes pair up. This is the cheap structural
+    * complement to [[graft.sim.Similarity.bitextMine]]'s embedding margin:
+    * run this first, mine embeddings only where URL structure is silent.
+    *
+    * Output: (id_a, id_b, lang_a, lang_b, url_key) with id_a < id_b.
+    *
+    * Shape at scale: one narrow key projection + ONE equi-join on the
+    * wildcarded key. A key's group is naturally bounded by the site's
+    * language count; `maxGroup` drops degenerate keys (a CMS that serves
+    * one template under thousands of language-less URLs) the same way
+    * `maxDf`/`maxBucket` cap the LSH paths. */
+  def urlBitextPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      urlCol: String, maxGroup: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(maxGroup >= 2, s"maxGroup must be >= 2: $maxGroup")
+    val langLits = UrlLangCodes.map(c => lit(c): Column)
+    val segs = split(col(urlCol), "/")
+    val keyed = df.select(col(idCol), col(urlCol))
+      .withColumn("__key", concat_ws("/",
+        transform(segs, s => when(s.isin(UrlLangCodes: _*), lit("*"))
+          .otherwise(s))))
+      // ANSI mode: element_at on an empty array throws — guard on size
+      .withColumn("__langs", filter(segs, s => s.isin(UrlLangCodes: _*)))
+      .withColumn("__lang", when(size(col("__langs")) > 0,
+        element_at(col("__langs"), 1)))
+      .filter(col("__lang").isNotNull)
+      .drop("__langs")
+    val hot = keyed.groupBy("__key")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxGroup)
+      .select("__key")
+    val ok = keyed.join(hot, Seq("__key"), "left_anti")
+    val a = ok.select(col("__key"), col(idCol).as("id_a"),
+      col("__lang").as("lang_a"))
+    val b = ok.select(col("__key"), col(idCol).as("id_b"),
+      col("__lang").as("lang_b"))
+    a.join(b, Seq("__key"))
+      .filter(col("lang_a") < col("lang_b") ||
+        (col("lang_a") === col("lang_b") && col("id_a") < col("id_b")))
+      .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"),
+        col("__key").as("url_key"))
+  }
+
+  /** Pure twin of [[urlBitextPairs]] (no cap). */
+  def urlBitextPairsPure(rows: Seq[(Long, String)])
+      : Seq[(Long, Long, String, String, String)] = {
+    val codes = UrlLangCodes.toSet
+    val keyed = rows.flatMap { case (id, url) =>
+      val segs = url.split("/", -1).toSeq
+      val key = segs.map(s => if (codes(s)) "*" else s).mkString("/")
+      segs.find(codes).map(l => (key, id, l))
+    }
+    for {
+      (ka, ia, la) <- keyed
+      (kb, ib, lb) <- keyed
+      if ka == kb && (la < lb || (la == lb && ia < ib))
+    } yield (ia, ib, la, lb, ka)
+  }
 }
