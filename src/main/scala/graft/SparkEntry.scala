@@ -2326,6 +2326,24 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "ann_recall" -> ((s, d) => {
+      // ANN parameter-tuning eval (the minhash_recall pattern for vector
+      // search): per-query recall of IVF-Flat (nlist=8, nProbe=2) against
+      // the exact brute-force top-10 truth
+      val e = rd(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+      val found = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          k = 10, nlist = 8, nProbe = 2, iters = 1)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      truth.join(found, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_truth"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_milli", expr("1000 * n_hit div k_truth"))
+    }),
+
     "url_bitext" -> ((s, d) => {
       // ParaCrawl-style URL-pattern alignment: synthetic site URLs carry
       // the doc's language as a path segment; mates share (site, page)
@@ -4451,6 +4469,69 @@ object SparkEntry {
       |    ELSE 0 END)::BIGINT AS ahash_lo
       |  FROM cells JOIN ov USING (media_ref, frame_index) GROUP BY 1,2)
       |""".stripMargin
+
+  /** knn_topk / ivf_topk oracle bodies, shared with the ann_recall
+    * composition (recall = found-in-truth fraction). */
+  private val knnTopkOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |  round(list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |    / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
+          |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+          |SELECT query_id, neighbor_id, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
+          |FROM s QUALIFY rnk <= 10""".stripMargin
+
+  private val ivfTopkOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |seeds AS (
+          |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+          |         embedding AS c
+          |  FROM e
+          |  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 8),
+          |a0 AS (
+          |  SELECT e.vec_id, e.embedding, s.cell,
+          |    round(list_sum(list_transform(list_zip(e.embedding, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |      / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |       * sqrt(list_sum(list_transform(list_zip(s.c, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |  FROM e CROSS JOIN seeds s),
+          |asg AS (
+          |  SELECT vec_id, embedding, cell FROM a0
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) = 1),
+          |cm AS (
+          |  SELECT cell, unnest(range(len(embedding))) AS pos,
+          |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
+          |  FROM asg),
+          |cents AS (
+          |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+          |    SELECT cell, pos, round(avg(x), 6) AS m FROM cm GROUP BY 1, 2)
+          |  GROUP BY cell),
+          |casg AS (
+          |  SELECT neighbor_id, ce, cell FROM (
+          |    SELECT e.vec_id AS neighbor_id, e.embedding AS ce, c.cell,
+          |      round(list_sum(list_transform(list_zip(e.embedding, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |        / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |         * sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |    FROM e CROSS JOIN cents c)
+          |  QUALIFY row_number() OVER (PARTITION BY neighbor_id ORDER BY cs DESC, cell) = 1),
+          |probe AS (
+          |  SELECT query_id, qe, cell FROM (
+          |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+          |      round(list_sum(list_transform(list_zip(q.embedding, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |        / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |         * sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
+          |    FROM e q CROSS JOIN cents c WHERE q.vec_id < 5)
+          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell) <= 2),
+          |s AS (
+          |  SELECT p.query_id, ca.neighbor_id,
+          |    round(list_sum(list_transform(list_zip(p.qe, ca.ce), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+          |      / (sqrt(list_sum(list_transform(list_zip(p.qe, p.qe), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+          |       * sqrt(list_sum(list_transform(list_zip(ca.ce, ca.ce), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
+          |  FROM probe p JOIN casg ca USING (cell) WHERE ca.neighbor_id <> p.query_id)
+          |SELECT query_id, neighbor_id, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
+          |FROM s QUALIFY rnk <= 10""".stripMargin
 
   def oracleSql: Map[String, String] = {
     // shared fragments (kept in lockstep with the Spark derivations above)
@@ -6660,6 +6741,22 @@ object SparkEntry {
           |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
           |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
 
+      // ANN-recall replay: both shared oracle bodies nested as subqueries,
+      // truth left-joined to found, milli floor-division
+      "ann_recall" ->
+        s"""WITH truth AS (SELECT query_id, neighbor_id
+           |  FROM (${knnTopkOracleSql}) t),
+           |found AS (SELECT query_id, neighbor_id
+           |  FROM (${ivfTopkOracleSql}) f)
+           |SELECT t.query_id, count(*)::BIGINT AS k_truth,
+           |  sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_hit,
+           |  (1000 * sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    // count(*))::BIGINT AS recall_milli
+           |FROM truth t LEFT JOIN found f
+           |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+           |GROUP BY 1""".stripMargin,
+
       // URL-bitext replay: in this fixture the language is the only
       // code-valued segment, so the wildcarded key re-renders directly
       // (all five corpus langs are in UrlLangCodes); cap + pair join replayed
@@ -7378,16 +7475,7 @@ object SparkEntry {
            |    ORDER BY n_chars2 DESC, doc_id) = 1 AS is_canonical
            |FROM full_""".stripMargin,
 
-      "knn_topk" ->
-        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |  round(list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))
-          |    / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
-          |     * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
-          |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
-          |SELECT query_id, neighbor_id, cos,
-          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
-          |FROM s QUALIFY rnk <= 10""".stripMargin,
+      "knn_topk" -> knnTopkOracleSql,
 
       // JL replay: same (j,i) sign mix as the Spark side ("jl" additive
       // constant 51151), micro-quantized inputs, integer sums
@@ -7487,55 +7575,7 @@ object SparkEntry {
       // full IVF training replay: hash-ordered seeds -> Lloyd assignment
       // (6dp cosine, smaller-cell tie-break) -> per-dimension 6dp means ->
       // candidate index + 2-cell probe + exact rescore
-      "ivf_topk" ->
-        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-          |seeds AS (
-          |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
-          |         embedding AS c
-          |  FROM e
-          |  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 8),
-          |a0 AS (
-          |  SELECT e.vec_id, e.embedding, s.cell,
-          |    round(list_sum(list_transform(list_zip(e.embedding, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
-          |      / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
-          |       * sqrt(list_sum(list_transform(list_zip(s.c, s.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
-          |  FROM e CROSS JOIN seeds s),
-          |asg AS (
-          |  SELECT vec_id, embedding, cell FROM a0
-          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) = 1),
-          |cm AS (
-          |  SELECT cell, unnest(range(len(embedding))) AS pos,
-          |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
-          |  FROM asg),
-          |cents AS (
-          |  SELECT cell, list(m ORDER BY pos) AS c FROM (
-          |    SELECT cell, pos, round(avg(x), 6) AS m FROM cm GROUP BY 1, 2)
-          |  GROUP BY cell),
-          |casg AS (
-          |  SELECT neighbor_id, ce, cell FROM (
-          |    SELECT e.vec_id AS neighbor_id, e.embedding AS ce, c.cell,
-          |      round(list_sum(list_transform(list_zip(e.embedding, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
-          |        / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
-          |         * sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
-          |    FROM e CROSS JOIN cents c)
-          |  QUALIFY row_number() OVER (PARTITION BY neighbor_id ORDER BY cs DESC, cell) = 1),
-          |probe AS (
-          |  SELECT query_id, qe, cell FROM (
-          |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
-          |      round(list_sum(list_transform(list_zip(q.embedding, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE))
-          |        / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
-          |         * sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cs
-          |    FROM e q CROSS JOIN cents c WHERE q.vec_id < 5)
-          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell) <= 2),
-          |s AS (
-          |  SELECT p.query_id, ca.neighbor_id,
-          |    round(list_sum(list_transform(list_zip(p.qe, ca.ce), x -> x[1]::DOUBLE * x[2]::DOUBLE))
-          |      / (sqrt(list_sum(list_transform(list_zip(p.qe, p.qe), x -> x[1]::DOUBLE * x[2]::DOUBLE)))
-          |       * sqrt(list_sum(list_transform(list_zip(ca.ce, ca.ce), x -> x[1]::DOUBLE * x[2]::DOUBLE)))), 6) AS cos
-          |  FROM probe p JOIN casg ca USING (cell) WHERE ca.neighbor_id <> p.query_id)
-          |SELECT query_id, neighbor_id, cos,
-          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
-          |FROM s QUALIFY rnk <= 10""".stripMargin,
+      "ivf_topk" -> ivfTopkOracleSql,
 
       // quantile-sketch replay: same hash cut (2⁶⁰/16), same rank pick
       "quantile_sample" ->
