@@ -2347,10 +2347,13 @@ object SparkEntry {
     "url_bitext" -> ((s, d) => {
       // ParaCrawl-style URL-pattern alignment: synthetic site URLs carry
       // the doc's language as a path segment; mates share (site, page)
-      val docs = rd(s, d, "documents").select(col("doc_id"),
-        concat(lit("https://site"), pmod(col("doc_id"), lit(50)).cast("string"),
-          lit("/"), col("lang"), lit("/page"),
-          pmod(col("doc_id"), lit(20)).cast("string")).as("url"))
+      // bounded to doc_id < 500 (the stream_minhash idiom) so both SFs
+      // see the same 91-key fixture with ~5-doc groups under the cap
+      val docs = rd(s, d, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          concat(lit("https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit("/"), col("lang"), lit("/page"),
+            pmod(col("doc_id"), lit(13)).cast("string")).as("url"))
       graft.text.Web.urlBitextPairs(docs, "doc_id", "url", maxGroup = 32)
     }),
 
@@ -6762,8 +6765,8 @@ object SparkEntry {
       // (all five corpus langs are in UrlLangCodes); cap + pair join replayed
       "url_bitext" ->
         """WITH k AS (SELECT doc_id, lang AS l,
-          |  'https://site'||(doc_id%50)||'/*/page'||(doc_id%20) AS key
-          |  FROM documents),
+          |  'https://site'||(doc_id%7)||'/*/page'||(doc_id%13) AS key
+          |  FROM documents WHERE doc_id < 500),
           |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 32),
           |ok AS (SELECT k.* FROM k JOIN g USING (key))
           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS lang_a,
