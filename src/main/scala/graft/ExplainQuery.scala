@@ -35,7 +35,7 @@ object ExplainQuery {
         "stream_join", "global_ids", "heavy_hitters",
         // kcenter runs its driver-paced selection rounds at construction;
         // snm_pairs ranks through Ids.assign (a count job + prefix-sum)
-        "kcenter_select", "snm_pairs", "stream_topk")
+        "kcenter_select", "snm_pairs", "stream_topk", "water_fill")
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstructors)
       else args.toSeq

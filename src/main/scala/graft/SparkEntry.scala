@@ -2326,6 +2326,19 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "water_fill" -> ((s, d) => {
+      // exact water-filling source balancing: per-domain token totals
+      // (the domain_cap fixture key) cut to the largest integer level
+      // that fits a 15k-token budget
+      val g = rd(s, d, "documents")
+        .select(concat(col("source"), lit("-"),
+          pmod(col("doc_id"), lit(7)).cast("string")).as("domain"),
+          TA.wsTokenCountCol(col("text")).cast("long").as("tok"))
+        .groupBy("domain").agg(sum("tok").as("tokens"))
+      Sampling.waterFill(g, "domain", "tokens", budget = 15000L)
+        .select(col("domain"), col("tokens"), col("alloc"), col("capped"))
+    }),
+
     "ann_recall" -> ((s, d) => {
       // ANN parameter-tuning eval (the minhash_recall pattern for vector
       // search): per-query recall of IVF-Flat (nlist=8, nProbe=2) against
@@ -6743,6 +6756,32 @@ object SparkEntry {
           |  (g.n < 10) AS suppressed,
           |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
           |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+      // water-fill replay: the single-partition window the operator
+      // avoids — cumulative sums in (tokens, domain) order, first
+      // crossing rank, integer level, least() allocation
+      "water_fill" ->
+        """WITH d AS (SELECT source||'-'||(doc_id%7) AS domain,
+          |  (CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g'))=0 THEN 0
+          |    ELSE len(string_split_regex(
+          |      regexp_replace(text,'^\s+|\s+$','','g'),'\s+')) END)::BIGINT AS tok
+          |  FROM documents),
+          |g AS (SELECT domain, sum(tok)::BIGINT AS tokens FROM d GROUP BY 1),
+          |r AS (SELECT domain, tokens,
+          |  row_number() OVER (ORDER BY tokens, domain) - 1 AS rk,
+          |  coalesce(sum(tokens) OVER (ORDER BY tokens, domain
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre,
+          |  (count(*) OVER ())::BIGINT AS n,
+          |  (sum(tokens) OVER ())::BIGINT AS tot FROM g),
+          |lv AS (SELECT CASE WHEN (SELECT max(tot) FROM r) <= 15000 THEN NULL
+          |  ELSE (SELECT (15000 - pre) // (n - rk) FROM r
+          |    WHERE pre + (n - rk)*tokens > 15000 ORDER BY rk LIMIT 1) END AS L)
+          |SELECT r.domain, r.tokens,
+          |  (CASE WHEN lv.L IS NULL THEN r.tokens
+          |    ELSE least(r.tokens, lv.L) END)::BIGINT AS alloc,
+          |  (CASE WHEN lv.L IS NULL THEN FALSE
+          |    ELSE r.tokens > lv.L END) AS capped
+          |FROM r, lv""".stripMargin,
 
       // ANN-recall replay: both shared oracle bodies nested as subqueries,
       // truth left-joined to found, milli floor-division

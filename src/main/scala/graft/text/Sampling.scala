@@ -414,4 +414,98 @@ object Sampling {
     val keep = math.ceil(ids.size * frac).toLong
     ids.sortBy(id => (hex(id), id)).take(keep.toInt)
   }
+
+  /** Water-filling domain budget allocation — the source-balancing step of
+    * corpus mixing (the C4/Llama "cap the mega-domains, keep the tail
+    * whole" rule, computed EXACTLY): given per-domain token counts and a
+    * global budget B, find the largest integer level L with
+    * Σ min(tokens_d, L) ≤ B and allocate min(tokens_d, L) to each domain.
+    * Domains under the level keep everything; only the giants are cut, and
+    * all giants are cut to the SAME level — the fairness property a
+    * proportional scale-down lacks.
+    *
+    * Shape at scale: the input is the already-aggregated domain table
+    * (≤ millions of rows, never the corpus). Global (tokens asc, key)
+    * order via ONE range exchange; per-partition totals prefix-summed on
+    * the DRIVER (one row per partition — the [[budgetSelect]] machinery);
+    * the level comes from the first rank where prefix + remaining·tokens
+    * crosses B (one filter + a 1-row TakeOrdered); allocation is a narrow
+    * projection. No single-partition window anywhere.
+    */
+  def waterFill(domains: DataFrame, keyCol: String, tokensCol: String,
+      budget: Long, parts: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val spark = domains.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val src = domains.select(col(keyCol).cast("string").as("key"),
+      col(tokensCol).cast("long").as("tokens"))
+    val ranged = graft.io.Persisted.track(
+      src.repartitionByRange(p, col("tokens").asc, col("key").asc)
+        .sortWithinPartitions(col("tokens").asc, col("key").asc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val partStats = ranged
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        col("tokens"))
+      .groupBy("pid").agg(count(lit(1)).as("c"), sum("tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cntOff = (0 until p).scanLeft(0L)((acc, i) =>
+      acc + partStats.get(i).map(_._1).getOrElse(0L)).toArray
+    val sumOff = (0 until p).scanLeft(0L)((acc, i) =>
+      acc + partStats.get(i).map(_._2).getOrElse(0L)).toArray
+    val n = cntOff(p)
+    val total = sumOff(p)
+    val allocCol: org.apache.spark.sql.Column =
+      if (total <= budget || n == 0) col("tokens")
+      else {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("pre",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("tk",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        // partition INDEX is the offset key (see budgetSelect's coalesce
+        // trap note)
+        val ranksRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+          var rk = cntOff(pid)
+          var pre = sumOff(pid)
+          it.map { r =>
+            val row = org.apache.spark.sql.Row(rk, pre, r.getLong(1))
+            rk += 1L
+            pre += r.getLong(1)
+            row
+          }
+        }
+        val crossing = spark.createDataFrame(ranksRdd, schema)
+          .filter(col("pre") + (lit(n) - col("rk")) * col("tk") > budget)
+          .orderBy(col("rk")).limit(1)
+          .select(col("rk"), col("pre")).collect()(0)
+        val level = (budget - crossing.getLong(1)) / (n - crossing.getLong(0))
+        least(col("tokens"), lit(level))
+      }
+    ranged.select(col("key").as(keyCol), col("tokens"),
+      allocCol.as("alloc"))
+      .withColumn("capped", col("alloc") < col("tokens"))
+  }
+
+  /** Pure twin of [[waterFill]]: (key, tokens) → (key, tokens, alloc). */
+  def waterFillPure(rows: Seq[(String, Long)], budget: Long)
+      : Seq[(String, Long, Long)] = {
+    require(budget >= 0)
+    val sorted = rows.sortBy { case (k, t) => (t, k) }
+    val total = sorted.map(_._2).sum
+    if (total <= budget) return rows.map { case (k, t) => (k, t, t) }
+    val n = sorted.size.toLong
+    var pre = 0L
+    var level = -1L
+    var i = 0L
+    val it = sorted.iterator
+    while (level < 0 && it.hasNext) {
+      val (_, t) = it.next()
+      if (pre + (n - i) * t > budget) level = (budget - pre) / (n - i)
+      else { pre += t; i += 1 }
+    }
+    rows.map { case (k, t) => (k, t, math.min(t, level)) }
+  }
 }

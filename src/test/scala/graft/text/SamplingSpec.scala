@@ -270,4 +270,29 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.groupReservoir(docs, "doc_id", "domain", 0))
   }
+
+  test("waterFill: exact level, full-keep, zero level, invariance") {
+    val doms = Seq(("a", 10L), ("b", 20L), ("c", 30L), ("d", 100L))
+    def run(budget: Long, parts: Int = 1) =
+      Sampling.waterFill(doms.toDF("domain", "tokens").repartition(parts),
+        "domain", "tokens", budget)
+        .select("domain", "tokens", "alloc", "capped")
+        .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // budget 90: level 30 — giants cut to the level, tail kept whole
+    assert(run(90) == Seq(("a", 10L, 10L, false), ("b", 20L, 20L, false),
+      ("c", 30L, 30L, false), ("d", 100L, 30L, true)))
+    // sum of allocations is exactly the maximal feasible total
+    assert(run(90).map(_._3).sum == 90L)
+    // budget covers everything -> nothing capped
+    assert(run(200).forall(r => r._3 == r._2 && !r._4))
+    // tiny budget -> integer level 0, everything capped to 0
+    assert(run(3).forall(r => r._3 == 0L))
+    // pure-twin parity across partitionings and budgets
+    for (b <- Seq(0L, 3L, 55L, 90L, 160L, 200L); parts <- Seq(1, 5)) {
+      val got = run(b, parts).map(r => (r._1, r._2, r._3)).toSet
+      assert(got == Sampling.waterFillPure(doms, b).toSet, s"b=$b parts=$parts")
+    }
+    intercept[IllegalArgumentException](
+      Sampling.waterFill(doms.toDF("domain", "tokens"), "domain", "tokens", -1))
+  }
 }
