@@ -1518,6 +1518,29 @@ object SparkEntry {
           Web.registrableDomain(Web.host(col("url"))).as("domain"))
     }),
 
+    "surt_keys" -> ((s, d) => {
+      // SURT archive keys over the url_normalize fixture URLs (same
+      // pure-function construction, so the oracle re-renders the
+      // expected key directly)
+      val id = col("doc_id")
+      val str = id.cast("string")
+      val url = concat(
+        when(pmod(id, lit(2)) === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+        when(pmod(id, lit(17)) === 0, lit("u:p@")).otherwise(lit("")),
+        lit("WWW.Site"), pmod(id, lit(7)).cast("string"),
+        when(pmod(id, lit(5)) === 0, lit(".News.CO.UK")).otherwise(lit(".Example.COM")),
+        when(pmod(id, lit(3)) === 0,
+          when(pmod(id, lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+          .when(pmod(id, lit(3)) === 1, lit(":8080")).otherwise(lit("")),
+        when(pmod(id, lit(11)) === 0, lit("")).otherwise(concat(lit("/P/"), str)),
+        when(pmod(id, lit(4)) === 0, lit("?b=2&utm_source=nl&a=1"))
+          .when(pmod(id, lit(4)) === 1, lit("?gclid=z"))
+          .when(pmod(id, lit(4)) === 2, lit("?z=9&y=8&fbclid=k")).otherwise(lit("")),
+        when(pmod(id, lit(6)) === 0, concat(lit("#sec"), str)).otherwise(lit("")))
+      rd(s, d, "documents").select(id, url.as("url"))
+        .select(col("doc_id"), graft.text.Web.surt(col("url")).as("surt"))
+    }),
+
     "key_skew" -> ((s, d) => {
       // the pre-join skew report: per-user row counts of the events table
       // summarized to max/percentiles/skew ratio — the decision input for
@@ -6756,6 +6779,22 @@ object SparkEntry {
           |  (g.n < 10) AS suppressed,
           |  (g.n >= 10 AND g.ns >= 5) AS l_diverse
           |FROM c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+      // SURT replay: expected key re-rendered as a pure function of
+      // doc_id (reversed lowercase host labels; path+query kept verbatim,
+      // fragment and port gone, empty path -> "/")
+      "surt_keys" ->
+        """WITH t AS (SELECT doc_id,
+          |  CASE WHEN doc_id%5=0 THEN 'uk,co,news,site'||(doc_id%7)||',www'
+          |    ELSE 'com,example,site'||(doc_id%7)||',www' END AS hostrev,
+          |  (CASE WHEN doc_id%11=0 THEN '' ELSE '/P/'||doc_id END) ||
+          |  (CASE WHEN doc_id%4=0 THEN '?b=2&utm_source=nl&a=1'
+          |    WHEN doc_id%4=1 THEN '?gclid=z'
+          |    WHEN doc_id%4=2 THEN '?z=9&y=8&fbclid=k' ELSE '' END) AS rest
+          |  FROM documents)
+          |SELECT doc_id, '('||hostrev||',)'||
+          |  (CASE WHEN rest='' THEN '/' ELSE rest END) AS surt
+          |FROM t""".stripMargin,
 
       // water-fill replay: the single-partition window the operator
       // avoids — cumulative sums in (tokens, domain) order, first

@@ -371,4 +371,20 @@ object Web {
       if ka == kb && (la < lb || (la == lb && ia < ib))
     } yield (ia, ib, la, lb, ka)
   }
+
+  /** Heritrix-style SURT (Sort-friendly URI Reordering Transform) — the
+    * web-archiving canonical key: scheme and userinfo dropped, host labels
+    * reversed and comma-joined inside "(...,)", fragment stripped, path
+    * and query kept verbatim ("/" when empty). Sorting SURTs clusters a
+    * domain's whole subtree contiguously — the layout key for crawl
+    * stores and CDX indexes (ports are dropped: a simplification vs
+    * Heritrix, documented). URLs without a scheme pass through. */
+  def surt(url: Column): Column = {
+    val h = host(url)
+    val rest = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    when(h === "", url).otherwise(concat(lit("("),
+      concat_ws(",", reverse(split(h, "\\."))), lit(",)"),
+      when(rest === "", lit("/")).otherwise(rest)))
+  }
 }

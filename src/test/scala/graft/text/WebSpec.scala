@@ -154,4 +154,26 @@ class WebSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("surt: reversed-host archive key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      "https://u:p@WWW.Example.CO.UK:443/a/b?x=1#frag",
+      "http://site.org",
+      "not a url").toDF("url")
+      .select(Web.surt(col("url")).as("s")).as[String].collect().toSeq
+    // scheme/userinfo/port/fragment gone, host reversed, query kept
+    assert(rows(0) == "(uk,co,example,www,)/a/b?x=1")
+    // empty path becomes "/"
+    assert(rows(1) == "(org,site,)/")
+    // non-URLs pass through
+    assert(rows(2) == "not a url")
+    // sorting SURTs clusters a domain subtree contiguously
+    val keys = Seq("https://b.example.com/z", "https://a.other.net/a",
+      "https://example.com/a", "https://c.example.com/a")
+      .toDF("url").select(Web.surt(col("url")).as("s"))
+      .as[String].collect().sorted.toSeq
+    assert(keys.take(3).forall(_.startsWith("(com,example")))
+  }
 }
