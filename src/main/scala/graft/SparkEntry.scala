@@ -2349,6 +2349,15 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "bbit_minhash" -> ((s, d) => {
+      // b-bit minwise hashing: 8-bit compressed 4-component signatures,
+      // pairs bucketed on the first compressed byte, corrected estimator
+      // next to the full-width one; bounded corpus for SF stability
+      Dedup.bbitMinhashPairs(
+        rd(s, d, "documents").filter(col("doc_id") <= 500),
+        "doc_id", "text", n = 3, k = 4, b = 8)
+    }),
+
     "water_fill" -> ((s, d) => {
       // exact water-filling source balancing: per-domain token totals
       // (the domain_cap fixture key) cut to the largest integer level
@@ -6795,6 +6804,38 @@ object SparkEntry {
           |SELECT doc_id, '('||hostrev||',)'||
           |  (CASE WHEN rest='' THEN '/' ELSE rest END) AS surt
           |FROM t""".stripMargin,
+
+      // b-bit replay: the minhash_sig chain, low-byte masks, the bucket
+      // join, and BOTH estimators (corrected b-bit + full-width)
+      "bbit_minhash" ->
+        s"""WITH t AS (SELECT doc_id, ${toks.format("text")} AS toks
+           |  FROM documents WHERE doc_id <= 500),
+           |s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+           |  i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS sh
+           |  FROM t WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id,
+           |  list_min(list_transform(sh, x -> ${hash60("'0:'||x")})) AS s0,
+           |  list_min(list_transform(sh, x -> ${hash60("'1:'||x")})) AS s1,
+           |  list_min(list_transform(sh, x -> ${hash60("'2:'||x")})) AS s2,
+           |  list_min(list_transform(sh, x -> ${hash60("'3:'||x")})) AS s3
+           |  FROM s),
+           |bb AS (SELECT doc_id, s0%256 AS b0, s1%256 AS b1, s2%256 AS b2,
+           |  s3%256 AS b3, s0, s1, s2, s3 FROM sig),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  (CASE WHEN a.b0=b.b0 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.b1=b.b1 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.b2=b.b2 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.b3=b.b3 THEN 1 ELSE 0 END) AS m_bbit,
+           |  (CASE WHEN a.s0=b.s0 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.s1=b.s1 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.s2=b.s2 THEN 1 ELSE 0 END +
+           |   CASE WHEN a.s3=b.s3 THEN 1 ELSE 0 END) AS m_full
+           |  FROM bb a JOIN bb b ON a.b0 = b.b0 AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, m_bbit::BIGINT AS m_bbit,
+           |  greatest(0, (1000*(m_bbit*256 - 4)) // (4*255))::BIGINT AS est_milli,
+           |  m_full::BIGINT AS m_full,
+           |  ((1000*m_full) // 4)::BIGINT AS est_full_milli
+           |FROM p""".stripMargin,
 
       // water-fill replay: the single-partition window the operator
       // avoids — cumulative sums in (tokens, domain) order, first

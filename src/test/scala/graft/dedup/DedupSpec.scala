@@ -561,4 +561,32 @@ class DedupSpec extends SparkTestBase {
       graft.io.Persisted.release(spark)
     }
   }
+
+  test("bbitMinhashPairs: compression, estimator correction, cap") {
+    import org.apache.spark.sql.functions._
+    // exact duplicates + one unrelated doc
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val got = Dedup.bbitMinhashPairs(docs, "doc_id", "text", n = 3, k = 4, b = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // the exact-dup pair matches all 4 components in both widths, and the
+    // corrected estimate is exactly 1000 milli
+    val dup = got((1L, 2L))
+    assert(dup._3 == 4L && dup._5 == 4L)
+    assert(dup._4 == 1000L && dup._6 == 1000L)
+    assert(dup._4 == Dedup.bbitEstimateMilli(4, 4, 8))
+    // estimator correction: m of k at b bits under-shoots the naive m/k
+    assert(Dedup.bbitEstimateMilli(1, 4, 8) == 247L) // (0.25-2^-8)/(1-2^-8)
+    assert(Dedup.bbitEstimateMilli(0, 4, 8) == 0L)   // clamped
+    // cap: a bucket above maxBucket drops whole
+    val many = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    assert(Dedup.bbitMinhashPairs(many, "doc_id", "text", 3, 4, 8,
+      maxBucket = 10).count() == 0)
+    intercept[IllegalArgumentException](
+      Dedup.bbitMinhashPairs(docs, "doc_id", "text", 3, 4, b = 0))
+  }
 }
