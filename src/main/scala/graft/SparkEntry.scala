@@ -2349,6 +2349,12 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "pmi_collocations" -> ((s, d) => {
+      // top-25 adjacent-pair collocations by integer micro-nat PMI
+      TA.pmiCollocations(rd(s, d, "documents"), "text",
+        minCount = 20L, topK = 25)
+    }),
+
     "bbit_minhash" -> ((s, d) => {
       // b-bit minwise hashing: 8-bit compressed 4-component signatures,
       // pairs bucketed on the first compressed byte, corrected estimator
@@ -6804,6 +6810,28 @@ object SparkEntry {
           |SELECT doc_id, '('||hostrev||',)'||
           |  (CASE WHEN rest='' THEN '/' ELSE rest END) AS surt
           |FROM t""".stripMargin,
+
+      // PMI replay: one-scan unigram+bigram counts, micro-nat lns, the
+      // (pmi desc, w1, w2) total order
+      "pmi_collocations" ->
+        """WITH toks AS (SELECT list_filter(
+          |  regexp_split_to_array(lower(text), '\W+'), t -> t <> '') AS tk
+          |  FROM documents),
+          |uc AS (SELECT w, count(*)::BIGINT AS c FROM
+          |  (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+          |bc AS (SELECT w1, w2, count(*)::BIGINT AS c_ab FROM
+          |  (SELECT tk[i+1] AS w1, tk[i+2] AS w2 FROM toks,
+          |    unnest(range(len(tk)-1)) AS t(i) WHERE len(tk) >= 2)
+          |  GROUP BY 1, 2),
+          |tu AS (SELECT sum(c)::BIGINT AS n_uni FROM uc),
+          |tb AS (SELECT sum(c_ab)::BIGINT AS n_bi FROM bc)
+          |SELECT w1, w2, c_ab,
+          |  (round(ln(c_ab)*1e6)::BIGINT - round(ln(n_bi)*1e6)::BIGINT
+          |   - round(ln(a.c)*1e6)::BIGINT - round(ln(b.c)*1e6)::BIGINT
+          |   + 2*round(ln(n_uni)*1e6)::BIGINT) AS pmi_micro
+          |FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2, tu, tb
+          |WHERE c_ab >= 20
+          |ORDER BY pmi_micro DESC, w1, w2 LIMIT 25""".stripMargin,
 
       // b-bit replay: the minhash_sig chain, low-byte masks, the bucket
       // join, and BOTH estimators (corrected b-bit + full-width)

@@ -1039,4 +1039,67 @@ object TextAnalysis {
       (total, dist, 1000L * dist / total)
     }
   }
+
+  /** PMI collocation mining — the classic corpus-analysis signal for
+    * multiword expressions (Church & Hanks 1990): for adjacent token
+    * pairs, PMI = ln P(a,b) − ln P(a) − ln P(b) with bigram probability
+    * over the bigram total and unigram probabilities over the token
+    * total, in exact integer micro-nats (the lnMicro idiom):
+    *
+    *   pmi_micro = ln(c_ab) − ln(N_bi) − ln(c_a) − ln(c_b) + 2·ln(N_uni)
+    *
+    * `minCount` guards the low-frequency PMI explosion; output is the
+    * top-k by (pmi desc, w1, w2).
+    *
+    * Shape at scale: the corpus is scanned ONCE — unigram and bigram
+    * entries flatten into one explode and ONE (kind, w1, w2) partial-agg
+    * groupBy; every later join/aggregate runs on the vocab-bounded count
+    * table, and the top-k is a TakeOrdered. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad args: $minCount/$topK")
+    val lnM = (c: Column) => round(log(c.cast("double")) * 1e6).cast("long")
+    val toks = col("__toks")
+    val uniE = transform(toks, t => struct(lit("u").as("kind"),
+      t.as("w1"), lit("").as("w2")))
+    val biE = when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
+      i => struct(lit("b").as("kind"), element_at(toks, i + 1).as("w1"),
+        element_at(toks, i + 2).as("w2"))))
+      .otherwise(expr("array()").cast("array<struct<kind:string,w1:string,w2:string>>"))
+    val counts = df.withColumn("__toks", tokensCol(col(textCol)))
+      .select(explode(concat(uniE, biE)).as("__e"))
+      .groupBy(col("__e.kind").as("kind"), col("__e.w1").as("w1"),
+        col("__e.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val uni = counts.filter(col("kind") === "u").select(col("w1"), col("c"))
+    val bi = counts.filter(col("kind") === "b")
+      .select(col("w1"), col("w2"), col("c").as("c_ab"))
+    val totU = uni.agg(sum("c").as("n_uni"))
+    val totB = bi.agg(sum("c_ab").as("n_bi"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w1"), col("c").as("__ca")), "w1")
+      .join(uni.select(col("w1").as("w2"), col("c").as("__cb")), "w2")
+      .join(broadcast(totU)).join(broadcast(totB))
+      .withColumn("pmi_micro",
+        lnM(col("c_ab")) - lnM(col("n_bi")) - lnM(col("__ca")) -
+          lnM(col("__cb")) + lit(2L) * lnM(col("n_uni")))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "c_ab", "pmi_micro")
+  }
+
+  /** Pure twin of [[pmiCollocations]]. */
+  def pmiCollocationsPure(texts: Seq[String], minCount: Long, topK: Int)
+      : Seq[(String, String, Long, Long)] = {
+    def lnM(x: Long) = Math.round(Math.log(x.toDouble) * 1e6)
+    val tokss = texts.map(tokens)
+    val uni = tokss.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val bis = tokss.flatMap(ts => ts.zip(ts.drop(1)))
+    val bi = bis.groupBy(identity).view.mapValues(_.size.toLong)
+    val nU = uni.values.sum
+    val nB = bis.size.toLong
+    bi.toSeq.filter(_._2 >= minCount).map { case ((a, b), c) =>
+      (a, b, c, lnM(c) - lnM(nB) - lnM(uni(a)) - lnM(uni(b)) + 2L * lnM(nU))
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(topK)
+  }
 }

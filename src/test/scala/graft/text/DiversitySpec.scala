@@ -88,4 +88,28 @@ class DiversitySpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TextAnalysis.distinctNgramStats(df, "lang", "text", Seq(1, 1)))
   }
+
+  test("pmiCollocations: exact integer PMI, ordering, floors") {
+    // "new york" always adjacent; "the" everywhere (low PMI)
+    val texts = Seq(
+      "flights to new york from the coast",
+      "new york is the city that never sleeps",
+      "the new york subway and the old tram",
+      "the weather in new york is the usual")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minCount = 2, topK = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val exp = TextAnalysis.pmiCollocationsPure(texts, 2, 10)
+    assert(got == exp)
+    // the always-adjacent rare pair beats any "the"-pair
+    assert(got.head._1 == "new" && got.head._2 == "york" && got.head._3 == 4L)
+    assert(got.forall(r => r._3 >= 2L))
+    // partitioning invariance
+    val rep = TextAnalysis.pmiCollocations(docs.repartition(7), "text", 2, 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(rep == exp)
+    intercept[IllegalArgumentException](
+      TextAnalysis.pmiCollocations(docs, "text", 0, 10))
+  }
 }
