@@ -2349,6 +2349,16 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "context_gain" -> ((s, d) => {
+      // per-doc mean bigram information gain (PMI rate) under the en-slice
+      // reference — the relative predictability ranking signal
+      val docs = rd(s, d, "documents")
+      graft.text.Perplexity.contextGain(
+        docs.withColumn("t2", docText).select(col("doc_id"), col("t2")),
+        "doc_id", "t2",
+        docs.filter(col("lang") === "en").select("text"), "text")
+    }),
+
     "pmi_collocations" -> ((s, d) => {
       // top-25 adjacent-pair collocations by integer micro-nat PMI
       TA.pmiCollocations(rd(s, d, "documents"), "text",
@@ -6810,6 +6820,46 @@ object SparkEntry {
           |SELECT doc_id, '('||hostrev||',)'||
           |  (CASE WHEN rest='' THEN '/' ELSE rest END) AS surt
           |FROM t""".stripMargin,
+
+      // context-gain replay: the lm_perplexity bigram chain plus the
+      // hashed unigram model over the same predicted positions, one
+      // toward-zero division per doc
+      "context_gain" ->
+        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |ctk AS (SELECT doc_id, ${toks.format("t2")} AS l FROM t),
+           |cbg AS (SELECT doc_id, ${hash60("l[i+1]")} % 1024 AS b1,
+           |    ${hash60("l[i+1]||' '||l[i+2]")} % 8192 AS b12
+           |  FROM (SELECT doc_id, l, unnest(range(len(l)-1)) AS i FROM ctk WHERE len(l) >= 2)),
+           |cpd AS (SELECT doc_id, ${hash60("l[i+2]")} % 4096 AS bu
+           |  FROM (SELECT doc_id, l, unnest(range(len(l)-1)) AS i FROM ctk WHERE len(l) >= 2)),
+           |rtk AS (SELECT ${toks.format("text")} AS l FROM documents WHERE lang = 'en'),
+           |rbg AS (SELECT ${hash60("l[i+1]")} % 1024 AS b1,
+           |    ${hash60("l[i+1]||' '||l[i+2]")} % 8192 AS b12
+           |  FROM (SELECT l, unnest(range(len(l)-1)) AS i FROM rtk WHERE len(l) >= 2)),
+           |rpd AS (SELECT ${hash60("l[i+2]")} % 4096 AS bu
+           |  FROM (SELECT l, unnest(range(len(l)-1)) AS i FROM rtk WHERE len(l) >= 2)),
+           |c12 AS (SELECT b1, b12, count(*) AS c FROM rbg GROUP BY 1, 2),
+           |c1 AS (SELECT b1, count(*) AS c FROM rbg GROUP BY 1),
+           |cu AS (SELECT bu, count(*) AS c FROM rpd GROUP BY 1),
+           |nu AS (SELECT count(*) AS n FROM rpd),
+           |evb AS (SELECT cbg.doc_id,
+           |  CASE WHEN c12.c IS NOT NULL
+           |         THEN round((ln((c1.c+8192)::DOUBLE) - ln((c12.c+1)::DOUBLE))*1e6)::BIGINT
+           |       WHEN c1.c IS NOT NULL THEN round(ln((c1.c+8192)::DOUBLE)*1e6)::BIGINT
+           |       ELSE round(ln(8192::DOUBLE)*1e6)::BIGINT END AS nll
+           |  FROM cbg LEFT JOIN c12 USING (b1, b12) LEFT JOIN c1 USING (b1)),
+           |perb AS (SELECT doc_id, count(*) AS nb, sum(nll) AS smb FROM evb GROUP BY 1),
+           |evu AS (SELECT cpd.doc_id,
+           |  round((ln((nu.n+4096)::DOUBLE) - ln((coalesce(cu.c, 0)+1)::DOUBLE))*1e6)::BIGINT AS nll
+           |  FROM cpd LEFT JOIN cu USING (bu), nu),
+           |peru AS (SELECT doc_id, sum(nll) AS smu FROM evu GROUP BY 1)
+           |SELECT d.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+           |  coalesce(smu, 0)::BIGINT AS nll_uni_micro,
+           |  coalesce(smb, 0)::BIGINT AS nll_bi_micro,
+           |  (CASE WHEN coalesce(nb, 0) = 0 THEN 0
+           |    ELSE (smu - smb) // nb END)::BIGINT AS gain_micro
+           |FROM documents d LEFT JOIN perb USING (doc_id)
+           |  LEFT JOIN peru USING (doc_id)""".stripMargin,
 
       // PMI replay: one-scan unigram+bigram counts, micro-nat lns, the
       // (pmi desc, w1, w2) total order

@@ -148,4 +148,100 @@ object Perplexity {
       (id, bs.size.toLong, bs.map((w _).tupled).sum)
     }
   }
+
+  /** Second token of every bigram — the PREDICTED positions, hashed into
+    * `uniBuckets`. Shares the token materialization discipline of
+    * [[bigramRows]]. */
+  private def predictedRows(df: DataFrame, idCol: String, textCol: String,
+      uniBuckets: Int): DataFrame = {
+    val arr = df.select(col(idCol),
+      TextAnalysis.tokensCol(col(textCol)).as("__t"))
+    val t = col("__t")
+    val preds = when(size(t) < 2, expr("array()").cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => element_at(t, i + 1)))
+    arr.select(col(idCol), explode(preds).as("__w"))
+      .select(col(idCol),
+        (TextAnalysis.hash60(col("__w")) % uniBuckets).as("bu"))
+  }
+
+  /** Per-document mean bigram information gain — the exact integer form of
+    * "how much does the previous word predict the next one": over the
+    * same predicted positions, unigram NLL minus bigram NLL, i.e. the
+    * document's mean bigram PMI rate under the reference corpus (the
+    * per-document aggregate of [[TextAnalysis.pmiCollocations]]'s
+    * per-pair signal). The signal is RELATIVE: the hashed add-one
+    * smoothing contributes a corpus-constant offset, so rankings within
+    * one model are meaningful while the absolute sign is not. Shuffled
+    * bag-of-words ranks at the bottom (context predicts nothing);
+    * templated / machine-generated boilerplate ranks at the top
+    * (continuations are deterministic) — the cheap predictability tier
+    * of the perplexity-gap detector family.
+    *
+    * Unigram model: add-one over `uniBuckets` hash space,
+    * p(w) = (c(b_w)+1)/(N_ref + B_u); bigram side = [[lmScores]]. Both
+    * sides integerize per-event micro-nats before summation. gain_micro =
+    * (nll_uni − nll_bi) div n_bigrams (0 for bigram-less docs; `div`
+    * truncates toward zero in both engines, and the numerator can be
+    * negative).
+    *
+    * Shape at scale: the reference builds one bounded unigram table
+    * (≤ uniBuckets rows) next to lmScores' two; all are broadcast, the
+    * corpus never shuffles for the probe, ONE doc-id groupBy each side. */
+  def contextGain(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      uniBuckets: Int = 4096, ctxBuckets: Int = 1024,
+      bigramBuckets: Int = 8192, broadcastModel: Boolean = true): DataFrame = {
+    require(uniBuckets > 0, s"uniBuckets must be positive: $uniBuckets")
+    val bi = lmScores(corpus, idCol, textCol, reference, refTextCol,
+      ctxBuckets, bigramBuckets, broadcastModel)
+      .select(col(idCol), col("n_bigrams"),
+        col("nll_micro").as("nll_bi_micro"))
+    val refU = predictedRows(
+      reference.select(col(refTextCol)).withColumn("__rid", lit(0L)),
+      "__rid", refTextCol, uniBuckets)
+      .groupBy("bu").agg(count(lit(1)).as("__cu"))
+    val totU = refU.agg(sum("__cu").as("__nu"))
+    def hint(t: DataFrame): DataFrame = if (broadcastModel) broadcast(t) else t
+    val uniDoc = predictedRows(corpus, idCol, textCol, uniBuckets)
+      .join(hint(refU), Seq("bu"), "left")
+      .join(hint(totU))
+      .select(col(idCol), round((log((col("__nu") + uniBuckets).cast("double")) -
+        log((coalesce(col("__cu"), lit(0L)) + 1).cast("double"))) * 1e6)
+        .cast("long").as("__nll"))
+      .groupBy(idCol).agg(sum("__nll").as("nll_uni_micro"))
+    bi.join(uniDoc, Seq(idCol), "left")
+      .withColumn("nll_uni_micro", coalesce(col("nll_uni_micro"), lit(0L)))
+      .withColumn("gain_micro", coalesce(
+        expr("(nll_uni_micro - nll_bi_micro) div nullif(n_bigrams, 0)"),
+        lit(0L)))
+      .select(col(idCol), col("n_bigrams"), col("nll_uni_micro"),
+        col("nll_bi_micro"), col("gain_micro"))
+  }
+
+  /** Pure twin of [[contextGain]]. */
+  def contextGainPure(corpus: Seq[(Long, String)], reference: Seq[String],
+      uniBuckets: Int, ctxBuckets: Int, bigramBuckets: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def preds(text: String): Seq[Long] = {
+      val t = TextAnalysis.tokens(text)
+      if (t.length < 2) Seq.empty
+      else t.drop(1).map(w => TextAnalysis.hash60(w) % uniBuckets)
+    }
+    val refP = reference.flatMap(preds)
+    val cu = refP.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nu = refP.size.toLong
+    val biScores = lmScoresPure(corpus, reference, ctxBuckets, bigramBuckets)
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    corpus.map { case (id, t) =>
+      val ps = preds(t)
+      val nllU = ps.map(b => micro(math.log((nu + uniBuckets).toDouble) -
+        math.log((cu.getOrElse(b, 0L) + 1).toDouble))).sum
+      val (n, nllB) = biScores(id)
+      val gain = if (n == 0) 0L else (nllU - nllB) / n
+      (id, n, nllU, nllB, gain)
+    }
+  }
 }

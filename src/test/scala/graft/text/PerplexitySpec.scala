@@ -113,4 +113,36 @@ class PerplexitySpec extends SparkTestBase {
     assert(bBuckets.toSeq == Seq("head", "head", "middle", "tail"))
     assert(byId(12L)._5 == "head") // avg 0 sorts first
   }
+
+  test("contextGain: PMI-rate signal, pure parity, edge docs") {
+    import org.apache.spark.sql.functions._
+    // reference: strongly predictable bigrams ("to the", "the market")
+    val ref = (1 to 30).map(_ => "we went to the market to the fair")
+    // predictable doc vs a bag-of-words scramble of the same tokens
+    val corpus = Seq(
+      (1L, "we went to the market"),
+      (2L, "market we the went to"),
+      (3L, "single"),
+      (4L, ""))
+    val refDf = ref.toDF("text")
+    val got = Perplexity.contextGain(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", refDf, "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val exp = Perplexity.contextGainPure(corpus, ref, 4096, 1024, 8192)
+      .sortBy(_._1)
+    assert(got == exp)
+    val gain = got.map(r => r._1 -> r._5).toMap
+    // the signal is RELATIVE (absolute gain carries the smoothing-mass
+    // offset of the hashed model): in-distribution word order must beat
+    // the scramble of the same tokens by a wide margin
+    assert(gain(1L) > gain(2L) + 300000L, s"${gain(1L)} vs ${gain(2L)}")
+    // bigram-less docs are all-zero
+    assert(got.filter(r => r._1 >= 3L).forall(r =>
+      r._2 == 0L && r._3 == 0L && r._4 == 0L && r._5 == 0L))
+    // partitioning invariance
+    val rep = Perplexity.contextGain(corpus.toDF("doc_id", "text")
+        .repartition(5), "doc_id", "text", refDf.repartition(3), "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rep == exp)
+  }
 }
