@@ -2349,6 +2349,11 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "simhash_idf" -> ((s, d) => {
+      // production-weighted SimHash: idf votes in integer micro-nats
+      Dedup.simhashIdfFingerprints(rd(s, d, "documents"), "doc_id", "text")
+    }),
+
     "context_gain" -> ((s, d) => {
       // per-doc mean bigram information gain (PMI rate) under the en-slice
       // reference — the relative predictability ranking signal
@@ -6820,6 +6825,26 @@ object SparkEntry {
           |SELECT doc_id, '('||hostrev||',)'||
           |  (CASE WHEN rest='' THEN '/' ELSE rest END) AS surt
           |FROM t""".stripMargin,
+
+      // idf-SimHash replay: distinct-doc df counts, micro-nat idf votes,
+      // the 32 conditional bit sums, the >0 bit rule
+      "simhash_idf" ->
+        s"""WITH tk AS (SELECT doc_id, unnest(${toks.format("text")}) AS w
+           |  FROM documents),
+           |dfv AS (SELECT w, count(DISTINCT doc_id) AS dfc FROM tk GROUP BY 1),
+           |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+           |wt AS (SELECT tk.doc_id, tk.w,
+           |  round(ln(nd.n::DOUBLE)*1e6)::BIGINT
+           |    - round(ln(dfc::DOUBLE)*1e6)::BIGINT AS wv
+           |  FROM tk JOIN dfv USING (w), nd),
+           |bits AS (SELECT doc_id, i,
+           |  sum(CASE WHEN ((${hash32("w")} >> i) & 1) = 1 THEN wv
+           |    ELSE -wv END) AS s
+           |  FROM wt, unnest(range(32)) AS t(i) GROUP BY 1, 2),
+           |fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+           |  ELSE 0 END)::BIGINT AS fp FROM bits GROUP BY 1)
+           |SELECT d.doc_id, coalesce(fp.fp, 0)::BIGINT AS fp
+           |FROM documents d LEFT JOIN fp USING (doc_id)""".stripMargin,
 
       // context-gain replay: the lm_perplexity bigram chain plus the
       // hashed unigram model over the same predicted positions, one

@@ -1079,4 +1079,65 @@ object Dedup {
     val mod = 1L << b
     math.max(0L, 1000L * (m * mod - k) / (k * (mod - 1)))
   }
+
+  // ----------------------------------------------- IDF-weighted SimHash ----
+  /** IDF-weighted SimHash — Charikar fingerprints with the term weights
+    * the production deployments use (Manku et al. 2007 weight features;
+    * uniform votes let boilerplate stopwords dominate the fingerprint):
+    * every token occurrence votes ±idf on each of the 32 bits, with
+    * idf = lnMicro(N_docs) − lnMicro(df_token) in exact integer
+    * micro-nats — a token present in EVERY document weighs exactly 0 and
+    * cannot move a bit, so fingerprints concentrate on distinctive
+    * content.
+    *
+    * Shape at scale: one distinct (doc, token) projection → a
+    * vocab-bounded df table; the weighted votes join on the token key and
+    * aggregate per doc with 32 conditional sums (ONE partial-agg
+    * groupBy). Output: (idCol, fp) with fp = 0 for tokenless docs —
+    * the [[simhashFingerprints]] convention. */
+  def simhashIdfFingerprints(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lnM = (c: Column) => round(log(c.cast("double")) * 1e6).cast("long")
+    val tk = df.select(col(idCol),
+      explode(graft.text.TextAnalysis.tokensCol(col(textCol))).as("w"))
+    val dfT = tk.select(col(idCol), col("w")).distinct()
+      .groupBy("w").agg(count(lit(1)).as("__df"))
+    val nd = df.agg(countDistinct(col(idCol)).as("__n"))
+    val h = graft.text.TextAnalysis.hash32(col("w"))
+    val wt = tk.join(dfT, "w").join(broadcast(nd))
+      .withColumn("__wt", lnM(col("__n")) - lnM(col("__df")))
+    val sums = (0 until 32).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, col("__wt"))
+        .otherwise(-col("__wt"))).as(s"__b$i"))
+    val fps = wt.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .withColumn("fp", (0 until 32).map(i =>
+        when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .select(col(idCol), col("fp"))
+    df.select(col(idCol)).join(fps, Seq(idCol), "left")
+      .withColumn("fp", coalesce(col("fp"), lit(0L)))
+  }
+
+  /** Pure twin of [[simhashIdfFingerprints]]. */
+  def simhashIdfPure(corpus: Seq[(Long, String)]): Map[Long, Long] = {
+    def lnM(x: Long) = Math.round(Math.log(x.toDouble) * 1e6)
+    val toks = corpus.map { case (id, t) =>
+      id -> graft.text.TextAnalysis.tokens(t) }
+    val dfc = toks.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size.toLong }
+    val n = corpus.map(_._1).distinct.size.toLong
+    toks.map { case (id, ts) =>
+      val votes = Array.fill(32)(0L)
+      for (w <- ts) {
+        val wt = lnM(n) - lnM(dfc(w))
+        val h = graft.text.TextAnalysis.hash32(w)
+        var i = 0
+        while (i < 32) {
+          if (((h >> i) & 1L) == 1L) votes(i) += wt else votes(i) -= wt
+          i += 1
+        }
+      }
+      id -> (0 until 32).map(i => if (votes(i) > 0) 1L << i else 0L).sum
+    }.toMap
+  }
 }

@@ -589,4 +589,31 @@ class DedupSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Dedup.bbitMinhashPairs(docs, "doc_id", "text", 3, 4, b = 0))
   }
+
+  test("simhashIdfFingerprints: idf voting, ubiquitous-token immunity") {
+    import org.apache.spark.sql.functions._
+    // 'common' appears in every doc -> idf 0 -> cannot move any bit;
+    // docs 1 and 2 differ ONLY in ubiquitous tokens
+    val corpus = Seq(
+      (1L, "common alpha bravo charlie"),
+      (2L, "common common alpha bravo charlie"),
+      (3L, "common delta echo foxtrot"),
+      (4L, ""))
+    val got = Dedup.simhashIdfFingerprints(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val exp = Dedup.simhashIdfPure(corpus)
+    assert(got == exp)
+    // zero-weight ubiquity: 1 and 2 fingerprint identically
+    assert(got(1L) == got(2L))
+    // distinctive content separates
+    assert(got(1L) != got(3L))
+    // tokenless doc -> fp 0
+    assert(got(4L) == 0L)
+    // partitioning invariance
+    val rep = Dedup.simhashIdfFingerprints(
+        corpus.toDF("doc_id", "text").repartition(5), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(rep == exp)
+  }
 }
