@@ -2349,6 +2349,21 @@ object SparkEntry {
           col("l_diverse"))
     }),
 
+    "slice_datasheet" -> ((s, d) => {
+      // the release datasheet at (lang, source) granularity: doc/token/
+      // char totals + docs participating in a CORPUS-wide exact-dup group
+      val t = rd(s, d, "documents")
+      val withFp = t.withColumn("__fp", TA.fingerprintCol(col("text")))
+      val dupFp = withFp.groupBy("__fp").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).select(col("__fp"), lit(1L).as("__dup"))
+      withFp.join(dupFp, Seq("__fp"), "left")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.wsTokenCountCol(col("text")).cast("long")).as("n_ws_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"))
+    }),
+
     "simhash_idf" -> ((s, d) => {
       // production-weighted SimHash: idf votes in integer micro-nats
       Dedup.simhashIdfFingerprints(rd(s, d, "documents"), "doc_id", "text")
@@ -6825,6 +6840,24 @@ object SparkEntry {
           |SELECT doc_id, '('||hostrev||',)'||
           |  (CASE WHEN rest='' THEN '/' ELSE rest END) AS surt
           |FROM t""".stripMargin,
+
+      // slice-datasheet replay: corpus-wide fingerprint dup groups
+      // attributed per (lang, source) slice
+      "slice_datasheet" ->
+        s"""WITH f AS (SELECT lang, source, n_chars, text,
+           |  ${hash60("regexp_replace(trim(lower(text)),'\\s+',' ','g')")} AS fp
+           |  FROM documents),
+           |dup AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
+           |SELECT lang, source, count(*)::BIGINT AS n_docs,
+           |  sum(CASE WHEN length(regexp_replace(text,'^\\s+|\\s+$$','','g'))=0 THEN 0
+           |    ELSE len(string_split_regex(
+           |      regexp_replace(text,'^\\s+|\\s+$$','','g'),'\\s+')) END)::BIGINT
+           |    AS n_ws_tokens,
+           |  sum(n_chars)::BIGINT AS n_chars,
+           |  sum(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_dup_docs
+           |FROM f LEFT JOIN dup USING (fp)
+           |GROUP BY 1, 2""".stripMargin,
 
       // idf-SimHash replay: distinct-doc df counts, micro-nat idf votes,
       // the 32 conditional bit sums, the >0 bit rule
