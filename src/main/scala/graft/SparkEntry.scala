@@ -1585,6 +1585,29 @@ object SparkEntry {
         "url", "html")
     }),
 
+    "cocitation_pairs" -> ((s, d) => {
+      // co-citation similarity (Small 1973) over a synthesized page→domain
+      // citation table: every edge is a pure function of doc_id so the
+      // oracle re-renders the edge list and replays dedup, the out-degree
+      // hub cap (doc_id%97 pages cite 6 extra domains and exceed cap 4 —
+      // dropped entirely), the src self-join, and the pair counts
+      val id = col("doc_id")
+      val src = concat(lit("p"), id.cast("string"))
+      val base = rd(s, d, "documents").select(id)
+      val e = base.select(src.as("src"),
+          concat(lit("site"), pmod(id, lit(6)).cast("string")).as("dst"))
+        .unionAll(base.select(src.as("src"),
+          concat(lit("site"), pmod(id * 2 + 1, lit(6)).cast("string"))
+            .as("dst")))
+        .unionAll(base.filter(pmod(id, lit(3)) === 0)
+          .select(src.as("src"), lit("hub.com").as("dst")))
+        .unionAll(base.filter(pmod(id, lit(97)) === 0)
+          .select(src.as("src"),
+            explode(transform(sequence(lit(0), lit(5)),
+              k => concat(lit("x"), k.cast("string")))).as("dst")))
+      graph.Cocitation.pairs(e, "src", "dst", maxOut = 4)
+    }),
+
     "html_meta" -> ((s, d) => {
       // head-metadata battery over synthesized page HTML: every field axis
       // (presence, attribute order, tag case, canonical-URL transport noise)
@@ -1695,6 +1718,14 @@ object SparkEntry {
       TA.charEntropyDf(rd(s, d, "documents"), "doc_id", "text")
     }),
 
+    "readability" -> ((s, d) => {
+      // Flesch reading-ease + Flesch–Kincaid grade in integer milli: the
+      // dictionary-free readability tier of the quality battery (collapsed
+      // ease flags OCR noise / templated jargon; grade is the difficulty
+      // bucketing key). Completely narrow — codegen'd array math per row
+      TA.readabilityDf(rd(s, d, "documents"), "doc_id", "text")
+    }),
+
     "quality_top_fraction" -> ((s, d) => {
       // dynamic per-language thresholding (the keep-top-X% curation rule):
       // instead of one global score cutoff, each language keeps its own
@@ -1761,6 +1792,28 @@ object SparkEntry {
           .withColumn("y", (pmod(col("doc_id"), lit(13)) === 0).cast("int"))
           .select(col("doc_id"), col("t2"), col("y")),
         "doc_id", "t2", "y", buckets = 4096, rounds = 2)),
+
+    "token_efficiency" -> ((s, d) => {
+      // per-language tokenizer-efficiency datasheet: UTF-8 bytes per
+      // ws/bpe token in integer milli — THE tokenizer-swap comparison
+      // metric; one partial-agg groupBy, sums combine map-side
+      TA.tokenEfficiencyStats(rd(s, d, "documents"), "lang", "text")
+    }),
+
+    "domain_wilson" -> ((s, d) => {
+      // evidence-aware domain quality ranking: Wilson lower bound (z=1.96,
+      // integer milli) on the per-domain rate of ≥30-ws-token docs over
+      // the domain_stats fixture key — 4/5 and 4000/5000 share p̂ but not
+      // the bound, so caps stop rewarding tiny lucky domains
+      val id = col("doc_id")
+      val domain = when(pmod(id, lit(4)) === 0, lit("news.co.uk"))
+        .otherwise(concat(lit("site"), pmod(id, lit(10)).cast("string"),
+          lit(".org")))
+      TA.sliceQualityWilson(
+        rd(s, d, "documents").select(domain.as("domain"),
+          (TA.wsTokenCountCol(col("text")) >= 30).as("good")),
+        "domain", "good")
+    }),
 
     "token_counts" -> ((s, d) => {
       rd(s, d, "documents").select(col("doc_id"),
@@ -2377,6 +2430,16 @@ object SparkEntry {
         docs.withColumn("t2", docText).select(col("doc_id"), col("t2")),
         "doc_id", "t2",
         docs.filter(col("lang") === "en").select("text"), "text")
+    }),
+
+    "rake_keywords" -> ((s, d) => {
+      // RAKE per-doc keywords (Rose et al. 2010): degree/frequency word
+      // scores over stopword-delimited phrase runs, integer milli, top-3
+      // per doc (score desc, phrase asc). Zero-shuffle typed kernel; the
+      // oracle rebuilds phrases with a boundary-count window and replays
+      // the full deg/freq join and ranking
+      graft.text.Rake.keywordsDf(rd(s, d, "documents"), "doc_id", "text",
+        topK = 3)
     }),
 
     "pmi_collocations" -> ((s, d) => {
@@ -5891,6 +5954,28 @@ object SparkEntry {
            |SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links
            |FROM e GROUP BY 1, 2""".stripMargin,
 
+      "cocitation_pairs" ->
+        s"""WITH e AS (
+           |  SELECT 'p'||doc_id::VARCHAR AS src,
+           |    'site'||(doc_id%6)::VARCHAR AS dst FROM documents
+           |  UNION ALL
+           |  SELECT 'p'||doc_id::VARCHAR,
+           |    'site'||((doc_id*2+1)%6)::VARCHAR FROM documents
+           |  UNION ALL
+           |  SELECT 'p'||doc_id::VARCHAR, 'hub.com' FROM documents
+           |  WHERE doc_id%3=0
+           |  UNION ALL
+           |  SELECT 'p'||doc_id::VARCHAR, 'x'||k::VARCHAR
+           |  FROM documents CROSS JOIN range(0,6) r(k) WHERE doc_id%97=0),
+           |d AS (SELECT DISTINCT src, dst FROM e),
+           |deg AS (SELECT src, count(*) AS n FROM d GROUP BY 1),
+           |ok AS (SELECT d.src, d.dst FROM d JOIN deg USING (src)
+           |  WHERE n <= 4)
+           |SELECT a.dst AS dst_a, b.dst AS dst_b,
+           |  count(*)::BIGINT AS n_cocitations
+           |FROM ok a JOIN ok b ON a.src = b.src AND a.dst < b.dst
+           |GROUP BY 1, 2""".stripMargin,
+
       "domain_stats" ->
         s"""WITH t AS (SELECT
            |  CASE WHEN doc_id%4=0 THEN 'news.co.uk'
@@ -6016,6 +6101,29 @@ object SparkEntry {
           |    ELSE round(ln(nch)*1e6)::BIGINT - sum_cl // nch
           |  END AS entropy_micro
           |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+      "readability" ->
+        s"""WITH t AS (SELECT doc_id, text, ${toks.format("text")} AS toks
+           |  FROM documents),
+           |b AS (SELECT doc_id,
+           |  len(list_filter(string_split_regex(text, '[.!?]+'),
+           |      x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g') <> ''))::BIGINT AS n_sentences,
+           |  len(toks)::BIGINT AS n_words,
+           |  coalesce(list_sum(list_transform(toks, w ->
+           |    greatest(CASE WHEN len(regexp_extract_all(w, '[aeiouy]+')) > 1
+           |        AND w LIKE '%e' AND NOT w LIKE '%le'
+           |      THEN len(regexp_extract_all(w, '[aeiouy]+')) - 1
+           |      ELSE len(regexp_extract_all(w, '[aeiouy]+')) END, 1))), 0)::BIGINT AS n_syllables
+           |  FROM t),
+           |m AS (SELECT doc_id, n_sentences, n_words, n_syllables,
+           |  1000 * n_words // greatest(n_sentences, 1) AS wps,
+           |  CASE WHEN n_words = 0 THEN NULL
+           |    ELSE 1000 * n_syllables // n_words END AS spw
+           |  FROM b)
+           |SELECT doc_id, n_sentences, n_words, n_syllables,
+           |  (206835 - 1015 * wps // 1000 - 84600 * spw // 1000)::BIGINT AS ease_milli,
+           |  (390 * wps // 1000 + 11800 * spw // 1000 - 15590)::BIGINT AS grade_milli
+           |FROM m""".stripMargin,
 
       "quality_top_fraction" ->
         s"""WITH ch AS (SELECT doc_id, unnest(string_split(text,'')) AS c
@@ -6165,6 +6273,45 @@ object SparkEntry {
            |  FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket)
            |SELECT bucket::BIGINT AS bucket, weight_milli::BIGINT AS weight_milli
            |FROM w2""".stripMargin,
+
+      "token_efficiency" ->
+        """WITH t AS (SELECT lang AS slice,
+          |  octet_length(encode(text))::BIGINT AS b,
+          |  (CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g'))=0 THEN 0
+          |    ELSE len(string_split_regex(regexp_replace(text,'^\s+|\s+$','','g'),'\s+')) END)::BIGINT AS wst,
+          |  len(regexp_extract_all(text,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS bpet
+          |  FROM documents)
+          |SELECT slice, count(*)::BIGINT AS n_docs,
+          |  sum(b)::BIGINT AS total_bytes,
+          |  sum(wst)::BIGINT AS ws_tokens,
+          |  sum(bpet)::BIGINT AS bpe_tokens,
+          |  (CASE WHEN sum(wst)=0 THEN NULL
+          |    ELSE 1000*sum(b) // sum(wst) END)::BIGINT AS bytes_per_ws_milli,
+          |  (CASE WHEN sum(bpet)=0 THEN NULL
+          |    ELSE 1000*sum(b) // sum(bpet) END)::BIGINT AS bytes_per_bpe_milli
+          |FROM t GROUP BY slice""".stripMargin,
+
+      "domain_wilson" ->
+        """WITH t AS (SELECT
+          |  CASE WHEN doc_id%4=0 THEN 'news.co.uk'
+          |       ELSE 'site'||(doc_id%10)::VARCHAR||'.org' END AS domain,
+          |  CASE WHEN (CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g'))=0 THEN 0
+          |    ELSE len(string_split_regex(regexp_replace(text,'^\s+|\s+$','','g'),'\s+')) END) >= 30
+          |    THEN 1 ELSE 0 END AS good
+          |  FROM documents),
+          |g AS (SELECT domain AS slice, count(*)::BIGINT AS n_docs,
+          |  sum(good)::BIGINT AS n_good FROM t GROUP BY 1),
+          |w AS (SELECT slice, n_docs, n_good,
+          |  1000 * n_good // n_docs AS good_milli,
+          |  (n_good * (n_docs - n_good) // n_docs) * 1000000
+          |    + (n_good * (n_docs - n_good) % n_docs) * 1000000 // n_docs
+          |    + 960400 AS v_micro
+          |  FROM g)
+          |SELECT slice, n_docs, n_good, good_milli,
+          |  greatest((n_good * 1000000 + 1920800
+          |      - 1960 * floor(sqrt(v_micro))::BIGINT)
+          |    // (n_docs * 1000 + 3842), 0)::BIGINT AS wilson_lower_milli
+          |FROM w""".stripMargin,
 
       "token_counts" ->
         """SELECT doc_id,
@@ -6918,6 +7065,38 @@ object SparkEntry {
            |    ELSE (smu - smb) // nb END)::BIGINT AS gain_micro
            |FROM documents d LEFT JOIN perb USING (doc_id)
            |  LEFT JOIN peru USING (doc_id)""".stripMargin,
+
+      // RAKE replay: stopword-boundary running count rebuilds the phrase
+      // runs, deg/freq join scores words, ranked top-3 per doc
+      "rake_keywords" ->
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),
+           |    '${graft.text.Rake.TokenBoundaryPattern}') AS toks
+           |  FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS w,
+           |  unnest(range(len(toks))) AS ord FROM t),
+           |m AS (SELECT doc_id, w, ord,
+           |  CASE WHEN NOT regexp_matches(w, '^[a-z0-9_]')
+           |    OR w IN (${graft.text.Rake.Stopwords.toSeq.sorted
+                  .map(w => s"'$w'").mkString(",")})
+           |    THEN 1 ELSE 0 END AS st FROM tok),
+           |g AS (SELECT doc_id, w, ord, st,
+           |  sum(st) OVER (PARTITION BY doc_id ORDER BY ord) AS grp FROM m),
+           |pw AS (SELECT doc_id, grp, w, ord FROM g WHERE st = 0),
+           |ph AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY ord) AS phrase,
+           |  count(*) AS plen FROM pw GROUP BY 1, 2),
+           |ws AS (SELECT pw.doc_id, pw.w, count(*) AS freq, sum(ph.plen) AS deg
+           |  FROM pw JOIN ph USING (doc_id, grp) GROUP BY 1, 2),
+           |ps AS (SELECT pw.doc_id, pw.grp,
+           |  sum(1000 * ws.deg // ws.freq) AS score
+           |  FROM pw JOIN ws ON pw.doc_id = ws.doc_id AND pw.w = ws.w
+           |  GROUP BY 1, 2),
+           |pp AS (SELECT DISTINCT ph.doc_id, ph.phrase, ps.score
+           |  FROM ph JOIN ps USING (doc_id, grp)),
+           |r AS (SELECT doc_id, phrase, score,
+           |  row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, phrase) AS rnk FROM pp)
+           |SELECT doc_id, phrase, score::BIGINT AS score_milli,
+           |  rnk::BIGINT AS rank FROM r WHERE rnk <= 3""".stripMargin,
 
       // PMI replay: one-scan unigram+bigram counts, micro-nat lns, the
       // (pmi desc, w1, w2) total order
