@@ -1815,6 +1815,37 @@ object SparkEntry {
         "domain", "good")
     }),
 
+    "length_outliers" -> ((s, d) => {
+      // Hampel median/MAD length-outlier gate per language: histogram-
+      // exact lower medians (the only corpus-scale exchange is the
+      // (slice, len) partial-agg groupBy; the corpus itself never sorts),
+      // broadcast stat join back, cross-multiplied k=3 rule
+      graft.text.CorpusStats.lengthOutliers(
+        rd(s, d, "documents"), "doc_id", "lang", "text")
+    }),
+
+    "domain_hhi" -> ((s, d) => {
+      // per-language domain concentration: exact integer-micro HHI via
+      // DECIMAL(38,0) (replayed with int128 on the oracle side) + top
+      // domain share — the "is this slice secretly one website?" gate
+      val id = col("doc_id")
+      val domain = when(pmod(id, lit(4)) === 0, lit("news.co.uk"))
+        .otherwise(concat(lit("site"), pmod(id, lit(10)).cast("string"),
+          lit(".org")))
+      graft.text.CorpusStats.domainConcentration(
+        rd(s, d, "documents").select(col("lang"), domain.as("domain")),
+        "lang", "domain")
+    }),
+
+    "zipf_slope" -> ((s, d) => {
+      // Zipf rank-frequency slope per language over the top-50 vocab:
+      // one (slice, token) count shuffle, native bounded-heap top-k
+      // (GraftTopK), integer micro-nat least squares with ONE toward-zero
+      // division — natural text lands near -1000 milli
+      graft.text.CorpusStats.zipfSlope(rd(s, d, "documents"), "lang",
+        "text", k = 50)
+    }),
+
     "token_counts" -> ((s, d) => {
       rd(s, d, "documents").select(col("doc_id"),
         TA.wsTokenCountCol(col("text")).cast("long").as("ws_tokens"),
@@ -6312,6 +6343,68 @@ object SparkEntry {
           |      - 1960 * floor(sqrt(v_micro))::BIGINT)
           |    // (n_docs * 1000 + 3842), 0)::BIGINT AS wilson_lower_milli
           |FROM w""".stripMargin,
+
+      "length_outliers" ->
+        """WITH base AS (SELECT doc_id, lang AS slice,
+          |  length(text)::BIGINT AS len FROM documents),
+          |hist AS (SELECT slice, len, count(*)::BIGINT AS c
+          |  FROM base GROUP BY 1, 2),
+          |tot AS (SELECT slice, sum(c)::BIGINT AS n FROM hist GROUP BY 1),
+          |cum AS (SELECT slice, len,
+          |  sum(c) OVER (PARTITION BY slice ORDER BY len) AS cm FROM hist),
+          |med AS (SELECT cum.slice, min(len)::BIGINT AS median_len
+          |  FROM cum JOIN tot USING (slice)
+          |  WHERE cm >= (n - 1) // 2 + 1 GROUP BY 1),
+          |dh AS (SELECT h.slice, abs(h.len - m.median_len) AS d,
+          |  sum(h.c)::BIGINT AS dc
+          |  FROM hist h JOIN med m ON h.slice = m.slice GROUP BY 1, 2),
+          |dtot AS (SELECT slice, sum(dc)::BIGINT AS n FROM dh GROUP BY 1),
+          |dcum AS (SELECT slice, d,
+          |  sum(dc) OVER (PARTITION BY slice ORDER BY d) AS cm FROM dh),
+          |mad AS (SELECT dcum.slice, min(d)::BIGINT AS mad
+          |  FROM dcum JOIN dtot USING (slice)
+          |  WHERE cm >= (n - 1) // 2 + 1 GROUP BY 1)
+          |SELECT b.doc_id, b.slice, b.len, m.median_len, a.mad,
+          |  (abs(b.len - m.median_len) * 1000 > 3000 * a.mad) AS outlier
+          |FROM base b JOIN med m ON b.slice = m.slice
+          |  JOIN mad a ON b.slice = a.slice""".stripMargin,
+
+      "domain_hhi" ->
+        """WITH t AS (SELECT lang AS slice,
+          |  CASE WHEN doc_id%4=0 THEN 'news.co.uk'
+          |       ELSE 'site'||(doc_id%10)::VARCHAR||'.org' END AS dom
+          |  FROM documents),
+          |c AS (SELECT slice, dom, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+          |a AS (SELECT slice, sum(c)::HUGEINT AS n, count(*)::BIGINT AS nd,
+          |  max(c)::BIGINT AS mx, sum(c::HUGEINT * c) AS s2
+          |  FROM c GROUP BY 1)
+          |SELECT slice, n::BIGINT AS n_docs, nd AS n_domains,
+          |  ((s2 * 1000000) // (n * n))::BIGINT AS hhi_micro,
+          |  (1000 * mx // n)::BIGINT AS top_share_milli
+          |FROM a""".stripMargin,
+
+      "zipf_slope" ->
+        s"""WITH t AS (SELECT lang AS slice, ${toks.format("text")} AS tk
+           |  FROM documents),
+           |w AS (SELECT slice, unnest(tk) AS tok FROM t),
+           |c AS (SELECT slice, tok, count(*)::BIGINT AS c
+           |  FROM w GROUP BY 1, 2),
+           |r AS (SELECT slice, c, row_number() OVER (PARTITION BY slice
+           |  ORDER BY c DESC, tok) AS rnk FROM c),
+           |x AS (SELECT slice, round(ln(rnk)*1e6)::BIGINT AS x,
+           |  round(ln(c)*1e6)::BIGINT AS y FROM r WHERE rnk <= 50),
+           |m AS (SELECT slice, count(*)::BIGINT AS n_ranks,
+           |  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy
+           |  FROM x GROUP BY 1 HAVING count(*) >= 2),
+           |mm AS (SELECT slice, n_ranks, sx // n_ranks AS mx,
+           |  sy // n_ranks AS my FROM m),
+           |s AS (SELECT x.slice, mm.n_ranks,
+           |  sum((x.x - mm.mx) * (x.y - mm.my))::BIGINT AS sxy,
+           |  sum((x.x - mm.mx) * (x.x - mm.mx))::BIGINT AS sxx
+           |  FROM x JOIN mm ON x.slice = mm.slice GROUP BY 1, 2)
+           |SELECT slice, n_ranks,
+           |  ((sxy * 1000) // sxx)::BIGINT AS slope_milli
+           |FROM s""".stripMargin,
 
       "token_counts" ->
         """SELECT doc_id,

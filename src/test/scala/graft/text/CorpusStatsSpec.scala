@@ -1,0 +1,96 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------- length outliers ----
+  private val lenDocs =
+    (Seq.fill(4)(10) :+ 100).zipWithIndex.map { case (n, i) =>
+      (i.toLong, "mono", "x" * n) } ++
+    ((1 to 7) :+ 100).zipWithIndex.map { case (n, i) =>
+      (100L + i, "spread", "y" * n) }
+
+  test("lengthOutliers: hand medians/MADs incl. the degenerate MAD=0 case") {
+    val got = CorpusStats.lengthOutliers(
+        lenDocs.toDF("doc_id", "lang", "text").repartition(5),
+        "doc_id", "lang", "text")
+      .select("doc_id", "slice", "len", "median_len", "mad", "outlier")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // mono: lens [10,10,10,10,100] -> median 10, MAD 0; only the 100 deviates
+    assert(got(0L)._4 == 10L && got(0L)._5 == 0L && !got(0L)._6)
+    assert(got(4L)._3 == 100L && got(4L)._6)   // MAD=0: any deviation flags
+    // spread: lens 1..7,100 -> lower median 4, MAD 2; |x-4|>6 flags only 100
+    assert(got(100L)._4 == 4L && got(100L)._5 == 2L)
+    assert((100L to 106L).forall(i => !got(i)._6))
+    assert(got(107L)._3 == 100L && got(107L)._6)
+    // pure-twin parity per slice
+    for (slice <- Seq("mono", "spread")) {
+      val rows = lenDocs.filter(_._2 == slice)
+      val (m, mad, flags) = CorpusStats.lengthOutliersPure(
+        rows.map(_._3.length.toLong))
+      rows.map(_._1).zip(flags).foreach { case (id, f) =>
+        assert(got(id)._4 == m && got(id)._5 == mad && got(id)._6 == f, id)
+      }
+    }
+  }
+
+  // ----------------------------------------------- domain concentration ----
+  test("domainConcentration: hand HHI values and pure-twin parity") {
+    val rows = Seq("a", "a", "a", "b").map(("s1", _)) ++
+      Seq("z").map(("s2", _)) ++
+      Seq("p", "q", "r", "t").map(("s3", _))
+    val got = CorpusStats.domainConcentration(
+        rows.toDF("lang", "domain").repartition(3), "lang", "domain")
+      .select("slice", "n_docs", "n_domains", "hhi_micro", "top_share_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // s1: counts {3,1} -> hhi = 10e6/16 = 625000, top share 750
+    assert(got("s1") == ((4L, 2L, 625000L, 750L)))
+    // s2: monoculture -> exactly 1e6
+    assert(got("s2") == ((1L, 1L, 1000000L, 1000L)))
+    // s3: uniform over 4 -> 250000
+    assert(got("s3") == ((4L, 4L, 250000L, 250L)))
+    for ((slice, _) <- got) {
+      val doms = rows.filter(_._1 == slice).map(_._2)
+      val e = CorpusStats.domainConcentrationPure(doms)
+      assert(got(slice) == e, slice)
+    }
+  }
+
+  // ------------------------------------------------------- Zipf slope ------
+  test("zipfSlope: sign, flat-vocab zero, pure-twin parity, guards") {
+    val docs = Seq(
+      (1L, "en", (Seq.fill(8)("alpha") ++ Seq.fill(4)("beta") ++
+        Seq.fill(2)("gamma") ++ Seq("delta")).mkString(" ")),
+      (2L, "flat", "aa bb cc dd"),     // uniform counts -> slope 0
+      (3L, "tiny", "solo"))            // 1 token -> no output
+    val got = CorpusStats.zipfSlope(
+        docs.toDF("doc_id", "lang", "text").repartition(4), "lang", "text",
+        k = 50)
+      .select("slice", "n_ranks", "slope_milli")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got("en")._2 < -500L, got("en"))   // steeply decreasing counts
+    assert(got("flat") == ((4L, 0L)))
+    assert(!got.contains("tiny"))
+    for (slice <- Seq("en", "flat")) {
+      val texts = docs.filter(_._2 == slice).map(_._3)
+      assert(Some(got(slice)) == CorpusStats.zipfSlopePure(texts), slice)
+    }
+    // the corpus-scale top-k goes through the native bounded-heap operator
+    val plan = CorpusStats.zipfSlope(
+      docs.toDF("doc_id", "lang", "text"), "lang", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPartial"), plan)
+    intercept[IllegalArgumentException](
+      CorpusStats.zipfSlope(docs.toDF("doc_id", "lang", "text"),
+        "lang", "text", k = 1))
+    intercept[IllegalArgumentException](
+      CorpusStats.lengthOutliers(lenDocs.toDF("doc_id", "lang", "text"),
+        "doc_id", "lang", "text", kMilli = 0L))
+  }
+}
