@@ -1837,6 +1837,23 @@ object SparkEntry {
         "lang", "domain")
     }),
 
+    "vocab_growth" -> ((s, d) => {
+      // Heaps-law vocabulary growth curve over 10 ingestion-order
+      // buckets: one token-min shuffle + a 10-row running sum; the
+      // health probe for unbounded junk vocabulary vs early flatline
+      graft.text.CorpusStats.vocabGrowth(rd(s, d, "documents"), "doc_id",
+        "text", buckets = 10)
+    }),
+
+    "js_divergence" -> ((s, d) => {
+      // pairwise Jensen–Shannon divergence between language slices in
+      // exact integer micro-nats: the distribution-shift matrix for
+      // mixture decisions; exclusive-token mass folded in closed form so
+      // the join touches only shared vocabulary
+      graft.text.CorpusStats.jsDivergence(rd(s, d, "documents"), "lang",
+        "text")
+    }),
+
     "zipf_slope" -> ((s, d) => {
       // Zipf rank-frequency slope per language over the top-50 vocab:
       // one (slice, token) count shuffle, native bounded-heap top-k
@@ -6382,6 +6399,49 @@ object SparkEntry {
           |  ((s2 * 1000000) // (n * n))::BIGINT AS hhi_micro,
           |  (1000 * mx // n)::BIGINT AS top_share_milli
           |FROM a""".stripMargin,
+
+      "vocab_growth" ->
+        s"""WITH mx AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+           |d AS (SELECT (doc_id * 10) // (mx + 1) AS bucket
+           |  FROM documents, mx),
+           |dd AS (SELECT bucket, count(*)::BIGINT AS n_docs
+           |  FROM d GROUP BY 1),
+           |t AS (SELECT doc_id, unnest(${toks.format("text")}) AS tok
+           |  FROM documents),
+           |f AS (SELECT tok, min(doc_id)::BIGINT AS fst FROM t GROUP BY 1),
+           |nb AS (SELECT (fst * 10) // (mx + 1) AS bucket,
+           |  count(*)::BIGINT AS new_tokens FROM f, mx GROUP BY 1)
+           |SELECT dd.bucket, dd.n_docs,
+           |  coalesce(nb.new_tokens, 0)::BIGINT AS new_tokens,
+           |  sum(dd.n_docs) OVER (ORDER BY dd.bucket)::BIGINT AS cum_docs,
+           |  sum(coalesce(nb.new_tokens, 0)) OVER (ORDER BY dd.bucket)::BIGINT
+           |    AS cum_tokens
+           |FROM dd LEFT JOIN nb USING (bucket)""".stripMargin,
+
+      "js_divergence" ->
+        s"""WITH c AS (SELECT slice, tok, count(*)::BIGINT AS c FROM
+           |    (SELECT lang AS slice, unnest(${toks.format("text")}) AS tok
+           |     FROM documents) GROUP BY 1, 2),
+           |n AS (SELECT slice, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+           |sh AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+           |  sum(a.c)::BIGINT AS sha, sum(b.c)::BIGINT AS shb,
+           |  sum(a.c * (round(ln(2*a.c*nb.n)*1e6)::BIGINT
+           |    - round(ln(a.c*nb.n + b.c*na.n)*1e6)::BIGINT))::BIGINT AS wa,
+           |  sum(b.c * (round(ln(2*b.c*na.n)*1e6)::BIGINT
+           |    - round(ln(a.c*nb.n + b.c*na.n)*1e6)::BIGINT))::BIGINT AS wb
+           |  FROM c a JOIN c b ON a.tok = b.tok AND a.slice < b.slice
+           |  JOIN n na ON na.slice = a.slice
+           |  JOIN n nb ON nb.slice = b.slice
+           |  GROUP BY 1, 2),
+           |p AS (SELECT a.slice AS slice_a, a.n AS na,
+           |  b.slice AS slice_b, b.n AS nb
+           |  FROM n a JOIN n b ON a.slice < b.slice)
+           |SELECT p.slice_a, p.slice_b,
+           |  (((coalesce(wa, 0) + (na - coalesce(sha, 0)) * 693147) // na
+           |    + (coalesce(wb, 0) + (nb - coalesce(shb, 0)) * 693147) // nb)
+           |   // 2)::BIGINT AS js_micro
+           |FROM p LEFT JOIN sh ON p.slice_a = sh.slice_a
+           |  AND p.slice_b = sh.slice_b""".stripMargin,
 
       "zipf_slope" ->
         s"""WITH t AS (SELECT lang AS slice, ${toks.format("text")} AS tk

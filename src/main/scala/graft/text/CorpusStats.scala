@@ -160,6 +160,146 @@ object CorpusStats {
       .select("slice", "n_ranks", "slope_milli")
   }
 
+  /** Vocabulary growth curve (Heaps' law probe): bucket the corpus into
+    * `buckets` ingestion-order ranges over `orderCol` and report, per
+    * bucket, docs and NEW distinct tokens first seen there plus both
+    * cumulative curves. Sub-linear growth (V ≈ K·nᵝ, β ≈ 0.5) is healthy
+    * natural text; a curve that goes linear means unbounded junk
+    * vocabulary (OCR noise, random ids), one that flatlines early means
+    * templated/looping content — the standard ingest-monitoring curve.
+    *
+    * Buckets split the ORDER-VALUE range (`v·B div (max+1)`), not ranks —
+    * exact and shuffle-free for dense ingestion ids; for rank-exact
+    * buckets over sparse orders, pre-assign ranks with
+    * [[graft.io.Ids.assign]] and pass those as `orderCol` (composition,
+    * not a window here).
+    *
+    * Shape at scale: one narrow explode into ONE (token) partial-agg
+    * min-aggregate (the only corpus-scale exchange), a bounded
+    * B-row bucket aggregate, and a B-row running sum — the final window
+    * sees `buckets` rows, never data. */
+  def vocabGrowth(df: DataFrame, orderCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000, s"bad buckets: $buckets")
+    val mx = df.agg(max(col(orderCol).cast("long")).as("__mx"))
+    val docs = df.crossJoin(broadcast(mx))
+      .select(expr(s"cast($orderCol as bigint) * $buckets div (__mx + 1)")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val firsts = df
+      .select(col(orderCol).cast("long").as("__ord"),
+        explode(TextAnalysis.tokensCol(col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(min("__ord").as("__first"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"__first * $buckets div (__mx + 1)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+    docs.join(firsts, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("cum_docs", sum("n_docs").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_tokens", sum("new_tokens").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Pure twin of [[vocabGrowth]]:
+    * Seq of (bucket, n_docs, new_tokens, cum_docs, cum_tokens). */
+  def vocabGrowthPure(rows: Seq[(Long, String)], buckets: Int = 10)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val mx = rows.map(_._1).max
+    def b(v: Long) = v * buckets / (mx + 1)
+    val docs = rows.groupBy(r => b(r._1)).view.mapValues(_.size.toLong)
+    val firsts = rows.flatMap { case (id, t) =>
+      TextAnalysis.tokens(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(v => b(v.map(_._2).min))
+      .values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var (cd, ct) = (0L, 0L)
+    docs.keys.toSeq.sorted.map { bk =>
+      val (nd, nt) = (docs(bk), firsts.getOrElse(bk, 0L))
+      cd += nd; ct += nt
+      (bk, nd, nt, cd, ct)
+    }
+  }
+
+  /** ln 2 in micro-nats — the exclusive-token JS term. */
+  val Ln2Micro = 693147L
+
+  /** Pairwise Jensen–Shannon divergence between corpus slices over their
+    * token distributions, in exact integer micro-nats — the
+    * distribution-shift matrix a mixture decision reads ("how far is this
+    * new source from what we train on?"). For slices a < b:
+    *
+    *   JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2
+    *
+    * evaluated exactly as lnMicro differences of integer products
+    * (ln(p/m) = ln(2·c_a·n_b) − ln(c_a·n_b + c_b·n_a)); each slice's sum
+    * runs over the weighted counts FIRST and divides by its total ONCE
+    * (no per-token truncation drift beyond the lnMicro rounding), and
+    * tokens exclusive to one slice contribute exactly ln 2 — folded in
+    * CLOSED FORM from the totals minus the shared mass, so the join only
+    * ever touches tokens present in BOTH slices. Bounded by products
+    * c·n < 2⁶³: exact below ~3·10⁹ tokens per slice (pre-sample beyond).
+    *
+    * Shape at scale: ONE (slice, token) partial-agg count shuffle, an
+    * inner vocab self-join on token (slice pairs are bounded — this is a
+    * slice×slice matrix, not doc×doc), and a pair-key aggregate. */
+  def jsDivergence(df: DataFrame, sliceCol: String, textCol: String)
+      : DataFrame = {
+    val lnM = (c: Column) => round(log(c.cast("double")) * 1e6).cast("long")
+    val counts = df
+      .select(col(sliceCol).as("slice"),
+        explode(TextAnalysis.tokensCol(col(textCol))).as("__tok"))
+      .groupBy("slice", "__tok").agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy("slice").agg(sum("__c").as("__n"))
+    val a = counts.join(totals, "slice")
+      .select(col("slice").as("slice_a"), col("__tok"),
+        col("__c").as("__ca"), col("__n").as("__na"))
+    val b = counts.join(totals, "slice")
+      .select(col("slice").as("slice_b"), col("__tok"),
+        col("__c").as("__cb"), col("__n").as("__nb"))
+    val shared = a.join(b, "__tok")
+      .filter(col("slice_a") < col("slice_b"))
+      .withColumn("__mix", lnM(col("__ca") * col("__nb") +
+        col("__cb") * col("__na")))
+      .groupBy("slice_a", "slice_b")
+      .agg(sum("__ca").as("__sha"), sum("__cb").as("__shb"),
+        sum(col("__ca") * (lnM(lit(2L) * col("__ca") * col("__nb")) -
+          col("__mix"))).as("__wa"),
+        sum(col("__cb") * (lnM(lit(2L) * col("__cb") * col("__na")) -
+          col("__mix"))).as("__wb"))
+    // every slice pair appears, even with zero shared vocabulary (JS of
+    // disjoint distributions is exactly ln 2 — the closed-form fold gives
+    // it for free when the shared sums coalesce to 0)
+    val pairs = totals.select(col("slice").as("slice_a"), col("__n").as("__na"))
+      .join(totals.select(col("slice").as("slice_b"), col("__n").as("__nb")),
+        col("slice_a") < col("slice_b"))
+    pairs.join(shared, Seq("slice_a", "slice_b"), "left")
+      .select(col("slice_a"), col("slice_b"),
+        expr("((coalesce(__wa, 0L) + (__na - coalesce(__sha, 0L)) * " +
+          s"$Ln2Micro) div __na + " +
+          "(coalesce(__wb, 0L) + (__nb - coalesce(__shb, 0L)) * " +
+          s"$Ln2Micro) div __nb) div 2")
+          .as("js_micro"))
+  }
+
+  /** Pure twin of [[jsDivergence]] for one slice pair. */
+  def jsDivergencePure(textsA: Seq[String], textsB: Seq[String]): Long = {
+    def lnM(x: Long) = Math.round(Math.log(x.toDouble) * 1e6)
+    def cnt(ts: Seq[String]) = ts.flatMap(TextAnalysis.tokens)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (ca, cb) = (cnt(textsA), cnt(textsB))
+    val (na, nb) = (ca.values.sum, cb.values.sum)
+    val shared = ca.keySet & cb.keySet
+    val wa = shared.toSeq.map { t =>
+      ca(t) * (lnM(2L * ca(t) * nb) - lnM(ca(t) * nb + cb(t) * na)) }.sum
+    val wb = shared.toSeq.map { t =>
+      cb(t) * (lnM(2L * cb(t) * na) - lnM(ca(t) * nb + cb(t) * na)) }.sum
+    val sha = shared.toSeq.map(ca).sum
+    val shb = shared.toSeq.map(cb).sum
+    ((wa + (na - sha) * Ln2Micro) / na +
+      (wb + (nb - shb) * Ln2Micro) / nb) / 2
+  }
+
   /** Pure twin of [[zipfSlope]] for one slice; None when fewer than two
     * ranked tokens. */
   def zipfSlopePure(texts: Seq[String], k: Int = 50)

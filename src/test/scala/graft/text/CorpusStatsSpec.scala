@@ -61,6 +61,50 @@ class CorpusStatsSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------- vocabulary growth -----
+  test("vocabGrowth: hand curve, cumulative laws, pure-twin parity") {
+    // doc i: common token x + t{i/4} -> firsts at ids 0, 0, 4, 8
+    val rows = (0L to 9L).map(i => (i, s"x t${i / 4}"))
+    val got = CorpusStats.vocabGrowth(
+        rows.toDF("doc_id", "text").repartition(4), "doc_id", "text",
+        buckets = 5)
+      .select("bucket", "n_docs", "new_tokens", "cum_docs", "cum_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 2L, 2L), (1L, 2L, 0L, 4L, 2L), (2L, 2L, 1L, 6L, 3L),
+      (3L, 2L, 0L, 8L, 3L), (4L, 2L, 1L, 10L, 4L)))
+    assert(got == CorpusStats.vocabGrowthPure(rows, 5))
+    // final cumulative = corpus totals
+    assert(got.last._4 == 10L && got.last._5 == 4L)
+    intercept[IllegalArgumentException](
+      CorpusStats.vocabGrowth(rows.toDF("doc_id", "text"), "doc_id",
+        "text", buckets = 1))
+  }
+
+  // -------------------------------------------------------- JS matrix ------
+  test("jsDivergence: identical 0, disjoint ln2, parity, full matrix") {
+    val docs = Seq(
+      (1L, "a1", "alpha alpha beta"), (2L, "a2", "alpha alpha beta"),
+      (3L, "b", "gamma delta gamma"),
+      (4L, "c", "alpha gamma gamma"))
+    val got = CorpusStats.jsDivergence(
+        docs.toDF("doc_id", "lang", "text").repartition(3), "lang", "text")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // all C(4,2) ordered pairs present, even the disjoint one
+    assert(got.size == 6)
+    assert(got(("a1", "a2")) == 0L)             // identical distributions
+    assert(got(("a1", "b")) == 693147L)         // zero shared vocabulary
+    // parity with the pure twin on every pair
+    val slices = Seq("a1", "a2", "b", "c")
+      .map(s => s -> docs.filter(_._2 == s).map(_._3)).toMap
+    for (x <- slices.keys; y <- slices.keys if x < y)
+      assert(got((x, y)) == CorpusStats.jsDivergencePure(slices(x),
+        slices(y)), s"$x/$y")
+    // JS is bounded by ln 2 and non-negative
+    assert(got.values.forall(v => v >= 0L && v <= 693147L))
+  }
+
   // ------------------------------------------------------- Zipf slope ------
   test("zipfSlope: sign, flat-vocab zero, pure-twin parity, guards") {
     val docs = Seq(
