@@ -1837,6 +1837,46 @@ object SparkEntry {
         "lang", "domain")
     }),
 
+    "temperature_alloc" -> ((s, d) => {
+      // square-root temperature sampling (α=0.5, the mBERT/XLM-R
+      // rebalancing): per-domain budget ∝ floor(√n) — the one temperature
+      // that stays integer-exact; tail domains boosted without the head
+      // drowning them
+      val id = col("doc_id")
+      val domain = when(pmod(id, lit(4)) === 0, lit("news.co.uk"))
+        .otherwise(concat(lit("site"), pmod(id, lit(10)).cast("string"),
+          lit(".org")))
+      graft.text.Sampling.sqrtTemperatureAlloc(
+        rd(s, d, "documents").select(domain.as("domain")), "domain",
+        budget = 100000L)
+    }),
+
+    "langid_confusion" -> ((s, d) => {
+      // language-ID eval harness: docs with KNOWN truth synthesized from
+      // the classifier's own stopword profiles; doc_id%5 docs get the
+      // NEXT language's full profile appended — the 8-vs-8/9-vs-9 ties
+      // resolve by the documented profile order, flipping exactly the
+      // fr+en case, so the confusion matrix is deterministically
+      // non-diagonal and the oracle re-renders text AND replays the
+      // cascade
+      val id = col("doc_id")
+      val m4 = pmod(id, lit(4))
+      val profs = TA.LangProfiles.map { case (l, ws) =>
+        l -> ws.mkString(" ") }.toMap
+      val truth = when(m4 === 0, "en").when(m4 === 1, "es")
+        .when(m4 === 2, "de").otherwise("fr")
+      val baseText = when(m4 === 0, profs("en")).when(m4 === 1, profs("es"))
+        .when(m4 === 2, profs("de")).otherwise(profs("fr"))
+      val nextText = when(m4 === 0, profs("es")).when(m4 === 1, profs("de"))
+        .when(m4 === 2, profs("fr")).otherwise(profs("en"))
+      val text = concat(baseText,
+        when(pmod(id, lit(5)) === 0, concat(lit(" "), nextText))
+          .otherwise(lit("")))
+      rd(s, d, "documents")
+        .select(truth.as("lang_true"), TA.langIdCol(text).as("lang_pred"))
+        .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n"))
+    }),
+
     "vocab_growth" -> ((s, d) => {
       // Heaps-law vocabulary growth curve over 10 ingestion-order
       // buckets: one token-min shuffle + a 10-row running sum; the
@@ -6399,6 +6439,49 @@ object SparkEntry {
           |  ((s2 * 1000000) // (n * n))::BIGINT AS hhi_micro,
           |  (1000 * mx // n)::BIGINT AS top_share_milli
           |FROM a""".stripMargin,
+
+      "temperature_alloc" ->
+        """WITH t AS (SELECT CASE WHEN doc_id%4=0 THEN 'news.co.uk'
+          |  ELSE 'site'||(doc_id%10)::VARCHAR||'.org' END AS domain
+          |  FROM documents),
+          |c AS (SELECT domain, count(*)::BIGINT AS n_docs FROM t GROUP BY 1),
+          |w AS (SELECT domain, n_docs,
+          |  floor(sqrt(n_docs))::BIGINT AS weight FROM c),
+          |s AS (SELECT sum(weight)::BIGINT AS tw FROM w)
+          |SELECT domain, n_docs, weight,
+          |  (100000 * weight // tw)::BIGINT AS alloc FROM w, s""".stripMargin,
+
+      "langid_confusion" -> {
+        val prof = graft.text.TextAnalysis.LangProfiles.toMap
+        def words(l: String) = prof(l).mkString(" ")
+        def inList(l: String) =
+          prof(l).map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH t AS (SELECT doc_id,
+           |  CASE doc_id%4 WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+           |    WHEN 2 THEN 'de' ELSE 'fr' END AS lang_true,
+           |  (CASE doc_id%4 WHEN 0 THEN '${words("en")}'
+           |    WHEN 1 THEN '${words("es")}' WHEN 2 THEN '${words("de")}'
+           |    ELSE '${words("fr")}' END) ||
+           |  (CASE WHEN doc_id%5=0 THEN ' ' ||
+           |    CASE doc_id%4 WHEN 0 THEN '${words("es")}'
+           |      WHEN 1 THEN '${words("de")}' WHEN 2 THEN '${words("fr")}'
+           |      ELSE '${words("en")}' END ELSE '' END) AS text
+           |  FROM documents),
+           |tk AS (SELECT lang_true, ${toks.format("text")} AS toks FROM t),
+           |c AS (SELECT lang_true,
+           |  len(list_filter(toks, x -> list_contains(${inList("en")}, x))) AS en,
+           |  len(list_filter(toks, x -> list_contains(${inList("es")}, x))) AS es,
+           |  len(list_filter(toks, x -> list_contains(${inList("de")}, x))) AS de,
+           |  len(list_filter(toks, x -> list_contains(${inList("fr")}, x))) AS fr
+           |  FROM tk),
+           |p AS (SELECT lang_true,
+           |  CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+           |    WHEN es >= de AND es >= fr THEN 'es'
+           |    WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
+           |  FROM c)
+           |SELECT lang_true, lang_pred, count(*)::BIGINT AS n
+           |FROM p GROUP BY 1, 2""".stripMargin
+      },
 
       "vocab_growth" ->
         s"""WITH mx AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),

@@ -508,4 +508,39 @@ object Sampling {
     }
     rows.map { case (k, t) => (k, t, math.min(t, level)) }
   }
+
+  /** Square-root temperature sampling allocation (α = 0.5) — the standard
+    * multilingual/multi-source rebalancing (mBERT/XLM-R exponent-smoothed
+    * sampling): each source's budget share is proportional to √n rather
+    * than n, boosting tail sources without the head drowning them.
+    * α = 0.5 is the one temperature that stays integer-exact
+    * (floor(IEEE sqrt) replays bit-identically; other exponents need an
+    * exp/ln round-trip and are out of scope by design). Allocation =
+    * budget · w div Σw with ONE truncated division per source, so
+    * Σ alloc ≤ budget always. Contrast: [[waterFill]] caps heads at a
+    * common level; temperature RESHAPES every share.
+    *
+    * Shape at scale: ONE partial-agg source groupBy + a broadcast 1-row
+    * total — the corpus shuffles once, nothing is collected. */
+  def sqrtTemperatureAlloc(df: DataFrame, domainCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val counts = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
+    val tot = counts.agg(sum("weight").as("__tw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("alloc", expr(s"${budget}L * weight div __tw"))
+      .select("domain", "n_docs", "weight", "alloc")
+  }
+
+  /** Pure twin of [[sqrtTemperatureAlloc]]. */
+  def sqrtTemperatureAllocPure(counts: Map[String, Long], budget: Long)
+      : Map[String, (Long, Long, Long)] = {
+    val w = counts.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val tw = w.values.sum
+    counts.map { case (d, n) => d -> ((n, w(d), budget * w(d) / tw)) }
+  }
 }

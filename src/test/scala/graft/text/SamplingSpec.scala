@@ -295,4 +295,34 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.waterFill(doms.toDF("domain", "tokens"), "domain", "tokens", -1))
   }
+
+  test("sqrtTemperatureAlloc: hand shares, conservation, pure-twin parity") {
+    // counts {100,25,4,1} -> weights {10,5,2,1}, sum 18; budget 1800
+    val rows = Seq.fill(100)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(4)("c") ++ Seq("d")
+    val df = rows.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("doc_id", "domain")
+    val got = Sampling.sqrtTemperatureAlloc(df.repartition(5), "domain", 1800L)
+      .select("domain", "n_docs", "weight", "alloc")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "a" -> ((100L, 10L, 1000L)), "b" -> ((25L, 5L, 500L)),
+      "c" -> ((4L, 2L, 200L)), "d" -> ((1L, 1L, 100L))))
+    // sqrt flattens: the head's share drops from 100/130 to 10/18
+    assert(got("a")._3 * 3 < 1800L * 2)
+    // parity + conservation on a lopsided corpus
+    val counts = Map("x" -> 7L, "y" -> 50L, "z" -> 2L)
+    val df2 = counts.toSeq.flatMap { case (d, n) => (1L to n).map(i => (i, d)) }
+      .toDF("doc_id", "domain")
+    val exp = Sampling.sqrtTemperatureAllocPure(counts, 999L)
+    val got2 = Sampling.sqrtTemperatureAlloc(df2, "domain", 999L)
+      .select("domain", "n_docs", "weight", "alloc")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got2 == exp)
+    assert(got2.values.map(_._3).sum <= 999L)
+    intercept[IllegalArgumentException](
+      Sampling.sqrtTemperatureAlloc(df2, "domain", 0L))
+  }
 }
