@@ -1837,6 +1837,25 @@ object SparkEntry {
         "lang", "domain")
     }),
 
+    "normalize_text" -> ((s, d) => {
+      // entity-decode + NFC composition pass over synthesized raw text
+      // (entities, a decomposed e+combining-acute, and deliberate
+      // passthrough cases are pure functions of doc_id); zero-shuffle
+      // typed kernel — the oracle replays the fixture's entity set as
+      // literal replaces and the composition via nfc_normalize
+      val id = col("doc_id")
+      val raw = concat(lit("T"), id.cast("string"),
+        when(pmod(id, lit(3)) === 0, lit(" &amp; &lt;tag&gt;"))
+          .otherwise(lit("")),
+        when(pmod(id, lit(4)) === 0, lit(" café")).otherwise(lit("")),
+        when(pmod(id, lit(7)) === 0, lit(" &#8212; &eacute;"))
+          .otherwise(lit("")),
+        when(pmod(id, lit(11)) === 0, lit(" &foo; &#xD800;"))
+          .otherwise(lit("")))
+      graft.text.Normalize.normalizeDf(
+        rd(s, d, "documents").select(id, raw.as("raw")), "doc_id", "raw")
+    }),
+
     "temperature_alloc" -> ((s, d) => {
       // square-root temperature sampling (α=0.5, the mBERT/XLM-R
       // rebalancing): per-domain budget ∝ floor(√n) — the one temperature
@@ -6439,6 +6458,25 @@ object SparkEntry {
           |  ((s2 * 1000000) // (n * n))::BIGINT AS hhi_micro,
           |  (1000 * mx // n)::BIGINT AS top_share_milli
           |FROM a""".stripMargin,
+
+      "normalize_text" ->
+        """WITH t AS (SELECT doc_id,
+          |  'T' || doc_id::VARCHAR ||
+          |  (CASE WHEN doc_id%3=0 THEN ' &amp; &lt;tag&gt;' ELSE '' END) ||
+          |  (CASE WHEN doc_id%4=0 THEN ' cafe' || chr(769) ELSE '' END) ||
+          |  (CASE WHEN doc_id%7=0 THEN ' &#8212; &eacute;' ELSE '' END) ||
+          |  (CASE WHEN doc_id%11=0 THEN ' &foo; &#xD800;' ELSE '' END)
+          |    AS raw
+          |  FROM documents),
+          |d AS (SELECT doc_id, raw,
+          |  replace(replace(replace(replace(replace(raw,
+          |    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          |    '&#8212;', chr(8212)), '&eacute;', chr(233)) AS dec
+          |  FROM t)
+          |SELECT doc_id, nfc_normalize(dec) AS text_norm,
+          |  (dec <> raw) AS entity_changed,
+          |  (nfc_normalize(dec) <> dec) AS nfc_changed
+          |FROM d""".stripMargin,
 
       "temperature_alloc" ->
         """WITH t AS (SELECT CASE WHEN doc_id%4=0 THEN 'news.co.uk'
