@@ -104,6 +104,19 @@ object Main {
             spark.read.parquet(corpus), "doc_id", "text", "snapshot", snap,
             state, out, minJ = minJ, maxBucket = maxBucket)
           println(s"[graft] incdedup: snapshot $snap emitted $emitted pairs")
+        case "takedown" :: corpus :: deletes :: overlay :: lineage :: rest =>
+          // GDPR/DMCA takedown: rewrite ONLY the partitions holding listed
+          // doc_ids into a copy-on-write overlay; base bytes untouched;
+          // lineage = audit log + resume marker (rerun = no-op)
+          val batch = rest.headOption.map(_.toInt).getOrElse(8)
+          val rows = graft.pipeline.TakedownJob.runJob(spark, corpus,
+            deletes, overlay, lineage, commitBatch = batch)
+          val committed = TableIO.readLineage(spark, lineage).count()
+          println(s"[graft] takedown: rewrote ${rows.length} partitions this run " +
+            s"(rows before=${rows.map(_.docs_in).sum}, " +
+            s"kept=${rows.map(_.docs_out).sum}, " +
+            s"deleted=${rows.map(_.spans_out).sum}); " +
+            s"lineage now has $committed committed partitions")
         case "dedup" :: in :: out :: rest =>
           // corpus near-dup pairs over a (doc_id, text) table with the skew
           // caps ON (DedupJob defaults) and the drops logged — the
@@ -130,7 +143,8 @@ object Main {
             "curate <in> <out> <lineage> [commitBatch] | " +
             "compact <in> <out> <lineage> [targetBytes] | " +
             "dedup <in> <out> [minJ] [maxDf] [maxBucket] | " +
-            "incdedup <corpus> <state> <out> <snapshotId> [minJ] [maxBucket]")
+            "incdedup <corpus> <state> <out> <snapshotId> [minJ] [maxBucket] | " +
+            "takedown <corpus> <deletes> <overlay> <lineage> [commitBatch]")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -1837,6 +1837,17 @@ object SparkEntry {
         "lang", "domain")
     }),
 
+    "takedown_filter" -> ((s, d) => {
+      // relational twin of pipeline/TakedownJob: corpus anti-join a
+      // broadcast delete list (doc_id%13 stands in for the GDPR/DMCA
+      // list); the job itself adds the partition-pruned COW overlay and
+      // is spec+spark-submit driven
+      val del = rd(s, d, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(13)) === 0)
+      rd(s, d, "documents").join(broadcast(del), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    }),
+
     "normalize_text" -> ((s, d) => {
       // entity-decode + NFC composition pass over synthesized raw text
       // (entities, a decomposed e+combining-acute, and deliberate
@@ -6458,6 +6469,10 @@ object SparkEntry {
           |  ((s2 * 1000000) // (n * n))::BIGINT AS hhi_micro,
           |  (1000 * mx // n)::BIGINT AS top_share_milli
           |FROM a""".stripMargin,
+
+      "takedown_filter" ->
+        """SELECT doc_id, length(text)::BIGINT AS n_chars
+          |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
 
       "normalize_text" ->
         """WITH t AS (SELECT doc_id,
