@@ -1837,6 +1837,14 @@ object SparkEntry {
         "lang", "domain")
     }),
 
+    "signal_corr" -> ((s, d) => {
+      // signal-redundancy audit: exact integer-micro Pearson between
+      // chars / ws tokens / bpe tokens over the full corpus — one narrow
+      // projection + ONE global reduce to a single row
+      graft.text.CorpusStats.signalCorrelation(
+        rd(s, d, "documents"), "text")
+    }),
+
     "takedown_filter" -> ((s, d) => {
       // relational twin of pipeline/TakedownJob: corpus anti-join a
       // broadcast delete list (doc_id%13 stands in for the GDPR/DMCA
@@ -6468,6 +6476,34 @@ object SparkEntry {
           |SELECT slice, n::BIGINT AS n_docs, nd AS n_domains,
           |  ((s2 * 1000000) // (n * n))::BIGINT AS hhi_micro,
           |  (1000 * mx // n)::BIGINT AS top_share_milli
+          |FROM a""".stripMargin,
+
+      "signal_corr" ->
+        """WITH b AS (SELECT length(text)::BIGINT AS x1,
+          |  (CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g'))=0 THEN 0
+          |    ELSE len(string_split_regex(regexp_replace(text,'^\s+|\s+$','','g'),'\s+')) END)::BIGINT AS x2,
+          |  len(regexp_extract_all(text,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS x3
+          |  FROM documents),
+          |a AS (SELECT count(*)::HUGEINT AS n,
+          |  sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+          |  sum(x3)::HUGEINT AS s3,
+          |  sum(x1::HUGEINT*x1) AS s11, sum(x2::HUGEINT*x2) AS s22,
+          |  sum(x3::HUGEINT*x3) AS s33, sum(x1::HUGEINT*x2) AS s12,
+          |  sum(x1::HUGEINT*x3) AS s13, sum(x2::HUGEINT*x3) AS s23
+          |  FROM b)
+          |SELECT n::BIGINT AS n,
+          |  (CASE WHEN n*s11-s1*s1 = 0 OR n*s22-s2*s2 = 0 THEN NULL
+          |    ELSE ((n*s12-s1*s2)*1000000)
+          |      // floor(sqrt(((n*s11-s1*s1)*(n*s22-s2*s2))::DOUBLE))::HUGEINT
+          |    END)::BIGINT AS r_chars_ws_micro,
+          |  (CASE WHEN n*s11-s1*s1 = 0 OR n*s33-s3*s3 = 0 THEN NULL
+          |    ELSE ((n*s13-s1*s3)*1000000)
+          |      // floor(sqrt(((n*s11-s1*s1)*(n*s33-s3*s3))::DOUBLE))::HUGEINT
+          |    END)::BIGINT AS r_chars_bpe_micro,
+          |  (CASE WHEN n*s22-s2*s2 = 0 OR n*s33-s3*s3 = 0 THEN NULL
+          |    ELSE ((n*s23-s2*s3)*1000000)
+          |      // floor(sqrt(((n*s22-s2*s2)*(n*s33-s3*s3))::DOUBLE))::HUGEINT
+          |    END)::BIGINT AS r_ws_bpe_micro
           |FROM a""".stripMargin,
 
       "takedown_filter" ->

@@ -300,6 +300,71 @@ object CorpusStats {
       (wb + (nb - shb) * Ln2Micro) / nb) / 2
   }
 
+  /** Pairwise Pearson correlation between the three cheap per-doc size
+    * signals (chars, whitespace tokens, BPE-ish pre-tokens) in integer
+    * micro — the datasheet's signal-redundancy audit: r(chars, bpe) ≈
+    * 0.97 means token budgets are predictable from byte counts alone
+    * and the expensive tokenizer pass can be skipped for capacity
+    * planning; a LOW correlation flags a slice whose script the
+    * pre-tokenizer shreds.
+    *
+    * Exact integer evaluation: DECIMAL(38,0) sums and cross-products
+    * (the domain_hhi idiom — the oracle replays with int128), numerator
+    * n·Σxy − Σx·Σy, denominator floor(sqrt(varx·vary)) through one
+    * deterministic double conversion (both engines round the SAME exact
+    * integer to double, sqrt is correctly rounded), ONE toward-zero
+    * division. Perfectly linear signals give exactly ±1000000 (the
+    * variance product is then a perfect square). Constant signals emit
+    * NULL (zero variance). Precision bound: each n·Σx² term must fit
+    * DECIMAL(38) when squared — exact to ~10⁹ docs; beyond that run on
+    * a sample (it is a corpus statistic).
+    *
+    * Shape at scale: ONE narrow projection + ONE global partial-agg
+    * reduce to a single row — no shuffle of data, ever. */
+  def signalCorrelation(df: DataFrame, textCol: String): DataFrame = {
+    val base = df.select(
+      length(col(textCol)).cast("long").as("__x1"),
+      TextAnalysis.wsTokenCountCol(col(textCol)).cast("long").as("__x2"),
+      TextAnalysis.bpeTokenCountCol(col(textCol)).cast("long").as("__x3"))
+    def d(c: String) = s"cast($c as decimal(38,0))"
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum("__x1").as("s1"), sum("__x2").as("s2"), sum("__x3").as("s3"),
+      sum(expr(s"${d("__x1")} * __x1")).as("s11"),
+      sum(expr(s"${d("__x2")} * __x2")).as("s22"),
+      sum(expr(s"${d("__x3")} * __x3")).as("s33"),
+      sum(expr(s"${d("__x1")} * __x2")).as("s12"),
+      sum(expr(s"${d("__x1")} * __x3")).as("s13"),
+      sum(expr(s"${d("__x2")} * __x3")).as("s23"))
+    def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
+      val nn = d("n")
+      val num = s"($nn * $sxy - ${d(sx)} * $sy)"
+      val vx = s"($nn * $sxx - ${d(sx)} * $sx)"
+      val vy = s"($nn * $syy - ${d(sy)} * $sy)"
+      val den = s"cast(floor(sqrt(cast($vx * $vy as double))) as decimal(38,0))"
+      s"CASE WHEN $vx = 0 OR $vy = 0 THEN NULL " +
+        s"ELSE cast($num * 1000000 div $den as bigint) END"
+    }
+    agg.select(col("n"),
+      expr(r("s12", "s1", "s2", "s11", "s22")).as("r_chars_ws_micro"),
+      expr(r("s13", "s1", "s3", "s11", "s33")).as("r_chars_bpe_micro"),
+      expr(r("s23", "s2", "s3", "s22", "s33")).as("r_ws_bpe_micro"))
+  }
+
+  /** Pure twin of [[signalCorrelation]]'s r for one signal pair. */
+  def pearsonMicro(xs: Seq[Long], ys: Seq[Long]): Option[Long] = {
+    require(xs.size == ys.size && xs.nonEmpty, "mismatched or empty")
+    val n = BigInt(xs.size)
+    val (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val syy = ys.map(y => BigInt(y) * y).sum
+    val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+    if (vx == 0 || vy == 0) return None
+    val den = BigInt(math.floor(math.sqrt((vx * vy).doubleValue)).toLong)
+    Some(((n * sxy - sx * sy) * 1000000 / den).toLong)
+  }
+
   /** Pure twin of [[zipfSlope]] for one slice; None when fewer than two
     * ranked tokens. */
   def zipfSlopePure(texts: Seq[String], k: Int = 50)

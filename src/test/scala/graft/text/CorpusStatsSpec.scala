@@ -105,6 +105,42 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(got.values.forall(v => v >= 0L && v <= 693147L))
   }
 
+  // ------------------------------------------------ signal correlation -----
+  test("signalCorrelation: exact ±1e6 on linear data, NULL on constants") {
+    // "ab " * i: chars = 3i, ws = i, bpe = i -> all pairs perfectly linear
+    val linear = (1 to 5).map(i => (i.toLong, "ab " * i))
+    val got = CorpusStats.signalCorrelation(
+        linear.toDF("doc_id", "text"), "text")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(got == ((5L, Some(1000000L), Some(1000000L), Some(1000000L))))
+    // identical docs -> zero variance -> NULL everywhere
+    val const = Seq((1L, "same text"), (2L, "same text"))
+    val g2 = CorpusStats.signalCorrelation(const.toDF("doc_id", "text"),
+      "text").as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(g2 == ((2L, None, None, None)))
+    // pure twin: exact -1e6 on anti-correlated integers
+    assert(CorpusStats.pearsonMicro(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq(10L, 8L, 6L, 4L, 2L)) == Some(-1000000L))
+    assert(CorpusStats.pearsonMicro(Seq(1L, 1L), Seq(3L, 9L)).isEmpty)
+    intercept[IllegalArgumentException](
+      CorpusStats.pearsonMicro(Seq(1L), Seq(1L, 2L)))
+  }
+
+  test("signalCorrelation: DF ≡ pure twin on a varied corpus") {
+    val docs = (1L to 40L).map { i =>
+      val words = (0L until (i % 7) + 1).map(j => "w" * ((i + j) % 5 + 1).toInt)
+      (i, words.mkString(" ") + (if (i % 3 == 0) "!!" else ""))
+    }
+    val got = CorpusStats.signalCorrelation(
+        docs.toDF("doc_id", "text").repartition(4), "text")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    val x1 = docs.map(_._2.length.toLong)
+    val x2 = docs.map(d => TextAnalysis.wsTokenCount(d._2).toLong)
+    val x3 = docs.map(d => TextAnalysis.bpeTokenCount(d._2).toLong)
+    assert(got == ((40L, CorpusStats.pearsonMicro(x1, x2),
+      CorpusStats.pearsonMicro(x1, x3), CorpusStats.pearsonMicro(x2, x3))))
+  }
+
   // ------------------------------------------------------- Zipf slope ------
   test("zipfSlope: sign, flat-vocab zero, pure-twin parity, guards") {
     val docs = Seq(
