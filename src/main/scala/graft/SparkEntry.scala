@@ -28,6 +28,19 @@ object SparkEntry {
   private def rd(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Shared synthesized registrable-domain fixture (pure function of
+    * doc_id) — ONE definition for the domain-keyed queries
+    * (domain_wilson, domain_hhi, temperature_alloc) and, via
+    * [[synthDomainSql]], their oracles. */
+  private def synthDomain(id: Column): Column =
+    when(pmod(id, lit(4)) === 0, lit("news.co.uk"))
+      .otherwise(concat(lit("site"), pmod(id, lit(10)).cast("string"),
+        lit(".org")))
+
+  private val synthDomainSql: String =
+    "CASE WHEN doc_id%4=0 THEN 'news.co.uk' " +
+      "ELSE 'site'||(doc_id%10)::VARCHAR||'.org' END"
+
   /** Shared fixture for the substring-dedup queries (`substring_dedup`,
     * `selection_e2e`): every 5th doc gets the same pasted boilerplate
     * sentence. ONE definition feeds both Spark entries and (via
@@ -1806,9 +1819,7 @@ object SparkEntry {
       // the domain_stats fixture key — 4/5 and 4000/5000 share p̂ but not
       // the bound, so caps stop rewarding tiny lucky domains
       val id = col("doc_id")
-      val domain = when(pmod(id, lit(4)) === 0, lit("news.co.uk"))
-        .otherwise(concat(lit("site"), pmod(id, lit(10)).cast("string"),
-          lit(".org")))
+      val domain = synthDomain(id)
       TA.sliceQualityWilson(
         rd(s, d, "documents").select(domain.as("domain"),
           (TA.wsTokenCountCol(col("text")) >= 30).as("good")),
@@ -1829,9 +1840,7 @@ object SparkEntry {
       // DECIMAL(38,0) (replayed with int128 on the oracle side) + top
       // domain share — the "is this slice secretly one website?" gate
       val id = col("doc_id")
-      val domain = when(pmod(id, lit(4)) === 0, lit("news.co.uk"))
-        .otherwise(concat(lit("site"), pmod(id, lit(10)).cast("string"),
-          lit(".org")))
+      val domain = synthDomain(id)
       graft.text.CorpusStats.domainConcentration(
         rd(s, d, "documents").select(col("lang"), domain.as("domain")),
         "lang", "domain")
@@ -1881,9 +1890,7 @@ object SparkEntry {
       // that stays integer-exact; tail domains boosted without the head
       // drowning them
       val id = col("doc_id")
-      val domain = when(pmod(id, lit(4)) === 0, lit("news.co.uk"))
-        .otherwise(concat(lit("site"), pmod(id, lit(10)).cast("string"),
-          lit(".org")))
+      val domain = synthDomain(id)
       graft.text.Sampling.sqrtTemperatureAlloc(
         rd(s, d, "documents").select(domain.as("domain")), "domain",
         budget = 100000L)
@@ -6418,11 +6425,10 @@ object SparkEntry {
           |FROM t GROUP BY slice""".stripMargin,
 
       "domain_wilson" ->
-        """WITH t AS (SELECT
-          |  CASE WHEN doc_id%4=0 THEN 'news.co.uk'
-          |       ELSE 'site'||(doc_id%10)::VARCHAR||'.org' END AS domain,
-          |  CASE WHEN (CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g'))=0 THEN 0
-          |    ELSE len(string_split_regex(regexp_replace(text,'^\s+|\s+$','','g'),'\s+')) END) >= 30
+        s"""WITH t AS (SELECT
+          |  $synthDomainSql AS domain,
+          |  CASE WHEN (CASE WHEN length(regexp_replace(text,'^\\s+|\\s+$$','','g'))=0 THEN 0
+          |    ELSE len(string_split_regex(regexp_replace(text,'^\\s+|\\s+$$','','g'),'\\s+')) END) >= 30
           |    THEN 1 ELSE 0 END AS good
           |  FROM documents),
           |g AS (SELECT domain AS slice, count(*)::BIGINT AS n_docs,
@@ -6465,10 +6471,9 @@ object SparkEntry {
           |  JOIN mad a ON b.slice = a.slice""".stripMargin,
 
       "domain_hhi" ->
-        """WITH t AS (SELECT lang AS slice,
-          |  CASE WHEN doc_id%4=0 THEN 'news.co.uk'
-          |       ELSE 'site'||(doc_id%10)::VARCHAR||'.org' END AS dom
-          |  FROM documents),
+        s"""WITH t AS (SELECT lang AS slice,
+           |  $synthDomainSql AS dom
+           |  FROM documents),
           |c AS (SELECT slice, dom, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
           |a AS (SELECT slice, sum(c)::HUGEINT AS n, count(*)::BIGINT AS nd,
           |  max(c)::BIGINT AS mx, sum(c::HUGEINT * c) AS s2
@@ -6530,8 +6535,7 @@ object SparkEntry {
           |FROM d""".stripMargin,
 
       "temperature_alloc" ->
-        """WITH t AS (SELECT CASE WHEN doc_id%4=0 THEN 'news.co.uk'
-          |  ELSE 'site'||(doc_id%10)::VARCHAR||'.org' END AS domain
+        s"""WITH t AS (SELECT $synthDomainSql AS domain
           |  FROM documents),
           |c AS (SELECT domain, count(*)::BIGINT AS n_docs FROM t GROUP BY 1),
           |w AS (SELECT domain, n_docs,

@@ -3,7 +3,6 @@ package graft.pipeline
 import graft.io.TableIO
 import graft.model.LineageRow
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,25 +12,32 @@ import org.apache.spark.sql.functions._
   * `partition_id`-partitioned corpus. At 100 TB the delete list is a few
   * thousand ids against billions of docs; a naive anti-join rewrite is a
   * full-corpus write. This job is the partition-granular copy-on-write
-  * shape (Iceberg's COW rewrite): ONLY the partitions that actually hold
-  * a listed document are rewritten — into an OVERLAY table, and
+  * shape (Iceberg's COW rewrite): ONLY the partitions that still hold a
+  * listed document are rewritten — into an OVERLAY table, and
   * [[TakedownJob.readWithOverlay]] serves the corpus as
-  * (base minus overlaid partitions) ∪ overlay. The base table's bytes
-  * are never touched, so the job composes with snapshotting/time travel
-  * and avoids Spark's (correct) refusal to overwrite a path it is
-  * reading.
+  * (base minus COMMITTED partitions) ∪ (overlay restricted to committed
+  * partitions). The base table's bytes are never touched, so the job
+  * composes with snapshotting/time travel and avoids Spark's (correct)
+  * refusal to overwrite a path it is reading.
   *
-  * Affected partitions come from ONE column-pruned scan (id + partition
-  * column only — parquet never materializes text/spans for it)
-  * semi-joined against the BROADCAST delete list.
+  * The LINEAGE is the commit marker AND the serving filter: a partition
+  * switches from base to overlay exactly when its lineage row lands, so
+  * a kill between data write and lineage append leaves the reader on
+  * the consistent base copy and the rerun re-does that partition — and a
+  * partition whose docs are ALL deleted (overlay writes zero files) is
+  * still excluded from the base, because exclusion keys on the lineage,
+  * not on overlay directory listings.
   *
-  * Same commit contract as every job here ([[ExtractJob.runJob]]): data
-  * written FIRST, lineage appended after — the lineage append is the
-  * commit marker. A kill between the two re-does that partition
-  * idempotently; a rerun processes exactly the affected partitions
-  * missing from the lineage. The lineage doubles as the audit log every
-  * takedown process must keep (docs_in = rows before, docs_out = rows
-  * kept, spans_out = rows deleted, per partition).
+  * Affected partitions are computed from the CURRENT SERVED VIEW (base +
+  * committed overlay), with ONE column-pruned scan (id + partition
+  * column only) semi-joined against the BROADCAST delete list. That
+  * makes every run self-healing: a finished run finds zero affected
+  * partitions (natural no-op resume); a GROWN delete list re-affects
+  * exactly the committed partitions whose overlay copy still holds a
+  * newly-listed doc, and the rewrite source is the served view, so
+  * earlier deletions are preserved. The append-only lineage doubles as
+  * the audit history (docs_in = rows before, docs_out = rows kept,
+  * spans_out = rows deleted, per partition per run).
   */
 object TakedownJob {
 
@@ -41,28 +47,37 @@ object TakedownJob {
   def runJob(spark: SparkSession, corpusPath: String, deletesPath: String,
       overlayPath: String, lineagePath: String, idCol: String = "doc_id",
       commitBatch: Int = 8): Seq[LineageRow] = {
-    val corpus = spark.read.parquet(corpusPath)
-    require(corpus.columns.contains("partition_id"),
+    val base = spark.read.parquet(corpusPath)
+    require(base.columns.contains("partition_id"),
       s"$corpusPath is not a partition_id-partitioned table")
-    require(corpus.columns.contains(idCol), s"$corpusPath lacks $idCol")
+    require(base.columns.contains(idCol), s"$corpusPath lacks $idCol")
     val deletes = broadcast(
       spark.read.parquet(deletesPath).select(col(idCol)).distinct())
-    // column-pruned affected-partition scan + resume anti-join
-    val affectedDf = corpus.select(col(idCol), col("partition_id"))
+    val view = readWithOverlay(spark, corpusPath, overlayPath, lineagePath)
+    // column-pruned affected-partition scan over the SERVED view — a
+    // finished run matches nothing (resume), a grown list re-affects
+    // committed partitions whose overlay copy still holds a listed doc
+    val pending = view.select(col(idCol), col("partition_id"))
       .join(deletes, Seq(idCol), "left_semi")
-    val pending = TableIO.pendingPartitions(affectedDf, lineagePath)
+      .select(col("partition_id").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
     val all = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
     pending.grouped(commitBatch).foreach { batch =>
       val t0 = System.nanoTime()
       val rows = batch.map { pid =>
-        val part = corpus.filter(col("partition_id") === pid)
+        val part = view.filter(col("partition_id") === pid)
         val before = part.count()
         val kept = part.join(deletes, Seq(idCol), "left_anti")
         // write before the lineage append — the commit contract
         TableIO.writePartitioned(
           kept.withColumn("partition_id", lit(pid)), overlayPath)
-        val after = spark.read.parquet(overlayPath)
-          .filter(col("partition_id") === pid).count()
+        // a fully-deleted partition writes zero files — count 0, don't
+        // try to infer a schema from a fileless directory
+        val partDir = s"$overlayPath/partition_id=$pid"
+        val after =
+          if (TableIO.exists(spark, partDir))
+            spark.read.parquet(partDir).count()
+          else 0L
         LineageRow(pid, before, after, before - after,
           (System.nanoTime() - t0) / 1000000)
       }
@@ -72,23 +87,29 @@ object TakedownJob {
     all.toSeq
   }
 
-  /** Serve the post-takedown corpus: base partitions NOT in the overlay,
-    * union the overlay's rewritten partitions. The `isin` filter on the
-    * partition column prunes the base scan at planning time — overlaid
-    * directories are never opened. Overlay partition ids come from one
-    * filesystem listing (no data read). */
+  /** Serve the post-takedown corpus: base partitions without a committed
+    * lineage row, union the overlay restricted to COMMITTED partitions.
+    * Keying both sides on the lineage keeps the read consistent through
+    * every failure window (un-committed overlay files are ignored, and a
+    * fully-deleted partition disappears even though the overlay holds no
+    * files for it). The `isin` filter prunes base directories at
+    * planning time; committed ids are one bounded lineage read. */
   def readWithOverlay(spark: SparkSession, corpusPath: String,
-      overlayPath: String): DataFrame = {
+      overlayPath: String, lineagePath: String): DataFrame = {
     val base = spark.read.parquet(corpusPath)
-    if (!TableIO.exists(spark, overlayPath)) return base
-    val p = new Path(overlayPath)
+    val committed = TableIO.readLineage(spark, lineagePath).toDF()
+      .select(col("partition_id").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (committed.isEmpty) return base
+    val kept = base.filter(!col("partition_id").isin(committed: _*))
+    // an overlay whose every rewrite was a full deletion holds no
+    // partition dirs at all — reading it would fail schema inference
+    val p = new org.apache.hadoop.fs.Path(overlayPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pids = fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("partition_id="))
-      .map(_.stripPrefix("partition_id=").toInt)
-    if (pids.isEmpty) base
-    else base.filter(!col("partition_id").isin(pids: _*))
-      .unionByName(spark.read.parquet(overlayPath))
+    val hasData = fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("partition_id="))
+    if (!hasData) kept
+    else kept.unionByName(spark.read.parquet(overlayPath)
+      .filter(col("partition_id").isin(committed: _*)))
   }
 }

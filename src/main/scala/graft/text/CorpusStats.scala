@@ -182,9 +182,11 @@ object CorpusStats {
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 10000, s"bad buckets: $buckets")
     val mx = df.agg(max(col(orderCol).cast("long")).as("__mx"))
-    val docs = df.crossJoin(broadcast(mx))
-      .select(expr(s"cast($orderCol as bigint) * $buckets div (__mx + 1)")
-        .as("bucket"))
+    // rename before the expr so arbitrary caller column names (spaces,
+    // reserved words) never reach a SQL string
+    val docs = df.select(col(orderCol).cast("long").as("__ord"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"__ord * $buckets div (__mx + 1)").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
     val firsts = df
       .select(col(orderCol).cast("long").as("__ord"),

@@ -25,7 +25,8 @@ object Normalize {
     "ntilde" -> "ñ", "ccedil" -> "ç")
 
   private val EntityRe =
-    java.util.regex.Pattern.compile("&(#x[0-9A-Fa-f]{1,6}|#[0-9]{1,7}|[A-Za-z]{1,10});")
+    java.util.regex.Pattern.compile(
+      "&(#[xX][0-9A-Fa-f]{1,6}|#[0-9]{1,7}|[A-Za-z]{1,10});")
 
   /** Decode HTML entities in one pass: the named table above, decimal
     * `&#NNN;`, and hex `&#xHH;`. Numeric references outside Unicode, on

@@ -33,7 +33,7 @@ object Rake {
     "or", "at", "from", "this", "but", "not", "we", "you", "they",
     "el", "la", "de", "que", "los", "las", "una", "es",
     "der", "die", "und", "das", "ist", "nicht", "ein", "zu",
-    "le", "les", "des", "et", "est", "dans")
+    "le", "les", "des", "et", "est", "une", "dans")
 
   /** One lowercased scan: word tokens (the shared `\w`-class rule) and
     * punctuation runs interleave in order; a punctuation run OR a

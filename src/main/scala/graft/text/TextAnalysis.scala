@@ -1142,8 +1142,10 @@ object TextAnalysis {
     * Shape at scale: completely NARROW — one projection of codegen'd
     * array math per row, no explode, no shuffle at any corpus size. */
   def readabilityDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokensCol(col(textCol))
-    val sentences = size(filter(split(col(textCol), "[.!?]+"),
+    // null-safe: size(split(null)) is -1, not 0 — treat null as empty
+    val text = coalesce(col(textCol), lit(""))
+    val toks = tokensCol(text)
+    val sentences = size(filter(split(text, "[.!?]+"),
       s => regexp_replace(s, "^\\s+|\\s+$", "") =!= ""))
     val sylls = aggregate(transform(toks, syllablesCol(_).cast("long")),
       lit(0L), (acc, x) => acc + x)
@@ -1248,9 +1250,10 @@ object TextAnalysis {
     math.max((k * 1000000L + 1920800L - t) / (n * 1000L + 3842L), 0L)
   }
 
-  /** Pure twin of [[readabilityDf]] for one document. */
+  /** Pure twin of [[readabilityDf]] for one document (null = empty). */
   def readability(text: String)
       : (Long, Long, Long, Option[Long], Option[Long]) = {
+    if (text == null) return (0L, 0L, 0L, None, None)
     val sentences = text.split("[.!?]+", -1)
       .count(_.replaceAll("^\\s+|\\s+$", "").nonEmpty).toLong
     val ws = tokens(text)

@@ -13,6 +13,10 @@ class TakedownJobSpec extends SparkTestBase {
     TableIO.writePartitioned(corpus, s"$dir/corpus")
   }
 
+  private def served(tmp: String): Seq[Long] =
+    TakedownJob.readWithOverlay(spark, s"$tmp/corpus", s"$tmp/overlay",
+      s"$tmp/lineage").select("doc_id").as[Long].collect().sorted.toSeq
+
   test("only affected partitions rewrite; overlay read = anti-join; resume") {
     val tmp = java.nio.file.Files.createTempDirectory("takedown").toString
     buildCorpus(tmp)
@@ -34,29 +38,59 @@ class TakedownJobSpec extends SparkTestBase {
       .map(_.getName).filter(_.startsWith("partition_id=")).sorted.toSeq
     assert(overlayDirs == Seq("partition_id=0", "partition_id=5"))
 
-    // served corpus = base anti-join deletes, exactly
-    val served = TakedownJob.readWithOverlay(spark, s"$tmp/corpus",
-      s"$tmp/overlay").select("doc_id").as[Long].collect().sorted.toSeq
-    assert(served == (0L to 99L).filterNot(Set(5L, 13L, 16L)).toSeq)
-    // base bytes untouched
-    val base = spark.read.parquet(s"$tmp/corpus")
-    assert(base.count() == 100L)
+    // served corpus = base anti-join deletes, exactly; base untouched
+    assert(served(tmp) == (0L to 99L).filterNot(Set(5L, 13L, 16L)).toSeq)
+    assert(spark.read.parquet(s"$tmp/corpus").count() == 100L)
 
-    // rerun: everything committed -> no partitions processed
-    val again = TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
-      s"$tmp/overlay", s"$tmp/lineage")
-    assert(again.isEmpty)
+    // rerun: the served view holds no listed docs -> no-op
+    assert(TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage").isEmpty)
 
-    // lost-lineage redo is idempotent: same overlay content either way
-    val servedBefore = served
+    // lost-lineage redo is idempotent: same served corpus either way
+    val servedBefore = served(tmp)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$tmp/lineage"))
     val redo = TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
       s"$tmp/overlay", s"$tmp/lineage")
     assert(redo.map(_.partition_id).sorted == Seq(0, 5))
-    val servedAfter = TakedownJob.readWithOverlay(spark, s"$tmp/corpus",
-      s"$tmp/overlay").select("doc_id").as[Long].collect().sorted.toSeq
-    assert(servedAfter == servedBefore)
+    assert(served(tmp) == servedBefore)
+  }
+
+  test("grown delete list re-rewrites committed partitions, keeps old deletions") {
+    val tmp = java.nio.file.Files.createTempDirectory("takedown3").toString
+    buildCorpus(tmp)
+    Seq(5L).toDF("doc_id").write.parquet(s"$tmp/deletes")
+    val r1 = TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage")
+    assert(r1.map(_.partition_id) == Seq(5))
+    // a month later id 13 (same partition) joins the list
+    Seq(5L, 13L).toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$tmp/deletes")
+    val r2 = TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage")
+    assert(r2.map(_.partition_id) == Seq(5))
+    // id 5's earlier deletion survives the second rewrite
+    assert(r2.head.docs_in == 11L && r2.head.spans_out == 1L)
+    assert(served(tmp) == (0L to 99L).filterNot(Set(5L, 13L)).toSeq)
+  }
+
+  test("fully-deleted partition vanishes despite a fileless overlay dir") {
+    val tmp = java.nio.file.Files.createTempDirectory("takedown4").toString
+    buildCorpus(tmp)
+    // every doc of partition 7: ids ≡ 7 (mod 8)
+    val all7 = (0L to 99L).filter(_ % 8 == 7)
+    all7.toDF("doc_id").write.parquet(s"$tmp/deletes")
+    val rows = TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage")
+    assert(rows.map(_.partition_id) == Seq(7))
+    assert(rows.head.docs_in == 12L && rows.head.docs_out == 0L &&
+      rows.head.spans_out == 12L)
+    // exclusion keys on the LINEAGE, not overlay listings — the deleted
+    // docs must be gone even though the overlay wrote zero files
+    assert(served(tmp) == (0L to 99L).filterNot(_ % 8 == 7).toSeq)
+    // and the rerun is still a no-op
+    assert(TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage").isEmpty)
   }
 
   test("no-op delete list and missing-overlay read") {
@@ -66,10 +100,8 @@ class TakedownJobSpec extends SparkTestBase {
     val rows = TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
       s"$tmp/overlay", s"$tmp/lineage")
     assert(rows.isEmpty)
-    // no overlay was ever written -> read falls through to the base
-    val served = TakedownJob.readWithOverlay(spark, s"$tmp/corpus",
-      s"$tmp/overlay")
-    assert(served.count() == 100L)
+    // no overlay/lineage was ever written -> read falls through to base
+    assert(served(tmp).size == 100)
     // refusals
     intercept[IllegalArgumentException] {
       val bad = (1L to 5L).map(i => (i, "t")).toDF("doc_id", "text")

@@ -8,6 +8,8 @@ class NormalizeSpec extends SparkTestBase {
   test("entityDecode: named, decimal, hex, single-pass, conservative") {
     assert(Normalize.entityDecode("a &amp; b &lt;c&gt;") == "a & b <c>")
     assert(Normalize.entityDecode("&#65;&#x42;&#x63;") == "ABc")
+    // HTML5 numeric-reference markers are case-insensitive: &#X41; too
+    assert(Normalize.entityDecode("&#X41;&#Xe9;") == "Aé")
     assert(Normalize.entityDecode("caf&eacute; &copy;2024") ==
       "caf\u00e9 \u00a92024")
     // single pass: the decoded &lt; is NOT re-decoded (HTML5 behavior)

@@ -5,6 +5,12 @@ import graft.SparkTestBase
 class RakeSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("stopword set covers every language-profile word (documented contract)") {
+    val profiles = TextAnalysis.LangProfiles.flatMap(_._2).toSet
+    assert(profiles.subsetOf(Rake.Stopwords),
+      s"missing: ${profiles -- Rake.Stopwords}")
+  }
+
   test("hand-traced scores: degree rewards long collocations") {
     val text = "deep learning models. the deep learning revolution is here. " +
       "models are good."

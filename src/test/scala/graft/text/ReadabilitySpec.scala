@@ -12,7 +12,8 @@ class ReadabilitySpec extends SparkTestBase {
     (3L, "table there the apple juggle"),   // silent-e battery, no terminator
     (4L, ""),                               // wordless -> NULL scores
     (5L, "123 456."),                       // vowel-less tokens floor at 1
-    (6L, "  ...  !?  "))                    // punctuation-only: 0 sentences
+    (6L, "  ...  !?  "),                    // punctuation-only: 0 sentences
+    (7L, null.asInstanceOf[String]))        // null-safe: treated as empty
 
   private def df = docs.toDF("doc_id", "text")
 
@@ -52,6 +53,8 @@ class ReadabilitySpec extends SparkTestBase {
     assert(got(5L) == ((1L, 2L, 2L, Some(120205L), Some(-3010L))))
     // doc 6: punctuation-only -> 0 sentences AND 0 words
     assert(got(6L) == ((0L, 0L, 0L, None, None)))
+    // doc 7: null text must behave as empty, not size(null) = -1
+    assert(got(7L) == ((0L, 0L, 0L, None, None)))
   }
 
   test("DataFrame form matches the pure twin on every document") {
