@@ -1846,6 +1846,41 @@ object SparkEntry {
         "lang", "domain")
     }),
 
+    "lsh_curve" -> ((s, d) => {
+      // the S-curve of the default MinHash config (k=32 = 8 bands × r=4):
+      // candidate probability 1−(1−J^r)^b at 39 Jaccard permille steps,
+      // in an exact truncated-integer chain (squaring order shared with
+      // the oracle verbatim) — the tuning table next to minhash_recall
+      // that justifies the band/row choice before a 100 TB run
+      s.range(0, 39, 1, 4).select(((col("id") + 1) * 25).as("j_milli"))
+        .withColumn("j_r_milli", expr(
+          "j_milli*j_milli div 1000 * j_milli div 1000 * j_milli div 1000"))
+        .withColumn("__q", lit(1000L) - col("j_r_milli"))
+        .withColumn("__q2", expr("__q*__q div 1000"))
+        .withColumn("__q4", expr("__q2*__q2 div 1000"))
+        .withColumn("candidate_milli",
+          lit(1000L) - expr("__q4*__q4 div 1000"))
+        .select("j_milli", "j_r_milli", "candidate_milli")
+    }),
+
+    "revision_diff" -> ((s, d) => {
+      // re-crawl revision stats: paired old/new text synthesized per
+      // doc_id (identity / 1-char substitution / 5-char append /
+      // reversal); banded Levenshtein capped at 16, docs > 300 chars
+      // skip to NULL (fingerprint territory). Oracle = DuckDB's NATIVE
+      // levenshtein under least() — an independent implementation
+      val id = col("doc_id")
+      val t = col("text")
+      val b = when(pmod(id, lit(4)) === 0, t)
+        .when(pmod(id, lit(4)) === 1,
+          concat(lit("X"), expr("substring(text, 2)")))
+        .when(pmod(id, lit(4)) === 2, concat(t, lit(" tail")))
+        .otherwise(reverse(t))
+      graft.text.Revisions.revisionDiffDf(
+        rd(s, d, "documents").select(id, t.as("a"), b.as("b")),
+        "doc_id", "a", "b", cap = 16, maxLen = 300)
+    }),
+
     "signal_corr" -> ((s, d) => {
       // signal-redundancy audit: exact integer-micro Pearson between
       // chars / ws tokens / bpe tokens over the full corpus — one narrow
@@ -6482,6 +6517,37 @@ object SparkEntry {
           |  ((s2 * 1000000) // (n * n))::BIGINT AS hhi_micro,
           |  (1000 * mx // n)::BIGINT AS top_share_milli
           |FROM a""".stripMargin,
+
+      "lsh_curve" ->
+        """WITH s AS (SELECT (range + 1) * 25 AS j_milli FROM range(39)),
+          |a AS (SELECT j_milli,
+          |  j_milli*j_milli // 1000 * j_milli // 1000 * j_milli // 1000
+          |    AS j_r_milli FROM s),
+          |q AS (SELECT j_milli, j_r_milli, 1000 - j_r_milli AS q FROM a),
+          |w AS (SELECT j_milli, j_r_milli, (q*q) // 1000 AS q2 FROM q),
+          |x AS (SELECT j_milli, j_r_milli, (q2*q2) // 1000 AS q4 FROM w)
+          |SELECT j_milli::BIGINT AS j_milli,
+          |  j_r_milli::BIGINT AS j_r_milli,
+          |  (1000 - (q4*q4) // 1000)::BIGINT AS candidate_milli
+          |FROM x""".stripMargin,
+
+      "revision_diff" ->
+        """WITH p AS (SELECT doc_id, text AS a,
+          |  CASE doc_id%4 WHEN 0 THEN text
+          |    WHEN 1 THEN 'X' || substr(text, 2)
+          |    WHEN 2 THEN text || ' tail'
+          |    ELSE reverse(text) END AS b
+          |  FROM documents)
+          |SELECT doc_id, length(a)::BIGINT AS len_a,
+          |  length(b)::BIGINT AS len_b,
+          |  (CASE WHEN length(a) > 300 OR length(b) > 300 THEN NULL
+          |    ELSE least(levenshtein(a, b), 17) END)::BIGINT AS dist,
+          |  (CASE WHEN length(a) > 300 OR length(b) > 300 THEN NULL
+          |    WHEN levenshtein(a, b) > 16 THEN NULL
+          |    ELSE 1000 * levenshtein(a, b)
+          |      // greatest(greatest(length(a), length(b)), 1)
+          |    END)::BIGINT AS changed_milli
+          |FROM p""".stripMargin,
 
       "signal_corr" ->
         """WITH b AS (SELECT length(text)::BIGINT AS x1,

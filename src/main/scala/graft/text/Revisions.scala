@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Revision tracking between document versions (re-crawls, editing
+  * passes, OCR re-runs): exact capped Levenshtein distance per pair.
+  * The complement to the fingerprint tiers — MinHash answers "are these
+  * near-dups?", this answers "HOW MUCH changed?" for the pairs that
+  * matter (same doc_id across snapshots), driving re-embed / re-train
+  * decisions and crawl-freshness stats.
+  *
+  * Scale discipline: full Levenshtein is O(n·m) — unusable on long docs.
+  * The kernel is the standard BANDED DP: O(len·cap) time, O(cap) space,
+  * exact for every distance ≤ cap, and `cap + 1` as the saturated
+  * answer beyond (a revision that changed more than `cap` edits is
+  * "rewritten" — the exact count carries no extra signal). Pairs longer
+  * than `maxLen` chars skip the DP entirely and report NULL (compare
+  * fingerprints instead at that size). Zero-shuffle typed kernel.
+  */
+object Revisions {
+
+  /** Exact Levenshtein distance when ≤ cap, else cap + 1. Banded DP:
+    * only the 2·cap+1 diagonal window is evaluated. */
+  def editDistanceCapped(a: String, b: String, cap: Int): Int = {
+    require(cap >= 0, s"cap must be >= 0: $cap")
+    val (la, lb) = (a.length, b.length)
+    if (math.abs(la - lb) > cap) return cap + 1
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = cap + 1
+    var prev = Array.fill(lb + 1)(inf)
+    var cur = Array.fill(lb + 1)(inf)
+    var j = 0
+    while (j <= math.min(lb, cap)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= la) {
+      val lo = math.max(1, i - cap)
+      val hi = math.min(lb, i + cap)
+      java.util.Arrays.fill(cur, inf)
+      if (i <= cap) cur(0) = i
+      j = lo
+      while (j <= hi) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) -1 else 0)
+        val del = prev(j)
+        val ins = cur(j - 1)
+        var best = math.min(math.min(sub + 1, del + 1), ins + 1)
+        if (best > inf) best = inf
+        cur(j) = best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    math.min(prev(lb), inf)
+  }
+
+  /** Per-pair revision stats over a (idCol, aCol, bCol) relation:
+    * lengths, capped distance, and changed fraction in milli
+    * (1000·dist div max(len)); dist and the fraction are NULL when
+    * either side exceeds `maxLen` (fingerprint territory) and the
+    * fraction is additionally NULL when the distance saturated at
+    * cap + 1 (a floor, not a measurement). */
+  def revisionDiffDf(pairs: DataFrame, idCol: String, aCol: String,
+      bCol: String, cap: Int, maxLen: Int): DataFrame = {
+    require(cap >= 1 && maxLen >= 1, s"bad cap/maxLen: $cap/$maxLen")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(pairs.schema(idCol),
+      StructField("len_a", LongType, nullable = false),
+      StructField("len_b", LongType, nullable = false),
+      StructField("dist", LongType, nullable = true),
+      StructField("changed_milli", LongType, nullable = true)))
+    pairs.select(col(idCol), col(aCol), col(bCol))
+      .mapPartitions(_.map { r =>
+        val a = Option(r.getString(1)).getOrElse("")
+        val b = Option(r.getString(2)).getOrElse("")
+        if (a.length > maxLen || b.length > maxLen)
+          Row(r.get(0), a.length.toLong, b.length.toLong, null, null)
+        else {
+          val d = editDistanceCapped(a, b, cap).toLong
+          val denom = math.max(math.max(a.length, b.length), 1).toLong
+          val frac: Any =
+            if (d > cap) null else java.lang.Long.valueOf(1000L * d / denom)
+          Row(r.get(0), a.length.toLong, b.length.toLong, d, frac)
+        }
+      })(Encoders.row(schema))
+  }
+}
