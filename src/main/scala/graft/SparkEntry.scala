@@ -1846,6 +1846,29 @@ object SparkEntry {
         "lang", "domain")
     }),
 
+    "name_jw" -> ((s, d) => {
+      // entity-resolution scoring: Jaro–Winkler over synthesized
+      // insurer-name pairs (identity / transposition / deletion /
+      // suffix / unrelated, pure functions of doc_id); oracle = DuckDB's
+      // NATIVE jaro_winkler_similarity — an independent implementation
+      val id = col("doc_id")
+      val names = Seq("acme insurance company", "globex mutual holdings",
+        "initech property casualty", "umbrella corp underwriters",
+        "stark industries assurance", "wayne enterprises group",
+        "tyrell surety partners", "hooli national indemnity")
+      val a = element_at(array(names.map(lit): _*),
+        (pmod(id, lit(8)) + 1).cast("int"))
+      val base = rd(s, d, "documents").select(id, a.as("a"))
+        .withColumn("b", when(pmod(id, lit(5)) === 0, col("a"))
+          .when(pmod(id, lit(5)) === 1,
+            expr("concat(substring(a,2,1), substring(a,1,1), substring(a,3))"))
+          .when(pmod(id, lit(5)) === 2,
+            expr("concat(substring(a,1,2), substring(a,4))"))
+          .when(pmod(id, lit(5)) === 3, concat(col("a"), lit(" llc")))
+          .otherwise(lit("unrelated name co")))
+      graft.extract.Norms.jaroWinklerDf(base, "doc_id", "a", "b")
+    }),
+
     "lsh_curve" -> ((s, d) => {
       // the S-curve of the default MinHash config (k=32 = 8 bands × r=4):
       // candidate probability 1−(1−J^r)^b at 39 Jaccard permille steps,
@@ -6517,6 +6540,22 @@ object SparkEntry {
           |  ((s2 * 1000000) // (n * n))::BIGINT AS hhi_micro,
           |  (1000 * mx // n)::BIGINT AS top_share_milli
           |FROM a""".stripMargin,
+
+      "name_jw" ->
+        """WITH n AS (SELECT doc_id,
+          |  ['acme insurance company','globex mutual holdings',
+          |   'initech property casualty','umbrella corp underwriters',
+          |   'stark industries assurance','wayne enterprises group',
+          |   'tyrell surety partners','hooli national indemnity'
+          |  ][(doc_id%8)::INT + 1] AS a FROM documents),
+          |p AS (SELECT doc_id, a, CASE doc_id%5
+          |  WHEN 0 THEN a
+          |  WHEN 1 THEN substr(a,2,1)||substr(a,1,1)||substr(a,3)
+          |  WHEN 2 THEN substr(a,1,2)||substr(a,4)
+          |  WHEN 3 THEN a||' llc'
+          |  ELSE 'unrelated name co' END AS b FROM n)
+          |SELECT doc_id, round(jaro_winkler_similarity(a, b), 6) AS jw
+          |FROM p""".stripMargin,
 
       "lsh_curve" ->
         """WITH s AS (SELECT (range + 1) * 25 AS j_milli FROM range(39)),

@@ -145,4 +145,78 @@ object Norms {
     if (docId == null) null else docId.replaceAll(SuffixRe, "")
 
   def baseNameCol(docId: Column): Column = regexp_replace(docId, SuffixRe, "")
+
+  // ----------------------------------------------------- Jaro–Winkler ------
+  /** Jaro similarity (Jaro 1989): match window max(⌊max(len)/2⌋−1, 0),
+    * transpositions = half the out-of-order matched positions; either
+    * side empty → 0 (the engine convention — DuckDB's native
+    * jaro_similarity agrees, including jw('','') = 0). */
+  def jaro(a: String, b: String): Double = {
+    val (la, lb) = (a.length, b.length)
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aFlag = new Array[Boolean](la)
+    val bFlag = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bFlag(j) && a.charAt(i) == b.charAt(j)) {
+          aFlag(i) = true; bFlag(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aFlag(i)) {
+        while (!bFlag(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    (md / la + md / lb + (md - t / 2) / md) / 3.0
+  }
+
+  /** Jaro–Winkler (Winkler 1990): prefix boost (≤ 4 chars, scale 0.1)
+    * applied only above the standard 0.7 threshold — the tie-breaking
+    * name-similarity tier next to [[nameVariation]]'s Hamming rule for
+    * producer/insurer/holder entity resolution. Bit-for-bit comparable
+    * to DuckDB's native jaro_winkler_similarity (the oracle). */
+  def jaroWinkler(a: String, b: String): Double = {
+    val j = jaro(a, b)
+    if (j <= 0.7) return j
+    var l = 0
+    val max = math.min(4, math.min(a.length, b.length))
+    while (l < max && a.charAt(l) == b.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  /** Per-pair Jaro–Winkler rounded half-up at 6 decimals (the repetition
+    * r6 idiom) over a (idCol, aCol, bCol) relation — zero-shuffle typed
+    * kernel. */
+  def jaroWinklerDf(pairs: org.apache.spark.sql.DataFrame, idCol: String,
+      aCol: String, bCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val schema = StructType(Seq(pairs.schema(idCol),
+      StructField("jw", DoubleType, nullable = false)))
+    pairs.select(col(idCol), col(aCol), col(bCol))
+      .mapPartitions(_.map { r =>
+        val v = jaroWinkler(Option(r.getString(1)).getOrElse(""),
+          Option(r.getString(2)).getOrElse(""))
+        Row(r.get(0), BigDecimal(v)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      })(Encoders.row(schema))
+  }
 }
