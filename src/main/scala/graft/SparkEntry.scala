@@ -41,6 +41,19 @@ object SparkEntry {
     "CASE WHEN doc_id%4=0 THEN 'news.co.uk' " +
       "ELSE 'site'||(doc_id%10)::VARCHAR||'.org' END"
 
+  /** Shared BM25 retrieval fixture (three fixed queries over the
+    * injected doc text) — feeds both `bm25_topk` and the `hybrid_rrf`
+    * fusion. */
+  private def bm25Fixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(1L -> "mortgagee bank", 2L -> "duplicate content block",
+      3L -> "policy limit payment").toDF("qid", "qtext")
+    graft.sim.SparseSim.bm25TopK(
+      rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), col("t2")),
+      "doc_id", "t2", queries, "qid", "qtext", k = 10, k1 = 1.5)
+  }
+
   /** Shared fixture for the substring-dedup queries (`substring_dedup`,
     * `selection_e2e`): every 5th doc gets the same pasted boilerplate
     * sentence. ONE definition feeds both Spark entries and (via
@@ -2470,14 +2483,32 @@ object SparkEntry {
     // window per query. k1=1.5 (not the 1.2 default) so every float
     // constant in the score (k1+1=2.5, 1-b=0.25, b·1000=750) is exactly
     // representable — no cross-engine ulp hazard in the literals.
-    "bm25_topk" -> ((s, d) => {
+    "bm25_topk" -> ((s, d) => bm25Fixture(s, d)),
+
+    "hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: RRF-fuse the BM25 list with a coordination-
+      // overlap retriever (|query tokens ∩ doc tokens|, a genuinely
+      // different lexical signal) for the same three queries — docs hit
+      // by BOTH retrievers rise, rank-based fusion needs no score
+      // calibration. Both inputs are bounded top-10 lists
       import s.implicits._
-      val queries = Seq(1L -> "mortgagee bank", 2L -> "duplicate content block",
+      val queries = Seq(1L -> "mortgagee bank",
+        2L -> "duplicate content block",
         3L -> "policy limit payment").toDF("qid", "qtext")
-      graft.sim.SparseSim.bm25TopK(
-        rd(s, d, "documents").withColumn("t2", docText)
-          .select(col("doc_id"), col("t2")),
-        "doc_id", "t2", queries, "qid", "qtext", k = 10, k1 = 1.5)
+      val qt = queries.select(col("qid"), TA.tokensCol(col("qtext")).as("qt"))
+      val overlap = rd(s, d, "documents").withColumn("t2", docText)
+        .select(col("doc_id"), TA.tokensCol(col("t2")).as("dt"))
+        .crossJoin(broadcast(qt))
+        .withColumn("overlap", size(array_intersect(col("dt"), col("qt"))))
+        .filter(col("overlap") > 0)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("overlap").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .select("qid", "doc_id", "rank")
+      graft.sim.Fusion.rrf(
+        Seq(bm25Fixture(s, d).select("qid", "doc_id", "rank"), overlap),
+        "qid", "doc_id", "rank", kConst = 60, topK = 10)
     }),
 
     // Count-Min frequency sketch (Sketches.cmsBuild/Estimate): d×w counter
@@ -4881,6 +4912,28 @@ object SparkEntry {
       "'item '||l_linenumber||' limit $'||(l_partkey%400)||" +
         "(CASE WHEN l_orderkey%7=0 THEN ' see EXAMPLE calculation' ELSE '' END)"
     val toks = "list_filter(string_split_regex(lower(%s),'\\W+'), x -> x <> '')"
+    // full BM25 replay body, shared by bm25_topk and the hybrid_rrf fusion
+    val bm25OracleSql =
+      s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
+         |tok AS (SELECT doc_id, unnest(${toks.format("t2")}) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n, round(avg(dl)*1000)::BIGINT AS avgdlm FROM dl),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |q(qid, qtext) AS (VALUES (1, 'mortgagee bank'),
+         |  (2, 'duplicate content block'), (3, 'policy limit payment')),
+         |qt AS (SELECT DISTINCT qid, unnest(${toks.format("qtext")}) AS tok FROM q),
+         |idf AS (SELECT qid, qt.tok,
+         |    round(ln((n - df + 0.5)/(df + 0.5) + 1)*1000)::BIGINT AS idfm, avgdlm
+         |  FROM qt JOIN dfq USING (tok), st),
+         |terms AS (SELECT qid, tf.doc_id,
+         |    round(idfm * (tf * 2.5) / (tf + 1.5 * (0.25 + dl.dl * 750.0 / avgdlm)))::BIGINT AS sc
+         |  FROM tf JOIN idf USING (tok) JOIN dl ON dl.doc_id = tf.doc_id),
+         |sc AS (SELECT qid, doc_id, sum(sc)::BIGINT AS score_milli FROM terms GROUP BY 1, 2),
+         |r AS (SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id) AS rk,
+         |    score_milli FROM sc)
+         |SELECT qid, doc_id, rk::BIGINT AS rank, score_milli FROM r WHERE rk <= 10""".stripMargin
     // SQL twin of the Spark-side disclaimerPage fixture (same constant)
     val disclaimerCase =
       s"CASE WHEN doc_id%5=0 THEN text || '$disclaimerSentence' ELSE text END"
@@ -7256,27 +7309,33 @@ object SparkEntry {
 
       // BM25 replay: tf/dl/df/avgdl → Lucene-form idf in milli-nats → one
       // rounding per (query, doc, term) → exact int64 sums → ranked window
-      "bm25_topk" ->
-        s"""WITH t AS (SELECT doc_id, $docText AS t2 FROM documents),
-           |tok AS (SELECT doc_id, unnest(${toks.format("t2")}) AS tok FROM t),
-           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
-           |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-           |st AS (SELECT count(*) AS n, round(avg(dl)*1000)::BIGINT AS avgdlm FROM dl),
-           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      "bm25_topk" -> bm25OracleSql,
+
+      // hybrid replay: the shared BM25 body as a subquery, the distinct
+      // token-overlap retriever, then the integer RRF fold + re-rank
+      "hybrid_rrf" ->
+        s"""WITH bm AS (SELECT qid, doc_id, rank FROM ($bm25OracleSql) b),
+           |t AS (SELECT doc_id, $docText AS t2 FROM documents),
+           |dt AS (SELECT DISTINCT doc_id,
+           |  unnest(${toks.format("t2")}) AS tok FROM t),
            |q(qid, qtext) AS (VALUES (1, 'mortgagee bank'),
            |  (2, 'duplicate content block'), (3, 'policy limit payment')),
-           |qt AS (SELECT DISTINCT qid, unnest(${toks.format("qtext")}) AS tok FROM q),
-           |idf AS (SELECT qid, qt.tok,
-           |    round(ln((n - df + 0.5)/(df + 0.5) + 1)*1000)::BIGINT AS idfm, avgdlm
-           |  FROM qt JOIN dfq USING (tok), st),
-           |terms AS (SELECT qid, tf.doc_id,
-           |    round(idfm * (tf * 2.5) / (tf + 1.5 * (0.25 + dl.dl * 750.0 / avgdlm)))::BIGINT AS sc
-           |  FROM tf JOIN idf USING (tok) JOIN dl ON dl.doc_id = tf.doc_id),
-           |sc AS (SELECT qid, doc_id, sum(sc)::BIGINT AS score_milli FROM terms GROUP BY 1, 2),
-           |r AS (SELECT qid, doc_id,
-           |    row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id) AS rk,
-           |    score_milli FROM sc)
-           |SELECT qid, doc_id, rk::BIGINT AS rank, score_milli FROM r WHERE rk <= 10""".stripMargin,
+           |qt AS (SELECT DISTINCT qid,
+           |  unnest(${toks.format("qtext")}) AS tok FROM q),
+           |ov AS (SELECT qid, doc_id, count(*) AS overlap
+           |  FROM dt JOIN qt USING (tok) GROUP BY 1, 2),
+           |ovr AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+           |  ORDER BY overlap DESC, doc_id) AS rank FROM ov
+           |  QUALIFY rank <= 10),
+           |u AS (SELECT qid, doc_id, rank FROM bm
+           |  UNION ALL SELECT qid, doc_id, rank FROM ovr),
+           |f AS (SELECT qid, doc_id, count(*)::BIGINT AS n_lists,
+           |  sum(1000000 // (60 + rank))::BIGINT AS rrf_micro
+           |  FROM u GROUP BY 1, 2)
+           |SELECT qid, doc_id, n_lists, rrf_micro,
+           |  row_number() OVER (PARTITION BY qid
+           |    ORDER BY rrf_micro DESC, doc_id)::BIGINT AS rank
+           |FROM f QUALIFY rank <= 10""".stripMargin,
 
       // CMS replay: per-(row, cell) build counts, probe = min over rows
       "cms_freq" ->
