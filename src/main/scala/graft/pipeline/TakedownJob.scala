@@ -62,21 +62,28 @@ object TakedownJob {
       .select(col("partition_id").cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     val all = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
+    val overlayRoot = new org.apache.hadoop.fs.Path(overlayPath)
+    val fs = overlayRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     pending.grouped(commitBatch).foreach { batch =>
       val t0 = System.nanoTime()
       val rows = batch.map { pid =>
         val part = view.filter(col("partition_id") === pid)
         val before = part.count()
         val kept = part.join(deletes, Seq(idCol), "left_anti")
-        // write before the lineage append — the commit contract
-        TableIO.writePartitioned(
+        val keptCnt = kept.count()
+        val partDir = new org.apache.hadoop.fs.Path(
+          s"$overlayPath/partition_id=$pid")
+        // write before the lineage append — the commit contract. Dynamic
+        // overwrite of an EMPTY frame touches nothing, so a grown list
+        // that empties an already-overlaid partition must drop the stale
+        // overlay dir explicitly or the old files keep serving
+        if (keptCnt == 0) {
+          if (fs.exists(partDir)) fs.delete(partDir, true)
+        } else TableIO.writePartitioned(
           kept.withColumn("partition_id", lit(pid)), overlayPath)
-        // a fully-deleted partition writes zero files — count 0, don't
-        // try to infer a schema from a fileless directory
-        val partDir = s"$overlayPath/partition_id=$pid"
         val after =
-          if (TableIO.exists(spark, partDir))
-            spark.read.parquet(partDir).count()
+          if (keptCnt > 0 && TableIO.exists(spark, partDir.toString))
+            spark.read.parquet(partDir.toString).count()
           else 0L
         LineageRow(pid, before, after, before - after,
           (System.nanoTime() - t0) / 1000000)

@@ -317,9 +317,12 @@ object CorpusStats {
     * integer to double, sqrt is correctly rounded), ONE toward-zero
     * division. Perfectly linear signals give exactly ±1000000 (the
     * variance product is then a perfect square). Constant signals emit
-    * NULL (zero variance). Precision bound: each n·Σx² term must fit
-    * DECIMAL(38) when squared — exact to ~10⁹ docs; beyond that run on
-    * a sample (it is a corpus statistic).
+    * NULL (zero variance). Precision bound, stated exactly: the engine
+    * floor(sqrt(double)) lands in a LONG, so the replay is bit-exact
+    * while varx·vary < 8.5·10³⁷ (sqrt below 2⁶³ — each variance term
+    * under ~9.2·10¹⁸, ≈10⁹ docs at typical sizes); beyond that the
+    * LONG saturates while an int128 replay would not — run the audit on
+    * a sample past that scale (it is a corpus statistic).
     *
     * Shape at scale: ONE narrow projection + ONE global partial-agg
     * reduce to a single row — no shuffle of data, ever. */

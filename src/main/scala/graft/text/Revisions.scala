@@ -60,30 +60,30 @@ object Revisions {
     * (1000·dist div max(len)); dist and the fraction are NULL when
     * either side exceeds `maxLen` (fingerprint territory) and the
     * fraction is additionally NULL when the distance saturated at
-    * cap + 1 (a floor, not a measurement). */
+    * cap + 1 (a floor, not a measurement).
+    *
+    * Built on Spark's NATIVE 3-arg `levenshtein(a, b, threshold)` (a
+    * codegen'd, internally band-optimized, code-point-based expression —
+    * −1 above the threshold maps to the saturated cap + 1), so the whole
+    * operator is one narrow whole-stage-codegen projection; the banded
+    * kernel above stays as the engine-independent pure twin the spec
+    * cross-checks against. */
   def revisionDiffDf(pairs: DataFrame, idCol: String, aCol: String,
       bCol: String, cap: Int, maxLen: Int): DataFrame = {
     require(cap >= 1 && maxLen >= 1, s"bad cap/maxLen: $cap/$maxLen")
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val schema = StructType(Seq(pairs.schema(idCol),
-      StructField("len_a", LongType, nullable = false),
-      StructField("len_b", LongType, nullable = false),
-      StructField("dist", LongType, nullable = true),
-      StructField("changed_milli", LongType, nullable = true)))
-    pairs.select(col(idCol), col(aCol), col(bCol))
-      .mapPartitions(_.map { r =>
-        val a = Option(r.getString(1)).getOrElse("")
-        val b = Option(r.getString(2)).getOrElse("")
-        if (a.length > maxLen || b.length > maxLen)
-          Row(r.get(0), a.length.toLong, b.length.toLong, null, null)
-        else {
-          val d = editDistanceCapped(a, b, cap).toLong
-          val denom = math.max(math.max(a.length, b.length), 1).toLong
-          val frac: Any =
-            if (d > cap) null else java.lang.Long.valueOf(1000L * d / denom)
-          Row(r.get(0), a.length.toLong, b.length.toLong, d, frac)
-        }
-      })(Encoders.row(schema))
+    val a = coalesce(col(aCol), lit(""))
+    val b = coalesce(col(bCol), lit(""))
+    val d0 = levenshtein(a, b, cap)
+    pairs.select(col(idCol),
+        length(a).cast("long").as("len_a"),
+        length(b).cast("long").as("len_b"),
+        when(length(a) > maxLen || length(b) > maxLen,
+          lit(null).cast("long"))
+          .otherwise(when(d0 === -1, lit(cap + 1)).otherwise(d0)
+            .cast("long")).as("dist"))
+      .withColumn("changed_milli",
+        when(col("dist").isNull || col("dist") > cap,
+          lit(null).cast("long"))
+          .otherwise(expr("1000 * dist div greatest(greatest(len_a, len_b), 1L)")))
   }
 }

@@ -72,6 +72,21 @@ class TakedownJobSpec extends SparkTestBase {
     // id 5's earlier deletion survives the second rewrite
     assert(r2.head.docs_in == 11L && r2.head.spans_out == 1L)
     assert(served(tmp) == (0L to 99L).filterNot(Set(5L, 13L)).toSeq)
+
+    // the list grows again to EVERY remaining doc of partition 5: the
+    // stale overlay dir must be dropped (an empty dynamic overwrite
+    // touches nothing), the docs must vanish, and the run must converge
+    val all5 = (0L to 99L).filter(_ % 8 == 5)
+    all5.toDF("doc_id").write.mode("overwrite").parquet(s"$tmp/deletes")
+    val r3 = TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage")
+    assert(r3.map(_.partition_id) == Seq(5))
+    assert(r3.head.docs_in == 10L && r3.head.docs_out == 0L &&
+      r3.head.spans_out == 10L)
+    assert(!new java.io.File(s"$tmp/overlay/partition_id=5").exists())
+    assert(served(tmp) == (0L to 99L).filterNot(_ % 8 == 5).toSeq)
+    assert(TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage").isEmpty)
   }
 
   test("fully-deleted partition vanishes despite a fileless overlay dir") {

@@ -53,6 +53,18 @@ class RevisionsSpec extends SparkTestBase {
     assert(got(3L)._3 == Some(4L) && got(3L)._4.isEmpty)  // saturated floor
     assert(got(4L) == ((50L, 50L, None, None)))
     assert(got(5L) == ((0L, 2L, Some(2L), Some(1000L))))
+    // the DF path (Spark's native threshold levenshtein) must agree with
+    // the engine-independent banded kernel on every in-range pair
+    pairs.filter(p => p._2 != null && p._2.length <= 20 &&
+        p._3.length <= 20).foreach { case (id, x, y) =>
+      assert(got(id)._3 ==
+        Some(Revisions.editDistanceCapped(x, y, 3).toLong), id)
+    }
+    // whole-stage codegen projection: no Exchange, no typed kernel
+    val plan = Revisions.revisionDiffDf(pairs.toDF("id", "a", "b"),
+      "id", "a", "b", 3, 20).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("MapPartitions"),
+      plan)
     intercept[IllegalArgumentException](
       Revisions.revisionDiffDf(pairs.toDF("id", "a", "b"), "id", "a", "b",
         cap = 0, maxLen = 10))
