@@ -1925,6 +1925,20 @@ object SparkEntry {
         rd(s, d, "documents"), "text")
     }),
 
+    "takedown_by_content" -> ((s, d) => {
+      // copyright takedowns name CONTENT, not doc ids: expand the listed
+      // ids to their normalized-text fingerprints and anti-join the
+      // corpus on the fingerprint, so byte-identical mirrors of an
+      // infringing work vanish with it (the exact-dedup complement to
+      // takedown_filter's id anti-join); both sides broadcast-bounded
+      val docs = rd(s, d, "documents")
+        .withColumn("__fp", TA.fingerprintCol(col("text")))
+      val listedFps = docs.filter(pmod(col("doc_id"), lit(59)) === 0)
+        .select(col("__fp")).distinct()
+      docs.join(broadcast(listedFps), Seq("__fp"), "left_anti")
+        .select(col("doc_id"))
+    }),
+
     "takedown_filter" -> ((s, d) => {
       // relational twin of pipeline/TakedownJob: corpus anti-join a
       // broadcast delete list (doc_id%13 stands in for the GDPR/DMCA
@@ -6668,6 +6682,14 @@ object SparkEntry {
           |      // floor(sqrt(((n*s22-s2*s2)*(n*s33-s3*s3))::DOUBLE))::HUGEINT
           |    END)::BIGINT AS r_ws_bpe_micro
           |FROM a""".stripMargin,
+
+      "takedown_by_content" ->
+        s"""WITH f AS (SELECT doc_id,
+           |  ${hash60("regexp_replace(trim(lower(text)),'\\s+',' ','g')")} AS fp
+           |  FROM documents),
+           |listed AS (SELECT DISTINCT fp FROM f WHERE doc_id % 59 = 0)
+           |SELECT doc_id FROM f
+           |WHERE fp NOT IN (SELECT fp FROM listed)""".stripMargin,
 
       "takedown_filter" ->
         """SELECT doc_id, length(text)::BIGINT AS n_chars
