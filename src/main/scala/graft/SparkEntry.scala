@@ -1752,6 +1752,22 @@ object SparkEntry {
       TA.readabilityDf(rd(s, d, "documents"), "doc_id", "text")
     }),
 
+    "readability_by_slice" -> ((s, d) => {
+      // datasheet rollup: per-language lower-median Flesch ease and FK
+      // grade via the histogram-exact sliceMedian primitive (milli
+      // scores are bounded-cardinality integers; wordless NULL-score
+      // docs drop out) — the corpus shuffles once per metric into a
+      // (slice, value) histogram, never sorts
+      val docs = rd(s, d, "documents")
+      val r = TA.readabilityDf(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val ease = graft.text.CorpusStats.sliceMedian(r, "lang", "ease_milli")
+        .withColumnRenamed("median", "median_ease_milli")
+      val grade = graft.text.CorpusStats.sliceMedian(r, "lang", "grade_milli")
+        .select(col("slice"), col("median").as("median_grade_milli"))
+      ease.join(grade, "slice")
+    }),
+
     "quality_top_fraction" -> ((s, d) => {
       // dynamic per-language thresholding (the keep-top-X% curation rule):
       // instead of one global score cutoff, each language keeps its own
@@ -4948,6 +4964,30 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id) AS rk,
          |    score_milli FROM sc)
          |SELECT qid, doc_id, rk::BIGINT AS rank, score_milli FROM r WHERE rk <= 10""".stripMargin
+    // full readability replay body, shared with the per-slice rollup
+    val readabilityOracleSql =
+      s"""WITH t AS (SELECT doc_id, text, ${toks.format("text")} AS toks
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |  len(list_filter(string_split_regex(text, '[.!?]+'),
+         |      x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g') <> ''))::BIGINT AS n_sentences,
+         |  len(toks)::BIGINT AS n_words,
+         |  coalesce(list_sum(list_transform(toks, w ->
+         |    greatest(CASE WHEN len(regexp_extract_all(w, '[aeiouy]+')) > 1
+         |        AND w LIKE '%e' AND NOT w LIKE '%le'
+         |      THEN len(regexp_extract_all(w, '[aeiouy]+')) - 1
+         |      ELSE len(regexp_extract_all(w, '[aeiouy]+')) END, 1))), 0)::BIGINT AS n_syllables
+         |  FROM t),
+         |m AS (SELECT doc_id, n_sentences, n_words, n_syllables,
+         |  1000 * n_words // greatest(n_sentences, 1) AS wps,
+         |  CASE WHEN n_words = 0 THEN NULL
+         |    ELSE 1000 * n_syllables // n_words END AS spw
+         |  FROM b)
+         |SELECT doc_id, n_sentences, n_words, n_syllables,
+         |  (206835 - 1015 * wps // 1000 - 84600 * spw // 1000)::BIGINT AS ease_milli,
+         |  (390 * wps // 1000 + 11800 * spw // 1000 - 15590)::BIGINT AS grade_milli
+         |FROM m""".stripMargin
+
     // SQL twin of the Spark-side disclaimerPage fixture (same constant)
     val disclaimerCase =
       s"CASE WHEN doc_id%5=0 THEN text || '$disclaimerSentence' ELSE text END"
@@ -6360,28 +6400,31 @@ object SparkEntry {
           |  END AS entropy_micro
           |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
-      "readability" ->
-        s"""WITH t AS (SELECT doc_id, text, ${toks.format("text")} AS toks
-           |  FROM documents),
-           |b AS (SELECT doc_id,
-           |  len(list_filter(string_split_regex(text, '[.!?]+'),
-           |      x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g') <> ''))::BIGINT AS n_sentences,
-           |  len(toks)::BIGINT AS n_words,
-           |  coalesce(list_sum(list_transform(toks, w ->
-           |    greatest(CASE WHEN len(regexp_extract_all(w, '[aeiouy]+')) > 1
-           |        AND w LIKE '%e' AND NOT w LIKE '%le'
-           |      THEN len(regexp_extract_all(w, '[aeiouy]+')) - 1
-           |      ELSE len(regexp_extract_all(w, '[aeiouy]+')) END, 1))), 0)::BIGINT AS n_syllables
-           |  FROM t),
-           |m AS (SELECT doc_id, n_sentences, n_words, n_syllables,
-           |  1000 * n_words // greatest(n_sentences, 1) AS wps,
-           |  CASE WHEN n_words = 0 THEN NULL
-           |    ELSE 1000 * n_syllables // n_words END AS spw
-           |  FROM b)
-           |SELECT doc_id, n_sentences, n_words, n_syllables,
-           |  (206835 - 1015 * wps // 1000 - 84600 * spw // 1000)::BIGINT AS ease_milli,
-           |  (390 * wps // 1000 + 11800 * spw // 1000 - 15590)::BIGINT AS grade_milli
-           |FROM m""".stripMargin,
+      "readability" -> readabilityOracleSql,
+
+      "readability_by_slice" ->
+        s"""WITH r AS (SELECT * FROM ($readabilityOracleSql) rr),
+           |j AS (SELECT d.lang AS slice, r.ease_milli, r.grade_milli
+           |  FROM r JOIN documents d USING (doc_id)),
+           |he AS (SELECT slice, ease_milli AS v, count(*)::BIGINT AS c
+           |  FROM j WHERE ease_milli IS NOT NULL GROUP BY 1, 2),
+           |te AS (SELECT slice, sum(c)::BIGINT AS n FROM he GROUP BY 1),
+           |ce AS (SELECT slice, v,
+           |  sum(c) OVER (PARTITION BY slice ORDER BY v) AS cm FROM he),
+           |me AS (SELECT ce.slice, min(v)::BIGINT AS median_ease_milli
+           |  FROM ce JOIN te USING (slice)
+           |  WHERE cm >= (n - 1) // 2 + 1 GROUP BY 1),
+           |hg AS (SELECT slice, grade_milli AS v, count(*)::BIGINT AS c
+           |  FROM j WHERE grade_milli IS NOT NULL GROUP BY 1, 2),
+           |tg AS (SELECT slice, sum(c)::BIGINT AS n FROM hg GROUP BY 1),
+           |cg AS (SELECT slice, v,
+           |  sum(c) OVER (PARTITION BY slice ORDER BY v) AS cm FROM hg),
+           |mg AS (SELECT cg.slice, min(v)::BIGINT AS median_grade_milli
+           |  FROM cg JOIN tg USING (slice)
+           |  WHERE cm >= (n - 1) // 2 + 1 GROUP BY 1)
+           |SELECT me.slice, te.n, me.median_ease_milli, mg.median_grade_milli
+           |FROM me JOIN te USING (slice) JOIN mg ON mg.slice = me.slice""".stripMargin,
+
 
       "quality_top_fraction" ->
         s"""WITH ch AS (SELECT doc_id, unnest(string_split(text,'')) AS c

@@ -31,6 +31,31 @@ object CorpusStats {
       .groupBy(sliceCol).agg(min(vCol).as(outCol))
   }
 
+  /** Public histogram-exact lower median of any INTEGER metric per
+    * slice: (slice, n, median). NULL metric values are dropped first
+    * (and a slice of only NULLs emits nothing). The scalable-median
+    * primitive behind [[lengthOutliers]], exposed for datasheet rollups:
+    * the corpus-scale exchange is ONE (slice, value) partial-agg
+    * groupBy; the ranking window only ever sees the bounded histogram.
+    * Meaningful for metrics with bounded distinct values (lengths,
+    * milli scores) — a continuous 64-bit metric should be bucketed
+    * first or the histogram IS the data. */
+  def sliceMedian(df: DataFrame, sliceCol: String, valueCol: String)
+      : DataFrame = {
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(col(sliceCol).as("slice"), col(valueCol).cast("long").as("__v"))
+      .groupBy("slice", "__v").agg(count(lit(1)).as("__c"))
+    val totals = hist.groupBy("slice").agg(sum("__c").as("n"))
+    histLowerMedian(hist, "slice", "__v", "__c", "median")
+      .join(totals, "slice")
+      .select("slice", "n", "median")
+  }
+
+  /** Pure twin of [[sliceMedian]] for one slice. */
+  def sliceMedianPure(vs: Seq[Long]): Option[(Long, Long)] =
+    if (vs.isEmpty) None
+    else Some((vs.size.toLong, vs.sorted.apply((vs.size - 1) / 2)))
+
   /** Robust per-document length-outlier gate (median/MAD, the standard
     * Hampel filter): per slice, m = lower median of doc char lengths and
     * MAD = lower median of |len − m|; a doc is an outlier when

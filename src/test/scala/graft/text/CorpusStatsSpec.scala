@@ -38,6 +38,24 @@ class CorpusStatsSpec extends SparkTestBase {
     }
   }
 
+  test("sliceMedian: histogram-exact lower medians, NULL drop, pure twin") {
+    val rows = Seq((1L, "a", Some(10L)), (2L, "a", Some(30L)),
+      (3L, "a", Some(20L)), (4L, "a", None),
+      (5L, "b", Some(7L)), (6L, "c", None))
+    val got = CorpusStats.sliceMedian(
+        rows.map(r => (r._1, r._2, r._3.map(Long.box).orNull))
+          .toDF("id", "s", "v").repartition(3), "s", "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // a: values {10,20,30} -> n=3 (NULL dropped), lower median 20
+    assert(got("a") == ((3L, 20L)))
+    assert(got("b") == ((1L, 7L)))
+    assert(!got.contains("c"))            // all-NULL slice emits nothing
+    assert(CorpusStats.sliceMedianPure(Seq(10L, 30L, 20L)) == Some((3L, 20L)))
+    assert(CorpusStats.sliceMedianPure(Seq(1L, 2L)) == Some((2L, 1L)))
+    assert(CorpusStats.sliceMedianPure(Nil).isEmpty)
+  }
+
   // ----------------------------------------------- domain concentration ----
   test("domainConcentration: hand HHI values and pure-twin parity") {
     val rows = Seq("a", "a", "a", "b").map(("s1", _)) ++
