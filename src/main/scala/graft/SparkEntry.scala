@@ -1752,6 +1752,23 @@ object SparkEntry {
       TA.readabilityDf(rd(s, d, "documents"), "doc_id", "text")
     }),
 
+    "length_percentiles" -> ((s, d) => {
+      // per-language p10/p50/p90 doc-length spread via the histogram-
+      // exact slicePercentile primitive (rank arithmetic, no
+      // interpolation — every engine replays it bit-identically); the
+      // three calls share Catalyst-deduplicated histogram scans
+      val base = rd(s, d, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("len"))
+      val cs = graft.text.CorpusStats
+      val p10 = cs.slicePercentile(base, "lang", "len", 100)
+        .select(col("slice"), col("n"), col("pct").as("p10"))
+      val p50 = cs.slicePercentile(base, "lang", "len", 500)
+        .select(col("slice"), col("pct").as("p50"))
+      val p90 = cs.slicePercentile(base, "lang", "len", 900)
+        .select(col("slice"), col("pct").as("p90"))
+      p10.join(p50, "slice").join(p90, "slice")
+    }),
+
     "readability_by_slice" -> ((s, d) => {
       // datasheet rollup: per-language lower-median Flesch ease and FK
       // grade via the histogram-exact sliceMedian primitive (milli
@@ -6401,6 +6418,19 @@ object SparkEntry {
           |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
       "readability" -> readabilityOracleSql,
+
+      "length_percentiles" ->
+        """WITH b AS (SELECT lang AS slice, length(text)::BIGINT AS v
+          |  FROM documents),
+          |h AS (SELECT slice, v, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+          |t AS (SELECT slice, sum(c)::BIGINT AS n FROM h GROUP BY 1),
+          |cu AS (SELECT slice, v,
+          |  sum(c) OVER (PARTITION BY slice ORDER BY v) AS cm FROM h)
+          |SELECT cu.slice, t.n,
+          |  min(CASE WHEN cm >= (n-1)*100//1000+1 THEN v END)::BIGINT AS p10,
+          |  min(CASE WHEN cm >= (n-1)*500//1000+1 THEN v END)::BIGINT AS p50,
+          |  min(CASE WHEN cm >= (n-1)*900//1000+1 THEN v END)::BIGINT AS p90
+          |FROM cu JOIN t USING (slice) GROUP BY 1, 2""".stripMargin,
 
       "readability_by_slice" ->
         s"""WITH r AS (SELECT * FROM ($readabilityOracleSql) rr),

@@ -56,6 +56,36 @@ object CorpusStats {
     if (vs.isEmpty) None
     else Some((vs.size.toLong, vs.sorted.apply((vs.size - 1) / 2)))
 
+  /** Histogram-exact lower percentile per slice, generalizing
+    * [[sliceMedian]]: the element at 0-based index (n−1)·q div 1000 of
+    * the sorted multiset for permille q (q = 500 IS the lower median).
+    * No interpolation — pure rank arithmetic, so every engine replays it
+    * bit-identically; same single (slice, value) histogram shuffle, and
+    * several percentiles of the same metric share that one histogram
+    * when composed in a query. */
+  def slicePercentile(df: DataFrame, sliceCol: String, valueCol: String,
+      permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"bad permille: $permille")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(col(sliceCol).as("slice"), col(valueCol).cast("long").as("__v"))
+      .groupBy("slice", "__v").agg(count(lit(1)).as("__c"))
+    val totals = hist.groupBy("slice").agg(sum("__c").as("__n"))
+    hist.withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy("slice").orderBy("__v")))
+      .join(totals, "slice")
+      .filter(col("__cum") >= expr(s"(__n - 1) * $permille div 1000 + 1"))
+      .groupBy("slice").agg(min("__v").as("pct"),
+        first("__n").as("n"))
+      .select("slice", "n", "pct")
+  }
+
+  /** Pure twin of [[slicePercentile]] for one slice. */
+  def slicePercentilePure(vs: Seq[Long], permille: Int)
+      : Option[(Long, Long)] =
+    if (vs.isEmpty) None
+    else Some((vs.size.toLong,
+      vs.sorted.apply(((vs.size - 1L) * permille / 1000L).toInt)))
+
   /** Robust per-document length-outlier gate (median/MAD, the standard
     * Hampel filter): per slice, m = lower median of doc char lengths and
     * MAD = lower median of |len − m|; a doc is an outlier when

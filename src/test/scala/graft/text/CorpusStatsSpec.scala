@@ -56,6 +56,28 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(CorpusStats.sliceMedianPure(Nil).isEmpty)
   }
 
+  test("slicePercentile: rank arithmetic, q=500 ≡ median, edges, pure twin") {
+    val vs = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 100L)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("id", "s", "v").repartition(3)
+    def pct(q: Int) = CorpusStats.slicePercentile(df, "s", "v", q)
+      .select("n", "pct").as[(Long, Long)].head()
+    // 0-based index (n-1)*q div 1000 over 10 values 10..100
+    assert(pct(0) == ((10L, 10L)))       // min
+    assert(pct(100) == ((10L, 10L)))     // idx (9*100)div 1000 = 0
+    assert(pct(500) == ((10L, 50L)))     // idx 4 — the lower median
+    assert(pct(900) == ((10L, 90L)))     // idx 8
+    assert(pct(1000) == ((10L, 100L)))   // max
+    // q=500 agrees with sliceMedian on the same data
+    val med = CorpusStats.sliceMedian(df, "s", "v")
+      .select("median").as[Long].head()
+    assert(med == 50L && pct(500)._2 == med)
+    for (q <- Seq(0, 100, 250, 500, 900, 1000))
+      assert(Some(pct(q)) == CorpusStats.slicePercentilePure(vs, q), q)
+    intercept[IllegalArgumentException](
+      CorpusStats.slicePercentile(df, "s", "v", 1001))
+  }
+
   // ----------------------------------------------- domain concentration ----
   test("domainConcentration: hand HHI values and pure-twin parity") {
     val rows = Seq("a", "a", "a", "b").map(("s1", _)) ++
