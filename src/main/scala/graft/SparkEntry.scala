@@ -1753,20 +1753,27 @@ object SparkEntry {
     }),
 
     "length_percentiles" -> ((s, d) => {
-      // per-language p10/p50/p90 doc-length spread via the histogram-
-      // exact slicePercentile primitive (rank arithmetic, no
-      // interpolation — every engine replays it bit-identically); the
-      // three calls share Catalyst-deduplicated histogram scans
-      val base = rd(s, d, "documents")
-        .select(col("lang"), length(col("text")).cast("long").as("len"))
-      val cs = graft.text.CorpusStats
-      val p10 = cs.slicePercentile(base, "lang", "len", 100)
-        .select(col("slice"), col("n"), col("pct").as("p10"))
-      val p50 = cs.slicePercentile(base, "lang", "len", 500)
-        .select(col("slice"), col("pct").as("p50"))
-      val p90 = cs.slicePercentile(base, "lang", "len", 900)
-        .select(col("slice"), col("pct").as("p90"))
-      p10.join(p50, "slice").join(p90, "slice")
+      // per-language p10/p50/p90 doc-length spread by the same rank
+      // arithmetic slicePercentile encodes, evaluated in ONE pass: one
+      // histogram, one cumulative window, three conditional mins — no
+      // joins, no reliance on physical-plan exchange reuse (the oracle
+      // has the identical shape)
+      val hist = rd(s, d, "documents")
+        .select(col("lang").as("slice"),
+          length(col("text")).cast("long").as("v"))
+        .groupBy("slice", "v").agg(count(lit(1)).as("c"))
+      hist.withColumn("cm", sum("c").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("slice").orderBy("v")))
+        .join(hist.groupBy("slice").agg(sum("c").as("n")), "slice")
+        .groupBy("slice")
+        .agg(first("n").as("n"),
+          min(when(expr("cm >= (n-1)*100 div 1000 + 1"), col("v")))
+            .as("p10"),
+          min(when(expr("cm >= (n-1)*500 div 1000 + 1"), col("v")))
+            .as("p50"),
+          min(when(expr("cm >= (n-1)*900 div 1000 + 1"), col("v")))
+            .as("p90"))
     }),
 
     "readability_by_slice" -> ((s, d) => {
@@ -1775,14 +1782,29 @@ object SparkEntry {
       // scores are bounded-cardinality integers; wordless NULL-score
       // docs drop out) — the corpus shuffles once per metric into a
       // (slice, value) histogram, never sorts
+      // BOTH medians from ONE readability pass: the two metrics melt
+      // into a compound (lang#metric) slice key so the expensive
+      // sentence/syllable projection runs once (two separate
+      // sliceMedian calls would re-evaluate it — their exchanges differ
+      // and ReusedExchange cannot dedup them), then pivot back
       val docs = rd(s, d, "documents")
       val r = TA.readabilityDf(docs, "doc_id", "text")
         .join(docs.select("doc_id", "lang"), "doc_id")
-      val ease = graft.text.CorpusStats.sliceMedian(r, "lang", "ease_milli")
-        .withColumnRenamed("median", "median_ease_milli")
-      val grade = graft.text.CorpusStats.sliceMedian(r, "lang", "grade_milli")
-        .select(col("slice"), col("median").as("median_grade_milli"))
-      ease.join(grade, "slice")
+      val melted = r.select(col("lang"), explode(array(
+          struct(lit("ease").as("m"), col("ease_milli").as("v")),
+          struct(lit("grade").as("m"), col("grade_milli").as("v"))))
+          .as("e"))
+        .select(concat(col("lang"), lit("#"), col("e.m")).as("sl"),
+          col("e.v").as("v"))
+      graft.text.CorpusStats.sliceMedian(melted, "sl", "v")
+        .select(expr("split(slice, '#')[0]").as("slice"),
+          expr("split(slice, '#')[1]").as("__m"), col("n"), col("median"))
+        .groupBy("slice")
+        .agg(max(when(col("__m") === "ease", col("n"))).as("n"),
+          max(when(col("__m") === "ease", col("median")))
+            .as("median_ease_milli"),
+          max(when(col("__m") === "grade", col("median")))
+            .as("median_grade_milli"))
     }),
 
     "quality_top_fraction" -> ((s, d) => {
@@ -1964,8 +1986,12 @@ object SparkEntry {
       // corpus on the fingerprint, so byte-identical mirrors of an
       // infringing work vanish with it (the exact-dedup complement to
       // takedown_filter's id anti-join); both sides broadcast-bounded
+      // NULL fingerprints (null text) are pinned out on BOTH sides:
+      // anti-join keeps NULL keys while SQL NOT IN would drop them —
+      // the one place their semantics diverge
       val docs = rd(s, d, "documents")
         .withColumn("__fp", TA.fingerprintCol(col("text")))
+        .filter(col("__fp").isNotNull)
       val listedFps = docs.filter(pmod(col("doc_id"), lit(59)) === 0)
         .select(col("__fp")).distinct()
       docs.join(broadcast(listedFps), Seq("__fp"), "left_anti")
@@ -6760,8 +6786,9 @@ object SparkEntry {
         s"""WITH f AS (SELECT doc_id,
            |  ${hash60("regexp_replace(trim(lower(text)),'\\s+',' ','g')")} AS fp
            |  FROM documents),
-           |listed AS (SELECT DISTINCT fp FROM f WHERE doc_id % 59 = 0)
-           |SELECT doc_id FROM f
+           |fnn AS (SELECT doc_id, fp FROM f WHERE fp IS NOT NULL),
+           |listed AS (SELECT DISTINCT fp FROM fnn WHERE doc_id % 59 = 0)
+           |SELECT doc_id FROM fnn
            |WHERE fp NOT IN (SELECT fp FROM listed)""".stripMargin,
 
       "takedown_filter" ->

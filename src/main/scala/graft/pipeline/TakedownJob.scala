@@ -38,6 +38,15 @@ import org.apache.spark.sql.functions._
   * earlier deletions are preserved. The append-only lineage doubles as
   * the audit history (docs_in = rows before, docs_out = rows kept,
   * spans_out = rows deleted, per partition per run).
+  *
+  * One deliberate ordering exception: a partition whose EVERY remaining
+  * doc is deleted commits its audit row BEFORE dropping the stale
+  * overlay dir (dynamic overwrite of an empty frame touches nothing).
+  * A kill in that window leaves the old files serving until the next
+  * run re-finds and re-deletes them (self-healing); the opposite order
+  * would apply the deletion with a permanent gap in the legal record.
+  * The drop itself is checked — a failed delete aborts the run rather
+  * than leaving the audit claiming a deletion the overlay still serves.
   */
 object TakedownJob {
 
@@ -69,27 +78,41 @@ object TakedownJob {
       val rows = batch.map { pid =>
         val part = view.filter(col("partition_id") === pid)
         val before = part.count()
-        val kept = part.join(deletes, Seq(idCol), "left_anti")
+        val kept = graft.io.Persisted.track(part
+          .join(deletes, Seq(idCol), "left_anti").persist())
         val keptCnt = kept.count()
         val partDir = new org.apache.hadoop.fs.Path(
           s"$overlayPath/partition_id=$pid")
-        // write before the lineage append — the commit contract. Dynamic
-        // overwrite of an EMPTY frame touches nothing, so a grown list
-        // that empties an already-overlaid partition must drop the stale
-        // overlay dir explicitly or the old files keep serving
-        if (keptCnt == 0) {
-          if (fs.exists(partDir)) fs.delete(partDir, true)
-        } else TableIO.writePartitioned(
-          kept.withColumn("partition_id", lit(pid)), overlayPath)
-        val after =
-          if (keptCnt > 0 && TableIO.exists(spark, partDir.toString))
-            spark.read.parquet(partDir.toString).count()
-          else 0L
-        LineageRow(pid, before, after, before - after,
+        val row = LineageRow(pid, before, keptCnt, before - keptCnt,
           (System.nanoTime() - t0) / 1000000)
+        if (keptCnt == 0) {
+          // dynamic overwrite of an EMPTY frame touches nothing, so the
+          // stale overlay dir must be dropped explicitly. AUDIT-FIRST
+          // here: commit the lineage row, then delete — a kill between
+          // the two leaves the stale files serving briefly, but the next
+          // run's affected-scan re-finds and re-deletes them (self-
+          // healing), whereas delete-first would apply the deletion with
+          // a permanent gap in the legal audit history. The delete must
+          // succeed or the run aborts (an unchecked failure would leave
+          // the audit claiming a deletion the overlay still serves).
+          TableIO.appendLineage(spark, Seq(row), lineagePath)
+          if (fs.exists(partDir))
+            require(fs.delete(partDir, true),
+              s"takedown: failed to delete stale overlay dir $partDir")
+        } else {
+          // write before the lineage append — the commit contract (the
+          // batched append below is the commit marker); `after` is the
+          // counted keptCnt — the persisted frame that was written, no
+          // extra read-back pass
+          TableIO.writePartitioned(
+            kept.withColumn("partition_id", lit(pid)), overlayPath)
+        }
+        (row, keptCnt == 0)
       }
-      TableIO.appendLineage(spark, rows, lineagePath)
-      all ++= rows
+      TableIO.appendLineage(spark,
+        rows.filterNot(_._2).map(_._1), lineagePath)
+      graft.io.Persisted.release(spark)
+      all ++= rows.map(_._1)
     }
     all.toSeq
   }

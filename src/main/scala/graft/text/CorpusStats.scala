@@ -14,22 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
-  /** Lower median of an integer-valued histogram `(sliceCol, vCol, cntCol)`
-    * per slice: the element at 0-based index (n−1) div 2 of the sorted
-    * multiset — the smallest v whose running count reaches
-    * (n−1) div 2 + 1. Pure arithmetic on counts, no interpolation, so
+  /** Lower percentile of an integer-valued histogram
+    * `(sliceCol, vCol, cntCol)` per slice: the element at 0-based index
+    * (n−1)·permille div 1000 of the sorted multiset — the smallest v
+    * whose running count reaches that index + 1 (permille 500 is the
+    * lower median). Pure arithmetic on counts, no interpolation, so
     * every engine replays it bit-identically (engine `median()` builtins
     * interpolate and differ). The window runs over the BOUNDED histogram
-    * (≤ distinct values per slice), never the corpus. */
-  private def histLowerMedian(hist: DataFrame, sliceCol: String,
-      vCol: String, cntCol: String, outCol: String): DataFrame = {
+    * (≤ distinct values per slice), never the corpus. The ONE
+    * implementation of the cum-rank pattern — the median entry points
+    * below delegate here. */
+  private def histPercentile(hist: DataFrame, sliceCol: String,
+      vCol: String, cntCol: String, outCol: String,
+      permille: Int): DataFrame = {
     val cum = hist.withColumn("__cum",
       sum(col(cntCol)).over(Window.partitionBy(sliceCol).orderBy(vCol)))
     val totals = hist.groupBy(sliceCol).agg(sum(cntCol).as("__n"))
     cum.join(totals, sliceCol)
-      .filter(col("__cum") >= expr("(__n - 1) div 2 + 1"))
+      .filter(col("__cum") >= expr(s"(__n - 1) * $permille div 1000 + 1"))
       .groupBy(sliceCol).agg(min(vCol).as(outCol))
   }
+
+  private def histLowerMedian(hist: DataFrame, sliceCol: String,
+      vCol: String, cntCol: String, outCol: String): DataFrame =
+    histPercentile(hist, sliceCol, vCol, cntCol, outCol, 500)
 
   /** Public histogram-exact lower median of any INTEGER metric per
     * slice: (slice, n, median). NULL metric values are dropped first
@@ -41,15 +49,9 @@ object CorpusStats {
     * milli scores) — a continuous 64-bit metric should be bucketed
     * first or the histogram IS the data. */
   def sliceMedian(df: DataFrame, sliceCol: String, valueCol: String)
-      : DataFrame = {
-    val hist = df.filter(col(valueCol).isNotNull)
-      .select(col(sliceCol).as("slice"), col(valueCol).cast("long").as("__v"))
-      .groupBy("slice", "__v").agg(count(lit(1)).as("__c"))
-    val totals = hist.groupBy("slice").agg(sum("__c").as("n"))
-    histLowerMedian(hist, "slice", "__v", "__c", "median")
-      .join(totals, "slice")
-      .select("slice", "n", "median")
-  }
+      : DataFrame =
+    slicePercentile(df, sliceCol, valueCol, 500)
+      .withColumnRenamed("pct", "median")
 
   /** Pure twin of [[sliceMedian]] for one slice. */
   def sliceMedianPure(vs: Seq[Long]): Option[(Long, Long)] =
@@ -69,22 +71,20 @@ object CorpusStats {
     val hist = df.filter(col(valueCol).isNotNull)
       .select(col(sliceCol).as("slice"), col(valueCol).cast("long").as("__v"))
       .groupBy("slice", "__v").agg(count(lit(1)).as("__c"))
-    val totals = hist.groupBy("slice").agg(sum("__c").as("__n"))
-    hist.withColumn("__cum", sum(col("__c")).over(
-        Window.partitionBy("slice").orderBy("__v")))
+    val totals = hist.groupBy("slice").agg(sum("__c").as("n"))
+    histPercentile(hist, "slice", "__v", "__c", "pct", permille)
       .join(totals, "slice")
-      .filter(col("__cum") >= expr(s"(__n - 1) * $permille div 1000 + 1"))
-      .groupBy("slice").agg(min("__v").as("pct"),
-        first("__n").as("n"))
       .select("slice", "n", "pct")
   }
 
   /** Pure twin of [[slicePercentile]] for one slice. */
   def slicePercentilePure(vs: Seq[Long], permille: Int)
-      : Option[(Long, Long)] =
+      : Option[(Long, Long)] = {
+    require(permille >= 0 && permille <= 1000, s"bad permille: $permille")
     if (vs.isEmpty) None
     else Some((vs.size.toLong,
       vs.sorted.apply(((vs.size - 1L) * permille / 1000L).toInt)))
+  }
 
   /** Robust per-document length-outlier gate (median/MAD, the standard
     * Hampel filter): per slice, m = lower median of doc char lengths and

@@ -21,9 +21,17 @@ import org.apache.spark.sql.functions._
 object Revisions {
 
   /** Exact Levenshtein distance when ≤ cap, else cap + 1. Banded DP:
-    * only the 2·cap+1 diagonal window is evaluated. */
+    * only the 2·cap+1 diagonal window is evaluated. Operates on Unicode
+    * CODE POINTS (a non-BMP char is one edit unit), matching both
+    * Spark's native levenshtein and DuckDB's — the three
+    * implementations agree on every input, including emoji. */
   def editDistanceCapped(a: String, b: String, cap: Int): Int = {
     require(cap >= 0, s"cap must be >= 0: $cap")
+    editDistanceCappedCp(a.codePoints().toArray, b.codePoints().toArray, cap)
+  }
+
+  private def editDistanceCappedCp(a: Array[Int], b: Array[Int],
+      cap: Int): Int = {
     val (la, lb) = (a.length, b.length)
     if (math.abs(la - lb) > cap) return cap + 1
     if (la == 0) return lb
@@ -41,7 +49,7 @@ object Revisions {
       if (i <= cap) cur(0) = i
       j = lo
       while (j <= hi) {
-        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) -1 else 0)
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) -1 else 0)
         val del = prev(j)
         val ins = cur(j - 1)
         var best = math.min(math.min(sub + 1, del + 1), ins + 1)

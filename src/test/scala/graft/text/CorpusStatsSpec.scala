@@ -76,6 +76,8 @@ class CorpusStatsSpec extends SparkTestBase {
       assert(Some(pct(q)) == CorpusStats.slicePercentilePure(vs, q), q)
     intercept[IllegalArgumentException](
       CorpusStats.slicePercentile(df, "s", "v", 1001))
+    intercept[IllegalArgumentException](
+      CorpusStats.slicePercentilePure(vs, 1001))
   }
 
   // ----------------------------------------------- domain concentration ----

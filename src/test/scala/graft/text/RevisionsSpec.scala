@@ -60,6 +60,15 @@ class RevisionsSpec extends SparkTestBase {
       assert(got(id)._3 ==
         Some(Revisions.editDistanceCapped(x, y, 3).toLong), id)
     }
+    // code-point alignment: a non-BMP char is ONE edit unit in the
+    // kernel, the native expression, and length() alike
+    val gclef = new String(Character.toChars(0x1D11E))
+    assert(Revisions.editDistanceCapped(gclef, "", 5) == 1)
+    val nb = Revisions.revisionDiffDf(
+        Seq((9L, gclef + "abc", "abc")).toDF("id", "a", "b"),
+        "id", "a", "b", 3, 20)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(nb == ((9L, 4L, 3L, Some(1L), Some(250L))))
     // whole-stage codegen projection: no Exchange, no typed kernel
     val plan = Revisions.revisionDiffDf(pairs.toDF("id", "a", "b"),
       "id", "a", "b", 3, 20).queryExecution.executedPlan.toString
