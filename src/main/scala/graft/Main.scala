@@ -111,7 +111,12 @@ object Main {
           val batch = rest.headOption.map(_.toInt).getOrElse(8)
           val rows = graft.pipeline.TakedownJob.runJob(spark, corpus,
             deletes, overlay, lineage, commitBatch = batch)
-          val committed = TableIO.readLineage(spark, lineage).count()
+          // takedown lineage is append-only with one row per partition PER
+          // RUN — count DISTINCT partitions, or a grown-list rerun inflates
+          // the summary (curate/compact commit each partition exactly once,
+          // so their raw counts stay correct)
+          val committed = TableIO.readLineage(spark, lineage).toDF()
+            .select("partition_id").distinct().count()
           println(s"[graft] takedown: rewrote ${rows.length} partitions this run " +
             s"(rows before=${rows.map(_.docs_in).sum}, " +
             s"kept=${rows.map(_.docs_out).sum}, " +

@@ -6671,7 +6671,8 @@ object SparkEntry {
 
       "length_outliers" ->
         """WITH base AS (SELECT doc_id, lang AS slice,
-          |  length(text)::BIGINT AS len FROM documents),
+          |  length(text)::BIGINT AS len FROM documents
+          |  WHERE text IS NOT NULL),
           |hist AS (SELECT slice, len, count(*)::BIGINT AS c
           |  FROM base GROUP BY 1, 2),
           |tot AS (SELECT slice, sum(c)::BIGINT AS n FROM hist GROUP BY 1),

@@ -71,15 +71,26 @@ object TakedownJob {
       .select(col("partition_id").cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     val all = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
+    val liveRdds = spark.sparkContext.getPersistentRDDs.keySet
     val overlayRoot = new org.apache.hadoop.fs.Path(overlayPath)
     val fs = overlayRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     pending.grouped(commitBatch).foreach { batch =>
-      val t0 = System.nanoTime()
       val rows = batch.map { pid =>
+        // t0 INSIDE the per-partition map: each audit row's wall_ms
+        // measures only ITS partition's rewrite (taken once per batch it
+        // would accumulate every earlier partition's time — a misleading
+        // legal record for batches > 1)
+        val t0 = System.nanoTime()
         val part = view.filter(col("partition_id") === pid)
         val before = part.count()
-        val kept = graft.io.Persisted.track(part
-          .join(deletes, Seq(idCol), "left_anti").persist())
+        // localCheckpoint, not persist(): a grown-list rerun READS this
+        // partition through the overlay path and then dynamically
+        // OVERWRITES the same path — persist() leaves the read-overwrite
+        // cycle intact if a cache block is lost and recomputed during the
+        // overwrite's commit window; the checkpoint truncates lineage so
+        // the write never re-reads its own source files
+        val kept = part.join(deletes, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
         val keptCnt = kept.count()
         val partDir = new org.apache.hadoop.fs.Path(
           s"$overlayPath/partition_id=$pid")
@@ -111,27 +122,54 @@ object TakedownJob {
       }
       TableIO.appendLineage(spark,
         rows.filterNot(_._2).map(_._1), lineagePath)
-      graft.io.Persisted.release(spark)
+      // drop ONLY the checkpoint blocks this batch created (a blanket
+      // clearCache would clobber a host application's caches); without
+      // this a long run holds every batch's checkpointed partitions in
+      // executor storage until the ContextCleaner happens to run
+      val batchRdds = spark.sparkContext.getPersistentRDDs.keySet -- liveRdds
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => batchRdds.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
       all ++= rows.map(_._1)
     }
     all.toSeq
   }
+
+  /** Below this many committed partitions the read uses literal `isin`
+    * filters (static directory pruning at planning time); above it the
+    * plan switches to broadcast joins on the lineage relation — a
+    * 10^5-10^6-partition real table would otherwise carry a giant In-list
+    * in the plan and pay its planning-time cost. */
+  val IsinPruneMax: Int = 1000
 
   /** Serve the post-takedown corpus: base partitions without a committed
     * lineage row, union the overlay restricted to COMMITTED partitions.
     * Keying both sides on the lineage keeps the read consistent through
     * every failure window (un-committed overlay files are ignored, and a
     * fully-deleted partition disappears even though the overlay holds no
-    * files for it). The `isin` filter prunes base directories at
-    * planning time; committed ids are one bounded lineage read. */
+    * files for it).
+    *
+    * Pruning strategy is size-dependent: up to [[IsinPruneMax]] committed
+    * partitions, literal `isin` filters prune base directories at
+    * planning time (the few-thousand-takedowns common case); past that
+    * the committed set stays distributed and both sides become broadcast
+    * lineage joins (anti on base, semi on overlay) — no driver
+    * collect, no In-list, scale-independent plan size. */
   def readWithOverlay(spark: SparkSession, corpusPath: String,
-      overlayPath: String, lineagePath: String): DataFrame = {
+      overlayPath: String, lineagePath: String,
+      isinPruneMax: Int = IsinPruneMax): DataFrame = {
     val base = spark.read.parquet(corpusPath)
-    val committed = TableIO.readLineage(spark, lineagePath).toDF()
-      .select(col("partition_id").cast("int")).distinct()
+    if (!TableIO.exists(spark, lineagePath)) return base
+    val committedDf = TableIO.readLineage(spark, lineagePath).toDF()
+      .select(col("partition_id").cast("int").as("partition_id")).distinct()
+    // bounded peek: collect at most isinPruneMax+1 ids to pick the form
+    val head = committedDf.limit(isinPruneMax + 1)
       .collect().map(_.getInt(0)).toSeq
-    if (committed.isEmpty) return base
-    val kept = base.filter(!col("partition_id").isin(committed: _*))
+    if (head.isEmpty) return base
+    val small = head.size <= isinPruneMax
+    val kept =
+      if (small) base.filter(!col("partition_id").isin(head: _*))
+      else base.join(broadcast(committedDf), Seq("partition_id"), "left_anti")
     // an overlay whose every rewrite was a full deletion holds no
     // partition dirs at all — reading it would fail schema inference
     val p = new org.apache.hadoop.fs.Path(overlayPath)
@@ -139,7 +177,12 @@ object TakedownJob {
     val hasData = fs.exists(p) && fs.listStatus(p)
       .exists(_.getPath.getName.startsWith("partition_id="))
     if (!hasData) kept
-    else kept.unionByName(spark.read.parquet(overlayPath)
-      .filter(col("partition_id").isin(committed: _*)))
+    else {
+      val overlay = spark.read.parquet(overlayPath)
+      val committedOverlay =
+        if (small) overlay.filter(col("partition_id").isin(head: _*))
+        else overlay.join(broadcast(committedDf), Seq("partition_id"), "left_semi")
+      kept.unionByName(committedOverlay)
+    }
   }
 }

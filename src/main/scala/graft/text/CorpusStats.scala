@@ -99,12 +99,19 @@ object CorpusStats {
     * corpus-scale exchange is the (slice, len) partial-agg histogram
     * groupBy; both medians run windows over that bounded histogram, and
     * the two-row-per-slice stat table joins back BROADCAST — the corpus
-    * itself never sorts and never shuffles. */
+    * itself never sorts and never shuffles.
+    *
+    * NULL-text docs (len NULL) are DROPPED — from the histogram (so they
+    * cannot skew the medians: engines disagree on where NULLs sort in a
+    * window, and a length statistic over absent text is meaningless) and
+    * from the output (a doc with no text has no length to flag) — the
+    * same NULL contract [[slicePercentile]] documents. */
   def lengthOutliers(df: DataFrame, idCol: String, sliceCol: String,
       textCol: String, kMilli: Long = 3000L): DataFrame = {
     require(kMilli > 0, s"kMilli must be positive: $kMilli")
     val base = df.select(col(idCol), col(sliceCol).as("slice"),
       length(col(textCol)).cast("long").as("len"))
+      .filter(col("len").isNotNull)
     val hist = base.groupBy("slice", "len").agg(count(lit(1)).as("__c"))
     val med = histLowerMedian(hist, "slice", "len", "__c", "median_len")
     val dhist = hist.join(med, "slice")

@@ -108,6 +108,91 @@ class TakedownJobSpec extends SparkTestBase {
       s"$tmp/overlay", s"$tmp/lineage").isEmpty)
   }
 
+  test("per-partition wall_ms measures only its own partition, not the batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("takedown5").toString
+    buildCorpus(tmp)
+    // one listed doc per partition -> all 8 partitions rewrite in ONE batch
+    (0L to 7L).toDF("doc_id").write.parquet(s"$tmp/deletes")
+    val t0 = System.nanoTime()
+    val rows = TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage", commitBatch = 8)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(rows.size == 8)
+    // independence pin: with a cumulative per-batch t0 each later row
+    // accumulates every earlier partition's time and the sum lands near
+    // (k/2)x the batch wall (~4x here); per-partition t0 keeps the sum of
+    // sequential rewrites at or under the run's own wall clock
+    assert(rows.map(_.wall_ms).sum <= elapsedMs,
+      s"sum of per-partition wall_ms ${rows.map(_.wall_ms).sum} exceeds " +
+        s"the run's wall $elapsedMs ms — cumulative batch timing regressed")
+  }
+
+  test("overlay read switches to broadcast lineage joins past the isin cap") {
+    val tmp = java.nio.file.Files.createTempDirectory("takedown6").toString
+    buildCorpus(tmp)
+    Seq(5L, 16L).toDF("doc_id").write.parquet(s"$tmp/deletes")
+    TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage")
+    val viaIsin = TakedownJob.readWithOverlay(spark, s"$tmp/corpus",
+      s"$tmp/overlay", s"$tmp/lineage")
+    val viaJoin = TakedownJob.readWithOverlay(spark, s"$tmp/corpus",
+      s"$tmp/overlay", s"$tmp/lineage", isinPruneMax = 0)
+    // the scale form (no In-list) plans lineage JOINS on both sides...
+    val plan = viaJoin.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join LeftAnti") && plan.contains("Join LeftSemi"),
+      s"expected lineage anti+semi joins in the large-committed-set plan:\n$plan")
+    assert(!viaIsin.queryExecution.optimizedPlan.toString.contains("Join LeftAnti"))
+    // ...and serves the identical corpus
+    assert(viaJoin.select("doc_id").as[Long].collect().sorted.toSeq ==
+      viaIsin.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("kill windows: uncommitted overlay invisible; audit-first stale dir self-heals") {
+    val tmp = java.nio.file.Files.createTempDirectory("takedown7").toString
+    buildCorpus(tmp)
+    // establish a committed overlay for partition 5 (drops doc 5)
+    Seq(5L).toDF("doc_id").write.parquet(s"$tmp/deletes")
+    TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage")
+    val consistent = (0L to 99L).filterNot(_ == 5L)
+    assert(served(tmp) == consistent)
+
+    // WINDOW 1 — kill between overlay data write and lineage append:
+    // partition 3's overlay holds garbage (a half-written rewrite) with NO
+    // lineage row. A concurrent reader must keep serving partition 3 from
+    // the BASE — uncommitted overlay files are invisible.
+    spark.range(1).select(lit(99999L).as("doc_id"), lit("junk").as("text"),
+        lit(3).as("partition_id"))
+      .write.partitionBy("partition_id").mode("append").parquet(s"$tmp/overlay")
+    assert(served(tmp) == consistent)
+    // rerun with partition 3 now affected: the rewrite replaces the junk
+    // (dynamic overwrite) and commits; doc 3 vanishes, junk never appears
+    Seq(5L, 3L).toDF("doc_id").write.mode("overwrite").parquet(s"$tmp/deletes")
+    TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage")
+    assert(served(tmp) == (0L to 99L).filterNot(Set(3L, 5L)))
+
+    // WINDOW 2 — the audit-first full-deletion path: lineage row for the
+    // all-deleted partition landed, the stale overlay dir did NOT drop.
+    // Reconstruct that exact state by hand: delete every remaining doc of
+    // partition 5 in lineage terms only.
+    graft.io.TableIO.appendLineage(spark, Seq(graft.model.LineageRow(
+      5, 11, 0, 11, 1)), s"$tmp/lineage")
+    // the reader still serves the stale (committed) overlay copy — the
+    // documented self-healing window, NOT data loss or a crash
+    assert(served(tmp) == (0L to 99L).filterNot(Set(3L, 5L)))
+    // the next run re-finds the listed survivors and completes the drop
+    val all5 = (0L to 99L).filter(_ % 8 == 5)
+    (all5 :+ 3L).toDF("doc_id").write.mode("overwrite").parquet(s"$tmp/deletes")
+    TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage")
+    assert(!new java.io.File(s"$tmp/overlay/partition_id=5").exists())
+    assert(served(tmp) == (0L to 99L).filterNot(i => i % 8 == 5 || i == 3L))
+    // converged: rerun is a no-op
+    assert(TakedownJob.runJob(spark, s"$tmp/corpus", s"$tmp/deletes",
+      s"$tmp/overlay", s"$tmp/lineage").isEmpty)
+  }
+
   test("no-op delete list and missing-overlay read") {
     val tmp = java.nio.file.Files.createTempDirectory("takedown2").toString
     buildCorpus(tmp)

@@ -38,6 +38,25 @@ class CorpusStatsSpec extends SparkTestBase {
     }
   }
 
+  test("lengthOutliers: NULL-text docs dropped from stats AND output") {
+    // 4×len-10 docs + one null-text doc: the NULL must not enter the
+    // histogram (nulls-first window ordering would otherwise count it as
+    // the smallest length and pull the median to 10 anyway here, but with
+    // more nulls it skews low) and the doc emits NO row at all
+    val rows = Seq((0L, "m", "x" * 10), (1L, "m", "x" * 10),
+      (2L, "m", "x" * 10), (3L, "m", "x" * 40), (4L, "m", null))
+    val got = CorpusStats.lengthOutliers(
+        rows.toDF("doc_id", "lang", "text").repartition(3),
+        "doc_id", "lang", "text")
+      .select("doc_id", "len", "median_len", "mad", "outlier")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(4L))                  // null-text doc: no output row
+    assert(got.size == 4)
+    assert(got(0L)._3 == 10L && got(0L)._4 == 0L)  // stats over 4 non-null lens
+    assert(got(3L)._5)                         // MAD=0: the 40 deviates
+  }
+
   test("sliceMedian: histogram-exact lower medians, NULL drop, pure twin") {
     val rows = Seq((1L, "a", Some(10L)), (2L, "a", Some(30L)),
       (3L, "a", Some(20L)), (4L, "a", None),
