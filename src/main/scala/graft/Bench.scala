@@ -297,14 +297,27 @@ object Bench {
         else planned
       }
       val valid = times.filter(_ >= 0)
-      val best = if (valid.isEmpty) -1.0 else valid.min
+      val best0 = if (valid.isEmpty) -1.0 else valid.min
+      // per-query band check (BenchBands, round-4 VERDICT item 1): a best
+      // above 2x the recorded fast-mode band earns ONE re-run after a
+      // driver GC — a first-in-sweep JIT hit or neighbor-query litter
+      // otherwise ships a 3-7x inflated number with no flag — and a
+      // violation that survives is recorded in the JSON, never silent
+      val bandSec = BenchBands.band(name)
+      val (best, bandRerun) =
+        if (best0 >= 0 && best0 > BenchBands.ViolationFactor * bandSec) {
+          System.gc()
+          val t = pass()
+          (if (t >= 0) math.min(best0, t) else best0, t)
+        } else (best0, -1.0)
+      val violated = best >= 0 && best > BenchBands.ViolationFactor * bandSec
       // convergence of the reported (best) value: second-best / best. A
       // noisy discarded pass doesn't count against the number we publish.
       val spread = if (valid.size >= 2 && valid.min > 0) {
         val s = valid.sorted; s(1) / s(0)
       } else 1.0
       if ((qi + 1) % 40 == 0) sparkControls += sparkControl(spark)
-      (name, best, spread)
+      (name, best, spread, bandSec, best0, bandRerun, violated)
     }
     sparkControls += sparkControl(spark)
 
@@ -317,8 +330,20 @@ object Bench {
     val controlRatio = math.max(controlBefore, controlAfter) / ControlFastSec
     val slowMode = controlRatio > 3.0
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { r => "\"" + r._1 + "\":" + f"${r._2}%.3f" }
       .mkString("{", ",", "}")
+    // surviving band violations: band, the pre-rerun best, the GC'd
+    // re-run pass (-1 = rerun itself failed), and the published value
+    val violations = results.filter(_._7)
+    val violationsJson = violations.map { case (k, v, _, b, first, rerun, _) =>
+      "\"" + k + f"""":{"band":$b%.2f,"first":$first%.3f,"rerun":$rerun%.3f,"final":$v%.3f}"""
+    }.mkString("{", ",", "}")
+    // re-runs that RECOVERED (first pass over 2x band, rerun under it):
+    // evidence the auto-rerun is doing its job, not hiding anomalies
+    val recovered = results.filter(r => r._6 >= 0 && !r._7)
+    val recoveredJson = recovered.map { case (k, v, _, b, first, _, _) =>
+      "\"" + k + f"""":{"band":$b%.2f,"first":$first%.3f,"final":$v%.3f}"""
+    }.mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum + ep1Sec
     // failed queries are excluded from the total (recorded as -1): surface
     // the count + names so a regression can't silently shrink the headline
@@ -338,6 +363,8 @@ object Bench {
         s""""control_fast_sec":${f"$ControlFastSec%.3f"},"control_ratio":${f"$controlRatio%.2f"},""" +
         s""""slow_mode":$slowMode,""" +
         s""""failed":${failed.size},"failed_queries":$failedJson,""" +
+        s""""band_default":${BenchBands.DefaultBand},"band_violation_count":${violations.size},""" +
+        s""""band_violations":$violationsJson,"band_reruns_recovered":$recoveredJson,""" +
         s""""max_pass_spread":${f"$maxSpread%.2f"},"max_pass_spread_query":"$maxSpreadQ","queries_spread_gt2":$over2,""" +
         s""""ep1_docs":$nDocs,"ep1_sec":${f"$ep1Sec%.3f"},""" +
         s""""ep1_docs_per_sec":${f"$docsPerSec%.1f"},"ep1_spans_per_sec":${f"$spansPerSec%.1f"},""" +
