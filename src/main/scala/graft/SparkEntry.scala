@@ -1544,6 +1544,38 @@ object SparkEntry {
           Web.registrableDomain(Web.host(col("url"))).as("domain"))
     }),
 
+    "psl_domains" -> ((s, d) => {
+      // full public-suffix-list matching (graft_regdomain over the
+      // bundled rule file): eight host shapes per doc_id covering normal
+      // 2-label rules, the *.ck and *.kawasaki.jp WILDCARDS, the !www.ck
+      // and !city.kawasaki.jp EXCEPTIONS, depth-3 ICANN rules
+      // (k12.ca.us), private-section rules (s3.amazonaws.com), and the
+      // unlisted-TLD default. Hosts are pure functions of doc_id so the
+      // oracle re-renders the EXPECTED eTLD+1 directly — an independent
+      // replay of the PSL algorithm's outcome on every shape.
+      // Zero-shuffle narrow codegen projection.
+      val id = col("doc_id")
+      val m3 = pmod(id, lit(3)).cast("string")
+      val m5 = pmod(id, lit(5)).cast("string")
+      val host = when(pmod(id, lit(8)) === 0,
+          concat(lit("www.sub"), m3, lit(".site"), m5, lit(".co.uk")))
+        .when(pmod(id, lit(8)) === 1,
+          concat(lit("b"), m3, lit(".shop.ex"), m5, lit(".ck")))
+        .when(pmod(id, lit(8)) === 2, lit("shop.www.ck"))
+        .when(pmod(id, lit(8)) === 3,
+          concat(lit("sub"), m3, lit(".city.kawasaki.jp")))
+        .when(pmod(id, lit(8)) === 4,
+          concat(lit("x.a.ward"), m5, lit(".kawasaki.jp")))
+        .when(pmod(id, lit(8)) === 5,
+          concat(lit("www.school"), m5, lit(".k12.ca.us")))
+        .when(pmod(id, lit(8)) === 6,
+          concat(lit("img.b"), m5, lit(".s3.amazonaws.com")))
+        .otherwise(concat(lit("cdn.sub.host"), m5, lit(".unlisted"), m3))
+      rd(s, d, "documents").select(id, host.as("host"))
+        .select(col("doc_id"), col("host"),
+          Web.registrableDomain(col("host")).as("domain"))
+    }),
+
     "surt_keys" -> ((s, d) => {
       // SURT archive keys over the url_normalize fixture URLs (same
       // pure-function construction, so the oracle re-renders the
@@ -6353,6 +6385,31 @@ object SparkEntry {
            |  h AS host,
            |  (CASE WHEN doc_id%5=0 THEN 'news.co.uk' ELSE 'example.com' END) AS domain
            |FROM u""".stripMargin,
+
+      "psl_domains" ->
+        s"""WITH h AS (SELECT doc_id,
+           |  CASE doc_id % 8
+           |  WHEN 0 THEN 'www.sub'||(doc_id%3)::VARCHAR||'.site'||(doc_id%5)::VARCHAR||'.co.uk'
+           |  WHEN 1 THEN 'b'||(doc_id%3)::VARCHAR||'.shop.ex'||(doc_id%5)::VARCHAR||'.ck'
+           |  WHEN 2 THEN 'shop.www.ck'
+           |  WHEN 3 THEN 'sub'||(doc_id%3)::VARCHAR||'.city.kawasaki.jp'
+           |  WHEN 4 THEN 'x.a.ward'||(doc_id%5)::VARCHAR||'.kawasaki.jp'
+           |  WHEN 5 THEN 'www.school'||(doc_id%5)::VARCHAR||'.k12.ca.us'
+           |  WHEN 6 THEN 'img.b'||(doc_id%5)::VARCHAR||'.s3.amazonaws.com'
+           |  ELSE 'cdn.sub.host'||(doc_id%5)::VARCHAR||'.unlisted'||(doc_id%3)::VARCHAR
+           |  END AS host FROM documents)
+           |SELECT doc_id, host,
+           |  CASE doc_id % 8
+           |  WHEN 0 THEN 'site'||(doc_id%5)::VARCHAR||'.co.uk'
+           |  WHEN 1 THEN 'shop.ex'||(doc_id%5)::VARCHAR||'.ck'
+           |  WHEN 2 THEN 'www.ck'
+           |  WHEN 3 THEN 'city.kawasaki.jp'
+           |  WHEN 4 THEN 'a.ward'||(doc_id%5)::VARCHAR||'.kawasaki.jp'
+           |  WHEN 5 THEN 'school'||(doc_id%5)::VARCHAR||'.k12.ca.us'
+           |  WHEN 6 THEN 'b'||(doc_id%5)::VARCHAR||'.s3.amazonaws.com'
+           |  ELSE 'host'||(doc_id%5)::VARCHAR||'.unlisted'||(doc_id%3)::VARCHAR
+           |  END AS domain
+           |FROM h""".stripMargin,
 
       "html_meta" ->
         s"""SELECT doc_id,

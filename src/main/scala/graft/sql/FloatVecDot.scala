@@ -78,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_fvdot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_fvdot"),
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_regdomain"),
+      new ExpressionInfo(classOf[GraftRegDomain].getName, "graft_regdomain"),
+      (children: Seq[Expression]) => GraftRegDomain(children.head)))
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftshim.GraftTopKStrategy)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftshim.WindowTopKRewrite)
   }

@@ -29,31 +29,16 @@ object Web {
     regexp_replace(h, "\\.$", "")
   }
 
-  /** Suffixes that occupy TWO host labels, so the registrable domain is
-    * three labels long (a deliberately small, embedded public-suffix-list
-    * subset — the full PSL is a data file swap, not a code change). */
-  val TwoLabelSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "or.jp", "ne.jp",
-    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
-    "github.io", "blogspot.com")
-
-  /** Registrable domain (eTLD+1) of a lowercase hostname: the last two
-    * labels, or the last three when the two-label tail is a listed
-    * two-label public suffix. Hosts with one label (localhost, IPs are out
-    * of scope) pass through unchanged. */
-  def registrableDomain(hostCol: Column): Column = {
-    val labels = split(hostCol, "\\.")
-    val n = size(labels)
-    val last2 = concat_ws(".", slice(labels, -2, 2))
-    val last3 = concat_ws(".", slice(labels, -3, 3))
-    val isTwoLabelSuffix = TwoLabelSuffixes
-      .map(s => last2 === lit(s)).reduce(_ || _)
-    when(n <= 1, hostCol)
-      .when(n >= 3 && isTwoLabelSuffix, last3)
-      .otherwise(last2)
-  }
+  /** Registrable domain (eTLD+1) of a lowercase hostname under the FULL
+    * public-suffix-list algorithm — arbitrary-depth rules, wildcards
+    * (`*.ck`), exceptions (`!city.kawasaki.jp`) — via the native
+    * [[graft.sql.GraftRegDomain]] codegen expression over the bundled
+    * rule file ([[Psl]]). Hosts with no more labels than their public
+    * suffix (localhost, a bare `co.uk`) pass through unchanged. Requires
+    * the `graft.sql.GraftExtensions` session extension (every entry
+    * point of this project registers it). */
+  def registrableDomain(hostCol: Column): Column =
+    call_function("graft_regdomain", hostCol)
 
   /** Query parameters dropped by [[normalizeUrl]]: click/campaign trackers
     * that make byte-identical pages look distinct to exact dedup. */
