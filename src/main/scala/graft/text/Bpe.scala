@@ -137,6 +137,7 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var prev: DataFrame = null
     var round = 1
+    var driverRounds = 0
     var done = false
     while (round <= k && !done) {
       val top = state.filter(size(col("syms")) >= 2)
@@ -186,7 +187,15 @@ object Bpe {
         }.toSeq
         batches += rules
         val ruleArr = rules.map(m => (m.lhs, m.rhs)).toArray
-        val next = graft.io.Persisted.track(state.mapPartitions { it =>
+        // localCheckpoint, NOT persist: persist caches the data but the
+        // logical plan still nests one mapPartitions deeper per round, so
+        // analyzer/optimizer cost grows quadratically with rounds — at a
+        // production 30k-merge vocab the driver spends 10x the cluster
+        // time re-planning (the HITS/kcore lineage-growth class). The
+        // eager checkpoint truncates the plan to a LogicalRDD each round;
+        // old round blocks are freed by the ContextCleaner when the
+        // previous DataFrame is dropped (periodic driver GC below).
+        val next = state.mapPartitions { it =>
           it.map { r =>
             var syms = r.getSeq[String](2).toVector
             var j = 0
@@ -197,16 +206,110 @@ object Bpe {
             }
             Row(r.getString(0), r.getLong(1), syms)
           }
-        }(Encoders.row(VocabSchema))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        next.count() // materialize before releasing the parent
+        }(Encoders.row(VocabSchema)).localCheckpoint(true)
         if (prev != null) prev.unpersist()
         prev = state
         state = next
+        driverRounds += 1
+        if (driverRounds % 64 == 0) System.gc() // let the cleaner drop old blocks
         round += rules.size
       }
     }
     if (prev != null) prev.unpersist()
     (batches.result(), state)
+  }
+
+  /** Production-vocab trainer: reduce the corpus to the word-frequency
+    * vocab with ONE Spark job (the only corpus-scale work BPE has — this
+    * is how reference trainers operate too: HuggingFace/SentencePiece
+    * train on aggregated counts), collect the BOUNDED vocab to the
+    * driver, and run the classic heap-based merge loop locally with
+    * incremental pair-count maintenance. 30k merges cost seconds of
+    * driver arithmetic instead of 30k (or even hundreds of) Spark
+    * rounds. Rules are BIT-IDENTICAL to [[trainMerges]] — same greedy
+    * merge, same (count desc, lhs asc, rhs asc) tie order (BpeSpec
+    * asserts rule-for-rule equality).
+    *
+    * `maxVocab` bounds the driver collect (distinct words, NOT corpus
+    * rows — a 100 TB corpus with a 10^7-word vocabulary collects ~1 GB
+    * of (word, count) pairs, the standard single-node training input).
+    * A vocab above the bound refuses loudly; the caller falls back to
+    * [[trainMergesBatched]], which never collects the vocab. */
+  def trainMergesLocal(df: DataFrame, textCol: String, k: Int,
+      maxVocab: Int = 20000000): (Seq[Merge], DataFrame) = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    val rows = vocab(df, textCol).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"vocab exceeds maxVocab=$maxVocab — use trainMergesBatched")
+    val syms = rows.map(_.getSeq[String](2).toVector)
+    val cnts = rows.map(_.getLong(1))
+
+    // pair -> current weighted count, membership, and a (−cnt, lhs, rhs)
+    // ordered selection tree mirroring the distributed argmax exactly
+    val count = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val members = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    val selOrd: Ordering[(Long, String, String)] =
+      Ordering.by[(Long, String, String), (Long, String, String)] {
+        case (c, l, r) => (-c, l, r)
+      }
+    val tree = scala.collection.mutable.TreeSet.empty[(Long, String, String)](selOrd)
+
+    def adjacentPairs(v: Vector[String]): Seq[(String, String)] =
+      if (v.length < 2) Nil
+      else (0 until v.length - 1).map(i => (v(i), v(i + 1)))
+
+    def applyDelta(p: (String, String), d: Long, idx: Int, join: Boolean): Unit = {
+      val old = count.getOrElse(p, 0L)
+      if (old != 0L) tree.remove((old, p._1, p._2))
+      val nw = old + d
+      if (nw > 0L) { count(p) = nw; tree.add((nw, p._1, p._2)) }
+      else count.remove(p)
+      val set = members.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty)
+      if (join) set.add(idx) else ()
+    }
+
+    // build initial state
+    var i = 0
+    while (i < syms.length) {
+      adjacentPairs(syms(i)).foreach { p => applyDelta(p, cnts(i), i, join = true) }
+      i += 1
+    }
+
+    val merges = Seq.newBuilder[Merge]
+    var round = 1
+    while (round <= k && tree.nonEmpty) {
+      val (pc, a, b) = tree.head
+      merges += Merge(round, a, b, pc)
+      val affected = members.getOrElse((a, b),
+        scala.collection.mutable.HashSet.empty[Int]).toArray
+      java.util.Arrays.sort(affected)
+      affected.foreach { idx =>
+        val before = syms(idx)
+        val after = mergePair(before, a, b)
+        val cnt = cnts(idx)
+        // net per-pair delta between the word's old and new adjacency
+        val delta = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        adjacentPairs(before).foreach(p => delta(p) = delta.getOrElse(p, 0L) - cnt)
+        adjacentPairs(after).foreach(p => delta(p) = delta.getOrElse(p, 0L) + cnt)
+        delta.foreach { case (p, d) => if (d != 0L) applyDelta(p, d, idx, join = false) }
+        // membership: drop from pairs the word no longer contains, join new
+        val oldSet = adjacentPairs(before).toSet
+        val newSet = adjacentPairs(after).toSet
+        (oldSet -- newSet).foreach(p => members.get(p).foreach(_.remove(idx)))
+        (newSet -- oldSet).foreach(p =>
+          members.getOrElseUpdate(p,
+            scala.collection.mutable.HashSet.empty).add(idx))
+        syms(idx) = after
+      }
+      // the merged pair itself must be gone (consumed occurrences)
+      round += 1
+    }
+
+    import scala.jdk.CollectionConverters._
+    val outRows = (0 until syms.length).map(j =>
+      Row(rows(j).getString(0), cnts(j), syms(j))).asJava
+    (merges.result(), spark.createDataFrame(outRows, VocabSchema))
   }
 }

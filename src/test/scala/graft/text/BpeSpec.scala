@@ -78,6 +78,42 @@ class BpeSpec extends SparkTestBase {
     assert(b.head.size >= 2, s"expected a real batch, got ${b.map(_.size)}")
   }
 
+  private def assertLocalEqSequential(corpus: Seq[String], k: Int): Unit = {
+    val df = corpus.toDF("text")
+    val (seq, vSeq) = Bpe.trainMerges(df, "text", k)
+    val segSeq = vSeq.orderBy("word")
+      .select("word", "cnt", "syms").as[(String, Long, Seq[String])].collect()
+    graft.io.Persisted.release(spark)
+    val (loc, vL) = Bpe.trainMergesLocal(df, "text", k)
+    val segL = vL.orderBy("word")
+      .select("word", "cnt", "syms").as[(String, Long, Seq[String])].collect()
+    graft.io.Persisted.release(spark)
+    assert(loc == seq, s"rules diverged: local=$loc sequential=$seq")
+    assert(segL.toSeq == segSeq.toSeq, "segmented vocab diverged")
+  }
+
+  test("local heap trainer ≡ sequential: rules, counts, ties, segmentation") {
+    // overlap-consuming merges + tie ordering (the banana rounds)
+    assertLocalEqSequential(Seq(Seq.fill(10)("banana").mkString(" ")), 3)
+    // pure tie-break ordering at equal counts
+    assertLocalEqSequential(
+      Seq((Seq.fill(10)("ab") ++ Seq.fill(10)("cd") ++ Seq.fill(10)("ef")).mkString(" ")), 3)
+    // merged-token interactions ((a,b) then (c,ab))
+    assertLocalEqSequential(
+      Seq(Seq.fill(20)("cab") ++ Seq.fill(20)("ab") ++ Seq.fill(20)("de")).map(_.mkString(" ")), 5)
+    // mixed natural-ish text, deeper k than the distributed specs
+    assertLocalEqSequential(
+      Seq.fill(8)("the quick brown fox jumps over the lazy dog the end") ++
+        Seq.fill(5)("pack my box with five dozen liquor jugs"), 12)
+    // repeated-symbol runs (aaaa) where greedy overlap consumption matters
+    assertLocalEqSequential(Seq(Seq.fill(7)("aaaa").mkString(" ")), 4)
+    // maxVocab refusal is loud
+    intercept[IllegalArgumentException] {
+      Bpe.trainMergesLocal(Seq("one two three").toDF("text"), "text", 2,
+        maxVocab = 2)
+    }
+  }
+
   test("batched trainer ≡ sequential on adversarial tie/merged-token corpora") {
     // ties at the conflict bound + a pair whose symbols reappear inside a
     // merged token ((a,b) then (c,ab)-shaped interactions)
