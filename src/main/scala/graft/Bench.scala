@@ -32,6 +32,10 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      // default ON (matches every production session); the env override
+      // exists so a sweep can measure the window-vs-native top-K delta
+      .config("spark.graft.topk.rewrite",
+        sys.env.getOrElse("SPARK_GRAFT_TOPK_REWRITE", "true"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

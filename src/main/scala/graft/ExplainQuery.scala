@@ -16,6 +16,7 @@ object ExplainQuery {
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.graft.topk.rewrite", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -33,6 +33,7 @@ object Main {
       .appName("graft-extract")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.graft.topk.rewrite", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -437,11 +437,26 @@ object SparkEntry {
     }),
 
     "top3_orders_per_customer" -> ((s, d) => {
+      // the TRUE window-plan comparator for topk_native/topk_rewrite: the
+      // sessions now default spark.graft.topk.rewrite=true, so pin this
+      // query's plan to the window form (flag lowered around the lazy
+      // optimizedPlan, which caches in this QueryExecution) — otherwise
+      // the native-vs-window bench pair would silently compare the native
+      // operator to itself. (The kept rnk column already blocks the
+      // rewrite shape, but the pin is explicit and asserted.)
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      rd(s, d, "orders").withColumn("rnk", row_number().over(w))
+      val df = rd(s, d, "orders").withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
+      val key = org.apache.spark.sql.graftshim.WindowTopKRewrite.ConfKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try {
+        require(df.queryExecution.optimizedPlan.toString.contains("Window"),
+          "expected the pinned window plan")
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+      df
     }),
 
     // The same top-3-per-customer through the NATIVE whole-operator plan
@@ -470,14 +485,14 @@ object SparkEntry {
       val df = rd(s, d, "orders").withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"))
-      s.conf.set(org.apache.spark.sql.graftshim.WindowTopKRewrite.ConfKey, "true")
+      val key = org.apache.spark.sql.graftshim.WindowTopKRewrite.ConfKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
       try {
         val opt = df.queryExecution.optimizedPlan
         require(opt.toString.contains("TopKPerKey"),
           s"window-to-TopK rewrite did not fire:\n$opt")
-      } finally {
-        s.conf.unset(org.apache.spark.sql.graftshim.WindowTopKRewrite.ConfKey)
-      }
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
       df
     }),
 

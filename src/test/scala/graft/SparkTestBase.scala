@@ -14,6 +14,7 @@ object SparkTestBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.graft.topk.rewrite", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
