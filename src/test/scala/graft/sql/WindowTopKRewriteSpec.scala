@@ -21,14 +21,20 @@ class WindowTopKRewriteSpec extends SparkTestBase {
   }
 
   private def withFlag[A](on: Boolean)(body: => A): A = {
+    // restore (not unset): the shared test session now defaults the flag
+    // ON, matching every production session
+    val prev = spark.conf.getOption(ConfKey)
     spark.conf.set(ConfKey, on.toString)
-    try body finally spark.conf.unset(ConfKey)
+    try body
+    finally prev.fold(spark.conf.unset(ConfKey))(spark.conf.set(ConfKey, _))
   }
 
   test("flag off: window plan unchanged") {
-    val plan = windowTopK(3).queryExecution.executedPlan.toString
-    assert(plan.contains("Window"), plan)
-    assert(!plan.contains("GraftTopK"), plan)
+    withFlag(on = false) {
+      val plan = windowTopK(3).queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), plan)
+      assert(!plan.contains("GraftTopK"), plan)
+    }
   }
 
   test("flag on: rn <= k rewrites to the native operator with identical rows") {
