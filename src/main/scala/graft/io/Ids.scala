@@ -11,26 +11,23 @@ import org.apache.spark.sql.functions._
   * offsets, join keys for parallel corpora.
   *
   * Shape: range-repartition on the order key, sort within partitions, then
-  *  1. one COUNT job: per-partition row counts (`spark_partition_id()`
-  *     groupBy — numPartitions rows to the driver, bounded);
-  *  2. driver prefix-sum → (partition_id, offset) table, broadcast-joined
-  *     back on `spark_partition_id()`;
-  *  3. `global_id = offset + local_index`, where the local index is the
-  *     low 33 bits of `monotonically_increasing_id()` (documented layout:
-  *     partition ID in the upper 31 bits, per-partition record number in
-  *     the lower 33 — asserted in IdsSpec so a layout change fails loudly).
+  * RDD `zipWithIndex` over that ONE lineage: its internal count job
+  * (numPartitions longs to the driver) and its assignment pass run on the
+  * SAME RDD, so the range shuffle is materialized once and both read
+  * identical partitions. The earlier DataFrame formulation (count job +
+  * broadcast-offset join as two separate query executions over
+  * `spark_partition_id` / `monotonically_increasing_id`) let the two
+  * executions disagree on the range partitioning at scale — duplicate and
+  * overlapping ids at 50k rows, caught by the sf1 gate and pinned in
+  * IdsSpec. The deliberate drop to the RDD API is exactly the "genuine
+  * per-partition imperative logic" carve-out: a cross-job consistency
+  * guarantee Catalyst does not offer.
   *
-  * Determinism: the two jobs (count + final) replay the same deterministic
-  * plan — parquet splits are stable and the range partitioner samples with
-  * a fixed per-partition seed — so partition contents are identical across
-  * them. The order columns must be a TOTAL order (include a unique
-  * tie-breaker); ties would make the assignment within a tie group
+  * The order columns must be a TOTAL order (include a unique tie-breaker);
+  * ties would make the assignment within a tie group
   * partition-placement-dependent.
   */
 object Ids {
-
-  /** 33-bit local-record mask of `monotonically_increasing_id`. */
-  private val LocalMask = (1L << 33) - 1L
 
   /** Append `idCol` with contiguous 0-based IDs in `orderCols` order.
     * `numPartitions <= 0` keeps the session's shuffle parallelism. */
@@ -43,20 +40,13 @@ object Ids {
       (if (numPartitions > 0) df.repartitionByRange(numPartitions, order: _*)
        else df.repartitionByRange(order: _*))
         .sortWithinPartitions(order: _*)
-    // nondeterministic leaves (mid/pid) pin this projection ABOVE the sort —
-    // Catalyst will not reorder it, so local indices follow the sorted order
-    val indexed = ranged
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__local", monotonically_increasing_id().bitwiseAND(LocalMask))
-    val counts = indexed.groupBy(col("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts.map(_._1))
-      .map { case (off, pid) => (pid, off) }
     val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("__opid", "__offset")
-    indexed.join(broadcast(offsetDf), col("__pid") === col("__opid"))
-      .withColumn(idCol, col("__offset") + col("__local"))
-      .drop("__pid", "__local", "__opid", "__offset")
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val withId = ranged.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(withId, schema)
   }
 }
