@@ -24,6 +24,13 @@ object BenchBands {
   /** Above `2 × band`: one GC'd re-run, then flag if still above. */
   val ViolationFactor = 2.0
 
+  /** Bands are calibrated at sf0.1 on this host; a sweep at another
+    * scale multiplies every band by SPARK_GRAFT_BAND_SCALE (e.g. ~15 for
+    * the 10x sf1 corpus) so the violation flags stay meaningful instead
+    * of firing on every query. */
+  val Scale: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BAND_SCALE", "1.0").toDouble
+
   val bands: Map[String, Double] = Map(
     // iterative connected-components family: per-round shuffles dominate
     "dedup_canonical" -> 16.0,
@@ -80,5 +87,5 @@ object BenchBands {
     "link_graph" -> 3.0,
     "hybrid_rrf" -> 2.6)
 
-  def band(name: String): Double = bands.getOrElse(name, DefaultBand)
+  def band(name: String): Double = bands.getOrElse(name, DefaultBand) * Scale
 }
